@@ -1,0 +1,225 @@
+"""Expression compiler: Expr AST → pyspark Column.
+
+Implements the Pig-vs-Spark semantic divergences at compile time
+(SURVEY.md §1.3–1.4, §2.2):
+
+- integer `/` is Java integer division (truncate toward zero), not Spark's
+  double `/`;
+- `matches` is a FULL-string Java match → rlike anchored `^(?:re)$`;
+- casts are null-on-failure (session runs ANSI-off, so plain cast has
+  exactly Pig's POCast semantics);
+- `x / 0` → null (Spark non-ANSI behavior, same as Pig's
+  null-with-warning).
+
+Type-dependent compilation (integer division, SIZE, bag vs tuple deref)
+resolves types through the DataFrame's analyzed schema — a driver-side
+metadata operation, no job.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.column import Column
+from pyspark.sql.window import Window
+
+from ..functions.builtins import REGISTRY, TYPED_REGISTRY
+from ..plans import expressions as E
+
+# Pig scalar type name → Spark type (SURVEY.md §1.2)
+PIG_TO_SPARK_TYPE = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "chararray": "string",
+    "bytearray": "binary",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "biginteger": "decimal(38,0)",
+    "bigdecimal": "decimal(38,18)",
+}
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+# Func args that must stay Python literals (regex/format/duration strings,
+# literal ints) — see spork_spark.functions.builtins._lit_str.
+WANTS_LITERALS: dict[str, set[int]] = {
+    "REPLACE": {1, 2},
+    "REGEX_EXTRACT": {1, 2},
+    "REGEX_EXTRACT_ALL": {1},
+    "STRSPLIT": {1, 2},
+    "STRSPLITTOBAG": {1, 2},
+    "SPRINTF": {0},
+    "ROUND_TO": {1},
+    "TODATE": {1, 2},
+    "TOSTRING_DT": {1},
+    "ADDDURATION": {1},
+    "SUBTRACTDURATION": {1},
+    "BAGTOSTRING": {1},
+    "GET_JSON_OBJECT": {1},
+    "JSON_TUPLE": {1, 2, 3, 4, 5, 6, 7, 8},
+}
+
+
+class ExprCompiler:
+    """Compiles Expr trees against a specific input DataFrame (the current
+    relation), with access to the engine's UDF registry."""
+
+    def __init__(self, df: DataFrame, udfs: dict[str, Any] | None = None):
+        self.df = df
+        self.udfs = udfs or {}
+
+    # -- type resolution (analysis-only, no job) ----------------------------
+    def dtype(self, col: Column) -> T.DataType:
+        return self.df.select(col).schema[0].dataType
+
+    def compile(self, e: E.Expr) -> Column:
+        m = getattr(self, f"_c_{type(e).__name__.lower()}", None)
+        if m is None:
+            raise NotImplementedError(f"cannot compile {type(e).__name__}")
+        return m(e)
+
+    # -- leaves --------------------------------------------------------------
+    def _c_col(self, e: E.Col) -> Column:
+        return F.col(e.name)
+
+    def _c_pos(self, e: E.Pos) -> Column:
+        return F.col(self.df.columns[e.index])
+
+    def _c_star(self, e: E.Star) -> Column:
+        return F.col("*")
+
+    def _c_lit(self, e: E.Lit) -> Column:
+        return F.lit(e.value)
+
+    # -- operators -------------------------------------------------------------
+    def _c_binop(self, e: E.BinOp) -> Column:
+        l, r = self.compile(e.left), self.compile(e.right)
+        op = e.op
+        if op == "+": return l + r
+        if op == "-": return l - r
+        if op == "*": return l * r
+        if op == "%": return l % r   # Java % keeps dividend sign = Spark %
+        if op == "/":
+            lt, rt = self.dtype(l), self.dtype(r)
+            if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
+                # Pig int/int = Java integer division (truncate toward 0);
+                # x/0 → null. double-div + cast(long) truncates toward zero
+                # in non-ANSI Spark; result type follows Pig promotion.
+                out = "bigint" if isinstance(lt, T.LongType) or \
+                    isinstance(rt, T.LongType) else "int"
+                return (l.cast("double") / r).cast(out)
+            return l / r
+        if op == "==": return l == r
+        if op == "!=": return l != r
+        if op == "<": return l < r
+        if op == "<=": return l <= r
+        if op == ">": return l > r
+        if op == ">=": return l >= r
+        if op == "and": return l & r
+        if op == "or": return l | r
+        raise NotImplementedError(f"binop {op}")
+
+    def _c_unop(self, e: E.UnOp) -> Column:
+        c = self.compile(e.child)
+        if e.op == "neg": return -c
+        if e.op == "not": return ~c
+        if e.op == "isnull": return c.isNull()
+        if e.op == "isnotnull": return c.isNotNull()
+        raise NotImplementedError(f"unop {e.op}")
+
+    def _c_matches(self, e: E.Matches) -> Column:
+        # PORegexp: Java String.matches = full-string → anchor.
+        return self.compile(e.child).rlike(f"^(?:{e.regex})$")
+
+    def _c_inlist(self, e: E.InList) -> Column:
+        vals = [v.value if isinstance(v, E.Lit) else self.compile(v)
+                for v in e.values]
+        return self.compile(e.child).isin(*vals)
+
+    def _c_cast(self, e: E.Cast) -> Column:
+        spark_t = PIG_TO_SPARK_TYPE.get(e.pig_type, e.pig_type)
+        # ANSI is off in the engine session → cast is null-on-failure,
+        # exactly POCast semantics.
+        return self.compile(e.child).cast(spark_t)
+
+    def _c_bincond(self, e: E.BinCond) -> Column:
+        return F.when(self.compile(e.cond), self.compile(e.iftrue)) \
+                .otherwise(self.compile(e.iffalse))
+
+    def _c_casewhen(self, e: E.CaseWhen) -> Column:
+        out = None
+        for cond, val in e.branches:
+            c, v = self.compile(cond), self.compile(val)
+            out = F.when(c, v) if out is None else out.when(c, v)
+        if e.otherwise is not None:
+            out = out.otherwise(self.compile(e.otherwise))
+        return out
+
+    def _c_maplookup(self, e: E.MapLookup) -> Column:
+        return self.compile(e.child).getItem(e.key)
+
+    def _c_deref(self, e: E.Deref) -> Column:
+        child = self.compile(e.child)
+        dt = self.dtype(child)
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            # bag.field → bag of 1-field tuples (Pig bag projection)
+            name = self._field_name(dt.elementType, e.field)
+            return F.transform(child, lambda t: F.struct(t[name].alias(name)))
+        if isinstance(dt, T.StructType):
+            return child.getField(self._field_name(dt, e.field))
+        # fall through: positional/name access on maps or via getItem
+        return child.getItem(e.field)
+
+    @staticmethod
+    def _field_name(st: T.StructType, f: Any) -> str:
+        return st.fields[f].name if isinstance(f, int) else f
+
+    def _c_aliased(self, e: E.Aliased) -> Column:
+        return self.compile(e.child).alias(e.name)
+
+    def _c_flatten(self, e: E.Flatten) -> Column:
+        raise ValueError("FLATTEN is only valid as a FOREACH generator; "
+                         "the plan compiler handles it")
+
+    # -- function calls ------------------------------------------------------
+    def _compile_args(self, name: str, args: list[E.Expr]) -> list:
+        lit_pos = WANTS_LITERALS.get(name, set())
+        out = []
+        for i, a in enumerate(args):
+            if i in lit_pos:
+                if not isinstance(a, E.Lit):
+                    raise ValueError(
+                        f"{name} argument {i} must be a literal (as in Pig, "
+                        "where it is a constructor argument)")
+                out.append(a.value)
+            else:
+                out.append(self.compile(a))
+        return out
+
+    def _c_func(self, e: E.Func) -> Column:
+        name = e.name.upper()
+        if name in TYPED_REGISTRY:
+            cols = [self.compile(a) for a in e.args]
+            dtypes = [self.dtype(c) for c in cols]
+            return TYPED_REGISTRY[name](dtypes, *cols)
+        if name in REGISTRY:
+            return REGISTRY[name](*self._compile_args(name, e.args))
+        if name in self.udfs:
+            return self.udfs[name](*[self.compile(a) for a in e.args])
+        raise NameError(f"unknown function {name!r} (not a builtin, not "
+                        "registered via engine.register_udf)")
+
+    def _c_windowfunc(self, e: E.WindowFunc) -> Column:
+        w = Window.partitionBy(*[self.compile(p) for p in e.partition_by])
+        order = [self.compile(k).asc_nulls_first() if asc
+                 else self.compile(k).desc_nulls_last()
+                 for k, asc in e.order_by]
+        if order:
+            w = w.orderBy(*order)
+        fn = getattr(F, e.name)
+        return fn(*[self.compile(a) for a in e.args]).over(w)

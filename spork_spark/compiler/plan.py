@@ -1,0 +1,539 @@
+"""Plan compiler: LogicalOp DAG → pyspark DataFrame.
+
+The Spark-first re-expression of the reference's converter layer
+(pig:…/executionengine/spark/converter/*.java, SURVEY.md §3.1/§3.4): where
+spork hand-converted each physical operator to RDD calls, we *generate* a
+declarative DataFrame plan and let Catalyst/Tungsten/AQE pick the physical
+strategy. The only optimizations done here are the ones Catalyst cannot see
+because they are about plan generation (SURVEY.md §4.1 conclusion):
+
+1. **GROUP+FOREACH fusion (§4.3)** — `FOREACH (GROUP x BY k) GENERATE group,
+   AGG(x.f)…` compiles straight to `x.groupBy(k).agg(…)`. This buys partial
+   aggregation (the reference's CombinerOptimizer/POPartialAgg), spill, and
+   codegen. Bags materialize via collect_list ONLY when they escape.
+2. Join strategy hints — `USING 'replicated'` → broadcast(), 'merge' →
+   merge hint, 'skewed' → AQE skew join (session conf).
+3. Multi-consumer persist — an alias consumed more than once (SPLIT,
+   multi-store) is persisted (the reference's MultiQueryOptimizer).
+4. Scalable bare RANK — the reference's own POCounter/PORank two-pass
+   per-partition-count + prefix-sum design over spark_partition_id, instead
+   of a 1-partition global window.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.builtins import ALGEBRAIC_AGGS
+from ..plans import expressions as E
+from ..plans import logical as L
+from .expr import ExprCompiler
+
+GROUP_COL = "group"
+
+
+class PlanCompiler:
+    def __init__(self, spark: SparkSession, udfs: dict[str, Any] | None = None):
+        self.spark = spark
+        self.udfs = udfs if udfs is not None else {}
+        self._cache: dict[int, DataFrame] = {}
+        self._consumers: dict[int, int] = {}
+
+    # ------------------------------------------------------------------ api
+    def compile(self, node: L.LogicalOp) -> DataFrame:
+        """Compile a plan DAG to a (lazy) DataFrame, memoized per node."""
+        self._count_consumers(node, seen=set())
+        return self._compile(node)
+
+    # ------------------------------------------------------------- internals
+    def _count_consumers(self, node: L.LogicalOp, seen: set) -> None:
+        for ch in node.children:
+            self._consumers[ch._id] = self._consumers.get(ch._id, 0) + 1
+            if ch._id not in seen:
+                seen.add(ch._id)
+                self._count_consumers(ch, seen)
+
+    def _compile(self, node: L.LogicalOp) -> DataFrame:
+        if node._id in self._cache:
+            return self._cache[node._id]
+        df = getattr(self, f"_c_{type(node).__name__.lower()}")(node)
+        # MultiQueryOptimizer role: persist subplans consumed >1× so SPLIT /
+        # multi-store reuse one computation (SURVEY.md §4.2).
+        if self._consumers.get(node._id, 0) > 1 and not isinstance(
+                node, (L.Load, L.InMemory)):
+            df = df.persist()
+        self._cache[node._id] = df
+        return df
+
+    def _ctx(self, df: DataFrame) -> ExprCompiler:
+        return ExprCompiler(df, self.udfs)
+
+    # -------------------------------------------------------------- sources
+    def _c_load(self, node: L.Load) -> DataFrame:
+        from ..sources import read
+        return read(self.spark, node.path, node.fmt, node.schema, node.options)
+
+    def _c_inmemory(self, node: L.InMemory) -> DataFrame:
+        return node.df
+
+    # -------------------------------------------------------------- row ops
+    def _c_filter(self, node: L.Filter) -> DataFrame:
+        df = self._compile(node.child)
+        return df.filter(self._ctx(df).compile(node.predicate))
+
+    def _c_sample(self, node: L.Sample) -> DataFrame:
+        return self._compile(node.child).sample(fraction=node.fraction,
+                                                seed=node.seed)
+
+    def _c_limit(self, node: L.Limit) -> DataFrame:
+        return self._compile(node.child).limit(node.n)
+
+    def _c_distinct(self, node: L.Distinct) -> DataFrame:
+        df = self._compile(node.child).distinct()
+        if node.parallel:
+            df = df.repartition(node.parallel)
+        return df
+
+    # -------------------------------------------------------------- foreach
+    def _c_foreach(self, node: L.ForEach) -> DataFrame:
+        # The §4.3 fusion: FOREACH over GROUP with purely-algebraic
+        # generators compiles to groupBy().agg() — no bag materialization.
+        if isinstance(node.child, L.Group) and \
+                self._consumers.get(node.child._id, 0) <= 1:
+            fused = self._try_fuse_group_agg(node.child, node.generators)
+            if fused is not None:
+                return fused
+        df = self._compile(node.child)
+        return self._apply_generators(df, node.generators)
+
+    def _apply_generators(self, df: DataFrame, gens: list[E.Expr]) -> DataFrame:
+        """Plain projection path, incl. FLATTEN via explode/struct-expand."""
+        ctx = self._ctx(df)
+        cols, flatten_names = [], []
+        for i, g in enumerate(gens):
+            alias = None
+            inner = g
+            if isinstance(inner, E.Aliased):
+                alias, inner = inner.name, inner.child
+            if isinstance(inner, E.Star):
+                cols.append(F.col("*"))
+                continue
+            if isinstance(inner, E.Flatten):
+                name = alias or f"__flat_{i}"
+                cols.append(ctx.compile(inner.child).alias(name))
+                flatten_names.append((name, alias))
+                continue
+            c = ctx.compile(inner)
+            cols.append(c.alias(alias) if alias else
+                        c.alias(self._default_name(inner, i)))
+        out = df.select(*cols)
+        for name, alias in flatten_names:
+            out = self._explode_one(out, name, alias)
+        return out
+
+    @staticmethod
+    def _default_name(e: E.Expr, i: int) -> str:
+        if isinstance(e, E.Col):
+            return e.name.split(".")[-1].split("::")[-1]
+        if isinstance(e, E.Deref) and isinstance(e.field, str):
+            return e.field
+        return f"col_{i}"
+
+    def _explode_one(self, df: DataFrame, name: str, alias: str | None) -> DataFrame:
+        """FLATTEN semantics (SURVEY.md §2.2): bag → cross product with the
+        row, EMPTY/NULL BAG DROPS THE ROW (explode, not explode_outer);
+        tuple → inline fields; map → key/value rows."""
+        dt = df.select(name).schema[0].dataType
+        others = [c for c in df.columns if c != name]
+        if isinstance(dt, T.ArrayType):
+            df = df.withColumn(name, F.explode(F.col(name)))
+            dt = dt.elementType
+        if isinstance(dt, T.StructType):
+            inner = [F.col(f"{name}.{f.name}").alias(f.name) for f in dt.fields]
+            return df.select(*others, *inner)
+        if isinstance(dt, T.MapType):
+            return df.select(*others, F.explode(F.col(name)).alias("key", "value"))
+        # scalar array element / passthrough
+        if alias is None and name.startswith("__flat_"):
+            df = df.withColumnRenamed(name, name.removeprefix("__flat_"))
+        return df
+
+    # ------------------------------------------------------- group & fusion
+    def _group_key_cols(self, ctx: ExprCompiler, keys: list[E.Expr]) -> list:
+        cols = []
+        for i, k in enumerate(keys):
+            name = k.name if isinstance(k, E.Col) else \
+                (k.name if isinstance(k, E.Aliased) else f"group_{i}")
+            cols.append(ctx.compile(k).alias(name))
+        return cols
+
+    def _try_fuse_group_agg(self, group: L.Group,
+                            gens: list[E.Expr]) -> DataFrame | None:
+        """Pattern-match FOREACH(GROUP) generators; None ⇒ bag escapes.
+
+        A generator is fusable when it is (a) a reference to `group` (whole
+        key or key field), or (b) an algebraic aggregate whose arguments
+        only dereference the bag. Anything else (FLATTEN of the bag, the
+        bag itself, non-algebraic fns) falls back to materialization.
+        """
+        child_df = self._compile(group.child)
+        ctx = self._ctx(child_df)
+        keys = group.keys
+        agg_cols, out_cols, saw_agg = [], [], False
+
+        for i, g in enumerate(gens):
+            alias, inner = None, g
+            if isinstance(inner, E.Aliased):
+                alias, inner = inner.name, inner.child
+            kind = self._classify_generator(inner, keys)
+            if kind == "group":
+                out_cols.append(("group", inner, alias))
+            elif kind == "agg":
+                rewritten = self._rewrite_bag_refs(inner)
+                col = ctx.compile(rewritten).alias(alias or f"col_{i}")
+                agg_cols.append(col)
+                out_cols.append(("agg", alias or f"col_{i}", None))
+                saw_agg = True
+            else:
+                return None
+        if not saw_agg:
+            return None
+
+        if group.mode == "all":
+            grouped = child_df.groupBy()
+        elif group.mode == "cube":
+            grouped = child_df.cube(*self._group_key_cols(ctx, keys))
+        elif group.mode == "rollup":
+            grouped = child_df.rollup(*self._group_key_cols(ctx, keys))
+        else:
+            grouped = child_df.groupBy(*self._group_key_cols(ctx, keys))
+        agg_df = grouped.agg(*agg_cols)
+
+        # Re-project to the requested generator shape/order.
+        final = []
+        for kind, payload, alias in out_cols:
+            if kind == "agg":
+                final.append(F.col(payload))
+            else:
+                final.append(self._compile_group_ref(payload, keys, alias,
+                                                     agg_df))
+        return agg_df.select(*final)
+
+    def _compile_group_ref(self, e: E.Expr, keys: list[E.Expr],
+                           alias: str | None, agg_df: DataFrame):
+        """Compile a reference to the group key in the fused plan."""
+        key_names = [k.name if isinstance(k, E.Col) else
+                     (k.name if isinstance(k, E.Aliased) else f"group_{i}")
+                     for i, k in enumerate(keys)]
+        if isinstance(e, E.Col) and e.name == GROUP_COL:
+            if not keys:                       # GROUP ALL → group = 'all'
+                return F.lit("all").alias(alias or GROUP_COL)
+            if len(keys) == 1:
+                return F.col(key_names[0]).alias(alias or GROUP_COL)
+            return F.struct(*[F.col(n) for n in key_names]) \
+                    .alias(alias or GROUP_COL)
+        if isinstance(e, E.Deref) and isinstance(e.child, E.Col) \
+                and e.child.name == GROUP_COL:
+            name = e.field if isinstance(e.field, str) else key_names[e.field]
+            return F.col(name).alias(alias or name)
+        raise AssertionError("unreachable: classified as group ref")
+
+    def _classify_generator(self, e: E.Expr, keys: list[E.Expr]) -> str:
+        if isinstance(e, E.Col) and e.name == GROUP_COL:
+            return "group"
+        if isinstance(e, E.Deref) and isinstance(e.child, E.Col) \
+                and e.child.name == GROUP_COL:
+            return "group"
+        if self._is_algebraic_agg(e):
+            return "agg"
+        return "other"
+
+    def _is_algebraic_agg(self, e: E.Expr) -> bool:
+        """True if e is AGG(args…) over bag fields, incl. arithmetic on top
+        of aggregates (e.g. SUM(x.a) / COUNT(x))."""
+        if isinstance(e, E.Func) and e.name.upper() in ALGEBRAIC_AGGS:
+            return True
+        if isinstance(e, E.BinOp):
+            return (self._is_algebraic_agg(e.left) or isinstance(e.left, E.Lit)) and \
+                   (self._is_algebraic_agg(e.right) or isinstance(e.right, E.Lit))
+        if isinstance(e, E.Cast):
+            return self._is_algebraic_agg(e.child)
+        return False
+
+    def _rewrite_bag_refs(self, e: E.Expr) -> E.Expr:
+        """Inside a fused aggregate, `bag.field` / `rel.field` refs become
+        direct column refs on the pre-group child; bare bag ref (COUNT(x))
+        becomes a non-null literal (count of rows)."""
+        if isinstance(e, E.Deref):
+            if isinstance(e.field, str):
+                return E.Col(e.field)
+            return e
+        if isinstance(e, E.Func):
+            name = e.name.upper()
+            if name in ("COUNT", "COUNT_STAR") and len(e.args) == 1 and \
+                    isinstance(e.args[0], E.Col):
+                # COUNT(bag) counts tuples in the bag → count(*) per group
+                return E.Func("COUNT_STAR", [])
+            return E.Func(e.name, [self._rewrite_bag_refs(a) for a in e.args])
+        if isinstance(e, E.BinOp):
+            return E.BinOp(e.op, self._rewrite_bag_refs(e.left),
+                           self._rewrite_bag_refs(e.right))
+        if isinstance(e, E.Cast):
+            return E.Cast(e.pig_type, self._rewrite_bag_refs(e.child))
+        return e
+
+    def _c_group(self, node: L.Group) -> DataFrame:
+        """Unfused GROUP: the bag escapes → materialize (group, bag).
+
+        collect_list(struct(*)) is the reference's bag; this is the slow
+        path by design (SURVEY.md §4.3) — the fusion above avoids it
+        whenever the consumer is aggregate-only.
+        """
+        df = self._compile(node.child)
+        ctx = self._ctx(df)
+        bag_alias = getattr(node, "bag_alias", "bag")
+        bag = F.collect_list(F.struct(*[F.col(c) for c in df.columns])) \
+               .alias(bag_alias)
+        if node.mode == "all":
+            return df.groupBy().agg(bag).select(
+                F.lit("all").alias(GROUP_COL), F.col(bag_alias))
+        key_cols = self._group_key_cols(ctx, node.keys)
+        grouped = df.groupBy(*key_cols).agg(bag)
+        key_names = [self._key_name(k, i) for i, k in enumerate(node.keys)]
+        if len(key_names) == 1:
+            group_col = F.col(key_names[0]).alias(GROUP_COL)
+        else:
+            group_col = F.struct(*[F.col(n) for n in key_names]).alias(GROUP_COL)
+        out = grouped.select(group_col, F.col(bag_alias))
+        if node.parallel:
+            out = out.repartition(node.parallel, GROUP_COL)
+        return out
+
+    @staticmethod
+    def _key_name(k: E.Expr, i: int) -> str:
+        if isinstance(k, E.Aliased):
+            return k.name
+        if isinstance(k, E.Col):
+            return k.name
+        return f"group_{i}"
+
+    def _c_cogroup(self, node: L.CoGroup) -> DataFrame:
+        """COGROUP a BY k, b BY k → (group, bag_a, bag_b): per-input
+        groupBy+collect_list, then FULL OUTER join on key; absent groups get
+        EMPTY (not null) bags; per-input INNER filters empties
+        (SURVEY.md §2.1 #8)."""
+        inner = node.inner or [False] * len(node.inputs)
+        sides = []
+        for idx, (inp, keys) in enumerate(zip(node.inputs, node.keys)):
+            df = self._compile(inp)
+            ctx = self._ctx(df)
+            bag_name = getattr(inp, "alias", None) or f"bag_{idx}"
+            key_cols = [ctx.compile(k).alias(f"__k{i}")
+                        for i, k in enumerate(keys)]
+            bag_type = T.ArrayType(df.schema)
+            g = df.groupBy(*key_cols).agg(
+                F.collect_list(F.struct(*[F.col(c) for c in df.columns]))
+                 .alias(bag_name))
+            sides.append((g, bag_name, bag_type))
+        out, _, _ = sides[0]
+        knames = [f"__k{i}" for i in range(len(node.keys[0]))]
+        for g, _, _ in sides[1:]:
+            out = out.join(g, on=knames, how="full")
+        bag_cols = [F.coalesce(F.col(bag_name),
+                               F.array().cast(bag_type)).alias(bag_name)
+                    for _, bag_name, bag_type in sides]
+        if len(knames) == 1:
+            group_col = F.col(knames[0]).alias(GROUP_COL)
+        else:
+            group_col = F.struct(*[F.col(n) for n in knames]).alias(GROUP_COL)
+        out = out.select(group_col, *bag_cols)
+        for (_, bag_name, _), is_inner in zip(sides, inner):
+            if is_inner:
+                out = out.filter(F.size(F.col(bag_name)) > 0)
+        return out
+
+    def _c_groupapply(self, node: L.GroupApply) -> DataFrame:
+        df = self._compile(node.child)
+        ctx = self._ctx(df)
+        keys = [ctx.compile(k) for k in node.keys]
+        return df.groupBy(*keys).applyInPandas(node.func, node.out_schema)
+
+    # ----------------------------------------------------------------- joins
+    def _c_join(self, node: L.Join) -> DataFrame:
+        """Equi-join; null keys never match (Spark = Pig). Strategy variants
+        are hints over identical semantics (SURVEY.md §2.1 #9–14)."""
+        dfs = [self._compile(i) for i in node.inputs]
+        dfs = self._disambiguate(dfs, node)
+        left = dfs[0]
+        lkeys = [self._ctx(left).compile(k) for k in node.keys[0]]
+        for i in range(1, len(dfs)):
+            right = dfs[i]
+            if node.strategy == "replicated":
+                # USING 'replicated' → POFRJoin → broadcast hash join
+                right = F.broadcast(right)
+            elif node.strategy == "merge":
+                right = right.hint("merge")
+            rkeys = [self._ctx(dfs[i]).compile(k) for k in node.keys[i]]
+            cond = None
+            for lk, rk in zip(lkeys, rkeys):
+                c = lk == rk
+                cond = c if cond is None else (cond & c)
+            how = {"semi": "left_semi", "anti": "left_anti"}.get(node.how,
+                                                                 node.how)
+            left = left.join(right, on=cond, how=how)
+        if node.parallel:
+            left = left.repartition(node.parallel)
+        return left
+
+    def _disambiguate(self, dfs: list[DataFrame], node) -> list[DataFrame]:
+        """Pig join output schema qualifies colliding names as alias::col;
+        non-colliding names stay bare (Pig's resolution rule)."""
+        from collections import Counter
+        counts = Counter(c for df in dfs for c in df.columns)
+        out = []
+        for idx, df in enumerate(dfs):
+            alias = getattr(node.inputs[idx], "alias", None) or f"in{idx}"
+            renames = {c: f"{alias}::{c}" for c in df.columns if counts[c] > 1}
+            if renames:
+                df = df.withColumnsRenamed(renames)
+                # key exprs referencing the bare name must follow the rename
+                node.keys[idx] = [self._qualify(k, renames)
+                                  for k in node.keys[idx]]
+            out.append(df)
+        return out
+
+    @staticmethod
+    def _qualify(e: E.Expr, renames: dict[str, str]) -> E.Expr:
+        if isinstance(e, E.Col) and e.name in renames:
+            return E.Col(renames[e.name])
+        if isinstance(e, E.BinOp):
+            return E.BinOp(e.op, PlanCompiler._qualify(e.left, renames),
+                           PlanCompiler._qualify(e.right, renames))
+        if isinstance(e, E.Func):
+            return E.Func(e.name, [PlanCompiler._qualify(a, renames)
+                                   for a in e.args])
+        if isinstance(e, E.Cast):
+            return E.Cast(e.pig_type, PlanCompiler._qualify(e.child, renames))
+        return e
+
+    def _c_cross(self, node: L.Cross) -> DataFrame:
+        dfs = self._compile(node.inputs[0]), *[self._compile(i)
+                                               for i in node.inputs[1:]]
+        dfs = self._disambiguate(list(dfs), _CrossShim(node.inputs))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.crossJoin(df)
+        return out
+
+    # ---------------------------------------------------------------- order
+    def _c_sort(self, node: L.Sort) -> DataFrame:
+        """ORDER BY: Spark SortExec = sampled range partitioning (the
+        reference's WeightedRangePartitioner, built in). Pig null ordering:
+        nulls smallest."""
+        df = self._compile(node.child)
+        ctx = self._ctx(df)
+        keys = [ctx.compile(k).asc_nulls_first() if asc
+                else ctx.compile(k).desc_nulls_last()
+                for k, asc in node.keys]
+        out = df.orderBy(*keys)
+        if node.parallel:
+            out = out.repartition(node.parallel)   # PARALLEL n post-sort
+        return out
+
+    def _c_rank(self, node: L.Rank) -> DataFrame:
+        df = self._compile(node.child)
+        ctx = self._ctx(df)
+        if not node.keys:
+            return self._scalable_row_number(df, "rank")
+        order = [ctx.compile(k).asc_nulls_first() if asc
+                 else ctx.compile(k).desc_nulls_last()
+                 for k, asc in node.keys]
+        fn = F.dense_rank() if node.dense else F.rank()
+        # Correct but single-partition at the window; fine at test scale —
+        # the scalable path for bare RANK above is the 100 TB-relevant one
+        # (ties don't need global windows there).
+        w = Window.orderBy(*order)
+        return df.withColumn("rank", fn.over(w).cast("long")) \
+                 .select("rank", *df.columns)
+
+    def _scalable_row_number(self, df: DataFrame, out_name: str) -> DataFrame:
+        """Reference design (POCounter/PORank, SURVEY.md §2.1 #18): pass 1
+        counts rows per partition (tiny driver collect — one row per
+        partition); pass 2 adds prefix-sum offset to a per-partition
+        row_number. No global shuffle, no 1-partition window."""
+        pid, mid = "__pid", "__mid"
+        staged = df.withColumn(pid, F.spark_partition_id()) \
+                   .withColumn(mid, F.monotonically_increasing_id())
+        staged = staged.persist()
+        counts = {r[0]: r[1] for r in
+                  staged.groupBy(pid).count().collect()}
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col(pid)) if offsets else F.lit(0)
+        w = Window.partitionBy(pid).orderBy(mid)
+        out = staged.withColumn(
+            out_name, (F.row_number().over(w) + off_expr).cast("long"))
+        return out.select(out_name, *df.columns)
+
+    # ---------------------------------------------------------------- set ops
+    def _c_union(self, node: L.Union) -> DataFrame:
+        """UNION: bag union, NO dedup. ONSCHEMA merges by name with null
+        padding; positional union requires equal arity (Pig nulls the
+        schema on mismatch — we synthesize the widened schema instead,
+        SURVEY.md §7 hard-part 5)."""
+        dfs = [self._compile(i) for i in node.inputs]
+        out = dfs[0]
+        for df in dfs[1:]:
+            if node.onschema or set(out.columns) != set(df.columns):
+                out = out.unionByName(df, allowMissingColumns=True)
+            else:
+                out = out.unionByName(df)
+        return out
+
+    # -------------------------------------------------------------- streaming
+    def _c_streamthrough(self, node: L.StreamThrough) -> DataFrame:
+        """STREAM rel THROUGH 'cmd' — PigStreaming-compatible tab-delimited
+        pipe through an external executable (POStream/ExecutableManager,
+        SURVEY.md §2.9). RDD pipe is the one legitimate RDD use."""
+        df = self._compile(node.child)
+        ncols = len(df.columns)
+        tsv = df.select(F.concat_ws(
+            "\t", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in df.columns]))
+        piped = tsv.rdd.map(lambda r: r[0]).pipe(node.command)
+        schema = node.schema
+        if schema is None:
+            schema = T.StructType([T.StructField(f"f{i}", T.StringType())
+                                   for i in range(ncols)])
+        elif isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        split = piped.map(lambda line: line.split("\t"))
+        str_schema = T.StructType([T.StructField(f.name, T.StringType())
+                                   for f in schema.fields])
+        out = self.spark.createDataFrame(split, str_schema)
+        casts = [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in schema.fields]
+        return out.select(*casts)
+
+    # ----------------------------------------------------------------- sinks
+    def _c_store(self, node: L.Store) -> DataFrame:
+        from ..sources import write
+        df = self._compile(node.child)
+        write(df, node.path, node.fmt, node.options, node.partition_by)
+        return df
+
+
+class _CrossShim:
+    """Adapter so _disambiguate can treat CROSS like a keyless join."""
+    def __init__(self, inputs):
+        self.inputs = inputs
+        self.keys = [[] for _ in inputs]

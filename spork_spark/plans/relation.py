@@ -1,0 +1,202 @@
+"""Relation: the engine's fluent builder API over logical plans.
+
+Mirrors the embedded-PigServer entry point (SURVEY.md §3.2): each method is
+one Pig Latin statement; nothing executes until an action (`df`, `collect`,
+`dump`, `store`). The Pig Latin parser (M6) lowers script text onto exactly
+this API, so the builder is also the parser's target.
+
+    eng = Engine(spark)
+    li = eng.load("/data/lineitem.parquet")
+    r = (li.filter(col("l_shipdate") <= lit("1998-09-02"))
+           .group_by(col("l_returnflag"), col("l_linestatus"))
+           .foreach(col("group"), fn("SUM", col("bag").get("l_quantity"))
+                    .alias("sum_qty")))
+    r.df().show()
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..compiler.plan import PlanCompiler
+from ..session import get_spark
+from . import logical as L
+from .expressions import Expr, col, lit
+
+_rel_ids = itertools.count()
+
+
+class Engine:
+    """Session-scoped engine: owns the SparkSession, the UDF registry
+    (DEFINE/REGISTER, SURVEY.md §2.1 #27–28) and plan compilation cache."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.udfs: dict[str, Any] = {}
+        self._compiler = PlanCompiler(self.spark, self.udfs)
+
+    # -- sources -----------------------------------------------------------
+    def load(self, path: str, fmt: str = "parquet", schema=None,
+             alias: str | None = None, **options) -> "Relation":
+        return self._rel(L.Load(path, fmt, schema, options), alias)
+
+    def from_df(self, df: DataFrame, alias: str | None = None) -> "Relation":
+        return self._rel(L.InMemory(df), alias)
+
+    def register_udf(self, name: str, func: Callable, returns: str = "string",
+                     vectorized: bool = False) -> None:
+        """REGISTER/DEFINE a Python UDF (SURVEY.md §2.10). ``returns`` is a
+        Spark DDL type; vectorized=True uses an Arrow pandas_udf (the fast
+        path — builtins never go through here)."""
+        from pyspark.sql import functions as F
+        wrapped = (F.pandas_udf(func, returns) if vectorized
+                   else F.udf(func, returns))
+        self.udfs[name.upper()] = wrapped
+
+    def compile(self, node: L.LogicalOp) -> DataFrame:
+        return self._compiler.compile(node)
+
+    def _rel(self, node: L.LogicalOp, alias: str | None = None) -> "Relation":
+        r = Relation(self, node, alias or f"rel_{next(_rel_ids)}")
+        node.alias = r.alias
+        return r
+
+
+class Relation:
+    def __init__(self, engine: Engine, node: L.LogicalOp, alias: str):
+        self.engine = engine
+        self.node = node
+        self.alias = alias
+
+    # -- relational operators (SURVEY.md §2.1) -------------------------------
+    def filter(self, predicate: Expr) -> "Relation":
+        return self._wrap(L.Filter(self.node, predicate))
+
+    def foreach(self, *generators: Expr) -> "Relation":
+        return self._wrap(L.ForEach(self.node, list(generators)))
+
+    def group_by(self, *keys: Expr, parallel: int | None = None) -> "Relation":
+        g = L.Group(self.node, list(keys), "by", parallel)
+        g.bag_alias = self.alias      # Pig names the bag after the relation
+        return self._wrap(g)
+
+    def group_all(self) -> "Relation":
+        g = L.Group(self.node, [], "all")
+        g.bag_alias = self.alias
+        return self._wrap(g)
+
+    def cube(self, *dims: Expr) -> "Relation":
+        g = L.Group(self.node, list(dims), "cube")
+        g.bag_alias = self.alias
+        return self._wrap(g)
+
+    def rollup(self, *dims: Expr) -> "Relation":
+        g = L.Group(self.node, list(dims), "rollup")
+        g.bag_alias = self.alias
+        return self._wrap(g)
+
+    def cogroup(self, keys: list[Expr], *others: tuple["Relation", list[Expr]],
+                inner: list[bool] | None = None) -> "Relation":
+        inputs = [self.node] + [r.node for r, _ in others]
+        all_keys = [keys] + [k for _, k in others]
+        return self._wrap(L.CoGroup(inputs, all_keys, inner or []))
+
+    def join(self, keys: list[Expr], other: "Relation", other_keys: list[Expr],
+             how: str = "inner", strategy: str = "default",
+             parallel: int | None = None) -> "Relation":
+        return self._wrap(L.Join([self.node, other.node],
+                                 [list(keys), list(other_keys)],
+                                 how, strategy, parallel))
+
+    def cross(self, *others: "Relation") -> "Relation":
+        return self._wrap(L.Cross([self.node] + [o.node for o in others]))
+
+    def order_by(self, *keys, parallel: int | None = None) -> "Relation":
+        """keys: Expr (asc) or (Expr, ascending) tuples."""
+        norm = [(k, True) if isinstance(k, Expr) else k for k in keys]
+        return self._wrap(L.Sort(self.node, norm, parallel))
+
+    def rank(self, *keys, dense: bool = False) -> "Relation":
+        norm = [(k, True) if isinstance(k, Expr) else k for k in keys]
+        return self._wrap(L.Rank(self.node, norm, dense))
+
+    def limit(self, n: int) -> "Relation":
+        return self._wrap(L.Limit(self.node, n))
+
+    def distinct(self, parallel: int | None = None) -> "Relation":
+        return self._wrap(L.Distinct(self.node, parallel))
+
+    def union(self, *others: "Relation", onschema: bool = False) -> "Relation":
+        return self._wrap(L.Union([self.node] + [o.node for o in others],
+                                  onschema))
+
+    def split(self, *conditions: Expr,
+              otherwise: bool = False) -> list["Relation"]:
+        """SPLIT rel INTO … IF cond, … [OTHERWISE]: rows may go to several
+        outputs; the shared parent is persisted by the compiler
+        (multi-consumer rule). OTHERWISE = no condition matched,
+        null-safe (SURVEY.md §2.1 #22)."""
+        outs = [self._wrap(L.Filter(self.node, c)) for c in conditions]
+        if otherwise:
+            from pyspark.sql import functions as F  # noqa: F401
+            from .expressions import Func, UnOp
+            acc = None
+            for c in conditions:
+                safe = Func("COALESCE_BOOL", [c])
+                acc = safe if acc is None else (acc | safe)
+            outs.append(self._wrap(L.Filter(self.node, UnOp("not", acc))))
+        return outs
+
+    def sample(self, fraction: float, seed: int | None = None) -> "Relation":
+        return self._wrap(L.Sample(self.node, fraction, seed))
+
+    def stream_through(self, command: str, schema=None) -> "Relation":
+        return self._wrap(L.StreamThrough(self.node, command, schema))
+
+    def apply_per_group(self, keys: list[Expr], func, out_schema) -> "Relation":
+        """Nested-FOREACH escape hatch: arbitrary per-group pandas transform
+        via applyInPandas (SURVEY.md §2.3 fallback path)."""
+        return self._wrap(L.GroupApply(self.node, keys, func, out_schema))
+
+    def assert_(self, cond: Expr, msg: str = "assertion failed") -> "Relation":
+        """ASSERT rel BY cond: fail if any row violates (SURVEY.md §2.1 #26).
+        Cheap check: one limit(1) scan of violations."""
+        bad = self.engine.compile(L.Filter(self.node, ~cond)).limit(1).count()
+        if bad:
+            raise AssertionError(f"ASSERT failed: {msg}")
+        return self
+
+    # -- actions -------------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.engine.compile(self.node)
+
+    def collect(self):
+        return self.df().collect()
+
+    def dump(self, n: int = 20) -> None:               # DUMP
+        self.df().show(n, truncate=False)
+
+    def describe(self) -> None:                         # DESCRIBE
+        self.df().printSchema()
+
+    def explain(self, mode: str = "formatted") -> None:  # EXPLAIN
+        self.df().explain(mode)
+
+    def store(self, path: str, fmt: str = "parquet",
+              partition_by: list[str] | None = None, **options) -> None:
+        self.engine.compile(L.Store(self.node, path, fmt, options,
+                                    partition_by or []))
+
+    # -- internals -------------------------------------------------------------
+    def _wrap(self, node: L.LogicalOp) -> "Relation":
+        return self.engine._rel(node)
+
+    def as_alias(self, name: str) -> "Relation":
+        self.alias = name
+        self.node.alias = name
+        if isinstance(self.node, L.Group):
+            pass  # bag_alias was fixed at group time (input relation's name)
+        return self

@@ -1,0 +1,81 @@
+"""SparkSession factory with Pig-compatible semantics.
+
+The reference engine (sigmoidanalytics/spork = Apache Pig's Spark backend,
+see SURVEY.md §0) has null-on-error cast semantics: a failed cast produces
+``null`` plus a warning counter, never an exception
+(pig:src/org/apache/pig/backend/hadoop/executionengine/physicalLayer/
+expressionOperators/POCast.java). PySpark 4.x defaults to ANSI mode, which
+*throws* on bad casts / overflow — so the engine session turns ANSI off and
+compiles Pig casts to ``try_cast`` equivalents (SURVEY.md §1.3).
+
+Scale posture (100 TB design, tested on local[32]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  (replaces the reference's SkewedPartitioner machinery, SURVEY.md §4.2).
+- Broadcast threshold tuned so small dims (region/nation/supplier at any
+  realistic SF) broadcast; Pig's ``USING 'replicated'`` maps to an explicit
+  broadcast hint regardless of threshold.
+- Arrow enabled for the Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# caller passes its own master/conf and only the semantic confs below matter.
+_SEMANTIC_CONF = {
+    # Pig semantics: bad cast -> null, int overflow wraps (Java semantics).
+    "spark.sql.ansi.enabled": "false",
+    # Session timezone: Pig datetimes are instant-based (Joda ms + TZ).
+    "spark.sql.session.timeZone": "UTC",
+}
+
+_SCALE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] default; a real deployment sizes this to cluster cores and
+    # lets AQE coalesce down.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+}
+
+
+def get_spark(app_name: str = "spork-spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Master resolution: explicit arg > $SPARK_GRAFT_CPUS (local[N]) >
+    existing session > local[*].
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in {**_SEMANTIC_CONF, **_SCALE_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Semantic confs are runtime-settable; enforce them even on a session we
+    # didn't create (e.g. the driver's) so cast/null behavior is Pig's.
+    for k, v in _SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's semantic confs to an externally-created session."""
+    for k, v in _SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
