@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001. ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2; ``oracle_sql()``
+gives the DuckDB-equivalent SQL the driver diffs against at sf0.01.
+
+Implementation notes:
+- Every query is built through the engine's Relation builder
+  (spork_spark.plans.relation) — the same surface the Pig Latin front-end
+  lowers onto — so the driver exercises the engine, not raw pyspark.
+- Double-typed aggregates are rounded to 2 decimals ON BOTH SIDES: Spark
+  and DuckDB may sum floats in different orders, and the driver's
+  value-hash comparison needs bit-stable values.
+- Oracle SQL mirrors Pig semantics where they diverge from ANSI defaults
+  (truncating integer division via trunc(), Pig ROUND = floor(x+0.5), …).
 """
 
 from __future__ import annotations
@@ -12,27 +20,626 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from spork_spark import Engine, col, fn, lit, flatten, bincond, configure_session
+from spork_spark.plans import expressions as E
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _eng(spark: SparkSession) -> Engine:
+    configure_session(spark)
+    return Engine(spark)
+
+
+def _t(eng: Engine, sf_dir: str, name: str):
+    return eng.load(f"{sf_dir}/{name}.parquet", alias=name)
+
+
+def _r2(e):
+    """Stabilize doubles for the driver's value hash: floor(x*100+0.5)/100,
+    the same arithmetic on both engines (no rounding-mode ambiguity —
+    Spark bround is HALF_EVEN, DuckDB round is half-away-from-zero)."""
+    return fn("FLOOR", e * lit(100.0) + lit(0.5)) / lit(100.0)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style aggregation (FILTER → GROUP → FOREACH with
+    algebraic aggregates → ORDER), fused to a single groupBy().agg()."""
+    return q_agg_q1(spark, SF_SMOKE)
 
+
+# ---------------------------------------------------------------------------
+# core relational operators (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+def q_agg_q1(spark, sf):
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    bag = col("lineitem")
+    return (li.filter(col("l_shipdate") <= lit("1998-09-02"))
+              .group_by(col("l_returnflag"), col("l_linestatus"))
+              .foreach(
+                  col("group").get("l_returnflag").alias("l_returnflag"),
+                  col("group").get("l_linestatus").alias("l_linestatus"),
+                  _r2(fn("SUM", bag.get("l_quantity"))).alias("sum_qty"),
+                  _r2(fn("SUM", bag.get("l_extendedprice"))).alias("sum_base_price"),
+                  _r2(fn("AVG", bag.get("l_quantity"))).alias("avg_qty"),
+                  _r2(fn("AVG", bag.get("l_discount"))).alias("avg_disc"),
+                  fn("COUNT_STAR").alias("count_order"))
+              .order_by(col("l_returnflag"), col("l_linestatus"))).df()
+
+
+def q_join_3way(spark, sf):
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    orders = _t(eng, sf, "orders")
+    li = _t(eng, sf, "lineitem")
+    nation = _t(eng, sf, "nation")
+    j = (cust.join([col("c_custkey")], orders, [col("o_custkey")])
+             .join([col("o_orderkey")], li, [col("l_orderkey")])
+             .join([col("c_nationkey")], nation, [col("n_nationkey")],
+                   strategy="replicated"))
+    g = j.group_by(col("n_name"))
+    return (g.foreach(col("group").alias("n_name"),
+                      _r2(fn("SUM", col(j.alias).get("l_extendedprice"))).alias("revenue"),
+                      fn("COUNT_STAR").alias("n_items"))
+             .order_by(col("n_name"))).df()
+
+
+def q_filter_expr(spark, sf):
+    """FILTER with compound predicate (matches anchored, IN, arithmetic) +
+    FOREACH expression language (bincond, CASE-ish)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    return (orders
+            .filter(col("o_orderpriority").matches("[13]-.*") &
+                    col("o_orderstatus").isin("F", "P") &
+                    (col("o_totalprice") > lit(1000.0)))
+            .foreach(col("o_orderkey").alias("o_orderkey"),
+                     _r2(col("o_totalprice") * lit(0.9)).alias("discounted"),
+                     bincond(col("o_totalprice") > 200000.0,
+                             lit("big"), lit("small")).alias("bucket"))
+            .order_by(col("o_orderkey"))).df()
+
+
+def q_orderby_limit(spark, sf):
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.foreach(col("l_orderkey").alias("l_orderkey"),
+                       col("l_linenumber").alias("l_linenumber"),
+                       col("l_extendedprice").alias("l_extendedprice"))
+              .order_by((col("l_extendedprice"), False),
+                        col("l_orderkey"), col("l_linenumber"))
+              .limit(100)).df()
+
+
+def q_distinct(spark, sf):
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.foreach(col("l_orderkey").alias("l_orderkey"),
+                       col("l_partkey").alias("l_partkey"))
+              .distinct()).df()
+
+
+def q_union_all(spark, sf):
+    """UNION keeps duplicates (bag union, no dedup)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    a = orders.filter(col("o_orderstatus") == "F") \
+              .foreach(col("o_orderkey").alias("k"),
+                       col("o_orderstatus").alias("st"))
+    b = orders.filter(col("o_totalprice") > 100000.0) \
+              .foreach(col("o_orderkey").alias("k"),
+                       col("o_orderstatus").alias("st"))
+    return a.union(b).df()
+
+
+def q_union_onschema(spark, sf):
+    """UNION ONSCHEMA: merge by column name, null-pad missing columns."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    a = orders.filter(col("o_orderstatus") == "F") \
+              .foreach(col("o_orderkey").alias("k"),
+                       col("o_totalprice").alias("price"))
+    b = orders.filter(col("o_orderstatus") == "P") \
+              .foreach(col("o_orderkey").alias("k"),
+                       col("o_orderpriority").alias("prio"))
+    return a.union(b, onschema=True).df()
+
+
+def q_split(spark, sf):
+    """SPLIT INTO high IF …, low IF …, OTHERWISE — reassembled with a route
+    tag so one result proves all outputs (parent persisted once)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    high, low, rest = orders.split(col("o_totalprice") > 150000.0,
+                                   col("o_totalprice") < 50000.0,
+                                   otherwise=True)
+    tag = lambda r, t: r.foreach(col("o_orderkey").alias("k"),
+                                 lit(t).alias("route"))
+    return tag(high, "high").union(tag(low, "low"), tag(rest, "mid")).df()
+
+
+def q_cross(spark, sf):
+    eng = _eng(spark)
+    region = _t(eng, sf, "region")
+    nation = _t(eng, sf, "nation")
+    return (region.cross(nation)
+            .foreach(col("r_name").alias("r_name"),
+                     col("n_name").alias("n_name"))
+            .order_by(col("r_name"), col("n_name"))).df()
+
+
+def q_cogroup(spark, sf):
+    """COGROUP customer BY c_nationkey, supplier BY s_nationkey →
+    (group, bag_c, bag_s); project bag sizes. Absent groups → empty bags."""
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    supp = _t(eng, sf, "supplier")
+    cg = cust.cogroup([col("c_nationkey")], (supp, [col("s_nationkey")]))
+    return (cg.foreach(col("group").alias("nationkey"),
+                       fn("SIZE", col("customer")).alias("n_cust"),
+                       fn("SIZE", col("supplier")).alias("n_supp"))
+              .order_by(col("nationkey"))).df()
+
+
+def q_join_left(spark, sf):
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    orders = _t(eng, sf, "orders")
+    j = cust.join([col("c_custkey")], orders, [col("o_custkey")], how="left")
+    g = j.group_by(col("c_custkey"))
+    return (g.foreach(col("group").alias("c_custkey"),
+                      fn("COUNT", col(j.alias).get("o_orderkey")).alias("n_orders"))
+             .order_by(col("c_custkey"))).df()
+
+
+def q_join_semi(spark, sf):
+    """Pig idiom COGROUP+FILTER NOT IsEmpty → first-class left_semi."""
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    orders = _t(eng, sf, "orders")
+    big = orders.filter(col("o_totalprice") > 200000.0)
+    return (cust.join([col("c_custkey")], big, [col("o_custkey")], how="semi")
+                .foreach(col("c_custkey").alias("c_custkey"),
+                         col("c_name").alias("c_name"))
+                .order_by(col("c_custkey"))).df()
+
+
+def q_join_anti(spark, sf):
+    """Customers with no big order — Pig COGROUP+IsEmpty idiom, first-class."""
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    orders = _t(eng, sf, "orders")
+    big = orders.filter(col("o_totalprice") > 300000.0)
+    return (cust.join([col("c_custkey")], big, [col("o_custkey")], how="anti")
+                .foreach(col("c_custkey").alias("c_custkey"))
+                .order_by(col("c_custkey"))).df()
+
+
+def q_join_replicated(spark, sf):
+    """JOIN USING 'replicated' → broadcast hash join (POFRJoin)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    part = _t(eng, sf, "part")
+    j = li.join([col("l_partkey")], part, [col("p_partkey")],
+                strategy="replicated")
+    g = j.group_by(col("p_brand"))
+    return (g.foreach(col("group").alias("p_brand"),
+                      _r2(fn("SUM", col(j.alias).get("l_extendedprice"))).alias("value"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by(col("p_brand"))).df()
+
+
+def q_group_all(spark, sf):
+    """GROUP ALL → single global aggregate row."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    bag = col("lineitem")
+    return (li.group_all()
+              .foreach(fn("COUNT_STAR").alias("n_rows"),
+                       _r2(fn("SUM", bag.get("l_quantity"))).alias("total_qty"),
+                       _r2(fn("MIN", bag.get("l_extendedprice"))).alias("min_price"),
+                       _r2(fn("MAX", bag.get("l_extendedprice"))).alias("max_price"))).df()
+
+
+def q_rank_window(spark, sf):
+    """RANK BY (windowed form): top-3 orders per customer by totalprice."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    w = E.WindowFunc("rank", [], [col("o_custkey")],
+                     [(col("o_totalprice"), False)])
+    ranked = orders.foreach(col("o_custkey").alias("o_custkey"),
+                            col("o_orderkey").alias("o_orderkey"),
+                            col("o_totalprice").alias("o_totalprice"),
+                            E.Aliased(w, "rnk"))
+    return (ranked.filter(col("rnk") <= 3)
+                  .foreach(col("o_custkey").alias("o_custkey"),
+                           col("o_orderkey").alias("o_orderkey"),
+                           col("o_totalprice").alias("o_totalprice"),
+                           col("rnk").cast("int").alias("rnk"))
+                  .order_by(col("o_custkey"), col("rnk"), col("o_orderkey"))).df()
+
+
+def q_cube(spark, sf):
+    """CUBE rel BY CUBE(a,b) → grouping-sets aggregation, null-filled dims."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.cube(col("l_returnflag"), col("l_linestatus"))
+              .foreach(col("group").get("l_returnflag").alias("l_returnflag"),
+                       col("group").get("l_linestatus").alias("l_linestatus"),
+                       _r2(fn("SUM", col("lineitem").get("l_quantity"))).alias("sum_qty"),
+                       fn("COUNT_STAR").alias("cnt"))
+              .order_by(col("l_returnflag"), col("l_linestatus"))).df()
+
+
+def q_rollup(spark, sf):
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    withyear = orders.foreach(fn("GETYEAR", col("o_orderdate")).alias("yr"),
+                              col("o_orderstatus").alias("o_orderstatus"),
+                              col("o_totalprice").alias("o_totalprice"))
+    return (withyear.rollup(col("yr"), col("o_orderstatus"))
+            .foreach(col("group").get("yr").alias("yr"),
+                     col("group").get("o_orderstatus").alias("o_orderstatus"),
+                     _r2(fn("SUM", col(withyear.alias).get("o_totalprice"))).alias("total"),
+                     fn("COUNT_STAR").alias("cnt"))
+            .order_by(col("yr"), col("o_orderstatus"))).df()
+
+
+def q_flatten_wordcount(spark, sf):
+    """FOREACH … GENERATE FLATTEN(TOKENIZE(text)) → GROUP → COUNT: the
+    canonical Pig wordcount over the documents table."""
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents")
+    toks = docs.foreach(flatten(fn("TOKENIZE", col("text"))))
+    g = toks.group_by(col("token"))
+    return (g.foreach(col("group").alias("token"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by((col("cnt"), False), col("token"))
+             .limit(100)).df()
+
+
+# ---------------------------------------------------------------------------
+# builtin function coverage (SURVEY.md §2.4–2.5)
+# ---------------------------------------------------------------------------
+
+def q_string_funcs(spark, sf):
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    name = col("c_name")
+    return (cust.foreach(
+        col("c_custkey").alias("c_custkey"),
+        fn("UPPER", name).alias("up"),
+        fn("LOWER", name).alias("lo"),
+        fn("SUBSTRING", name, 0, 8).alias("sub"),       # 0-based stop-exclusive
+        fn("INDEXOF", name, "_").alias("idx"),          # 0-based, -1 missing
+        fn("CONCAT", name, lit("|"), col("c_mktsegment")).alias("cat"),
+        fn("REPLACE", name, "[0-9]+", "#").alias("repl"),
+        fn("STARTSWITH", name, lit("CUSTOMER")).alias("sw"),
+        fn("SIZE", name).alias("len"),
+        fn("UCFIRST", fn("LOWER", name)).alias("ucf"))
+        .order_by(col("c_custkey"))).df()
+
+
+def q_math_funcs(spark, sf):
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.filter(col("l_linenumber") == 1)
+              .foreach(col("l_orderkey").alias("l_orderkey"),
+                       fn("ROUND", col("l_extendedprice")).alias("rnd"),
+                       fn("FLOOR", col("l_extendedprice")).alias("flr"),
+                       fn("CEIL", col("l_extendedprice")).alias("cl"),
+                       _r2(fn("SQRT", col("l_quantity"))).alias("sq"),
+                       fn("ABS", lit(0.0) - col("l_discount")).alias("ab"),
+                       _r2(fn("LOG", col("l_extendedprice"))).alias("lg"))
+              .order_by(col("l_orderkey"))).df()
+
+
+def q_datetime_funcs(spark, sf):
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    d = col("o_orderdate")
+    return (orders.foreach(
+        col("o_orderkey").alias("o_orderkey"),
+        fn("GETYEAR", d).alias("yr"),
+        fn("GETMONTH", d).alias("mo"),
+        fn("GETDAY", d).alias("dy"),
+        fn("DAYSBETWEEN", d, fn("TODATE", lit("1995-01-01"))).alias("days_since"))
+        .order_by(col("o_orderkey"))).df()
+
+
+def q_int_division(spark, sf):
+    """Pig int/int = Java integer division (truncate toward zero)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.foreach(col("l_orderkey").alias("l_orderkey"),
+                       col("l_linenumber").alias("l_linenumber"),
+                       (col("l_linenumber") / lit(2)).alias("half"),
+                       (col("l_orderkey") % lit(7)).alias("m7"))
+              .order_by(col("l_orderkey"), col("l_linenumber"))).df()
+
+
+def q_events_session(spark, sf):
+    """events by user × hour bucket: count + sum(value), top 50."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events")
+    bucketed = ev.foreach(col("user_id").alias("user_id"),
+                          fn("GETHOUR", col("ts")).alias("hr"),
+                          col("value").alias("value"))
+    g = bucketed.group_by(col("user_id"), col("hr"))
+    return (g.foreach(col("group").get("user_id").alias("user_id"),
+                      col("group").get("hr").alias("hr"),
+                      fn("COUNT_STAR").alias("cnt"),
+                      _r2(fn("SUM", col(bucketed.alias).get("value"))).alias("total"))
+             .order_by((col("cnt"), False), col("user_id"), col("hr"))
+             .limit(50)).df()
+
+
+def q_events_json(spark, sf):
+    """JSON scalar extension over events.props (get_json_object)."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events")
+    parsed = ev.foreach(col("event_type").alias("event_type"),
+                        fn("GET_JSON_OBJECT", col("props"), "$.k")
+                        .cast("int").alias("k"))
+    g = parsed.group_by(col("event_type"))
+    return (g.foreach(col("group").alias("event_type"),
+                      fn("SUM", col(parsed.alias).get("k")).alias("sum_k"),
+                      fn("COUNT", col(parsed.alias).get("k")).alias("n_k"))
+             .order_by(col("event_type"))).df()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_q1": q_agg_q1,
+        "join_3way": q_join_3way,
+        "filter_expr": q_filter_expr,
+        "orderby_limit": q_orderby_limit,
+        "distinct": q_distinct,
+        "union_all": q_union_all,
+        "union_onschema": q_union_onschema,
+        "split": q_split,
+        "cross": q_cross,
+        "cogroup": q_cogroup,
+        "join_left": q_join_left,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_replicated": q_join_replicated,
+        "group_all": q_group_all,
+        "rank_window": q_rank_window,
+        "cube": q_cube,
+        "rollup": q_rollup,
+        "flatten_wordcount": q_flatten_wordcount,
+        "string_funcs": q_string_funcs,
+        "math_funcs": q_math_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "int_division": q_int_division,
+        "events_session": q_events_session,
+        "events_json": q_events_json,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty,
+                   FLOOR((SUM(l_extendedprice))*100 + 0.5)/100 AS sum_base_price,
+                   FLOOR((AVG(l_quantity))*100 + 0.5)/100 AS avg_qty,
+                   FLOOR((AVG(l_discount))*100 + 0.5)/100 AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_3way": """
+            SELECT n_name,
+                   FLOOR((SUM(l_extendedprice))*100 + 0.5)/100 AS revenue,
+                   COUNT(*) AS n_items
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "filter_expr": """
+            SELECT o_orderkey,
+                   FLOOR((o_totalprice * 0.9)*100 + 0.5)/100 AS discounted,
+                   CASE WHEN o_totalprice > 200000.0
+                        THEN 'big' ELSE 'small' END AS bucket
+            FROM orders
+            WHERE regexp_full_match(o_orderpriority, '[13]-.*')
+              AND o_orderstatus IN ('F','P')
+              AND o_totalprice > 1000.0
+            ORDER BY o_orderkey
+        """,
+        "orderby_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100
+        """,
+        "distinct": """
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        """,
+        "union_all": """
+            SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+            WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+            WHERE o_totalprice > 100000.0
+        """,
+        "union_onschema": """
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   CAST(NULL AS VARCHAR) AS prio
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
+                   o_orderpriority AS prio
+            FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "split": """
+            SELECT o_orderkey AS k, 'high' AS route FROM orders
+            WHERE o_totalprice > 150000.0
+            UNION ALL
+            SELECT o_orderkey AS k, 'low' AS route FROM orders
+            WHERE o_totalprice < 50000.0
+            UNION ALL
+            SELECT o_orderkey AS k, 'mid' AS route FROM orders
+            WHERE NOT (COALESCE(o_totalprice > 150000.0, FALSE)
+                       OR COALESCE(o_totalprice < 50000.0, FALSE))
+        """,
+        "cross": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name
+        """,
+        "cogroup": """
+            SELECT COALESCE(c.k, s.k) AS nationkey,
+                   COALESCE(c.n, 0) AS n_cust,
+                   COALESCE(s.n, 0) AS n_supp
+            FROM (SELECT c_nationkey AS k, COUNT(*) AS n
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS k, COUNT(*) AS n
+                  FROM supplier GROUP BY s_nationkey) s
+            ON c.k = s.k
+            ORDER BY nationkey
+        """,
+        "join_left": """
+            SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 200000.0)
+            ORDER BY c_custkey
+        """,
+        "join_anti": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000.0
+                                      AND o_custkey IS NOT NULL)
+            ORDER BY c_custkey
+        """,
+        "join_replicated": """
+            SELECT p_brand,
+                   FLOOR((SUM(l_extendedprice))*100 + 0.5)/100 AS value,
+                   COUNT(*) AS cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "group_all": """
+            SELECT COUNT(*) AS n_rows,
+                   FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS total_qty,
+                   FLOOR((MIN(l_extendedprice))*100 + 0.5)/100 AS min_price,
+                   FLOOR((MAX(l_extendedprice))*100 + 0.5)/100 AS max_price
+            FROM lineitem
+        """,
+        "rank_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS rnk
+                  FROM orders) t
+            WHERE rnk <= 3
+            ORDER BY o_custkey, rnk, o_orderkey
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty, COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rollup": """
+            SELECT yr, o_orderstatus,
+                   FLOOR((SUM(o_totalprice))*100 + 0.5)/100 AS total, COUNT(*) AS cnt
+            FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                         o_orderstatus, o_totalprice FROM orders) t
+            GROUP BY ROLLUP (yr, o_orderstatus)
+            ORDER BY yr, o_orderstatus
+        """,
+        "flatten_wordcount": """
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(text, '[ \t\n\r\f",()*]+'),
+                      t -> t <> '')) AS token
+                  FROM documents) t
+            GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 100
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   UPPER(c_name) AS up,
+                   LOWER(c_name) AS lo,
+                   CASE WHEN 0 <= length(c_name)
+                        THEN substring(c_name, 1, GREATEST(LEAST(8, length(c_name)), 0))
+                   END AS sub,
+                   CAST(strpos(c_name, '_') - 1 AS INT) AS idx,
+                   c_name || '|' || c_mktsegment AS cat,
+                   regexp_replace(c_name, '[0-9]+', '#', 'g') AS repl,
+                   starts_with(c_name, 'CUSTOMER') AS sw,
+                   CAST(length(c_name) AS BIGINT) AS len,
+                   UPPER(substring(LOWER(c_name), 1, 1)) ||
+                       substring(LOWER(c_name), 2) AS ucf
+            FROM customer ORDER BY c_custkey
+        """,
+        "math_funcs": """
+            SELECT l_orderkey,
+                   CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS rnd,
+                   FLOOR(l_extendedprice) AS flr,
+                   CEIL(l_extendedprice) AS cl,
+                   FLOOR((SQRT(l_quantity))*100 + 0.5)/100 AS sq,
+                   ABS(0.0 - l_discount) AS ab,
+                   FLOOR((LN(l_extendedprice))*100 + 0.5)/100 AS lg
+            FROM lineitem WHERE l_linenumber = 1
+            ORDER BY l_orderkey
+        """,
+        "datetime_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(day(o_orderdate) AS INT) AS dy,
+                   CAST(trunc((epoch(o_orderdate) -
+                               epoch(TIMESTAMP '1995-01-01')) / 86400.0)
+                        AS BIGINT) AS days_since
+            FROM orders ORDER BY o_orderkey
+        """,
+        "int_division": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(trunc(l_linenumber / 2.0) AS INT) AS half,
+                   l_orderkey % 7 AS m7
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "events_session": """
+            SELECT user_id, hr, COUNT(*) AS cnt,
+                   FLOOR((SUM(value))*100 + 0.5)/100 AS total
+            FROM (SELECT user_id, CAST(hour(ts) AS INT) AS hr, value
+                  FROM events) t
+            GROUP BY user_id, hr
+            ORDER BY cnt DESC, user_id, hr
+            LIMIT 50
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
+            FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+    }

@@ -254,13 +254,19 @@ class PlanCompiler:
         return "other"
 
     def _is_algebraic_agg(self, e: E.Expr) -> bool:
-        """True if e is AGG(args…) over bag fields, incl. arithmetic on top
-        of aggregates (e.g. SUM(x.a) / COUNT(x))."""
-        if isinstance(e, E.Func) and e.name.upper() in ALGEBRAIC_AGGS:
-            return True
+        """True if e is AGG(args…) over bag fields, incl. scalar expressions
+        on top of aggregates (e.g. SUM(x.a)/COUNT(x), ROUND_TO(SUM(x.a),2))."""
+        if isinstance(e, E.Func):
+            if e.name.upper() in ALGEBRAIC_AGGS:
+                return True
+            # scalar fn over aggregates: ≥1 algebraic arg, rest literals
+            args_ok = all(self._is_algebraic_agg(a) or isinstance(a, E.Lit)
+                          for a in e.args)
+            return args_ok and any(self._is_algebraic_agg(a) for a in e.args)
         if isinstance(e, E.BinOp):
             return (self._is_algebraic_agg(e.left) or isinstance(e.left, E.Lit)) and \
-                   (self._is_algebraic_agg(e.right) or isinstance(e.right, E.Lit))
+                   (self._is_algebraic_agg(e.right) or isinstance(e.right, E.Lit)) and \
+                   (self._is_algebraic_agg(e.left) or self._is_algebraic_agg(e.right))
         if isinstance(e, E.Cast):
             return self._is_algebraic_agg(e.child)
         return False

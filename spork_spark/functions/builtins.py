@@ -182,8 +182,11 @@ def _dt_tostring(dt: Column, fmt: Column | None = None) -> Column:
 
 
 def _tz_trunc_div(a: Column, b: Column, unit_seconds: float) -> Column:
-    """Joda xxxBetween truncates toward zero — double div + cast(long)."""
-    return ((F.unix_micros(a) - F.unix_micros(b)) /
+    """Joda xxxBetween truncates toward zero — double div + cast(long).
+    cast("timestamp") first: fixtures carry TIMESTAMP_NTZ, which
+    unix_micros rejects (session TZ is UTC, so the cast is lossless)."""
+    return ((F.unix_micros(a.cast("timestamp")) -
+             F.unix_micros(b.cast("timestamp"))) /
             F.lit(unit_seconds * 1_000_000.0)).cast("long")
 
 
@@ -297,8 +300,9 @@ REGISTRY: dict = {
 
     # -- math ----------------------------------------------------------------
     "ABS": F.abs,
-    "CEIL": lambda c: F.ceil(c),
-    "FLOOR": lambda c: F.floor(c),
+    # Pig CEIL/FLOOR return double (CEIL.java/FLOOR.java); Spark's return long
+    "CEIL": lambda c: F.ceil(c).cast("double"),
+    "FLOOR": lambda c: F.floor(c).cast("double"),
     "ROUND": _pig_round,
     "ROUND_TO": _round_to,
     "SQRT": F.sqrt,

@@ -42,8 +42,24 @@ def _norm(fmt: str) -> str:
     return _FMT_ALIASES.get(fmt.lower(), fmt.lower())
 
 
+def _nano_ts_fields(path: str) -> list[str]:
+    """Parquet TIMESTAMP(NANOS) columns — Spark refuses them by default
+    (PARQUET_TYPE_ILLEGAL). Detected via the file footer so the reader can
+    transparently load them as long and convert to µs timestamps."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+        sch = ds.dataset(path, format="parquet").schema
+        return [f.name for f in sch
+                if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
 def read(spark: SparkSession, path: str, fmt: str = "parquet",
          schema=None, options: dict | None = None) -> DataFrame:
+    from pyspark.sql import functions as F
+
     fmt = _norm(fmt)
     options = dict(options or {})
     reader = spark.read
@@ -52,9 +68,20 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
         options.setdefault("header", "false")
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt == "json":
-        pass                                   # let Spark infer JSON schema
-    return reader.options(**options).format(fmt).load(path)
+
+    nano_cols = _nano_ts_fields(path) if fmt == "parquet" and schema is None \
+        else []
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = reader.options(**options).format(fmt).load(path)
+    if nano_cols:
+        # ns→µs is lossless here; TIMESTAMP_NTZ matches Spark's own reading
+        # of µs parquet files (fixtures are NTZ), session TZ is UTC.
+        for c in nano_cols:
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    .cast("timestamp_ntz"))
+    return df
 
 
 def write(df: DataFrame, path: str, fmt: str = "parquet",
