@@ -72,10 +72,100 @@ class ExprCompiler:
     def __init__(self, df: DataFrame, udfs: dict[str, Any] | None = None):
         self.df = df
         self.udfs = udfs or {}
+        self._schema: T.StructType | None = None   # lazy, one RPC
 
-    # -- type resolution (analysis-only, no job) ----------------------------
+    # -- type resolution ------------------------------------------------------
+    @property
+    def schema(self) -> T.StructType:
+        if self._schema is None:
+            self._schema = self.df.schema
+        return self._schema
+
     def dtype(self, col: Column) -> T.DataType:
+        """Resolve a compiled Column's type via analysis (RPC) — fallback
+        when Python-side inference (below) can't answer."""
         return self.df.select(col).schema[0].dataType
+
+    def infer(self, e: E.Expr) -> T.DataType | None:
+        """Python-side type inference over the AST — avoids a py4j
+        analysis round trip per division/deref/SIZE during plan build.
+        Returns None when unsure (caller falls back to dtype())."""
+        if isinstance(e, E.Aliased):
+            return self.infer(e.child)
+        if isinstance(e, E.Col):
+            return self._schema_path(e.name)
+        if isinstance(e, E.Pos):
+            fields = self.schema.fields
+            return fields[e.index].dataType if e.index < len(fields) else None
+        if isinstance(e, E.Lit):
+            v = e.value
+            if isinstance(v, bool):
+                return T.BooleanType()
+            if isinstance(v, int):
+                return T.IntegerType() if -2**31 <= v < 2**31 else T.LongType()
+            if isinstance(v, float):
+                return T.DoubleType()
+            if isinstance(v, str):
+                return T.StringType()
+            return None
+        if isinstance(e, E.Cast):
+            ddl = PIG_TO_SPARK_TYPE.get(e.pig_type, e.pig_type)
+            try:
+                return T._parse_datatype_string(ddl)
+            except Exception:
+                return None
+        if isinstance(e, E.Deref):
+            ct = self.infer(e.child)
+            if isinstance(ct, T.StructType):
+                try:
+                    return (ct.fields[e.field] if isinstance(e.field, int)
+                            else ct[e.field]).dataType
+                except (KeyError, IndexError):
+                    return None
+            if isinstance(ct, T.ArrayType) and \
+                    isinstance(ct.elementType, T.StructType):
+                try:
+                    f = (ct.elementType.fields[e.field]
+                         if isinstance(e.field, int)
+                         else ct.elementType[e.field])
+                    return T.ArrayType(T.StructType([f]))
+                except (KeyError, IndexError):
+                    return None
+            return None
+        if isinstance(e, E.BinOp):
+            if e.op in ("==", "!=", "<", "<=", ">", ">=", "and", "or"):
+                return T.BooleanType()
+            lt, rt = self.infer(e.left), self.infer(e.right)
+            if lt is None or rt is None:
+                return None
+            if e.op == "/":
+                if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
+                    return T.LongType() if T.LongType() in (lt, rt) \
+                        else T.IntegerType()
+                return T.DoubleType()
+            # + - * %: numeric promotion
+            order = [T.DoubleType(), T.FloatType(), T.LongType(),
+                     T.IntegerType(), T.ShortType(), T.ByteType()]
+            for t in order:
+                if lt == t or rt == t:
+                    return t
+            return None
+        return None   # Func/WindowFunc/etc. → RPC fallback
+
+    def _schema_path(self, name: str) -> T.DataType | None:
+        cur: T.DataType = self.schema
+        for part in name.split("."):
+            if not isinstance(cur, T.StructType):
+                return None
+            try:
+                cur = cur[part].dataType
+            except KeyError:
+                return None
+        return cur
+
+    def _type_of(self, e: E.Expr, compiled: Column) -> T.DataType:
+        t = self.infer(e)
+        return t if t is not None else self.dtype(compiled)
 
     def compile(self, e: E.Expr) -> Column:
         m = getattr(self, f"_c_{type(e).__name__.lower()}", None)
@@ -105,7 +195,8 @@ class ExprCompiler:
         if op == "*": return l * r
         if op == "%": return l % r   # Java % keeps dividend sign = Spark %
         if op == "/":
-            lt, rt = self.dtype(l), self.dtype(r)
+            lt = self._type_of(e.left, l)
+            rt = self._type_of(e.right, r)
             if isinstance(lt, _INTEGRAL) and isinstance(rt, _INTEGRAL):
                 # Pig int/int = Java integer division (truncate toward 0);
                 # x/0 → null. double-div + cast(long) truncates toward zero
@@ -165,7 +256,7 @@ class ExprCompiler:
 
     def _c_deref(self, e: E.Deref) -> Column:
         child = self.compile(e.child)
-        dt = self.dtype(child)
+        dt = self._type_of(e.child, child)
         if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
             # bag.field → bag of 1-field tuples (Pig bag projection)
             name = self._field_name(dt.elementType, e.field)
@@ -205,7 +296,7 @@ class ExprCompiler:
         name = e.name.upper()
         if name in TYPED_REGISTRY:
             cols = [self.compile(a) for a in e.args]
-            dtypes = [self.dtype(c) for c in cols]
+            dtypes = [self._type_of(a, c) for a, c in zip(e.args, cols)]
             return TYPED_REGISTRY[name](dtypes, *cols)
         if name in REGISTRY:
             return REGISTRY[name](*self._compile_args(name, e.args))

@@ -42,7 +42,18 @@ def _norm(fmt: str) -> str:
     return _FMT_ALIASES.get(fmt.lower(), fmt.lower())
 
 
+_nano_cache: dict[str, list[str]] = {}
+_load_cache: dict[tuple, "DataFrame"] = {}
+
+
 def _nano_ts_fields(path: str) -> list[str]:
+    if path in _nano_cache:
+        return _nano_cache[path]
+    _nano_cache[path] = _nano_scan(path)
+    return _nano_cache[path]
+
+
+def _nano_scan(path: str) -> list[str]:
     """Parquet TIMESTAMP(NANOS) columns — Spark refuses them by default
     (PARQUET_TYPE_ILLEGAL). Detected via the file footer so the reader can
     transparently load them as long and convert to µs timestamps."""
@@ -62,6 +73,11 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
 
     fmt = _norm(fmt)
     options = dict(options or {})
+    # Memoize loads per (session, path, fmt, options): repeated queries over
+    # the same table reuse one analyzed scan (footer/schema work done once).
+    key = (id(spark), path, fmt, str(schema), tuple(sorted(options.items())))
+    if key in _load_cache:
+        return _load_cache[key]
     reader = spark.read
     if fmt == "csv":
         options.setdefault("sep", "\t")       # PigStorage default delimiter
@@ -81,6 +97,7 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     .cast("timestamp_ntz"))
+    _load_cache[key] = df
     return df
 
 
