@@ -1,0 +1,189 @@
+"""Builtin function edge matrix (SURVEY.md §2.4–2.5, mirroring the
+reference's TestBuiltin.java): 0-based SUBSTRING/INDEXOF, Math.round
+semantics, SIZE by type, TOKENIZE delimiters, duration arithmetic,
+aggregate null-skipping and type promotion."""
+
+import datetime
+
+from spork_spark import col, fn, lit
+
+
+def one(eng, spark, expr, data=None, ddl="x int"):
+    df = spark.createDataFrame(data or [(1,)], ddl)
+    return eng.from_df(df).foreach(expr.alias("out")).df().collect()[0][0]
+
+
+def test_substring_pig_semantics(eng, spark):
+    data, ddl = [("hello",)], "s string"
+    assert one(eng, spark, fn("SUBSTRING", col("s"), 1, 3), data, ddl) == "el"
+    assert one(eng, spark, fn("SUBSTRING", col("s"), 0, 99), data, ddl) == "hello"
+    assert one(eng, spark, fn("SUBSTRING", col("s"), 9, 12), data, ddl) is None
+    assert one(eng, spark, fn("SUBSTRING", col("s"), 2, 2), data, ddl) == ""
+
+
+def test_indexof_zero_based(eng, spark):
+    data, ddl = [("hello",)], "s string"
+    assert one(eng, spark, fn("INDEXOF", col("s"), lit("l")), data, ddl) == 2
+    assert one(eng, spark, fn("INDEXOF", col("s"), lit("z")), data, ddl) == -1
+    assert one(eng, spark, fn("INDEXOF", col("s"), lit("l"), lit(3)),
+               data, ddl) == 3
+
+
+def test_last_index_of(eng, spark):
+    data, ddl = [("hello",)], "s string"
+    assert one(eng, spark, fn("LAST_INDEX_OF", col("s"), lit("l")), data, ddl) == 3
+    assert one(eng, spark, fn("LAST_INDEX_OF", col("s"), lit("z")), data, ddl) == -1
+
+
+def test_round_is_java_math_round(eng, spark):
+    ddl = "x double"
+    assert one(eng, spark, fn("ROUND", col("x")), [(2.5,)], ddl) == 3
+    assert one(eng, spark, fn("ROUND", col("x")), [(-2.5,)], ddl) == -2  # ≠ HALF_UP
+    assert one(eng, spark, fn("ROUND", col("x")), [(2.4,)], ddl) == 2
+
+
+def test_ucfirst_only_first_char(eng, spark):
+    assert one(eng, spark, fn("UCFIRST", col("s")), [("hello world",)],
+               "s string") == "Hello world"     # initcap would give "Hello World"
+
+
+def test_concat_null_propagates(eng, spark):
+    assert one(eng, spark, fn("CONCAT", col("a"), col("b")),
+               [("x", None)], "a string, b string") is None
+
+
+def test_tokenize_delimiters(eng, spark):
+    out = one(eng, spark, fn("TOKENIZE", col("s")),
+              [('a b,"c"(d)*e',)], "s string")
+    assert [t["token"] for t in out] == ["a", "b", "c", "d", "e"]
+
+
+def test_size_by_type(eng, spark):
+    assert one(eng, spark, fn("SIZE", col("s")), [("héllo",)], "s string") == 5
+    assert one(eng, spark, fn("SIZE", col("b")),
+               [([1, 2, 3],)], "b array<int>") == 3
+    assert one(eng, spark, fn("SIZE", col("m")),
+               [({"a": 1},)], "m map<string,int>") == 1
+    assert one(eng, spark, fn("SIZE", col("t")),
+               [((1, 2),)], "t struct<x:int,y:int>") == 2
+    assert one(eng, spark, fn("SIZE", col("x")), [(3,)], "x int") == 1
+    assert one(eng, spark, fn("SIZE", col("x")), [(None,)], "x int") is None
+
+
+def test_isempty(eng, spark):
+    assert one(eng, spark, fn("ISEMPTY", col("b")), [([],)],
+               "b array<struct<x:int>>") is True
+    assert one(eng, spark, fn("ISEMPTY", col("b")), [([(1,)],)],
+               "b array<struct<x:int>>") is False
+
+
+def test_regex_extract_null_on_no_match(eng, spark):
+    data, ddl = [("ab123cd",)], "s string"
+    assert one(eng, spark,
+               fn("REGEX_EXTRACT", col("s"), lit(r"(\d+)"), lit(1)),
+               data, ddl) == "123"
+    assert one(eng, spark,
+               fn("REGEX_EXTRACT", col("s"), lit(r"(zz)"), lit(1)),
+               data, ddl) is None
+
+
+def test_regex_extract_all_groups(eng, spark):
+    out = one(eng, spark,
+              fn("REGEX_EXTRACT_ALL", col("s"), lit(r"(\w+) (\w+)")),
+              [("hello world",)], "s string")
+    assert tuple(out) == ("hello", "world")
+
+
+def test_strsplit_and_bagtostring(eng, spark):
+    out = one(eng, spark, fn("STRSPLIT", col("s"), lit(",")),
+              [("a,b,c",)], "s string")
+    assert list(out) == ["a", "b", "c"]
+
+
+def test_sprintf(eng, spark):
+    assert one(eng, spark, fn("SPRINTF", lit("%05d-%s"), col("x"), lit("z")),
+               [(42,)], "x int") == "00042-z"
+
+
+def test_replace_is_regex_replace_all(eng, spark):
+    assert one(eng, spark, fn("REPLACE", col("s"), lit("[0-9]+"), lit("#")),
+               [("a1b22c",)], "s string") == "a#b#c"
+
+
+def test_sum_int_promotes_to_long(eng, spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    rel = (eng.from_df(df).as_alias("t").group_all()
+           .foreach(fn("SUM", col("t").get("x")).alias("s")))
+    assert dict(rel.df().dtypes)["s"] == "bigint"
+    assert rel.df().collect()[0][0] == 3
+
+
+def test_avg_int_returns_double(eng, spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    rel = (eng.from_df(df).as_alias("t").group_all()
+           .foreach(fn("AVG", col("t").get("x")).alias("a")))
+    assert dict(rel.df().dtypes)["a"] == "double"
+    assert rel.df().collect()[0][0] == 1.5
+
+
+def test_aggregates_skip_nulls(eng, students):
+    rel = (eng.from_df(students).as_alias("s").group_all()
+           .foreach(fn("COUNT", col("s").get("gpa")).alias("c"),
+                    fn("MIN", col("s").get("gpa")).alias("mn"),
+                    fn("MAX", col("s").get("gpa")).alias("mx")))
+    c, mn, mx = rel.df().collect()[0]
+    assert (c, mn, mx) == (6, 1.0, 3.9)
+
+
+def test_datetime_roundtrip_and_parts(eng, spark):
+    data = [(datetime.datetime(2024, 3, 15, 10, 30, 45),)]
+    ddl = "ts timestamp"
+    assert one(eng, spark, fn("GETYEAR", col("ts")), data, ddl) == 2024
+    assert one(eng, spark, fn("GETMONTH", col("ts")), data, ddl) == 3
+    assert one(eng, spark, fn("GETDAY", col("ts")), data, ddl) == 15
+    assert one(eng, spark, fn("GETHOUR", col("ts")), data, ddl) == 10
+
+
+def test_todate_with_format(eng, spark):
+    out = one(eng, spark, fn("TODATE", col("s"), lit("yyyy/MM/dd")),
+              [("2024/03/15",)], "s string")
+    assert out == datetime.datetime(2024, 3, 15)
+
+
+def test_add_duration_iso8601(eng, spark):
+    data = [(datetime.datetime(2024, 1, 1, 0, 0, 0),)]
+    out = one(eng, spark, fn("ADDDURATION", col("ts"), lit("P1DT2H")),
+              data, "ts timestamp")
+    assert out == datetime.datetime(2024, 1, 2, 2, 0, 0)
+    out2 = one(eng, spark, fn("SUBTRACTDURATION", col("ts"), lit("PT30M")),
+               data, "ts timestamp")
+    assert out2 == datetime.datetime(2023, 12, 31, 23, 30, 0)
+
+
+def test_between_functions_truncate(eng, spark):
+    d1 = datetime.datetime(2024, 1, 2, 23, 0, 0)
+    d0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    data, ddl = [(d1, d0)], "a timestamp, b timestamp"
+    assert one(eng, spark, fn("DAYSBETWEEN", col("a"), col("b")), data, ddl) == 1
+    assert one(eng, spark, fn("HOURSBETWEEN", col("a"), col("b")), data, ddl) == 47
+    assert one(eng, spark, fn("SECONDSBETWEEN", col("a"), col("b")),
+               data, ddl) == 169200
+
+
+def test_totuple_tobag_tomap(eng, spark):
+    data, ddl = [(1, "x")], "a int, b string"
+    t = one(eng, spark, fn("TOTUPLE", col("a"), col("b")), data, ddl)
+    assert tuple(t) == (1, "x")
+    bag = one(eng, spark, fn("TOBAG", col("a")), data, ddl)
+    assert len(bag) == 1 and bag[0][0] == 1
+    m = one(eng, spark, fn("TOMAP", col("b"), col("a")), data, ddl)
+    assert m == {"x": 1}
+
+
+def test_diff_and_subtract(eng, spark):
+    data = [([1, 2, 3], [2, 3, 4])]
+    ddl = "a array<int>, b array<int>"
+    assert sorted(one(eng, spark, fn("SUBTRACT", col("a"), col("b")),
+                      data, ddl)) == [1]
+    assert sorted(one(eng, spark, fn("DIFF", col("a"), col("b")),
+                      data, ddl)) == [1, 4]

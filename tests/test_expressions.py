@@ -1,0 +1,109 @@
+"""Expression-language semantics (SURVEY.md §1.4, §2.2): the Pig-vs-Spark
+divergences the compiler must own — int division, anchored matches,
+null-on-failure casts, bincond, null comparisons."""
+
+from spork_spark import col, lit, fn, bincond
+
+
+def rows(rel):
+    return [tuple(r) for r in rel.df().collect()]
+
+
+def test_int_division_truncates_toward_zero(eng, spark):
+    df = spark.createDataFrame([(7, 2), (-7, 2), (7, -2), (1, 0)],
+                               "a int, b int")
+    out = rows(eng.from_df(df).foreach((col("a") / col("b")).alias("q")))
+    assert out == [(3,), (-3,), (-3,), (None,)]   # Java semantics; /0 → null
+
+
+def test_long_division_returns_long(eng, spark):
+    df = spark.createDataFrame([(10, 4)], "a bigint, b int")
+    rel = eng.from_df(df).foreach((col("a") / col("b")).alias("q"))
+    assert dict(rel.df().dtypes)["q"] == "bigint"
+    assert rows(rel) == [(2,)]
+
+
+def test_double_division_stays_double(eng, spark):
+    df = spark.createDataFrame([(7.0, 2)], "a double, b int")
+    assert rows(eng.from_df(df).foreach((col("a") / col("b")).alias("q"))) \
+        == [(3.5,)]
+
+
+def test_mod_keeps_dividend_sign(eng, spark):
+    df = spark.createDataFrame([(7, 3), (-7, 3)], "a int, b int")
+    assert rows(eng.from_df(df).foreach((col("a") % col("b")).alias("m"))) \
+        == [(1,), (-1,)]
+
+
+def test_matches_is_full_string(eng, spark):
+    df = spark.createDataFrame([("abc",), ("xabc",), ("abcx",)], "s string")
+    out = rows(eng.from_df(df).filter(col("s").matches("abc")))
+    assert out == [("abc",)]          # Java String.matches, not find()
+
+
+def test_matches_with_wildcards(eng, spark):
+    df = spark.createDataFrame([("3-MEDIUM",), ("MEDIUM-3",)], "s string")
+    assert rows(eng.from_df(df).filter(col("s").matches("3-.*"))) \
+        == [("3-MEDIUM",)]
+
+
+def test_cast_failure_yields_null(eng, spark):
+    df = spark.createDataFrame([("12",), ("x",), (None,)], "s string")
+    assert rows(eng.from_df(df).foreach(col("s").cast("int").alias("i"))) \
+        == [(12,), (None,), (None,)]
+
+
+def test_cast_pig_type_names(eng, spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    rel = eng.from_df(df).foreach(
+        col("a").cast("long").alias("l"),
+        col("a").cast("chararray").alias("s"),
+        col("a").cast("double").alias("d"))
+    assert dict(rel.df().dtypes) == {"l": "bigint", "s": "string",
+                                     "d": "double"}
+
+
+def test_bincond_and_null_predicate(eng, spark):
+    df = spark.createDataFrame([(1,), (10,), (None,)], "a int")
+    out = rows(eng.from_df(df).foreach(
+        bincond(col("a") > 5, "big", "small").alias("b")))
+    # null predicate → otherwise branch in Spark when() semantics
+    assert out == [("small",), ("big",), ("small",)]
+
+
+def test_filter_null_predicate_drops_row(eng, spark):
+    df = spark.createDataFrame([(1,), (10,), (None,)], "a int")
+    assert rows(eng.from_df(df).filter(col("a") > 5)) == [(10,)]
+
+
+def test_is_null_and_comparison_with_null(eng, spark):
+    df = spark.createDataFrame([(1,), (None,)], "a int")
+    out = rows(eng.from_df(df).foreach(
+        col("a").is_null().alias("isn"),
+        (col("a") == 1).alias("eq")))
+    assert out == [(False, True), (True, None)]
+
+
+def test_in_list(eng, spark):
+    df = spark.createDataFrame([("F",), ("P",), ("O",)], "s string")
+    assert rows(eng.from_df(df).filter(col("s").isin("F", "P"))) \
+        == [("F",), ("P",)]
+
+
+def test_map_lookup(eng, spark):
+    df = spark.createDataFrame([({"a": 1, "b": 2},)], "m map<string,int>")
+    assert rows(eng.from_df(df).foreach(col("m").lookup("a").alias("v"),
+                                        col("m").lookup("zz").alias("miss"))) \
+        == [(1, None)]
+
+
+def test_positional_reference(eng, spark):
+    df = spark.createDataFrame([("x", 1)], "name string, n int")
+    from spork_spark import pos
+    assert rows(eng.from_df(df).foreach(pos(1).alias("second"))) == [(1,)]
+
+
+def test_tuple_deref(eng, spark):
+    df = spark.createDataFrame([((1, "a"),)], "t struct<x:int,y:string>")
+    assert rows(eng.from_df(df).foreach(col("t").get("y").alias("y"))) \
+        == [("a",)]
