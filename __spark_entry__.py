@@ -397,6 +397,144 @@ def q_events_json(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# extension operators (SURVEY.md §2.11 — dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup on text with deterministic min-doc_id survivor."""
+    from spork_spark.operators import exact_dedup
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    out = exact_dedup(docs, ["text"], keep="min", tiebreak="doc_id")
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup pairs over documents (no SQL oracle — the
+    signature family is engine-specific; rows-only check)."""
+    from spork_spark.operators import minhash_lsh_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return minhash_lsh_pairs(docs, "doc_id", "text", shingle_n=5,
+                             num_hashes=64, bands=16, threshold=0.6) \
+        .orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf):
+    """64-bit SimHash signatures (xxhash64-based — rows-only check)."""
+    from spork_spark.operators import simhash
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by lang."""
+    from spork_spark.operators import ngram_jaccard_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35,
+                               block_col="lang").orderBy("id_a", "id_b")
+
+
+def q_similarity_bruteforce(spark, sf):
+    """Exact cosine top-5 for the first 3 vectors against the corpus."""
+    from spork_spark.operators import brute_force_topk
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk(emb, queries_df, k=5, score_round=4) \
+        .orderBy("query_id", "rank")
+
+
+def q_similarity_lsh(spark, sf):
+    """SRP-LSH approximate top-5 (engine-specific hashing — rows-only)."""
+    from spork_spark.operators import lsh_topk
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=10, bands=4) \
+        .orderBy("query_id", "rank")
+
+
+def q_text_quality(spark, sf):
+    """Per-document quality features (token/char-class ratios)."""
+    from spork_spark.operators import quality_score
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
+        "stopword_ratio").orderBy("doc_id")
+
+
+def q_lang_id(spark, sf):
+    """Stopword-vote language ID (heuristic, engine-side — rows-only)."""
+    from spork_spark.operators import detect_language
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return detect_language(docs).select("doc_id", "lang", "lang_pred") \
+                                .orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf):
+    """Content fingerprints — md5 digests match any engine."""
+    from spork_spark.operators import fingerprint
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return fingerprint(docs, "doc_id").select("doc_id", "content_fp") \
+                                      .orderBy("doc_id")
+
+
+def q_tfidf(spark, sf):
+    from spork_spark.operators import tf_idf
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (tf_idf(docs, "doc_id", min_df=5)
+            .orderBy("doc_id", "token").limit(1000))
+
+
+# ---------------------------------------------------------------------------
+# event-time windows in batch (SURVEY.md §2.8 extension)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark, sf):
+    """Tumbling 6-hour windows over events (epoch-aligned buckets)."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events")
+    bucketed = ev.foreach(
+        col("event_type").alias("event_type"),
+        ((fn("TOUNIXTIME", col("ts")) / lit(21600)) * lit(21600))
+        .alias("bucket_start"),
+        col("value").alias("value"))
+    g = bucketed.group_by(col("event_type"), col("bucket_start"))
+    return (g.foreach(col("group").get("event_type").alias("event_type"),
+                      col("group").get("bucket_start").alias("bucket_start"),
+                      fn("COUNT_STAR").alias("cnt"),
+                      _r2(fn("SUM", col(bucketed.alias).get("value"))).alias("total"))
+             .order_by(col("event_type"), col("bucket_start"))).df()
+
+
+def q_events_session_window(spark, sf):
+    """Session windows (30-min inactivity gap) per user, in batch — the
+    Structured-Streaming session_window operator applied to a bounded
+    input. Oracle: classic islands-and-gaps SQL."""
+    from pyspark.sql import functions as SF
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    sess = (ev.groupBy(
+                SF.session_window(SF.col("ts"), "30 minutes").alias("w"),
+                SF.col("user_id"))
+              .agg(SF.count("*").alias("n_events"),
+                   SF.round(SF.sum("value"), 2).alias("total")))
+    return (sess.select(
+                "user_id",
+                SF.unix_timestamp(SF.col("w.start").cast("timestamp"))
+                  .alias("session_start"),
+                "n_events", "total")
+                .orderBy("user_id", "session_start"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -427,6 +565,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int_division": q_int_division,
         "events_session": q_events_session,
         "events_json": q_events_json,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "similarity_bruteforce": q_similarity_bruteforce,
+        "similarity_lsh": q_similarity_lsh,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "tfidf": q_tfidf,
+        "events_tumbling": q_events_tumbling,
+        "events_session_window": q_events_session_window,
     }
 
 
@@ -641,5 +791,109 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, MAX(n_chars) AS n_chars
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, lang,
+                     list_distinct([substring(text, i, 3)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 2, 1))]) AS s
+              FROM documents)
+            SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         len(list_distinct(list_concat(a.s, b.s))) AS jac
+                  FROM sh a JOIN sh b
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+            WHERE jac >= 0.35
+            ORDER BY id_a, id_b
+        """,
+        "similarity_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, score, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(length(text) AS DOUBLE) AS ln,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND((ln - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                         / GREATEST(ln, 1.0), 4) AS alpha_ratio,
+                   ROUND((ln - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / GREATEST(ln, 1.0), 4) AS digit_ratio,
+                   ROUND(len(list_filter(toks, x -> list_contains(
+                         ['the','and','of','to','is','in','that','it','with'],
+                         lower(x)))) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0),
+                         4) AS stopword_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS content_fp
+            FROM documents ORDER BY doc_id
+        """,
+        "tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf
+                    GROUP BY token HAVING COUNT(*) >= 5),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+            SELECT doc_id, token, tf, df,
+                   ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN dfq USING (token), nd
+            ORDER BY doc_id, token LIMIT 1000
+        """,
+        "events_tumbling": """
+            SELECT event_type, bucket_start, COUNT(*) AS cnt,
+                   FLOOR((SUM(value))*100 + 0.5)/100 AS total
+            FROM (SELECT event_type,
+                         (CAST(trunc(epoch(ts)) AS BIGINT) // 21600) * 21600
+                             AS bucket_start,
+                         value FROM events) t
+            GROUP BY event_type, bucket_start
+            ORDER BY event_type, bucket_start
+        """,
+        "events_session_window": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+                  FROM o)
+            SELECT user_id,
+                   CAST(trunc(epoch(MIN(ts))) AS BIGINT) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total
+            FROM s GROUP BY user_id, sess_id
+            ORDER BY user_id, session_start
         """,
     }

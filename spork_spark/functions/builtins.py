@@ -318,8 +318,9 @@ REGISTRY: dict = {
     # -- datetime -------------------------------------------------------------
     "TODATE": _todate,
     "TOSTRING_DT": _dt_tostring,
-    "TOUNIXTIME": lambda dt: F.unix_timestamp(dt),
-    "TOMILLISECONDS": lambda dt: F.unix_millis(dt),
+    # cast("timestamp"): fixtures are TIMESTAMP_NTZ (session TZ UTC)
+    "TOUNIXTIME": lambda dt: F.unix_timestamp(dt.cast("timestamp")),
+    "TOMILLISECONDS": lambda dt: F.unix_millis(dt.cast("timestamp")),
     "CURRENTTIME": lambda: F.current_timestamp(),
     "GETYEAR": F.year,
     "GETMONTH": F.month,

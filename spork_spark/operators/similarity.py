@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north star's scale mandate:
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast (small
+  side); scores are computed JVM-side with zip_with/aggregate (no Python);
+  per-query top-k via window row_number — one shuffle on query id. At
+  100 TB this is the "scan" path: linear in corpus size, embarrassingly
+  parallel, no index build.
+- lsh_topk: random-hyperplane (signed random projection) LSH — corpus and
+  queries hash to `bands` bucket keys; candidates pair by bucket equality
+  (equi-join, broadcastable); exact cosine re-rank on candidates only.
+  This is the sublinear path: the corpus-side work after bucketing touches
+  only colliding vectors. An IVF variant (k-means coarse quantizer) would
+  slot in the same way; hyperplane-LSH is chosen because it needs no
+  training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str | None = None,
+                     score_round: int = 6) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Returns (query_id, vec_id, score, rank). Queries are broadcast; scoring
+    is a narrow map over the corpus; one shuffle on query_id for top-k.
+    Scores are computed in double and rounded to `score_round` BEFORE
+    ranking, so rank boundaries are reproducible across engines.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qvec"))
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("__cvec"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .filter(F.col(id_col) != F.col("query_id"))
+               .withColumn("score", F.round(
+                   cosine(F.col("__cvec"), F.col("__qvec")), score_round)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", id_col, "score", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import random
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def _srp_bucket(vec, planes: list[list[float]]) -> "F.Column":
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bits = [F.when(_dot(vec, F.array([F.lit(w) for w in p])) >= 0, 1)
+             .otherwise(0).cast("long") for p in planes]
+    acc = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        acc = acc + F.shiftleft(b, i)
+    return acc
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 8, bands: int = 4,
+             seed: int = 42, query_id_col: str | None = None) -> DataFrame:
+    """Approximate cosine top-k: `bands` independent SRP hash tables;
+    candidates = bucket collisions in any band; exact re-rank after.
+
+    Recall improves with bands; cost scales with collision count, not
+    corpus × queries. Same output schema as brute_force_topk.
+    """
+    qid = query_id_col or id_col
+    tables = [_hyperplanes(dim, n_planes, seed + 101 * b)
+              for b in range(bands)]
+
+    def with_buckets(df, vname):
+        out = df
+        for b, planes in enumerate(tables):
+            out = out.withColumn(f"__b{b}", _srp_bucket(F.col(vname), planes))
+        return out
+
+    c = with_buckets(corpus.select(F.col(id_col),
+                                   F.col(vec_col).alias("__cvec")), "__cvec")
+    q = with_buckets(queries.select(F.col(qid).alias("query_id"),
+                                    F.col(vec_col).alias("__qvec")), "__qvec")
+    cand = None
+    for b in range(bands):
+        pairs = c.select(id_col, "__cvec", F.col(f"__b{b}").alias("__bk")) \
+                 .join(F.broadcast(q.select("query_id", "__qvec",
+                                            F.col(f"__b{b}").alias("__bk"))),
+                       on="__bk") \
+                 .select(id_col, "query_id", "__cvec", "__qvec")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = (cand.dropDuplicates([id_col, "query_id"])
+                .filter(F.col(id_col) != F.col("query_id"))
+                .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", id_col,
+                        F.round("score", 6).alias("score"), "rank"))

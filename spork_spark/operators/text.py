@@ -1,0 +1,131 @@
+"""Text-analysis operators over document tables: language-ID, quality
+scoring, token counting, fingerprinting, tf-idf. All native Column
+expressions (regex + higher-order functions) — no Python in the hot path,
+linear per-row work, aggregations shuffle once on their keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deterministic, dependency-free; not a model.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una", "por"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "une", "dans", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这"],
+}
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(text_col) -> "F.Column":
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.trim(c), TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text_col) -> "F.Column":
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col) -> "F.Column":
+    """Sub-word-ish token estimate: word pieces of ≤4 chars + punctuation
+    marks counted separately (a BPE-shaped regex heuristic, no vocab)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.aggregate(
+        F.transform(tokens(c), lambda t: (F.length(t) + 3) / 4),
+        F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (words + punct).cast("long")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score:
+    n_chars, n_tokens, avg token length, alpha ratio, punct ratio,
+    digit ratio, stopword ratio, uppercase ratio."""
+    c = F.col(text_col)
+    ln = F.length(c).cast("double")
+
+    def ratio(pattern):
+        """Fraction of characters matching `pattern` (removed length)."""
+        return (ln - F.length(F.regexp_replace(c, pattern, ""))) / \
+               F.greatest(ln, F.lit(1.0))
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    sw = F.array([F.lit(w) for w in _LANG_MARKERS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(
+        sw, F.lower(t)))) / F.greatest(n_tok, F.lit(1.0))
+    out = (df
+           .withColumn("n_tokens", n_tok.cast("long"))
+           .withColumn("avg_token_len",
+                       F.round(ln / F.greatest(n_tok, F.lit(1.0)), 4))
+           .withColumn("alpha_ratio", F.round(ratio(r"[A-Za-z]"), 4))
+           .withColumn("digit_ratio", F.round(ratio(r"[0-9]"), 4))
+           .withColumn("punct_ratio", F.round(ratio(r"[\.,;:!\?]"), 4))
+           .withColumn("upper_ratio", F.round(ratio(r"[A-Z]"), 4))
+           .withColumn("stopword_ratio", F.round(stop_ratio, 4)))
+    score = (F.when(F.col("n_tokens") < 5, 0.0)
+              .otherwise(
+                  0.4 * F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) +
+                  0.4 * F.col("alpha_ratio") +
+                  0.2 * (1.0 - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))))
+    return out.withColumn("quality", F.round(score, 4))
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language ID: score = #tokens matching each
+    language's marker set; argmax wins, 'und' when nothing matches.
+    One narrow pass; markers are inline literals (whole-stage codegen)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array([F.lit(m) for m in markers])
+        scores.append(F.struct(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+             .alias("score"),
+            F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text",
+                algo: str = "md5") -> DataFrame:
+    """Document fingerprints: md5/sha2 content digest + a rolling-window
+    structural digest (xxhash64 of 8-token windows, min-combined) that is
+    robust to small local edits."""
+    c = F.col(text_col)
+    content = F.md5(c) if algo == "md5" else F.sha2(c, 256)
+    toks = tokens(c)
+    nwin = F.greatest(F.size(toks) - 7, F.lit(1))
+    windows = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 8), " ")))
+    return df.select(
+        F.col(id_col),
+        content.alias("content_fp"),
+        F.array_min(windows).alias("rolling_fp_min"),
+        F.array_max(windows).alias("rolling_fp_max"))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str = "text",
+           min_df: int = 2) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf) — classic two-aggregation pipeline:
+    explode tokens → per-(doc,token) counts → per-token doc frequency
+    (broadcast back) → tf·idf. Both aggs get map-side partial agg."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df")) \
+              .filter(F.col("df") >= min_df)
+    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    return (tf.join(F.broadcast(dfreq), on="token")
+              .withColumn("tfidf",
+                          F.round(F.col("tf") *
+                                  F.log(F.lit(float(n_docs)) / F.col("df")),
+                                  6))
+              .select(id_col, "token", "tf", "df", "tfidf"))

@@ -1,0 +1,163 @@
+"""Extension operators: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2.11)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spork_spark.operators import (
+    attach_binary_meta, brute_force_topk, decode_images, detect_language,
+    exact_dedup, extract_features, fingerprint, lsh_topk, minhash_lsh_pairs,
+    ngram_jaccard_pairs, quality_score, sample_frames, simhash, tf_idf,
+    token_count)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = [
+        (0, base, "src0"),
+        (1, base, "src0"),                       # exact dup of 0
+        (2, base.replace("quick", "swift"), "src0"),   # near dup of 0
+        (3, "completely different text about databases and spark engines "
+            "processing large volumes of data", "src1"),
+        (4, "el perro corre por el parque y la casa es grande", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, src string")
+
+
+def test_exact_dedup_deterministic_survivor(docs):
+    out = exact_dedup(docs, ["text"], keep="min", tiebreak="doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4]              # doc 1 deduped, min id kept
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got                    # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got   # near dup found
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert exact[(0, 1)] == 1.0
+
+
+def test_simhash_near_dups_close(docs):
+    sigs = {r.doc_id: r.simhash for r in
+            simhash(docs, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_brute_force_topk_self_similarity(spark):
+    import random
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(20)]
+    # vec 19 = vec 0 scaled → cosine 1.0
+    vecs[19] = (19, [2 * x for x in vecs[0][1]])
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3,
+                           vec_col="embedding")
+    top = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert top[0] == 19
+    assert [r["rank"] for r in out.orderBy("rank").collect()] == [1, 2, 3]
+
+
+def test_lsh_topk_recalls_identical_vector(spark):
+    import random
+    rnd = random.Random(11)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+    vecs[49] = (49, list(vecs[0][1]))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    out = lsh_topk(df, df.filter(F.col("vec_id") == 0), k=5, dim=16,
+                   n_planes=6, bands=4)
+    assert 49 in [r.vec_id for r in out.collect()]   # identical vec collides
+
+
+def test_language_detection(docs):
+    out = {r.doc_id: r.lang_pred for r in
+           detect_language(docs).select("doc_id", "lang_pred").collect()}
+    assert out[0] == "en" and out[4] == "es"
+
+
+def test_quality_score_features(docs):
+    row = quality_score(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert row.n_tokens == 19
+    assert 0 < row.stopword_ratio < 1
+    assert row.alpha_ratio > 0.7           # mostly letters
+    assert row.quality > 0.3
+
+
+def test_quality_short_doc_zero(spark):
+    df = spark.createDataFrame([(9, "ok", "s")],
+                               "doc_id bigint, text string, src string")
+    assert quality_score(df).collect()[0].quality == 0.0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",)], "text string")
+    out = [r[0] for r in df.select(token_count("text")).collect()]
+    assert out == [3, 0]
+
+
+def test_fingerprint_stability_and_locality(docs):
+    fp = {r.doc_id: r for r in fingerprint(docs, "doc_id").collect()}
+    assert fp[0].content_fp == fp[1].content_fp     # exact dup
+    assert fp[0].content_fp != fp[2].content_fp     # edit changes md5
+    # rolling min/max: near-dup shares at least one window extreme
+    assert (fp[0].rolling_fp_min == fp[2].rolling_fp_min or
+            fp[0].rolling_fp_max == fp[2].rolling_fp_max)
+
+
+def test_tf_idf(docs):
+    out = tf_idf(docs, "doc_id", min_df=2)
+    rows = {(r.doc_id, r.token): r for r in out.collect()}
+    assert rows[(0, "the")].tf == 3
+    assert rows[(0, "the")].df == 3                  # docs 0,1,2
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = [(1, b"\x89PNG\r\n" + b"x" * 9000),
+            (2, b"\xff\xd8\xff\xe0" + b"y" * 5000),
+            (3, b"zz")]
+    return spark.createDataFrame(rows, "item_id bigint, payload binary")
+
+
+def test_binary_meta_sniffing(blobs):
+    out = {r.item_id: r.meta for r in
+           attach_binary_meta(blobs, "payload").collect()}
+    assert out[1].format == "png" and out[1].n_bytes == 9006
+    assert out[2].format == "jpeg"
+    assert out[3].format == "unknown"
+
+
+def test_decode_images_batch_shape(blobs):
+    out = decode_images(blobs, "payload", "item_id")
+    rows = {r.item_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_bytes == 9006
+    assert rows[1].width >= 16 and rows[1].height >= 16
+    assert dict(out.dtypes) == {"item_id": "bigint", "width": "int",
+                                "height": "int", "n_bytes": "bigint"}
+
+
+def test_extract_features_dim_and_range(blobs):
+    out = extract_features(blobs, "payload", "item_id", dim=16).collect()
+    assert all(len(r.embedding) == 16 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.embedding)
+
+
+def test_sample_frames_fanout(blobs):
+    out = sample_frames(blobs, "payload", "item_id", every_n=1).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.item_id, []).append(r.frame_idx)
+    assert len(per_id[1]) == 2          # 9006 bytes → 2 frames
+    assert per_id[3] == [0]             # tiny payload → 1 frame
