@@ -396,6 +396,41 @@ def q_events_json(spark, sf):
              .order_by(col("event_type"))).df()
 
 
+def q_nested_foreach(spark, sf):
+    """Nested FOREACH (SURVEY.md §2.3): per customer, count of big orders
+    (inner FILTER) + sum of top-2 order prices (inner ORDER + LIMIT) —
+    compiled to bag higher-order functions on a materialized bag."""
+    from spork_spark import lam
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    g = orders.group_by(col("o_custkey"))
+    top2 = fn("LIMIT_BAG",
+              fn("SORT_BAG", col("orders"), "o_totalprice", False), 2)
+    return (g.foreach(
+                col("group").alias("custkey"),
+                fn("COUNT",
+                   fn("FILTER_BAG", col("orders"),
+                      lam(lambda t: t.get("o_totalprice") > 150000.0)))
+                .alias("n_big"),
+                _r2(fn("SUM", top2.get("o_totalprice"))).alias("top2_total"))
+              .order_by(col("custkey"))).df()
+
+
+def q_scalar_of_relation(spark, sf):
+    """Scalar-of-relation (SURVEY.md §2.2): orders above the global average
+    price — the 1-row aggregate crosses back onto the relation."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    avg1 = (orders.group_all()
+            .foreach(fn("AVG", col("orders").get("o_totalprice"))
+                     .alias("avg_price")))
+    return (orders.cross(avg1)
+            .filter(col("o_totalprice") > col("avg_price"))
+            .foreach(col("o_orderkey").alias("o_orderkey"),
+                     col("o_totalprice").alias("o_totalprice"))
+            .order_by(col("o_orderkey"))).df()
+
+
 # ---------------------------------------------------------------------------
 # extension operators (SURVEY.md §2.11 — dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -565,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int_division": q_int_division,
         "events_session": q_events_session,
         "events_json": q_events_json,
+        "nested_foreach": q_nested_foreach,
+        "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -791,6 +828,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "nested_foreach": """
+            WITH r AS (SELECT o_custkey, o_totalprice,
+                              row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC) AS rn
+                       FROM orders)
+            SELECT o_custkey AS custkey,
+                   COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+                   FLOOR((SUM(o_totalprice) FILTER (WHERE rn <= 2))*100
+                         + 0.5)/100 AS top2_total
+            FROM r GROUP BY o_custkey ORDER BY custkey
+        """,
+        "scalar_of_relation": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+            ORDER BY o_orderkey
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, MAX(n_chars) AS n_chars

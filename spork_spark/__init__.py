@@ -12,13 +12,14 @@ Layers (SURVEY.md §7 architecture):
 - ``spork_spark.parser``     — Pig Latin front-end (lowering onto the builder)
 """
 
-from .plans.expressions import (bincond, col, flatten, fn, lit, pos, star)
+from .plans.expressions import (bincond, col, flatten, fn, lam, lit, pos,
+                                star)
 from .plans.relation import Engine, Relation
 from .session import configure_session, get_spark
 
 __all__ = [
     "Engine", "Relation", "get_spark", "configure_session",
-    "col", "lit", "pos", "star", "fn", "flatten", "bincond",
+    "col", "lit", "pos", "star", "fn", "flatten", "bincond", "lam",
 ]
 
 __version__ = "0.1.0"

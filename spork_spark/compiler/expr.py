@@ -73,6 +73,7 @@ class ExprCompiler:
         self.df = df
         self.udfs = udfs or {}
         self._schema: T.StructType | None = None   # lazy, one RPC
+        self._lambda_env: dict[str, Column] = {}   # bag-HOF variable bindings
 
     # -- type resolution ------------------------------------------------------
     @property
@@ -150,7 +151,19 @@ class ExprCompiler:
                 if lt == t or rt == t:
                     return t
             return None
-        return None   # Func/WindowFunc/etc. → RPC fallback
+        if isinstance(e, E.Func):
+            # type-preserving bag HOFs (inner FILTER/ORDER/LIMIT/DISTINCT)
+            name = e.name.upper()
+            if name in ("FILTER_BAG", "SORT_BAG", "LIMIT_BAG",
+                        "DISTINCT_BAG"):
+                return self.infer(e.args[0])
+            if name == "TOP" and len(e.args) == 3:
+                return self.infer(e.args[2])
+            if name in ("TRANSFORM_BAG", "FOREACH_BAG"):
+                # array-ness is known; element type needs analysis
+                return T.ArrayType(T.NullType())
+            return None
+        return None   # WindowFunc/etc. → RPC fallback
 
     def _schema_path(self, name: str) -> T.DataType | None:
         cur: T.DataType = self.schema
@@ -256,6 +269,10 @@ class ExprCompiler:
 
     def _c_deref(self, e: E.Deref) -> Column:
         child = self.compile(e.child)
+        if self._contains_lambda_var(e.child):
+            # inside a bag HOF: the element is a struct; no schema to
+            # resolve against — getField/getItem directly
+            return child[e.field]
         dt = self._type_of(e.child, child)
         if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
             # bag.field → bag of 1-field tuples (Pig bag projection)
@@ -292,8 +309,131 @@ class ExprCompiler:
                 out.append(self.compile(a))
         return out
 
+    # -- lambdas & bag higher-order functions (nested FOREACH, §2.3) --------
+    def _c_lambdavar(self, e: E.LambdaVar) -> Column:
+        if e.name not in self._lambda_env:
+            raise NameError(f"lambda variable {e.name!r} unbound")
+        return self._lambda_env[e.name]
+
+    def _contains_lambda_var(self, e: E.Expr) -> bool:
+        """FREE lambda variables only — vars inside a nested Lambda are
+        bound there and don't make the enclosing expression lambda-rooted."""
+        if isinstance(e, E.LambdaVar):
+            return True
+        if isinstance(e, E.Lambda):
+            return False
+        for v in vars(e).values():
+            if isinstance(v, E.Expr) and self._contains_lambda_var(v):
+                return True
+            if isinstance(v, list) and any(
+                    isinstance(x, E.Expr) and self._contains_lambda_var(x)
+                    for x in v):
+                return True
+        return False
+
+    def _as_pyfunc(self, lam: E.Lambda):
+        """Compile a Lambda into a Python callable over pyspark Columns,
+        as expected by F.filter/F.transform/F.array_sort."""
+        def fn(*cols: Column) -> Column:
+            saved = dict(self._lambda_env)
+            try:
+                for p, c in zip(lam.params, cols):
+                    self._lambda_env[p] = c
+                return self.compile(lam.body)
+            finally:
+                self._lambda_env = saved
+        # arity matters to pyspark's HOF wrapper: expose exact param count
+        if len(lam.params) == 1:
+            return lambda a: fn(a)
+        if len(lam.params) == 2:
+            return lambda a, b: fn(a, b)
+        return fn
+
+    # Bag HOFs: the compilation targets of Pig's nested-FOREACH inner ops.
+    def _bag_hofs(self, name: str, e: E.Func) -> Column | None:
+        def bag():
+            return self.compile(e.args[0])
+
+        if name == "FILTER_BAG":          # inner FILTER
+            return F.filter(bag(), self._as_pyfunc(e.args[1]))
+        if name in ("TRANSFORM_BAG", "FOREACH_BAG"):   # inner FOREACH
+            return F.transform(bag(), self._as_pyfunc(e.args[1]))
+        if name == "SORT_BAG":            # inner ORDER BY field [ASC|DESC]
+            field = e.args[1].value
+            asc = e.args[2].value if len(e.args) > 2 else True
+            def cmp(a, b):
+                k_a, k_b = a[field], b[field]
+                lt, gt = (-1, 1) if asc else (1, -1)
+                return (F.when(k_a < k_b, lt).when(k_a > k_b, gt)
+                        .otherwise(0))
+            return F.array_sort(bag(), cmp)
+        if name == "LIMIT_BAG":           # inner LIMIT
+            return F.slice(bag(), 1, e.args[1].value)
+        if name == "DISTINCT_BAG":        # inner DISTINCT
+            return F.array_distinct(bag())
+        if name == "TOP":                 # TOP(n, field, bag) builtin
+            n, field = e.args[0].value, e.args[1].value
+            b = self.compile(e.args[2])
+            if isinstance(field, int):
+                dt = self._type_of(e.args[2], b)
+                field = dt.elementType.fields[field].name
+            def cmp_desc(a, x):
+                return (F.when(a[field] > x[field], -1)
+                         .when(a[field] < x[field], 1).otherwise(0))
+            return F.slice(F.array_sort(b, cmp_desc), 1, n)
+        return None
+
+    def _bag_mode_agg(self, name: str, e: E.Func) -> Column | None:
+        """Pig aggregates are EvalFuncs over BAGS. Outside a fused groupBy
+        (i.e. the bag is a materialized array column), compile them as
+        array expressions: COUNT=non-null first field, SUM/AVG fold,
+        MIN/MAX array extrema; empty bag → null (Pig)."""
+        if not e.args:
+            return None
+        arg = e.args[0]
+        at = self.infer(arg)
+        if not isinstance(at, T.ArrayType):
+            return None
+        c = self.compile(arg)
+        if isinstance(at.elementType, T.NullType):   # TRANSFORM_BAG result
+            at = self.dtype(c)
+        elem = at.elementType
+        if isinstance(elem, T.StructType):
+            f0 = elem.fields[0].name
+            vals = F.transform(c, lambda t: t[f0])
+        else:
+            vals = c
+        nn = F.filter(vals, lambda v: v.isNotNull())
+        if name == "COUNT":
+            return F.size(nn).cast("long")
+        if name == "COUNT_STAR":
+            return F.size(c).cast("long")
+        s = F.aggregate(nn, F.lit(0.0),
+                        lambda acc, v: acc + v.cast("double"))
+        n = F.size(nn)
+        nonempty = n > 0
+        if name == "SUM":
+            long_in = isinstance(elem, T.StructType) and isinstance(
+                elem.fields[0].dataType, _INTEGRAL)
+            out = F.when(nonempty, s)
+            return out.cast("long") if long_in else out
+        if name == "AVG":
+            return F.when(nonempty, s / n)
+        if name == "MIN":
+            return F.array_min(nn)
+        if name == "MAX":
+            return F.array_max(nn)
+        return None
+
     def _c_func(self, e: E.Func) -> Column:
         name = e.name.upper()
+        hof = self._bag_hofs(name, e)
+        if hof is not None:
+            return hof
+        if name in ("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX"):
+            bagged = self._bag_mode_agg(name, e)
+            if bagged is not None:
+                return bagged
         if name in TYPED_REGISTRY:
             cols = [self.compile(a) for a in e.args]
             dtypes = [self._type_of(a, c) for a, c in zip(e.args, cols)]

@@ -253,9 +253,30 @@ class PlanCompiler:
             return "agg"
         return "other"
 
+    _HOF_NAMES = {"FILTER_BAG", "TRANSFORM_BAG", "FOREACH_BAG", "SORT_BAG",
+                  "LIMIT_BAG", "DISTINCT_BAG", "TOP"}
+
+    def _contains_inner_plan(self, e: E.Expr) -> bool:
+        """Nested-FOREACH constructs (bag HOFs / lambdas) can't fuse into
+        groupBy().agg() — they need the materialized bag."""
+        if isinstance(e, E.Lambda):
+            return True
+        if isinstance(e, E.Func) and e.name.upper() in self._HOF_NAMES:
+            return True
+        for v in vars(e).values():
+            if isinstance(v, E.Expr) and self._contains_inner_plan(v):
+                return True
+            if isinstance(v, list) and any(
+                    isinstance(x, E.Expr) and self._contains_inner_plan(x)
+                    for x in v):
+                return True
+        return False
+
     def _is_algebraic_agg(self, e: E.Expr) -> bool:
         """True if e is AGG(args…) over bag fields, incl. scalar expressions
         on top of aggregates (e.g. SUM(x.a)/COUNT(x), ROUND_TO(SUM(x.a),2))."""
+        if self._contains_inner_plan(e):
+            return False
         if isinstance(e, E.Func):
             if e.name.upper() in ALGEBRAIC_AGGS:
                 return True

@@ -199,6 +199,24 @@ class Aliased(Expr):
 
 
 @dataclass(eq=False)
+class LambdaVar(Expr):
+    """Bound variable inside a bag higher-order function (the tuple t in
+    FILTER_BAG(bag, t -> t.f > 0)). Compiles against the enclosing
+    lambda's binding, not the relation's columns."""
+    name: str
+
+
+@dataclass(eq=False)
+class Lambda(Expr):
+    """Lambda for bag HOFs — the compiled form of a nested-FOREACH inner
+    pipeline step (SURVEY.md §2.3 mapping #1: inner FILTER/ORDER/LIMIT/
+    DISTINCT/FOREACH become filter/array_sort/slice/array_distinct/
+    transform over the bag)."""
+    params: list[str]
+    body: Expr
+
+
+@dataclass(eq=False)
 class WindowFunc(Expr):
     """Analytic function over a window — extension surface (SURVEY.md §2.6).
 
@@ -241,3 +259,14 @@ def bincond(cond: Expr, iftrue, iffalse) -> BinCond:
     t = iftrue if isinstance(iftrue, Expr) else Lit(iftrue)
     f = iffalse if isinstance(iffalse, Expr) else Lit(iffalse)
     return BinCond(cond, t, f)
+
+
+def lam(fn_or_body, *params: str) -> Lambda:
+    """Build a bag-HOF lambda: ``lam(lambda t: t.get('x') > 1)`` or
+    ``lam(body_expr, 't')``."""
+    if callable(fn_or_body) and not isinstance(fn_or_body, Expr):
+        import inspect
+        names = list(inspect.signature(fn_or_body).parameters)
+        body = fn_or_body(*[LambdaVar(n) for n in names])
+        return Lambda(names, body)
+    return Lambda(list(params) or ["t"], fn_or_body)

@@ -1,0 +1,108 @@
+"""Nested FOREACH (SURVEY.md §2.3): inner FILTER/ORDER/LIMIT/DISTINCT/
+FOREACH over the bag via higher-order functions; bag-mode aggregates
+(Pig aggregates are EvalFuncs over bags); applyInPandas escape hatch."""
+
+import pytest
+
+from spork_spark import col, fn, lam, lit
+
+
+@pytest.fixture(scope="module")
+def grouped(eng, spark):
+    """orders-shaped: (cust, price) grouped by cust → (group, bag)."""
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0),
+            ("b", 5.0), ("b", None), ("c", 100.0)]
+    df = spark.createDataFrame(rows, "cust string, price double")
+    return eng.from_df(df, alias="o")
+
+
+def test_inner_filter_then_count(grouped):
+    """FOREACH g { big = FILTER o BY price > 12; GENERATE group, COUNT(big) }"""
+    r = (grouped.group_by(col("cust"))
+         .foreach(col("group").alias("cust"),
+                  fn("COUNT",
+                     fn("FILTER_BAG", col("o"),
+                        lam(lambda t: t.get("price") > 12.0)))
+                  .alias("n_big")))
+    out = {r2["cust"]: r2["n_big"] for r2 in r.df().collect()}
+    assert out == {"a": 2, "b": 0, "c": 1}
+
+
+def test_inner_order_limit_sum(grouped):
+    """FOREACH g { s = ORDER o BY price DESC; t2 = LIMIT s 2;
+    GENERATE group, SUM(t2.price) } — top-2 sum per group."""
+    r = (grouped.group_by(col("cust"))
+         .foreach(col("group").alias("cust"),
+                  fn("SUM",
+                     fn("LIMIT_BAG",
+                        fn("SORT_BAG", col("o"), "price", False),
+                        2).get("price"))
+                  .alias("top2")))
+    out = {x["cust"]: x["top2"] for x in r.df().collect()}
+    assert out == {"a": 50.0, "b": 5.0, "c": 100.0}
+
+
+def test_inner_distinct_count(eng, spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("a", 2)],
+                               "k string, v int")
+    r = (eng.from_df(df, alias="x").group_by(col("k"))
+         .foreach(col("group").alias("k"),
+                  fn("COUNT_STAR",
+                     fn("DISTINCT_BAG",
+                        fn("TRANSFORM_BAG", col("x"),
+                           lam(lambda t: t.get("v")))))
+                  .alias("n_distinct")))
+    assert r.df().collect()[0]["n_distinct"] == 2
+
+
+def test_top_builtin(grouped):
+    """TOP(n, field, bag) → bag of top-n tuples by field."""
+    r = (grouped.group_by(col("cust"))
+         .foreach(col("group").alias("cust"),
+                  fn("TOP", 2, "price", col("o")).alias("top")))
+    out = {x["cust"]: sorted(t["price"] for t in x["top"] if t["price"]
+                             is not None)
+           for x in r.df().collect()}
+    assert out["a"] == [20.0, 30.0]
+
+
+def test_bag_mode_aggregate_semantics(grouped):
+    """COUNT skips nulls; SUM/AVG/MIN/MAX over bags; empty bag → null."""
+    r = (grouped.group_by(col("cust"))
+         .foreach(col("group").alias("cust"),
+                  fn("COUNT", col("o").get("price")).alias("cnt"),
+                  fn("MIN", col("o").get("price")).alias("mn")))
+    # fused path (groupBy agg) — sanity
+    out = {x["cust"]: (x["cnt"], x["mn"]) for x in r.df().collect()}
+    assert out["b"] == (1, 5.0)
+
+    # unfused path: bag materialized because it also escapes whole
+    r2 = (grouped.group_by(col("cust"))
+          .foreach(col("group").alias("cust"),
+                   fn("COUNT", col("o").get("price")).alias("cnt"),
+                   fn("SUM", col("o").get("price")).alias("sm"),
+                   fn("AVG",
+                      fn("FILTER_BAG", col("o"),
+                         lam(lambda t: t.get("price").is_not_null()))
+                      .get("price")).alias("av"),
+                   col("o").alias("bag")))
+    got = {x["cust"]: (x["cnt"], x["sm"], x["av"], len(x["bag"]))
+           for x in r2.df().collect()}
+    assert got["a"] == (3, 60.0, 20.0, 3)
+    assert got["b"][0] == 1 and got["b"][1] == 5.0 and got["b"][3] == 2
+
+
+def test_apply_per_group_escape_hatch(eng, spark):
+    """Arbitrary inner plan via applyInPandas (SURVEY.md §2.3 path 3)."""
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)],
+                               "k string, v double")
+
+    def spread(pdf):
+        import pandas as pd
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]],
+                             "spread": [pdf["v"].max() - pdf["v"].min()]})
+
+    r = eng.from_df(df).apply_per_group([col("k")], spread,
+                                        "k string, spread double")
+    out = {x["k"]: x["spread"] for x in r.df().collect()}
+    assert out == {"a": 2.0, "b": 0.0}
