@@ -396,6 +396,24 @@ def q_events_json(spark, sf):
              .order_by(col("event_type"))).df()
 
 
+def q_pig_script(spark, sf):
+    """Full front-end path: Pig Latin text → parse → lower → compile.
+    Same result contract as a hand-built plan (oracle: plain SQL)."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        flt = FILTER li BY l_quantity < 25.0 AND l_returnflag matches '[AR]';
+        g = GROUP flt BY (l_returnflag, l_linestatus);
+        agg = FOREACH g GENERATE group.l_returnflag AS l_returnflag,
+                                 group.l_linestatus AS l_linestatus,
+                                 COUNT(flt) AS cnt,
+                                 SUM(flt.l_quantity) AS qty;
+        srt = ORDER agg BY l_returnflag, l_linestatus;
+    """)
+    return rels["srt"].df()
+
+
 def q_nested_foreach(spark, sf):
     """Nested FOREACH (SURVEY.md §2.3): per customer, count of big orders
     (inner FILTER) + sum of top-2 order prices (inner ORDER + LIMIT) —
@@ -600,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int_division": q_int_division,
         "events_session": q_events_session,
         "events_json": q_events_json,
+        "pig_script": q_pig_script,
         "nested_foreach": q_nested_foreach,
         "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
@@ -828,6 +847,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "pig_script": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   SUM(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_quantity < 25.0
+              AND regexp_full_match(l_returnflag, '[AR]')
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "nested_foreach": """
             WITH r AS (SELECT o_custkey, o_totalprice,

@@ -1,0 +1,785 @@
+"""Pig Latin front-end: tokenizer + recursive-descent parser + lowering.
+
+Grammar coverage mirrors the reference's surface (SURVEY.md §2.1; the
+reference parses with ANTLR grammars under pig:src/org/apache/pig/parser/
+QueryParser.g — we hand-roll because the statement grammar is small and
+regular). Statements lower onto the Relation builder (plans/relation.py),
+so everything the parser accepts gets the same compilation — fusion,
+strategy hints, semantics — as programmatic use.
+
+Supported statements:
+  alias = LOAD 'path' [USING fn[('args')]] [AS (schema)];
+  alias = FILTER rel BY expr;
+  alias = FOREACH rel GENERATE exprs;            -- flat form
+  alias = FOREACH rel { inner; GENERATE exprs }; -- nested form (inner
+           FILTER/ORDER/LIMIT/DISTINCT lower to bag higher-order fns)
+  alias = GROUP rel BY keys | GROUP rel ALL | COGROUP a BY k, b BY k;
+  alias = JOIN a BY k [LEFT|RIGHT|FULL] [OUTER], b BY k [USING 'replicated'|'skewed'|'merge'];
+  alias = CROSS a, b;  alias = UNION [ONSCHEMA] a, b;
+  alias = ORDER rel BY f [ASC|DESC], …;  alias = RANK rel [BY … [DENSE]];
+  alias = LIMIT rel n;  alias = DISTINCT rel;  alias = SAMPLE rel p;
+  alias = CUBE rel BY CUBE(a,b) | ROLLUP(a,b);
+  alias = STREAM rel THROUGH 'cmd' [AS (schema)];
+  SPLIT rel INTO a IF e, b IF e [, c OTHERWISE];
+  STORE rel INTO 'path' [USING fn]; DUMP rel; DESCRIBE rel; EXPLAIN rel;
+  DEFINE name `cmd`|fn; REGISTER 'x'; SET k v;   -- registered/accepted
+  -- comments, /* block comments */, %declare/%default + $param substitution
+
+Expression language: field refs (name, $n, rel::col, t.f, m#'key'),
+literals (int/long L/float F/double/'str'/true/false/null), arithmetic,
+comparison (also eq/ne/lt/gt/lte/gte), boolean AND/OR/NOT, IN, matches,
+is null, bincond ?:, CASE WHEN, casts (type), function calls, FLATTEN, *.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..plans import expressions as E
+from ..plans.relation import Engine, Relation
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<number>\d+\.\d+([eE][+-]?\d+)?[fF]?|\d+[lLfF]?)
+  | (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<backtick>`[^`]*`)
+  | (?P<dcolon>::)
+  | (?P<op>==|!=|<=|>=|\#|\?|:|<|>|\+|-|\*|/|%|\(|\)|\{|\}|\[|\]|,|;|\.\.|\.|=)
+  | (?P<dollar>\$\d+)
+  | (?P<param>\$[A-Za-z_]\w*)
+  | (?P<ident>[A-Za-z_]\w*)
+""", re.VERBOSE | re.DOTALL)
+
+_KEYWORDS = {
+    "load", "store", "into", "using", "as", "filter", "by", "foreach",
+    "generate", "group", "cogroup", "all", "join", "left", "right", "full",
+    "outer", "inner", "cross", "order", "rank", "dense", "limit", "distinct",
+    "union", "onschema", "split", "if", "otherwise", "sample", "stream",
+    "through", "and", "or", "not", "in", "matches", "is", "null", "asc",
+    "desc", "flatten", "dump", "describe", "explain", "define", "register",
+    "set", "cube", "rollup", "true", "false", "case", "when", "then", "else",
+    "end", "parallel", "any",
+}
+
+
+@dataclass
+class Tok:
+    kind: str      # number string ident kw op dollar backtick eof
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise PigSyntaxError(f"bad character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "ident" and text.lower() in _KEYWORDS:
+            toks.append(Tok("kw", text.lower(), m.start()))
+        elif kind == "dcolon":
+            toks.append(Tok("op", "::", m.start()))
+        else:
+            toks.append(Tok(kind, text, m.start()))
+    toks.append(Tok("eof", "", len(src)))
+    return toks
+
+
+class PigSyntaxError(SyntaxError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# parameter substitution (%declare/%default/-param; SURVEY.md §2.1 #30)
+# ---------------------------------------------------------------------------
+
+_DECLARE_RE = re.compile(r"^\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$",
+                         re.MULTILINE)
+
+
+def substitute_params(src: str, params: dict[str, str] | None) -> str:
+    params = dict(params or {})
+    def grab(m):
+        kind, name, val = m.groups()
+        val = val.strip("'\"")
+        if kind == "declare" or name not in params:
+            params[name] = val
+        return ""
+    src = _DECLARE_RE.sub(grab, src)
+    for k, v in params.items():
+        src = re.sub(rf"\$\{{{k}\}}|\${k}\b", str(v), src)
+    return src
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+_CMP_WORDS = {"eq": "==", "ne": "!=", "lt": "<", "gt": ">",
+              "lte": "<=", "gte": ">="}
+_PIG_TYPES = {"int", "long", "float", "double", "chararray", "bytearray",
+              "boolean", "datetime", "biginteger", "bigdecimal", "tuple",
+              "bag", "map"}
+
+
+class PigParser:
+    """One script → executed statements against an Engine."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.rels: dict[str, Relation] = {}
+        self.defines: dict[str, str] = {}
+        self.toks: list[Tok] = []
+        self.i = 0
+        self.stored: list[tuple[str, str]] = []   # (alias, path) of STOREs
+        self.dumped: list[str] = []
+
+    # -- token helpers -------------------------------------------------------
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise PigSyntaxError(
+                f"expected {text or kind}, got {got.text!r} at {got.pos}")
+        return t
+
+    def _kw(self, *words) -> bool:
+        return self.peek().kind == "kw" and self.peek().text in words
+
+    # -- entry ----------------------------------------------------------------
+    def run(self, src: str, params: dict | None = None) -> dict[str, Relation]:
+        src = substitute_params(src, params)
+        self.toks, self.i = tokenize(src), 0
+        while self.peek().kind != "eof":
+            self.statement()
+        return self.rels
+
+    def rel(self, name: str) -> Relation:
+        if name not in self.rels:
+            raise PigSyntaxError(f"unknown relation {name!r}")
+        return self.rels[name]
+
+    # -- statements -------------------------------------------------------------
+    def statement(self) -> None:
+        t = self.peek()
+        if t.kind == "kw" and t.text in ("store", "dump", "describe",
+                                         "explain", "split", "define",
+                                         "register", "set"):
+            getattr(self, f"st_{t.text}")()
+            return
+        # alias = <operator …>;
+        alias = self.expect("ident").text
+        self.expect("op", "=")
+        rel = self.operator(alias)
+        rel.as_alias(alias)
+        self.rels[alias] = rel
+        self.expect("op", ";")
+
+    def operator(self, alias: str) -> Relation:
+        t = self.next()
+        if t.kind != "kw":
+            raise PigSyntaxError(f"expected operator keyword, got {t.text!r}")
+        m = getattr(self, f"op_{t.text}", None)
+        if m is None:
+            raise PigSyntaxError(f"unsupported operator {t.text.upper()}")
+        return m()
+
+    # LOAD 'path' [USING fn[('a')]] [AS (schema)]
+    def op_load(self) -> Relation:
+        path = self._string()
+        fmt, options = "parquet", {}
+        if self.accept("kw", "using"):
+            fn_name = self.expect("ident").text
+            args = self._paren_string_args()
+            fmt = fn_name
+            if fn_name.lower() == "pigstorage" and args:
+                options["sep"] = args[0]
+                fmt = "csv"
+        schema = None
+        if self.accept("kw", "as"):
+            schema = self._schema_ddl()
+        return self.engine.load(path, fmt=fmt, schema=schema, **options)
+
+    def st_store(self) -> None:
+        self.expect("kw", "store")
+        alias = self.expect("ident").text
+        self.expect("kw", "into")
+        path = self._string()
+        fmt = "parquet"
+        if self.accept("kw", "using"):
+            fmt = self.expect("ident").text
+            self._paren_string_args()
+        self.rel(alias).store(path, fmt=fmt)
+        self.stored.append((alias, path))
+        self.expect("op", ";")
+
+    def st_dump(self) -> None:
+        self.expect("kw", "dump")
+        alias = self.expect("ident").text
+        self.rel(alias).dump()
+        self.dumped.append(alias)
+        self.expect("op", ";")
+
+    def st_describe(self) -> None:
+        self.expect("kw", "describe")
+        self.rel(self.expect("ident").text).describe()
+        self.expect("op", ";")
+
+    def st_explain(self) -> None:
+        self.expect("kw", "explain")
+        self.rel(self.expect("ident").text).explain()
+        self.expect("op", ";")
+
+    def st_define(self) -> None:
+        self.expect("kw", "define")
+        name = self.expect("ident").text
+        t = self.next()                      # `cmd` or fn name (+ args)
+        self.defines[name] = t.text.strip("`")
+        while not self.accept("op", ";"):
+            self.next()
+
+    def st_register(self) -> None:
+        self.expect("kw", "register")
+        self.next()                          # path (string or ident chain)
+        while not self.accept("op", ";"):
+            self.next()
+
+    def st_set(self) -> None:
+        self.expect("kw", "set")
+        key = self.next().text
+        val = self.next().text.strip("'")
+        try:
+            self.engine.spark.conf.set(key, val)
+        except Exception:
+            pass
+        self.expect("op", ";")
+
+    def st_split(self) -> None:
+        self.expect("kw", "split")
+        src = self.rel(self.expect("ident").text)
+        self.expect("kw", "into")
+        names, conds, otherwise_name = [], [], None
+        while True:
+            name = self.expect("ident").text
+            if self.accept("kw", "if"):
+                names.append(name)
+                conds.append(self.expression())
+            elif self.accept("kw", "otherwise"):
+                otherwise_name = name
+            if not self.accept("op", ","):
+                break
+        outs = src.split(*conds, otherwise=otherwise_name is not None)
+        for n, r in zip(names + ([otherwise_name] if otherwise_name else []),
+                        outs):
+            r.as_alias(n)
+            self.rels[n] = r
+        self.expect("op", ";")
+
+    def op_filter(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        self.expect("kw", "by")
+        return src.filter(self.expression())
+
+    def op_distinct(self) -> Relation:
+        return self.rel(self.expect("ident").text).distinct(
+            parallel=self._parallel())
+
+    def op_limit(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        return src.limit(int(self.expect("number").text.rstrip("lL")))
+
+    def op_sample(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        return src.sample(float(self.expect("number").text.rstrip("fF")))
+
+    def op_order(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        self.expect("kw", "by")
+        keys = self._sort_keys()
+        return src.order_by(*keys, parallel=self._parallel())
+
+    def op_rank(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        keys, dense = [], False
+        if self.accept("kw", "by"):
+            keys = self._sort_keys(stop_kws=("dense",))
+            if self.accept("kw", "dense"):
+                dense = True
+        return src.rank(*keys, dense=dense)
+
+    def op_union(self) -> Relation:
+        onschema = bool(self.accept("kw", "onschema"))
+        first = self.rel(self.expect("ident").text)
+        others = []
+        while self.accept("op", ","):
+            others.append(self.rel(self.expect("ident").text))
+        return first.union(*others, onschema=onschema)
+
+    def op_cross(self) -> Relation:
+        first = self.rel(self.expect("ident").text)
+        others = []
+        while self.accept("op", ","):
+            others.append(self.rel(self.expect("ident").text))
+        return first.cross(*others)
+
+    def op_group(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        if self.accept("kw", "all"):
+            return src.group_all()
+        self.expect("kw", "by")
+        if self._kw("cube", "rollup"):          # CUBE rel BY CUBE(a,b)
+            mode = self.next().text
+            self.expect("op", "(")
+            dims = [self.expression()]
+            while self.accept("op", ","):
+                dims.append(self.expression())
+            self.expect("op", ")")
+            return src.cube(*dims) if mode == "cube" else src.rollup(*dims)
+        keys = self._key_list()
+        # additional COGROUP-style inputs
+        others = []
+        while self.accept("op", ","):
+            r2 = self.rel(self.expect("ident").text)
+            self.expect("kw", "by")
+            others.append((r2, self._key_list()))
+        if others:
+            return src.cogroup(keys, *others)
+        return src.group_by(*keys, parallel=self._parallel())
+
+    op_cogroup = op_group
+    op_cube = op_group  # CUBE rel BY CUBE(...) parses via group path
+
+    def op_join(self) -> Relation:
+        left = self.rel(self.expect("ident").text)
+        self.expect("kw", "by")
+        lkeys = self._key_list()
+        how = "inner"
+        if self._kw("left", "right", "full"):
+            how = self.next().text
+            self.accept("kw", "outer")
+        self.expect("op", ",")
+        right = self.rel(self.expect("ident").text)
+        self.expect("kw", "by")
+        rkeys = self._key_list()
+        strategy = "default"
+        if self.accept("kw", "using"):
+            strategy = self._string().strip("'")
+            strategy = {"replicated": "replicated", "repl": "replicated",
+                        "skewed": "skewed", "merge": "merge",
+                        "merge-sparse": "merge"}.get(strategy, "default")
+        return left.join(lkeys, right, rkeys, how=how, strategy=strategy,
+                         parallel=self._parallel())
+
+    def op_stream(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        self.expect("kw", "through")
+        t = self.next()
+        cmd = t.text.strip("`'")
+        cmd = self.defines.get(cmd, cmd)
+        schema = None
+        if self.accept("kw", "as"):
+            schema = self._schema_ddl()
+        return src.stream_through(cmd, schema=schema)
+
+    # FOREACH rel GENERATE … | FOREACH rel { inner; GENERATE … }
+    def op_foreach(self) -> Relation:
+        src = self.rel(self.expect("ident").text)
+        if self.accept("op", "{"):
+            return self._nested_foreach(src)
+        self.expect("kw", "generate")
+        gens = [self._generator()]
+        while self.accept("op", ","):
+            gens.append(self._generator())
+        return src.foreach(*gens)
+
+    def _generator(self) -> E.Expr:
+        e = self.expression()
+        if self.accept("kw", "as"):
+            if self.accept("op", "("):       # AS (name[:type], …) on FLATTEN
+                names = [self.expect("ident").text]
+                if self.accept("op", ":"):
+                    self.next()
+                while self.accept("op", ","):
+                    names.append(self.expect("ident").text)
+                    if self.accept("op", ":"):
+                        self.next()
+                self.expect("op", ")")
+                return E.Aliased(e, names[0]) if len(names) == 1 else e
+            name = self.expect("ident").text
+            if self.accept("op", ":"):
+                self.next()                   # type annotation — informative
+            return E.Aliased(e, name)
+        return e
+
+    def _nested_foreach(self, src: Relation) -> Relation:
+        """Inner pipeline lowering (SURVEY.md §2.3): each inner statement
+        rewrites a bag expression; GENERATE sees inner aliases as bags."""
+        bag_env: dict[str, E.Expr] = {src.alias: E.Col(src.alias)}
+        # the grouped relation's bag column is named after its input
+        from ..plans import logical as L
+        if isinstance(src.node, L.Group):
+            bag_env[src.node.bag_alias] = E.Col(src.node.bag_alias)
+
+        def lower_inner_expr(e: E.Expr, var: E.LambdaVar) -> E.Expr:
+            """Inner expressions reference bag-tuple fields by name →
+            rebind Col/Pos onto the lambda variable."""
+            if isinstance(e, E.Col):
+                return E.Deref(var, e.name)
+            if isinstance(e, E.Pos):
+                return E.Deref(var, e.index)
+            out = e.__class__(**vars(e))
+            for k, v in vars(out).items():
+                if k == "_id":
+                    continue
+                if isinstance(v, E.Expr):
+                    setattr(out, k, lower_inner_expr(v, var))
+                elif isinstance(v, list):
+                    setattr(out, k, [lower_inner_expr(x, var)
+                                     if isinstance(x, E.Expr) else x
+                                     for x in v])
+            return out
+
+        while not self._kw("generate"):
+            name = self.expect("ident").text
+            self.expect("op", "=")
+            kw = self.next()
+            if kw.text == "filter":
+                bag = bag_env[self.expect("ident").text]
+                self.expect("kw", "by")
+                cond = self.expression()
+                var = E.LambdaVar("t")
+                bag_env[name] = E.Func("FILTER_BAG", [
+                    bag, E.Lambda(["t"], lower_inner_expr(cond, var))])
+            elif kw.text == "order":
+                bag = bag_env[self.expect("ident").text]
+                self.expect("kw", "by")
+                field = self.expect("ident").text
+                asc = True
+                if self._kw("asc", "desc"):
+                    asc = self.next().text == "asc"
+                bag_env[name] = E.Func("SORT_BAG",
+                                       [bag, E.Lit(field), E.Lit(asc)])
+            elif kw.text == "limit":
+                bag = bag_env[self.expect("ident").text]
+                n = int(self.expect("number").text.rstrip("lL"))
+                bag_env[name] = E.Func("LIMIT_BAG", [bag, E.Lit(n)])
+            elif kw.text == "distinct":
+                bag = bag_env[self.expect("ident").text]
+                bag_env[name] = E.Func("DISTINCT_BAG", [bag])
+            else:
+                raise PigSyntaxError(
+                    f"unsupported inner operator {kw.text.upper()}")
+            self.expect("op", ";")
+        self.expect("kw", "generate")
+
+        def subst_bags(e: E.Expr) -> E.Expr:
+            if isinstance(e, E.Col) and e.name in bag_env:
+                return bag_env[e.name]
+            if isinstance(e, E.Deref) and isinstance(e.child, E.Col) \
+                    and e.child.name in bag_env \
+                    and e.child.name != "group":
+                return E.Deref(subst_bags(e.child), e.field)
+            if isinstance(e, (E.Lit, E.Pos, E.Star, E.LambdaVar)):
+                return e
+            out = e.__class__(**vars(e))
+            for k, v in vars(out).items():
+                if k == "_id":
+                    continue
+                if isinstance(v, E.Expr):
+                    setattr(out, k, subst_bags(v))
+                elif isinstance(v, list):
+                    setattr(out, k, [subst_bags(x) if isinstance(x, E.Expr)
+                                     else x for x in v])
+            return out
+
+        gens = [subst_bags(self._generator())]
+        while self.accept("op", ","):
+            gens.append(subst_bags(self._generator()))
+        self.accept("op", ";")               # GENERATE …; } — ; is optional
+        self.expect("op", "}")
+        return src.foreach(*gens)
+
+    # -- clause helpers -----------------------------------------------------
+    def _parallel(self) -> int | None:
+        if self.accept("kw", "parallel"):
+            return int(self.expect("number").text)
+        return None
+
+    def _key_list(self) -> list[E.Expr]:
+        if self.accept("op", "("):
+            keys = [self.expression()]
+            while self.accept("op", ","):
+                keys.append(self.expression())
+            self.expect("op", ")")
+            return keys
+        return [self.expression()]
+
+    def _sort_keys(self, stop_kws=()) -> list[tuple[E.Expr, bool]]:
+        keys = []
+        while True:
+            e = self.expression()
+            asc = True
+            if self._kw("asc", "desc"):
+                asc = self.next().text == "asc"
+            keys.append((e, asc))
+            if not self.accept("op", ","):
+                break
+            if self.peek().kind == "kw" and self.peek().text in stop_kws:
+                break
+        return keys
+
+    def _string(self) -> str:
+        return self.expect("string").text[1:-1].replace("\\'", "'")
+
+    def _paren_string_args(self) -> list[str]:
+        args = []
+        if self.accept("op", "("):
+            while not self.accept("op", ")"):
+                t = self.next()
+                if t.kind == "string":
+                    args.append(t.text[1:-1])
+                elif t.kind != "op":
+                    args.append(t.text)
+        return args
+
+    def _schema_ddl(self) -> str:
+        """AS (a:int, b:chararray, …) → Spark DDL string. Untyped fields
+        default to string (the bytearray→StringType strategy, §1.3)."""
+        self.expect("op", "(")
+        fields = []
+        type_map = {"int": "int", "long": "bigint", "float": "float",
+                    "double": "double", "chararray": "string",
+                    "bytearray": "binary", "boolean": "boolean",
+                    "datetime": "timestamp", "biginteger": "decimal(38,0)",
+                    "bigdecimal": "decimal(38,18)"}
+        while True:
+            name = self.expect("ident").text
+            spark_t = "string"
+            if self.accept("op", ":"):
+                t = self.next().text.lower()
+                spark_t = type_map.get(t, "string")
+            fields.append(f"{name} {spark_t}")
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        return ", ".join(fields)
+
+    # -- expressions (precedence climbing) ------------------------------------
+    def expression(self) -> E.Expr:
+        return self._ternary()
+
+    def _ternary(self) -> E.Expr:
+        cond = self._or()
+        if self.accept("op", "?"):
+            a = self._ternary()
+            self.expect("op", ":")
+            b = self._ternary()
+            return E.BinCond(cond, a, b)
+        return cond
+
+    def _or(self) -> E.Expr:
+        e = self._and()
+        while self.accept("kw", "or"):
+            e = E.BinOp("or", e, self._and())
+        return e
+
+    def _and(self) -> E.Expr:
+        e = self._not()
+        while self.accept("kw", "and"):
+            e = E.BinOp("and", e, self._not())
+        return e
+
+    def _not(self) -> E.Expr:
+        if self.accept("kw", "not"):
+            return E.UnOp("not", self._not())
+        return self._comparison()
+
+    def _comparison(self) -> E.Expr:
+        e = self._additive()
+        t = self.peek()
+        if t.kind == "op" and t.text in _CMP:
+            self.next()
+            return E.BinOp(_CMP[t.text], e, self._additive())
+        if t.kind == "ident" and t.text.lower() in _CMP_WORDS:
+            self.next()
+            return E.BinOp(_CMP_WORDS[t.text.lower()], e, self._additive())
+        if self.accept("kw", "matches"):
+            rx = self._string()
+            return E.Matches(e, rx)
+        if self.accept("kw", "in"):
+            self.expect("op", "(")
+            vals = [self.expression()]
+            while self.accept("op", ","):
+                vals.append(self.expression())
+            self.expect("op", ")")
+            return E.InList(e, vals)
+        if self.accept("kw", "is"):
+            neg = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return E.UnOp("isnotnull" if neg else "isnull", e)
+        return e
+
+    def _additive(self) -> E.Expr:
+        e = self._multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                e = E.BinOp(t.text, e, self._multiplicative())
+            else:
+                return e
+
+    def _multiplicative(self) -> E.Expr:
+        e = self._unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "%"):
+                self.next()
+                e = E.BinOp(t.text, e, self._unary())
+            else:
+                return e
+
+    def _unary(self) -> E.Expr:
+        if self.accept("op", "-"):
+            return E.UnOp("neg", self._unary())
+        # cast: (type) expr
+        if self.peek().kind == "op" and self.peek().text == "(" and \
+                self.peek(1).kind == "ident" and \
+                self.peek(1).text.lower() in _PIG_TYPES and \
+                self.peek(2).kind == "op" and self.peek(2).text == ")":
+            self.next()
+            pig_t = self.next().text.lower()
+            self.next()
+            return E.Cast(pig_t, self._unary())
+        return self._postfix()
+
+    def _postfix(self) -> E.Expr:
+        e = self._primary()
+        while True:
+            if self.accept("op", "."):
+                t = self.next()
+                if t.kind == "dollar":
+                    e = E.Deref(e, int(t.text[1:]))
+                else:
+                    e = E.Deref(e, t.text)
+            elif self.accept("op", "#"):
+                e = E.MapLookup(e, self._string())
+            else:
+                return e
+
+    def _primary(self) -> E.Expr:
+        t = self.next()
+        if t.kind == "number":
+            return E.Lit(self._number(t.text))
+        if t.kind == "string":
+            return E.Lit(t.text[1:-1].replace("\\'", "'"))
+        if t.kind == "dollar":
+            return E.Pos(int(t.text[1:]))
+        if t.kind == "op" and t.text == "*":
+            return E.Star()
+        if t.kind == "op" and t.text == "(":
+            e = self.expression()
+            self.expect("op", ")")
+            return e
+        if t.kind == "kw":
+            if t.text == "null":
+                return E.Lit(None)
+            if t.text in ("true", "false"):
+                return E.Lit(t.text == "true")
+            if t.text == "flatten":
+                self.expect("op", "(")
+                e = self.expression()
+                self.expect("op", ")")
+                return E.Flatten(e)
+            if t.text == "group":
+                return self._qualified(E.Col("group"))
+            if t.text == "case":
+                return self._case_when()
+            if t.text == "distinct":
+                # nested-foreach inline DISTINCT(bag) sugar
+                self.expect("op", "(")
+                e = self.expression()
+                self.expect("op", ")")
+                return E.Func("DISTINCT_BAG", [e])
+        if t.kind == "ident":
+            # function call?
+            if self.peek().kind == "op" and self.peek().text == "(":
+                self.next()
+                args = []
+                if not (self.peek().kind == "op" and self.peek().text == ")"):
+                    args.append(self.expression())
+                    while self.accept("op", ","):
+                        args.append(self.expression())
+                self.expect("op", ")")
+                return E.Func(t.text.upper(), args)
+            return self._qualified(E.Col(t.text))
+        raise PigSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _qualified(self, base: E.Col) -> E.Expr:
+        """rel::col qualified names fold into one column name."""
+        name = base.name
+        while self.peek().kind == "op" and self.peek().text == "::":
+            self.next()
+            name += "::" + self.next().text
+        return E.Col(name)
+
+    def _case_when(self) -> E.Expr:
+        """CASE [expr] WHEN v THEN r … [ELSE e] END"""
+        subject = None
+        if not self._kw("when"):
+            subject = self.expression()
+        branches = []
+        while self.accept("kw", "when"):
+            w = self.expression()
+            self.expect("kw", "then")
+            r = self.expression()
+            cond = E.BinOp("==", subject, w) if subject is not None else w
+            branches.append((cond, r))
+        otherwise = None
+        if self.accept("kw", "else"):
+            otherwise = self.expression()
+        self.expect("kw", "end")
+        return E.CaseWhen(branches, otherwise)
+
+    @staticmethod
+    def _number(text: str):
+        if text[-1] in "lL":
+            return int(text[:-1])
+        if text[-1] in "fF":
+            return float(text[:-1])
+        if "." in text or "e" in text or "E" in text:
+            return float(text)
+        return int(text)
+
+
+def run_script(engine: Engine, script: str,
+               params: dict | None = None) -> dict[str, Relation]:
+    """Execute a Pig Latin script; returns {alias: Relation} (lazy — STORE/
+    DUMP statements have already run their actions, like PigServer)."""
+    return PigParser(engine).run(script, params)

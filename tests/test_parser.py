@@ -1,0 +1,181 @@
+"""Pig Latin front-end: scripts through the full parse→lower→compile path
+(the reference's e2e harness shape, SURVEY.md §5.2.3)."""
+
+import pytest
+
+from spork_spark.parser import PigSyntaxError, run_script
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(rel):
+    return [tuple(r) for r in rel.df().collect()]
+
+
+def test_load_filter_foreach_order(eng):
+    rels = run_script(eng, f"""
+        -- flagship shape, as a script
+        li = LOAD '{SF}/lineitem.parquet';
+        small = FILTER li BY l_quantity < 3.0 AND l_discount > 0.05;
+        prj = FOREACH small GENERATE l_orderkey, l_quantity * 2.0 AS dq;
+        srt = ORDER prj BY dq DESC, l_orderkey ASC;
+        top = LIMIT srt 5;
+    """)
+    out = rows(rels["top"])
+    assert len(out) == 5
+    assert all(len(r) == 2 for r in out)
+    dqs = [r[1] for r in out]
+    assert dqs == sorted(dqs, reverse=True)
+
+
+def test_group_generate_aggregates(eng):
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY l_returnflag;
+        s = FOREACH g GENERATE group AS flag, COUNT(li) AS n,
+                               SUM(li.l_quantity) AS qty;
+    """)
+    df = rels["s"].df()
+    assert df.columns == ["flag", "n", "qty"]
+    got = {r["flag"]: r["n"] for r in df.collect()}
+    assert set(got) == {"A", "N", "R"} and sum(got.values()) == 6000
+    # fused: physical plan must be a hash aggregate, not collect_list
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_join_script_with_strategy(eng):
+    rels = run_script(eng, f"""
+        c = LOAD '{SF}/customer.parquet';
+        n = LOAD '{SF}/nation.parquet';
+        j = JOIN c BY c_nationkey, n BY n_nationkey USING 'replicated';
+        p = FOREACH j GENERATE c_custkey, n_name;
+    """)
+    assert rels["p"].df().count() == 150
+
+
+def test_nested_foreach_script(eng):
+    rels = run_script(eng, f"""
+        o = LOAD '{SF}/orders.parquet';
+        g = GROUP o BY o_custkey;
+        r = FOREACH g {{
+            big = FILTER o BY o_totalprice > 150000.0;
+            srt = ORDER o BY o_totalprice DESC;
+            top2 = LIMIT srt 2;
+            GENERATE group AS custkey, COUNT(big) AS n_big,
+                     SUM(top2.o_totalprice) AS t2;
+        }};
+    """)
+    df = rels["r"].df()
+    assert df.columns == ["custkey", "n_big", "t2"]
+    row = df.orderBy("custkey").first()
+    assert row["n_big"] >= 0 and row["t2"] is not None
+
+
+def test_split_union_distinct(eng):
+    rels = run_script(eng, f"""
+        o = LOAD '{SF}/orders.parquet';
+        SPLIT o INTO hi IF o_totalprice > 150000.0,
+                     lo IF o_totalprice <= 150000.0;
+        u = UNION hi, lo;
+        d = DISTINCT u;
+    """)
+    assert rels["u"].df().count() == 1500
+    assert rels["d"].df().count() == 1500
+
+
+def test_expression_language(eng, spark):
+    import os, tempfile
+    eng.from_df(spark.createDataFrame(
+        [("x1", 10, 2), ("y2", 7, 0), ("z3", -7, 2)],
+        "s string, a int, b int")).store("/tmp/spork_expr_test",
+                                         fmt="parquet")
+    rels = run_script(eng, """
+        t = LOAD '/tmp/spork_expr_test';
+        e = FOREACH t GENERATE
+              s, a / b AS q, a % 3 AS m,
+              (a > 5 ? 'big' : 'small') AS sz,
+              (chararray)a AS astr,
+              UPPER(s) AS up,
+              s matches 'x.' AS mx,
+              CASE WHEN a > 5 THEN 'hi' ELSE 'lo' END AS c;
+        f = FILTER e BY q is not null AND up in ('X1', 'Z3');
+    """)
+    out = {r["s"]: r for r in rels["e"].df().collect()}
+    assert out["x1"]["q"] == 5 and out["y2"]["q"] is None
+    assert out["z3"]["q"] == -3            # truncation toward zero
+    assert out["x1"]["sz"] == "big" and out["x1"]["mx"] is True
+    assert out["y2"]["mx"] is False
+    assert len(rows(rels["f"])) == 2
+
+
+def test_load_csv_with_schema_and_store(eng, spark, tmp_path):
+    src = tmp_path / "in.tsv"
+    src.write_text("1\tfoo\n2\tbar\n")
+    rels = run_script(eng, f"""
+        t = LOAD '{src}' USING PigStorage() AS (k:int, s:chararray);
+        o = ORDER t BY k;
+        STORE o INTO '{tmp_path}/out' USING PigStorage();
+    """)
+    assert rows(rels["o"]) == [(1, "foo"), (2, "bar")]
+    back = eng.load(f"{tmp_path}/out", fmt="csv", schema="k int, s string")
+    assert sorted(rows(back)) == [(1, "foo"), (2, "bar")]
+
+
+def test_rank_and_sample_and_cross(eng):
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        r = LOAD '{SF}/region.parquet';
+        x = CROSS n, r;
+        rk = RANK n BY n_name;
+        sm = SAMPLE n 0.5;
+    """)
+    assert rels["x"].df().count() == 125
+    first = rels["rk"].df().orderBy("rank").first()
+    assert first["rank"] == 1
+    assert 0 <= rels["sm"].df().count() <= 25
+
+
+def test_cube_script(eng):
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        c = CUBE li BY CUBE(l_returnflag, l_linestatus);
+        a = FOREACH c GENERATE group.l_returnflag AS f,
+                               group.l_linestatus AS s,
+                               COUNT(li) AS n;
+    """)
+    out = rows(rels["a"])
+    assert len(out) == 12                   # 3×2 + 3 + 2 + 1
+
+
+def test_param_substitution(eng):
+    rels = run_script(eng, f"""
+        %default minqty 40.0
+        li = LOAD '{SF}/lineitem.parquet';
+        f = FILTER li BY l_quantity >= $minqty;
+    """)
+    assert rels["f"].df().count() > 0
+    rels2 = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        f = FILTER li BY l_quantity >= $minqty;
+    """, params={"minqty": "49.0"})
+    assert rels2["f"].df().count() < rels["f"].df().count()
+
+
+def test_syntax_error_reporting(eng):
+    with pytest.raises(PigSyntaxError):
+        run_script(eng, "x = FILTER nosuchrel BY a > 1;")
+    with pytest.raises(PigSyntaxError):
+        run_script(eng, "x = FROBNICATE y;")
+
+
+def test_cogroup_script(eng):
+    rels = run_script(eng, f"""
+        c = LOAD '{SF}/customer.parquet';
+        s = LOAD '{SF}/supplier.parquet';
+        cg = COGROUP c BY c_nationkey, s BY s_nationkey;
+        sz = FOREACH cg GENERATE group AS k, SIZE(c) AS nc, SIZE(s) AS ns;
+    """)
+    out = rows(rels["sz"])
+    assert len(out) == 25
+    assert all(len(r) == 3 for r in out)
