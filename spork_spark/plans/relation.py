@@ -46,12 +46,16 @@ class Engine:
     def from_df(self, df: DataFrame, alias: str | None = None) -> "Relation":
         return self._rel(L.InMemory(df), alias)
 
-    def register_udf(self, name: str, func: Callable, returns: str = "string",
+    def register_udf(self, name: str, func: Callable,
+                     returns: str | None = None,
                      vectorized: bool = False) -> None:
         """REGISTER/DEFINE a Python UDF (SURVEY.md §2.10). ``returns`` is a
-        Spark DDL type; vectorized=True uses an Arrow pandas_udf (the fast
-        path — builtins never go through here)."""
+        Spark DDL type — or omitted when the function carries Pig's
+        @output_schema annotation; vectorized=True uses an Arrow pandas_udf
+        (the fast path — builtins never go through here)."""
         from pyspark.sql import functions as F
+        if returns is None:
+            returns = getattr(func, "__pig_output_schema__", "string")
         wrapped = (F.pandas_udf(func, returns) if vectorized
                    else F.udf(func, returns))
         self.udfs[name.upper()] = wrapped

@@ -1,0 +1,88 @@
+"""Event-time windowing — batch AND Structured Streaming.
+
+The reference is pure batch (SURVEY.md §1.5): Pig has no watermarks or
+windows. These are north-star extensions (§2.8): the same window
+transformations applied to a bounded DataFrame (batch parity, oracle-
+checkable) or to a readStream DataFrame (incremental execution with
+watermark-bounded state).
+
+Design rule: every transformation here takes a DataFrame and returns a
+DataFrame, agnostic to whether the input is streaming — so one definition
+serves both modes, and batch tests pin the streaming semantics. State at
+scale is bounded by the watermark horizon (late data beyond the delay is
+dropped), which is what makes 100 TB/day streams tractable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet",
+                **options) -> DataFrame:
+    """File-source readStream (the streaming LOAD): new files under `path`
+    become micro-batches. Schema is mandatory for streaming file sources."""
+    reader = spark.readStream.schema(schema).options(**options)
+    return reader.format(fmt).load(path)
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound: state for windows older than max(event_time)-delay
+    is finalized and dropped. No-op semantics on batch inputs."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling(df: DataFrame, ts_col: str, width: str,
+             keys: list[str] | None = None, aggs: dict | None = None
+             ) -> DataFrame:
+    """Tumbling event-time windows: groupBy(window(ts, width), keys).
+    aggs: {out_name: Column} (default count)."""
+    aggs = aggs or {"cnt": F.count(F.lit(1))}
+    w = F.window(F.col(ts_col), width)
+    grouped = df.groupBy(w.alias("w"), *[F.col(k) for k in (keys or [])])
+    out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def sliding(df: DataFrame, ts_col: str, width: str, slide: str,
+            keys: list[str] | None = None, aggs: dict | None = None
+            ) -> DataFrame:
+    aggs = aggs or {"cnt": F.count(F.lit(1))}
+    w = F.window(F.col(ts_col), width, slide)
+    grouped = df.groupBy(w.alias("w"), *[F.col(k) for k in (keys or [])])
+    out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def sessionize(df: DataFrame, ts_col: str, gap: str,
+               keys: list[str] | None = None, aggs: dict | None = None
+               ) -> DataFrame:
+    """Session windows (inactivity gap). In streaming mode requires a
+    watermark on ts_col; in batch mode runs as-is."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    w = F.session_window(F.col(ts_col), gap)
+    grouped = df.groupBy(w.alias("w"), *[F.col(k) for k in (keys or [])])
+    out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "complete") -> "StreamingQuery":
+    """Execute a streaming aggregation into the in-memory sink with the
+    availableNow trigger (process everything currently available, then
+    stop) — the harness used by tests and the honest local equivalent of
+    a production trigger."""
+    q = (stream_df.writeStream
+         .format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

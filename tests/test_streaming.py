@@ -1,0 +1,91 @@
+"""Event-time windows: batch/streaming parity — same transformation, one
+run on the bounded DataFrame, one through readStream + availableNow into
+the memory sink; results must agree (SURVEY.md §2.8)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from spork_spark.streaming import (read_stream, run_to_memory, sessionize,
+                                   sliding, tumbling, with_watermark)
+
+SCHEMA = "user_id bigint, ts timestamp, value double"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for u in (1, 2):
+        for k in range(10):
+            rows.append((u, t0 + datetime.timedelta(minutes=7 * k + u),
+                         float(k)))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_tumbling_batch(events):
+    out = tumbling(events, "ts", "30 minutes", keys=["user_id"],
+                   aggs={"cnt": F.count(F.lit(1)),
+                         "total": F.round(F.sum("value"), 2)})
+    rows = {(r.user_id, r.window_start): r.cnt for r in out.collect()}
+    t0 = datetime.datetime(2024, 1, 1)
+    # 10 events at 7-min spacing span 63 min → windows at :00, :30, 1:00
+    assert rows[(1, t0)] == 5
+    assert rows[(1, t0 + datetime.timedelta(minutes=30))] == 4
+    assert rows[(1, t0 + datetime.timedelta(minutes=60))] == 1
+
+
+def test_sliding_batch(events):
+    out = sliding(events, "ts", "30 minutes", "15 minutes", keys=["user_id"])
+    # every event lands in 2 overlapping windows
+    total = sum(r.cnt for r in out.filter(F.col("user_id") == 1).collect())
+    assert total == 20
+
+
+def test_sessionize_batch(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 1.0),
+            (1, t0 + datetime.timedelta(minutes=10), 1.0),
+            (1, t0 + datetime.timedelta(minutes=60), 1.0)]   # gap > 30m
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sessionize(df, "ts", "30 minutes", keys=["user_id"])
+    assert out.count() == 2                 # two sessions
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    """The definitional test: identical window aggregation, streaming
+    (readStream → availableNow → memory sink) vs batch."""
+    path = str(tmp_path / "stream_in")
+    events.write.mode("overwrite").parquet(path)
+
+    stream = read_stream(spark, path, SCHEMA)
+    stream = with_watermark(stream, "ts", "1 hour")
+    agg = tumbling(stream, "ts", "30 minutes", keys=["user_id"],
+                   aggs={"cnt": F.count(F.lit(1))})
+    assert agg.isStreaming
+    q = run_to_memory(agg, "tumbling_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM tumbling_test")
+
+    expected = tumbling(events, "ts", "30 minutes", keys=["user_id"],
+                        aggs={"cnt": F.count(F.lit(1))})
+    key = lambda r: (r.user_id, r.window_start)
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, expected.collect()))
+    assert {key(r): r.cnt for r in got.collect()} == \
+        {key(r): r.cnt for r in expected.collect()}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0 + datetime.timedelta(minutes=m), 1.0)
+            for m in (0, 5, 50, 55)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "sess_in")
+    df.write.mode("overwrite").parquet(path)
+
+    stream = with_watermark(read_stream(spark, path, SCHEMA), "ts", "2 hours")
+    agg = sessionize(stream, "ts", "30 minutes", keys=["user_id"])
+    q = run_to_memory(agg, "session_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM session_test").collect()
+    assert len(got) == 2                    # two sessions survive streaming

@@ -1,0 +1,68 @@
+"""UDF surface (SURVEY.md §2.10): registration, @output_schema annotation,
+vectorized pandas UDFs, UDTF-alike (bag-returning UDF + FLATTEN)."""
+
+from spork_spark import Engine, col, flatten, fn
+from spork_spark.functions.udf import output_schema, pig_schema_to_ddl
+
+
+def test_pig_schema_to_ddl():
+    assert pig_schema_to_ddl("x:int") == "int"
+    assert pig_schema_to_ddl("chararray") == "string"
+    assert pig_schema_to_ddl("t:(a:int,b:chararray)") == \
+        "struct<a:int,b:string>"
+    assert pig_schema_to_ddl("b:bag{t:(v:int)}") == "array<struct<v:int>>"
+
+
+def test_register_plain_udf(spark):
+    eng = Engine(spark)
+    eng.register_udf("REV", lambda s: s[::-1] if s else None, "string")
+    df = spark.createDataFrame([("abc",), (None,)], "s string")
+    out = [r[0] for r in
+           eng.from_df(df).foreach(fn("REV", col("s")).alias("r"))
+              .df().collect()]
+    assert out == ["cba", None]
+
+
+def test_output_schema_annotation(spark):
+    eng = Engine(spark)
+
+    @output_schema("n:long")
+    def strlen(s):
+        return len(s) if s is not None else None
+
+    eng.register_udf("STRLEN", strlen)
+    df = spark.createDataFrame([("hello",)], "s string")
+    rel = eng.from_df(df).foreach(fn("STRLEN", col("s")).alias("n"))
+    assert dict(rel.df().dtypes)["n"] == "bigint"
+    assert rel.df().collect()[0][0] == 5
+
+
+def test_vectorized_pandas_udf(spark):
+    eng = Engine(spark)
+
+    def double_it(v):
+        return v * 2.0
+
+    eng.register_udf("DBL", double_it, "double", vectorized=True)
+    df = spark.createDataFrame([(1.5,), (2.0,)], "v double")
+    out = [r[0] for r in
+           eng.from_df(df).foreach(fn("DBL", col("v")).alias("d"))
+              .df().collect()]
+    assert out == [3.0, 4.0]
+
+
+def test_udtf_bag_returning_plus_flatten(spark):
+    """EvalFunc returning a bag + FLATTEN = 1→N rows (SURVEY.md §2.10)."""
+    eng = Engine(spark)
+
+    @output_schema("b:bag{t:(part:chararray)}")
+    def split_csv(s):
+        return [(p,) for p in s.split(",")] if s else []
+
+    eng.register_udf("SPLIT_CSV", split_csv)
+    df = spark.createDataFrame([(1, "a,b"), (2, "")], "k int, s string")
+    out = (eng.from_df(df)
+           .foreach(col("k").alias("k"),
+                    flatten(fn("SPLIT_CSV", col("s")))))
+    rows = [tuple(r) for r in out.df().collect()]
+    assert rows == [(1, "a"), (1, "b")]      # empty bag drops row 2
