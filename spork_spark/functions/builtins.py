@@ -330,6 +330,7 @@ REGISTRY: dict = {
     "GETSECOND": F.second,
     "GETMILLISECOND": lambda dt: F.date_format(dt, "SSS").cast("int"),
     "GETWEEK": F.weekofyear,
+    "GETWEEKYEAR": lambda dt: F.date_format(dt, "YYYY").cast("int"),
     "ADDDURATION": _add_duration,
     "SUBTRACTDURATION": _sub_duration,
     "YEARSBETWEEN": lambda a, b: (F.months_between(a, b) / 12).cast("long"),
@@ -352,6 +353,7 @@ REGISTRY: dict = {
         F.transform(bag, lambda t: t.cast("string")),
         _lit_str(d) if d is not None else "_"),
     "UNIQUEID": _unique_id,
+    "TOSTRING": _dt_tostring,
 
     # -- engine-internal helpers ------------------------------------------------
     "COALESCE": lambda *cs: F.coalesce(*cs),
@@ -362,9 +364,21 @@ REGISTRY: dict = {
     "JSON_TUPLE": lambda c, *ps: F.json_tuple(c, *[_lit_str(p) for p in ps]),
 }
 
+def _bag_to_tuple(dtypes: list[T.DataType], bag: Column) -> Column:
+    """BagToTuple flattens bag contents into one variable-arity tuple;
+    Spark structs are fixed-arity, so the faithful mapping is an array of
+    the tuples' first-field values (documented divergence)."""
+    dt = dtypes[0]
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        f0 = dt.elementType.fields[0].name
+        return F.transform(bag, lambda t: t[f0])
+    return bag
+
+
 # Type-dependent builtins: callable(dtypes: list[DataType], *cols) -> Column
 TYPED_REGISTRY: dict = {
     "SIZE": _size_typed,
+    "BAGTOTUPLE": _bag_to_tuple,
 }
 
 # Aggregate names the GROUP+FOREACH fusion treats as algebraic

@@ -193,6 +193,9 @@ class PigParser:
                                          "register", "set"):
             getattr(self, f"st_{t.text}")()
             return
+        if t.kind == "ident" and t.text.lower() == "assert":
+            self.st_assert()
+            return
         # alias = <operator …>;
         alias = self.expect("ident").text
         self.expect("op", "=")
@@ -278,6 +281,18 @@ class PigParser:
             self.engine.spark.conf.set(key, val)
         except Exception:
             pass
+        self.expect("op", ";")
+
+    def st_assert(self) -> None:
+        """ASSERT rel BY cond [, 'msg'];  (SURVEY.md §2.1 #26)"""
+        self.next()                          # 'assert' ident token
+        src = self.rel(self.expect("ident").text)
+        self.expect("kw", "by")
+        cond = self.expression()
+        msg = "assertion failed"
+        if self.accept("op", ","):
+            msg = self._string()
+        src.assert_(cond, msg)
         self.expect("op", ";")
 
     def st_split(self) -> None:
