@@ -123,6 +123,87 @@ def substitute_params(src: str, params: dict[str, str] | None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# macros & IMPORT (SURVEY.md §2.1 #29 — textual pre-parse expansion, the
+# reference's QueryParserDriver#expandMacro model)
+# ---------------------------------------------------------------------------
+
+_IMPORT_RE = re.compile(r"^\s*IMPORT\s+'([^']+)'\s*;\s*$",
+                        re.IGNORECASE | re.MULTILINE)
+_MACRO_HEAD_RE = re.compile(
+    r"DEFINE\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+(\w+)\s*\{", re.IGNORECASE)
+
+
+def _balanced_block(src: str, open_idx: int) -> tuple[str, int]:
+    """Return (body, end_idx_after_close) for the brace block opening at
+    open_idx (handles nested braces, e.g. nested FOREACH)."""
+    depth, i = 0, open_idx
+    while i < len(src):
+        if src[i] == "{":
+            depth += 1
+        elif src[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return src[open_idx + 1:i], i + 1
+        i += 1
+    raise PigSyntaxError("unterminated macro block")
+
+
+def expand_macros(src: str) -> str:
+    """Inline IMPORTs, collect DEFINE…RETURNS macros, expand call sites.
+    Macro-internal aliases are prefixed per-expansion to avoid collisions
+    (Pig's alias masking)."""
+    for m in list(_IMPORT_RE.finditer(src)):
+        with open(m.group(1)) as f:
+            src = src.replace(m.group(0), f.read())
+
+    macros: dict[str, tuple[list[str], str, str]] = {}
+    while True:
+        m = _MACRO_HEAD_RE.search(src)
+        if not m:
+            break
+        body, end = _balanced_block(src, src.index("{", m.start()))
+        end = src.index(";", end - 1) + 1 if ";" in src[end:end + 3] \
+            else end
+        params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+        macros[m.group(1).lower()] = (params, m.group(3), body)
+        src = src[:m.start()] + src[end:]
+
+    if not macros:
+        return src
+
+    call_re = re.compile(
+        r"^(\s*)(\w+)\s*=\s*(" + "|".join(re.escape(k) for k in macros) +
+        r")\s*\(([^)]*)\)\s*;", re.IGNORECASE | re.MULTILINE)
+    counter = [0]
+
+    def expand(m):
+        indent, lhs, name, argstr = m.groups()
+        params, ret, body = macros[name.lower()]
+        args = [a.strip() for a in argstr.split(",")] if argstr.strip() else []
+        if len(args) != len(params):
+            raise PigSyntaxError(
+                f"macro {name} expects {len(params)} args, got {len(args)}")
+        counter[0] += 1
+        text = body
+        for p, a in zip(params, args):
+            text = re.sub(rf"\$\{{{p}\}}|\${p}\b", a, text)
+        # the return alias is referenced as $name inside the body (Pig form)
+        text = re.sub(rf"\${ret}\b", lhs, text)
+        # prefix macro-internal aliases to avoid clobbering outer scope
+        internal = set(re.findall(r"^\s*(\w+)\s*=", text, re.MULTILINE))
+        internal.discard(lhs)
+        for alias in internal:
+            text = re.sub(rf"\b{alias}\b", f"__m{counter[0]}_{alias}", text)
+        return indent + text
+
+    prev = None
+    while prev != src:
+        prev = src
+        src = call_re.sub(expand, src)
+    return src
+
+
+# ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
 
@@ -174,7 +255,7 @@ class PigParser:
 
     # -- entry ----------------------------------------------------------------
     def run(self, src: str, params: dict | None = None) -> dict[str, Relation]:
-        src = substitute_params(src, params)
+        src = expand_macros(substitute_params(src, params))
         self.toks, self.i = tokenize(src), 0
         while self.peek().kind != "eof":
             self.statement()
