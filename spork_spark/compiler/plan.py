@@ -47,16 +47,14 @@ class PlanCompiler:
     # ------------------------------------------------------------------ api
     def compile(self, node: L.LogicalOp) -> DataFrame:
         """Compile a plan DAG to a (lazy) DataFrame, memoized per node."""
-        self._count_consumers(node, seen=set())
         return self._compile(node)
 
-    # ------------------------------------------------------------- internals
-    def _count_consumers(self, node: L.LogicalOp, seen: set) -> None:
+    def note_consumers(self, node: L.LogicalOp) -> None:
+        """Called at plan-construction time (Engine._rel): consumer counts
+        accumulate as the DAG is built, so SPLIT/multi-store sharing is
+        visible before the first compile (MultiQueryOptimizer role)."""
         for ch in node.children:
             self._consumers[ch._id] = self._consumers.get(ch._id, 0) + 1
-            if ch._id not in seen:
-                seen.add(ch._id)
-                self._count_consumers(ch, seen)
 
     def _compile(self, node: L.LogicalOp) -> DataFrame:
         if node._id in self._cache:

@@ -66,6 +66,7 @@ class Engine:
     def _rel(self, node: L.LogicalOp, alias: str | None = None) -> "Relation":
         r = Relation(self, node, alias or f"rel_{next(_rel_ids)}")
         node.alias = r.alias
+        self._compiler.note_consumers(node)
         return r
 
 
@@ -191,8 +192,9 @@ class Relation:
 
     def store(self, path: str, fmt: str = "parquet",
               partition_by: list[str] | None = None, **options) -> None:
-        self.engine.compile(L.Store(self.node, path, fmt, options,
-                                    partition_by or []))
+        node = L.Store(self.node, path, fmt, options, partition_by or [])
+        self.engine._compiler.note_consumers(node)   # multi-store → persist
+        self.engine.compile(node)
 
     # -- internals -------------------------------------------------------------
     def _wrap(self, node: L.LogicalOp) -> "Relation":

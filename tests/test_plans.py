@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the scale guarantees in README are pinned
+here, not just claimed — filter pushdown reaches the scan, fused GROUP+
+FOREACH gets map-side partial aggregation (never collect_list), replicated
+joins broadcast, column pruning reaches ReadSchema, whole-stage codegen
+covers the hot path."""
+
+import pytest
+
+from spork_spark import Engine, col, fn, lit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(eng):
+    return eng.load(f"{SF}/lineitem.parquet", alias="lineitem")
+
+
+def plan_of(rel) -> str:
+    df = rel.df() if hasattr(rel, "df") else rel
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(rel) -> str:
+    df = rel.df() if hasattr(rel, "df") else rel
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(eng, li):
+    r = li.filter(col("l_quantity") > 30.0) \
+          .foreach(col("l_orderkey").alias("k"))
+    p = plan_of(r)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in p
+
+
+def test_column_pruning_reaches_scan(eng, li):
+    r = li.foreach(col("l_orderkey").alias("k"),
+                   col("l_quantity").alias("q"))
+    p = plan_of(r)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_fused_group_agg_is_partial_hash_agg(eng, li):
+    r = (li.group_by(col("l_returnflag"))
+           .foreach(col("group").alias("f"),
+                    fn("SUM", col("lineitem").get("l_quantity")).alias("s")))
+    p = plan_of(r)
+    assert "partial_sum" in p            # map-side combine
+    assert "collect_list" not in p       # no bag materialization
+    assert "HashAggregate" in p and "ObjectHashAggregate" not in p
+
+
+def test_escaping_bag_materializes(eng, li):
+    r = (li.group_by(col("l_returnflag"))
+           .foreach(col("group").alias("f"),
+                    col("lineitem").alias("bag")))
+    assert "collect_list" in plan_of(r)  # bag escapes → materialize
+
+
+def test_replicated_join_broadcasts(eng):
+    li2 = eng.load(f"{SF}/lineitem.parquet", alias="l2")
+    part = eng.load(f"{SF}/part.parquet", alias="p2")
+    r = li2.join([col("l_partkey")], part, [col("p_partkey")],
+                 strategy="replicated")
+    p = plan_of(r)
+    assert "BroadcastHashJoin" in p and "BroadcastExchange" in p
+
+
+def test_order_limit_fuses_to_topk(eng, li):
+    r = li.foreach(col("l_orderkey").alias("k"),
+                   col("l_extendedprice").alias("p")) \
+          .order_by((col("p"), False)).limit(10)
+    assert "TakeOrderedAndProject" in plan_of(r)
+
+
+def test_whole_stage_codegen_covers_builtins(eng):
+    cust = eng.load(f"{SF}/customer.parquet", alias="c")
+    r = cust.foreach(fn("UPPER", col("c_name")).alias("u"),
+                     fn("SUBSTRING", col("c_name"), 0, 5).alias("s"),
+                     fn("INDEXOF", col("c_name"), lit("_")).alias("i"))
+    p = plan_of(r)
+    assert "*(1)" in p                   # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in p    # builtins never fall to Python
+
+
+def test_semi_join_stays_semi(eng):
+    cust = eng.load(f"{SF}/customer.parquet", alias="c3")
+    orders = eng.load(f"{SF}/orders.parquet", alias="o3")
+    r = cust.join([col("c_custkey")], orders, [col("o_custkey")], how="semi")
+    assert "LeftSemi" in plan_of(r)
+
+
+def test_multi_consumer_parent_persisted(eng, spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "a int")
+    outs = eng.from_df(df).filter(col("a") >= 0).split(
+        col("a") > 5, col("a") <= 5)
+    p = plan_of(outs[0])
+    assert "InMemoryTableScan" in p      # shared parent cached once
