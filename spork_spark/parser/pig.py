@@ -464,6 +464,17 @@ class PigParser:
             r2 = self.rel(self.expect("ident").text)
             self.expect("kw", "by")
             others.append((r2, self._key_list()))
+        # USING 'collected' (map-side group when loader guarantees
+        # collocation) is a perf-only variant → plain groupBy; PARTITION BY
+        # custom partitioner classes are accepted and ignored (Catalyst
+        # owns partitioning — SURVEY.md §2.1 clause notes)
+        if self.accept("kw", "using"):
+            self._string()
+        if self.peek().kind == "ident" and \
+                self.peek().text.lower() == "partition":
+            self.next()
+            self.expect("kw", "by")
+            self.next()                      # partitioner class name
         if others:
             return src.cogroup(keys, *others)
         return src.group_by(*keys, parallel=self._parallel())

@@ -1,0 +1,91 @@
+"""Load/Store function coverage (SURVEY.md §2.7): PigStorage delimiters,
+TextLoader, JSON, compression by extension, globbing, partitioned writes."""
+
+import gzip
+import json
+
+import pytest
+
+from spork_spark import col, fn
+
+
+def rows(rel):
+    return sorted(tuple(r) for r in rel.df().collect())
+
+
+def test_pigstorage_custom_delimiter(eng, spark, tmp_path):
+    (tmp_path / "colon.txt").write_text("1:foo\n2:bar\n")
+    rel = eng.load(str(tmp_path / "colon.txt"), fmt="pigstorage",
+                   schema="k int, s string", sep=":")
+    assert rows(rel) == [(1, "foo"), (2, "bar")]
+
+
+def test_textloader_one_line_one_field(eng, tmp_path):
+    (tmp_path / "lines.txt").write_text("alpha\nbeta\n")
+    rel = eng.load(str(tmp_path / "lines.txt"), fmt="textloader")
+    assert rows(rel) == [("alpha",), ("beta",)]
+
+
+def test_jsonloader_roundtrip(eng, spark, tmp_path):
+    src = tmp_path / "j"
+    src.mkdir()
+    (src / "part.json").write_text(
+        "\n".join(json.dumps({"k": i, "s": f"v{i}"}) for i in range(3)))
+    rel = eng.load(str(src), fmt="jsonloader", schema="k bigint, s string")
+    assert rows(rel) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    rel.store(str(tmp_path / "out_json"), fmt="jsonstorage")
+    back = eng.load(str(tmp_path / "out_json"), fmt="json",
+                    schema="k bigint, s string")
+    assert rows(back) == rows(rel)
+
+
+def test_gzip_by_extension(eng, tmp_path):
+    with gzip.open(tmp_path / "z.tsv.gz", "wt") as f:
+        f.write("1\tx\n2\ty\n")
+    rel = eng.load(str(tmp_path / "z.tsv.gz"), fmt="pigstorage",
+                   schema="k int, s string")
+    assert rows(rel) == [(1, "x"), (2, "y")]
+
+
+def test_path_globbing(eng, tmp_path):
+    for i in range(2):
+        (tmp_path / f"part-{i}.tsv").write_text(f"{i}\n")
+    rel = eng.load(str(tmp_path / "part-*.tsv"), fmt="pigstorage",
+                   schema="k int")
+    assert rows(rel) == [(0,), (1,)]
+
+
+def test_partitioned_parquet_write_and_pruning(eng, spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k int, part string")
+    eng.from_df(df).store(str(tmp_path / "pt"), fmt="parquet",
+                          partition_by=["part"])
+    rel = eng.load(str(tmp_path / "pt")).filter(col("part") == "a")
+    assert rel.df().count() == 2
+    plan = rel.df()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan   # partition pruning
+
+
+def test_untyped_load_defaults_to_string_and_try_cast(eng, tmp_path):
+    """The bytearray strategy (§1.3): untyped loads are strings; first
+    typed use casts with null-on-failure."""
+    (tmp_path / "raw.tsv").write_text("1\tx\noops\ty\n")
+    rel = eng.load(str(tmp_path / "raw.tsv"), fmt="pigstorage")
+    df = rel.df()
+    assert all(t == "string" for _, t in df.dtypes)
+    from spork_spark import pos
+    casted = rel.foreach(pos(0).cast("int").alias("n"))
+    assert sorted(r[0] is None for r in casted.df().collect()) == [False, True]
+
+
+def test_avro_or_orc_if_available(eng, spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "k int, s string")
+    eng.from_df(df).store(str(tmp_path / "orc_out"), fmt="orcstorage")
+    back = eng.load(str(tmp_path / "orc_out"), fmt="orc")
+    assert rows(back) == [(1, "x")]
+    try:
+        eng.from_df(df).store(str(tmp_path / "avro_out"), fmt="avrostorage")
+    except Exception:
+        pytest.skip("spark-avro package not bundled in this environment")
+    back = eng.load(str(tmp_path / "avro_out"), fmt="avro")
+    assert rows(back) == [(1, "x")]
