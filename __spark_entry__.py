@@ -396,6 +396,38 @@ def q_events_json(spark, sf):
              .order_by(col("event_type"))).df()
 
 
+def q_percentiles(spark, sf):
+    """Exact percentile / median / stddev per group (analytic aggregates
+    beyond the reference; percentile_cont interpolation both engines)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    bag = col("lineitem")
+    return (li.group_by(col("l_returnflag"))
+              .foreach(col("group").alias("l_returnflag"),
+                       _r2(fn("PERCENTILE", bag.get("l_extendedprice"), 0.5))
+                       .alias("p50"),
+                       _r2(fn("PERCENTILE", bag.get("l_extendedprice"), 0.95))
+                       .alias("p95"),
+                       _r2(fn("STDEV", bag.get("l_quantity"))).alias("sd_qty"))
+              .order_by(col("l_returnflag"))).df()
+
+
+def q_window_lag(spark, sf):
+    """Window-function surface (SURVEY.md §2.6 extension): per-customer
+    order timeline with lag/lead/ntile."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    lag_w = E.WindowFunc("lag", [col("o_totalprice")], [col("o_custkey")],
+                         [(col("o_orderdate"), True), (col("o_orderkey"), True)])
+    ntile_w = E.WindowFunc("ntile", [E.Lit(4)], [col("o_custkey")],
+                           [(col("o_orderdate"), True), (col("o_orderkey"), True)])
+    return (orders.foreach(col("o_custkey").alias("o_custkey"),
+                           col("o_orderkey").alias("o_orderkey"),
+                           E.Aliased(lag_w, "prev_price"),
+                           E.Aliased(ntile_w, "quartile"))
+                  .order_by(col("o_custkey"), col("o_orderkey"))).df()
+
+
 def q_pig_script(spark, sf):
     """Full front-end path: Pig Latin text → parse → lower → compile.
     Same result contract as a hand-built plan (oracle: plain SQL)."""
@@ -618,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int_division": q_int_division,
         "events_session": q_events_session,
         "events_json": q_events_json,
+        "percentiles": q_percentiles,
+        "window_lag": q_window_lag,
         "pig_script": q_pig_script,
         "nested_foreach": q_nested_foreach,
         "scalar_of_relation": q_scalar_of_relation,
@@ -847,6 +881,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   FLOOR((quantile_cont(l_extendedprice, 0.5))*100 + 0.5)/100
+                       AS p50,
+                   FLOOR((quantile_cont(l_extendedprice, 0.95))*100 + 0.5)/100
+                       AS p95,
+                   FLOOR((stddev_samp(l_quantity))*100 + 0.5)/100 AS sd_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "window_lag": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
         """,
         "pig_script": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

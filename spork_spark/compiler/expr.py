@@ -453,4 +453,7 @@ class ExprCompiler:
         if order:
             w = w.orderBy(*order)
         fn = getattr(F, e.name)
-        return fn(*[self.compile(a) for a in e.args]).over(w)
+        # ntile(n) / lag(c, offset) take plain Python ints, not Columns
+        args = [a.value if isinstance(a, E.Lit) else self.compile(a)
+                for a in e.args]
+        return fn(*args).over(w)

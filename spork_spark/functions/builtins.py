@@ -274,6 +274,11 @@ REGISTRY: dict = {
     "COUNT_DISTINCT": lambda *c: F.count_distinct(*c),
     "APPROX_COUNT_DISTINCT": lambda c: F.approx_count_distinct(c),
     "COLLECT": lambda c: F.collect_list(c),
+    # analytic aggregates beyond the reference (extensions; exact
+    # PERCENTILE uses linear interpolation = SQL percentile_cont)
+    "PERCENTILE": lambda c, p: F.percentile(c, p),
+    "MEDIAN": lambda c: F.median(c),
+    "STDEV": lambda c: F.stddev_samp(c),
 
     # -- strings ------------------------------------------------------------
     "CONCAT": lambda *cs: F.concat(*cs),
@@ -386,4 +391,5 @@ TYPED_REGISTRY: dict = {
 ALGEBRAIC_AGGS = {
     "COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "VAR", "COR", "COV",
     "COUNT_DISTINCT", "APPROX_COUNT_DISTINCT", "COLLECT",
+    "PERCENTILE", "MEDIAN", "STDEV",
 }

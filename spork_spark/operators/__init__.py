@@ -8,6 +8,7 @@ from .text import (bpe_ish_token_count, detect_language, fingerprint,
                    quality_score, tf_idf, token_count, tokens)
 from .multimodal import (attach_binary_meta, decode_images, extract_features,
                          sample_frames)
+from .skew import salted_join, skew_histogram
 
 __all__ = [
     "exact_dedup", "minhash_lsh_pairs", "minhash_signature",
@@ -17,4 +18,5 @@ __all__ = [
     "quality_score", "tf_idf", "token_count", "tokens",
     "attach_binary_meta", "decode_images", "extract_features",
     "sample_frames",
+    "salted_join", "skew_histogram",
 ]
