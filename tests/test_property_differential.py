@@ -1,0 +1,91 @@
+"""Property-based differential testing (beyond the reference — SURVEY.md
+§5.1 notes Pig has no randomized tests): hypothesis generates small
+tables + predicates; the engine's result must match DuckDB running the
+equivalent SQL on the same data. Catches semantic drift the fixed oracle
+queries can't."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spork_spark import col, fn, lit
+
+# rows: (k: int|None, v: int-valued double|None, s: str)
+row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 5)),
+    st.one_of(st.none(), st.integers(-10, 10).map(float)),
+    st.sampled_from(["a", "b", "abc", "", "Zz"]),
+)
+tables = st.lists(row, min_size=1, max_size=30)
+cmp_op = st.sampled_from(["<", "<=", "==", ">", ">=", "!="])
+threshold = st.integers(-5, 5)
+
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow,
+                                       HealthCheck.function_scoped_fixture])
+
+
+def mk(spark, rows):
+    sdf = spark.createDataFrame(rows, "k int, v double, s string")
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+def norm(rows_):
+    out = [tuple("∅" if x is None else x for x in r) for r in rows_]
+    return sorted(out, key=repr)
+
+
+@given(data=tables, op=cmp_op, c=threshold)
+@SLOW
+def test_filter_matches_duckdb(eng, spark, data, op, c):
+    sdf, con = mk(spark, data)
+    expr = {"<": col("v") < float(c), "<=": col("v") <= float(c),
+            "==": col("v") == float(c), ">": col("v") > float(c),
+            ">=": col("v") >= float(c), "!=": col("v") != float(c)}[op]
+    got = norm(tuple(r) for r in eng.from_df(sdf).filter(expr).collect())
+    want = norm(con.sql(f"SELECT * FROM t WHERE v {op} {c}").fetchall())
+    assert got == want          # null predicate drops rows in both
+
+
+@given(data=tables)
+@SLOW
+def test_group_agg_matches_duckdb(eng, spark, data):
+    sdf, con = mk(spark, data)
+    rel = (eng.from_df(sdf, alias="x").group_by(col("k"))
+           .foreach(col("group").alias("k"),
+                    fn("COUNT", col("x").get("v")).alias("c"),
+                    fn("SUM", col("x").get("v")).alias("sm"),
+                    fn("MIN", col("x").get("s")).alias("mn")))
+    got = norm(tuple(r) for r in rel.collect())
+    want = norm(con.sql(
+        "SELECT k, COUNT(v), SUM(v), MIN(s) FROM t GROUP BY k").fetchall())
+    assert got == want          # null keys group together in both
+
+
+@given(data=tables, n=st.integers(1, 5))
+@SLOW
+def test_order_limit_matches_duckdb(eng, spark, data, n):
+    sdf, con = mk(spark, data)
+    rel = (eng.from_df(sdf)
+           .foreach(col("v").alias("v"), col("s").alias("s"))
+           .order_by(col("v"), col("s")).limit(n))
+    got = [tuple("∅" if x is None else x for x in r) for r in rel.collect()]
+    want = [tuple("∅" if x is None else x for x in r) for r in con.sql(
+        f"SELECT v, s FROM t ORDER BY v NULLS FIRST, s LIMIT {n}").fetchall()]
+    assert got == want          # nulls-first ASC in both
+
+
+@given(data=tables)
+@SLOW
+def test_distinct_union_roundtrip(eng, spark, data):
+    sdf, con = mk(spark, data)
+    r = eng.from_df(sdf)
+    got_d = norm(tuple(x) for x in r.distinct().collect())
+    want_d = norm(con.sql("SELECT DISTINCT * FROM t").fetchall())
+    assert got_d == want_d
+    assert len(r.union(r).collect()) == 2 * len(data)   # no dedup
