@@ -472,19 +472,72 @@ class PlanCompiler:
 
     def _c_rank(self, node: L.Rank) -> DataFrame:
         df = self._compile(node.child)
-        ctx = self._ctx(df)
         if not node.keys:
             return self._scalable_row_number(df, "rank")
-        order = [ctx.compile(k).asc_nulls_first() if asc
-                 else ctx.compile(k).desc_nulls_last()
-                 for k, asc in node.keys]
-        fn = F.dense_rank() if node.dense else F.rank()
-        # Correct but single-partition at the window; fine at test scale —
-        # the scalable path for bare RANK above is the 100 TB-relevant one
-        # (ties don't need global windows there).
-        w = Window.orderBy(*order)
-        return df.withColumn("rank", fn.over(w).cast("long")) \
-                 .select("rank", *df.columns)
+        return self._scalable_rank_by(df, node)
+
+    def _scalable_rank_by(self, df: DataFrame, node: L.Rank) -> DataFrame:
+        """RANK rel BY keys [DENSE] without a global single-partition
+        window (SURVEY.md §7 hard-part 3):
+
+          rank(t)       = 1 + Σ count(k) over keys k < t.keys
+          dense_rank(t) = 1 + #distinct keys < t.keys
+
+        1. aggregate to the distinct-key table with counts (shuffle 1,
+           partial agg — |keys| rows, not |rows|);
+        2. range-sort the key table and prefix-sum the counts with the
+           same two-pass per-partition-offset trick as bare RANK (the
+           offsets collect is one row per partition);
+        3. join ranks back on the keys (shuffle 2) — null-safe equality,
+           because Pig ranks null keys (they sort smallest).
+
+        Ties share a key row, hence exactly rank()/dense_rank() ties.
+        """
+        ctx = self._ctx(df)
+        key_names = [f"__rk{i}" for i in range(len(node.keys))]
+        key_cols = [ctx.compile(k).alias(n)
+                    for (k, _), n in zip(node.keys, key_names)]
+        kdf = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+        order = [F.col(n).asc_nulls_first() if asc
+                 else F.col(n).desc_nulls_last()
+                 for (_, asc), n in zip(node.keys, key_names)]
+        kdf = kdf.orderBy(*order)
+
+        pid = "__pid"
+        staged = kdf.withColumn(pid, F.spark_partition_id()).persist()
+        parts = staged.groupBy(pid).agg(
+            F.sum("__cnt").alias("rows"),
+            F.count(F.lit(1)).alias("keys")).collect()
+        row_off, key_off, racc, kacc = {}, {}, 0, 0
+        for p in sorted(r[0] for r in parts):
+            prow = next(r for r in parts if r[0] == p)
+            row_off[p], key_off[p] = racc, kacc
+            racc += prow["rows"]
+            kacc += prow["keys"]
+        def off_expr(m):
+            return F.element_at(
+                F.create_map(*[F.lit(x) for kv in m.items() for x in kv]),
+                F.col(pid)) if m else F.lit(0)
+        w = Window.partitionBy(pid).orderBy(*order) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        running = F.sum("__cnt").over(w)
+        wrow = Window.partitionBy(pid).orderBy(*order)
+        ranked_keys = staged.select(
+            *key_names,
+            (off_expr(row_off) + running - F.col("__cnt") + 1)
+            .cast("long").alias("__rank"),
+            (off_expr(key_off) + F.row_number().over(wrow))
+            .cast("long").alias("__dense"))
+
+        out_rank = F.col("__dense") if node.dense else F.col("__rank")
+        orig_keys = [ctx.compile(k) for k, _ in node.keys]
+        cond = None
+        for oc, n in zip(orig_keys, key_names):
+            c = oc.eqNullSafe(ranked_keys[n])
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(ranked_keys) if len(parts) <= 1
+                         else ranked_keys, on=cond)
+        return joined.select(out_rank.alias("rank"), *df.columns)
 
     def _scalable_row_number(self, df: DataFrame, out_name: str) -> DataFrame:
         """Reference design (POCounter/PORank, SURVEY.md §2.1 #18): pass 1
