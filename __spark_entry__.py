@@ -620,6 +620,159 @@ def q_events_session_window(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# remaining relational surface: TOP, RANK BY, SAMPLE, ASSERT, STREAM
+# ---------------------------------------------------------------------------
+
+def q_top_n(spark, sf):
+    """TOP(n, fieldIdx, bag) builtin (pig TOP.java): per customer, sum of
+    the top-3 order prices. The sum over the top-n set is tie-invariant,
+    so the oracle's row_number formulation matches even when the boundary
+    value ties."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    g = orders.group_by(col("o_custkey"))
+    top3 = fn("TOP", lit(3), lit(3), col("orders"))   # field 3 = o_totalprice
+    return (g.foreach(col("group").alias("custkey"),
+                      _r2(fn("SUM", top3.get("o_totalprice")))
+                      .alias("top3_total"))
+             .order_by(col("custkey"))).df()
+
+
+def q_rank_by(spark, sf):
+    """RANK rel BY unique key — the scalable two-pass distinct-key
+    prefix-sum path (POCounter/PORank design), no 1-partition window."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    return (orders.rank(col("o_orderkey"))
+                  .foreach(col("rank").alias("rank"),
+                           col("o_orderkey").alias("o_orderkey"))
+                  .order_by(col("o_orderkey"))).df()
+
+
+def q_rank_dense(spark, sf):
+    """RANK rel BY low-cardinality key DESC DENSE — ties share a dense
+    rank; deterministic for any tie-breaking, hence oracle-safe."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    return (orders.rank((col("o_orderstatus"), False), dense=True)
+                  .foreach(col("rank").alias("rank"),
+                           col("o_orderkey").alias("o_orderkey"),
+                           col("o_orderstatus").alias("o_orderstatus"))
+                  .order_by(col("o_orderkey"))).df()
+
+
+def q_sample(spark, sf):
+    """SAMPLE rel p — Bernoulli sample, seeded for run-to-run stability
+    (engine-specific RNG → rows-only check, as RANDOM() in the reference)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    return (orders.sample(0.1, seed=7)
+                  .foreach(col("o_orderkey").alias("o_orderkey"))
+                  .order_by(col("o_orderkey"))).df()
+
+
+def q_assert_op(spark, sf):
+    """ASSERT rel BY cond — passes for all rows, relation flows through
+    unchanged (violation raises; see tests for the failing path)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    return (orders.assert_(col("o_totalprice") > lit(0.0),
+                           "totalprice must be positive")
+                  .foreach(col("o_orderkey").alias("o_orderkey"),
+                           _r2(col("o_totalprice")).alias("o_totalprice"))
+                  .order_by(col("o_orderkey"))).df()
+
+
+def q_stream_through(spark, sf):
+    """STREAM rel THROUGH 'tr a-z A-Z' — tab-delimited pipe through an
+    external executable (POStream/PigStreaming), schema re-applied on the
+    way back."""
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation")
+    proj = nation.foreach(col("n_nationkey").alias("n_nationkey"),
+                          col("n_name").alias("n_name"))
+    return (proj.stream_through("tr a-z A-Z",
+                                schema="n_nationkey BIGINT, n_name STRING")
+                .order_by(col("n_nationkey"))).df()
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extensions, part 2
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish sub-word estimate
+    (word pieces of ≤4 chars + punctuation marks), all native regex/HOF
+    expressions."""
+    from spork_spark.operators import bpe_ish_token_count, token_count
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return docs.select("doc_id",
+                       token_count("text").alias("n_tokens"),
+                       bpe_ish_token_count("text").alias("n_bpe")) \
+               .orderBy("doc_id")
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs, exact all-pairs mode (the
+    oracle-checkable path; the SRP-LSH mode is the 100 TB path, verified
+    against this one in tests)."""
+    from spork_spark.operators import embedding_dedup_pairs
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return embedding_dedup_pairs(emb, threshold=0.45, method="exact") \
+        .orderBy("id_a", "id_b")
+
+
+def q_similarity_ivf(spark, sf):
+    """IVF approximate top-5: coarse-quantize the corpus into cells, probe
+    the 3 nearest cells per query (engine-specific quantizer → rows-only;
+    nprobe=n_centroids equivalence to brute force is pinned in tests)."""
+    from spork_spark.operators import ivf_topk
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=8, nprobe=3,
+                    score_round=4).orderBy("query_id", "rank")
+
+
+def _doc_payloads(docs):
+    """Synthesize binary payloads from documents: every 3rd doc gets a PNG
+    magic header; the rest are raw UTF-8 bytes."""
+    body = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.unhex(F.lit("89504E47")), body))
+         .otherwise(body).alias("payload"))
+
+
+def q_multimodal_meta(spark, sf):
+    """Multimodal metadata: magic-byte format sniff + byte length as a
+    typed struct next to the blob — pure JVM expressions, oracle-checked."""
+    from spork_spark.operators import attach_binary_meta
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    out = attach_binary_meta(_doc_payloads(docs), "payload")
+    return out.select("doc_id",
+                      F.col("meta.format").alias("format"),
+                      F.col("meta.n_bytes").alias("n_bytes")) \
+              .orderBy("doc_id")
+
+
+def q_multimodal_decode(spark, sf):
+    """Arrow-batched mapInPandas decode of binary payloads → (id, width,
+    height, n_bytes). The decode kernel is a deterministic crc32 fake (no
+    codecs in this env — SURVEY.md §2.11); the Spark plumbing is real.
+    Width/height are kernel-specific → rows-only check."""
+    from spork_spark.operators import decode_images
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    payloads = _doc_payloads(docs).withColumnRenamed("doc_id", "item_id")
+    return decode_images(payloads, "payload", "item_id").orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -667,6 +820,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
+        "top_n": q_top_n,
+        "rank_by": q_rank_by,
+        "rank_dense": q_rank_dense,
+        "sample": q_sample,
+        "assert_op": q_assert_op,
+        "stream_through": q_stream_through,
+        "token_count": q_token_count,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_ivf": q_similarity_ivf,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1028,5 +1192,66 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total
             FROM s GROUP BY user_id, sess_id
             ORDER BY user_id, session_start
+        """,
+        "top_n": """
+            SELECT custkey, FLOOR(s*100 + 0.5)/100 AS top3_total FROM (
+              SELECT o_custkey AS custkey, SUM(o_totalprice) AS s FROM (
+                SELECT o_custkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC) AS rn
+                FROM orders) t
+              WHERE rn <= 3 GROUP BY o_custkey) g
+            ORDER BY custkey
+        """,
+        "rank_by": """
+            SELECT CAST(rank() OVER (ORDER BY o_orderkey) AS BIGINT) AS rank,
+                   o_orderkey
+            FROM orders ORDER BY o_orderkey
+        """,
+        "rank_dense": """
+            SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus DESC)
+                        AS BIGINT) AS rank,
+                   o_orderkey, o_orderstatus
+            FROM orders ORDER BY o_orderkey
+        """,
+        "assert_op": """
+            SELECT o_orderkey,
+                   FLOOR(o_totalprice*100 + 0.5)/100 AS o_totalprice
+            FROM orders ORDER BY o_orderkey
+        """,
+        "stream_through": """
+            SELECT n_nationkey, UPPER(n_name) AS n_name
+            FROM nation ORDER BY n_nationkey
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t != '')) AS n_tokens,
+              CAST(COALESCE(list_sum(list_transform(
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != ''),
+                     t -> (length(t)+3)//4)), 0)
+                   + (length(text) -
+                      length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   AS BIGINT) AS n_bpe
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'png'
+                        ELSE 'unknown' END AS format,
+                   CAST(CASE WHEN doc_id % 3 = 0
+                             THEN octet_length(encode(text)) + 4
+                             ELSE octet_length(encode(text)) END
+                        AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -380,10 +380,29 @@ def _bag_to_tuple(dtypes: list[T.DataType], bag: Column) -> Column:
     return bag
 
 
+def _top(dtypes: list[T.DataType], n: Column, idx: Column,
+         bag: Column) -> Column:
+    """TOP(n, fieldIdx, bag) → bag of the n tuples with the largest idx-th
+    field (pig:src/org/apache/pig/builtin/TOP.java — priority-queue over
+    the bag). Here: array_sort with a descending comparator on that field
+    + slice, all codegen'd; ties break arbitrarily, as in the reference."""
+    dt = dtypes[2]
+    nv, iv = _lit_int(n), _lit_int(idx)
+    if not (isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, T.StructType)):
+        raise TypeError("TOP expects a bag of tuples as its third argument")
+    fname = dt.elementType.fields[iv].name
+    ordered = F.array_sort(
+        bag, lambda a, b: F.when(a[fname] < b[fname], 1)
+                           .when(a[fname] > b[fname], -1).otherwise(0))
+    return F.slice(ordered, 1, nv)
+
+
 # Type-dependent builtins: callable(dtypes: list[DataType], *cols) -> Column
 TYPED_REGISTRY: dict = {
     "SIZE": _size_typed,
     "BAGTOTUPLE": _bag_to_tuple,
+    "TOP": _top,
 }
 
 # Aggregate names the GROUP+FOREACH fusion treats as algebraic

@@ -1,9 +1,9 @@
 """Extension operators beyond the reference surface (SURVEY.md §2.11 /
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
-from .dedup import (exact_dedup, minhash_lsh_pairs, minhash_signature,
-                    ngram_jaccard_pairs, shingles, simhash)
-from .similarity import brute_force_topk, cosine, lsh_topk
+from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
+                    minhash_signature, ngram_jaccard_pairs, shingles, simhash)
+from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
 from .text import (bpe_ish_token_count, detect_language, fingerprint,
                    quality_score, tf_idf, token_count, tokens)
 from .multimodal import (attach_binary_meta, decode_images, extract_features,
@@ -11,9 +11,9 @@ from .multimodal import (attach_binary_meta, decode_images, extract_features,
 from .skew import salted_join, skew_histogram
 
 __all__ = [
-    "exact_dedup", "minhash_lsh_pairs", "minhash_signature",
-    "ngram_jaccard_pairs", "shingles", "simhash",
-    "brute_force_topk", "cosine", "lsh_topk",
+    "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
+    "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
+    "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",
     "bpe_ish_token_count", "detect_language", "fingerprint",
     "quality_score", "tf_idf", "token_count", "tokens",
     "attach_binary_meta", "decode_images", "extract_features",

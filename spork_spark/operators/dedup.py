@@ -168,3 +168,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                            F.shiftleft(F.lit(1).cast("long"), b)) \
                      .otherwise(F.lit(0).cast("long"))
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.9,
+                          method: str = "exact",
+                          n_planes: int = 10, bands: int = 6,
+                          seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    cosine(vec_a, vec_b) >= threshold and id_a < id_b.
+
+    method='exact': all-pairs self-join — O(n²) compare but each compare is
+    a codegen'd zip_with/aggregate in double precision; correct at any
+    threshold. This is the oracle-checkable path; use it per-bucket, not
+    globally, at scale.
+
+    method='lsh': signed-random-projection pre-bucketing (the 100 TB path) —
+    pairs are generated only within SRP hash-bucket collisions across
+    `bands` independent tables, then exact-cosine verified. Collision
+    probability for angle θ is (1-θ/π)^n_planes per band; recall rises with
+    bands at linear extra cost. Same output schema; approximate recall.
+    """
+    from .similarity import _hyperplanes, _srp_bucket, cosine as _cos
+
+    base = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    if method == "exact":
+        a = base.select(F.col(id_col).alias("id_a"),
+                        F.col("__v").alias("__va"))
+        b = base.select(F.col(id_col).alias("id_b"),
+                        F.col("__v").alias("__vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        tables = [_hyperplanes(dim, n_planes, seed + 101 * t)
+                  for t in range(bands)]
+        bucketed = base
+        for t, planes in enumerate(tables):
+            bucketed = bucketed.withColumn(
+                f"__b{t}", _srp_bucket(F.col("__v"), planes))
+        cand = None
+        for t in range(bands):
+            left = bucketed.select(F.col(id_col).alias("id_a"),
+                                   F.col("__v").alias("__va"),
+                                   F.col(f"__b{t}").alias("__bk"))
+            right = bucketed.select(F.col(id_col).alias("id_b"),
+                                    F.col("__v").alias("__vb"),
+                                    F.col(f"__b{t}").alias("__bk"))
+            p = left.join(right, on="__bk") \
+                    .filter(F.col("id_a") < F.col("id_b")) \
+                    .select("id_a", "id_b", "__va", "__vb")
+            cand = p if cand is None else cand.unionByName(p)
+        pairs = cand.dropDuplicates(["id_a", "id_b"])
+    return (pairs
+            .withColumn("__cos", _cos(F.col("__va"), F.col("__vb")))
+            .filter(F.col("__cos") >= F.lit(float(threshold)))
+            .select("id_a", "id_b"))

@@ -48,9 +48,11 @@ def attach_binary_meta(df: DataFrame, bin_col: str,
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decoder: derives a stable
-    (width, height) from the payload hash. Replaced by PIL.Image.open
-    when codecs exist."""
-    h = hash(payload) & 0x7FFFFFFF
+    (width, height) from a crc32 of the payload (NOT Python ``hash()``,
+    which is salted per-process and would differ across executors).
+    Replaced by PIL.Image.open when codecs exist."""
+    import zlib
+    h = zlib.crc32(payload) & 0x7FFFFFFF
     return 16 + h % 1024, 16 + (h >> 10) % 1024
 
 

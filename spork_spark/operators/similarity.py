@@ -122,3 +122,55 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .filter(F.col("rank") <= k)
                 .select("query_id", id_col,
                         F.round("score", 6).alias("score"), "rank"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 4,
+             query_id_col: str | None = None,
+             score_round: int = 6) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into `n_centroids` cells; each query scans only its `nprobe`
+    nearest cells.
+
+    The coarse quantizer here is training-free and deterministic — the
+    vectors of the `n_centroids` smallest ids act as seeds (a k-means
+    refinement via applyInPandas would slot in without changing the plan).
+    Cell assignment is a narrow map against the broadcast centroid list
+    (argmax cosine); the probe is an equi-join on cell id, so post-bucketing
+    work scales with |probed cells|, not |corpus|. nprobe = n_centroids
+    degrades gracefully to exact brute force (used by the tests as the
+    equivalence oracle).
+    """
+    qid = query_id_col or id_col
+    cents = [(int(r[0]), [float(x) for x in r[1]])
+             for r in corpus.select(id_col, vec_col)
+                            .orderBy(id_col).limit(n_centroids).collect()]
+
+    def cell_ranking(vec):
+        """Array of cell ids sorted by descending cosine to `vec`."""
+        scored = F.array(*[
+            F.struct(cosine(vec, F.array([F.lit(x) for x in cvec]))
+                      .alias("s"),
+                     F.lit(cid).alias("cell"))
+            for cid, cvec in cents])
+        return F.transform(
+            F.reverse(F.array_sort(scored)), lambda st: st["cell"])
+
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("__cvec"))
+    c = c.withColumn("__cell", cell_ranking(F.col("__cvec"))[0])
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qvec"))
+    q = q.withColumn("__cell",
+                     F.explode(F.slice(cell_ranking(F.col("__qvec")), 1,
+                                       min(nprobe, len(cents)))))
+    scored = (c.join(F.broadcast(q), on="__cell")
+               .filter(F.col(id_col) != F.col("query_id"))
+               .withColumn("score", F.round(
+                   cosine(F.col("__cvec"), F.col("__qvec")), score_round)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", id_col, "score", "rank"))

@@ -187,3 +187,18 @@ def test_diff_and_subtract(eng, spark):
                       data, ddl)) == [1]
     assert sorted(one(eng, spark, fn("DIFF", col("a"), col("b")),
                       data, ddl)) == [1, 4]
+
+
+def test_top_builtin(spark):
+    """TOP(n, fieldIdx, bag) — bag of the n largest-by-field tuples."""
+    from spork_spark import Engine, col, fn, lit
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("a", 2), ("b", 9)], "k string, v int")
+    rel = eng.from_df(df, alias="t")
+    out = (rel.group_by(col("k"))
+              .foreach(col("group").alias("k"),
+                       fn("SUM", fn("TOP", lit(2), lit(1), col("t"))
+                          .get("v")).alias("top2_sum"))
+              .order_by(col("k"))).df().collect()
+    assert [(r.k, r.top2_sum) for r in out] == [("a", 8), ("b", 9)]

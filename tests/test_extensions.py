@@ -161,3 +161,59 @@ def test_sample_frames_fanout(blobs):
         per_id.setdefault(r.item_id, []).append(r.frame_idx)
     assert len(per_id[1]) == 2          # 9006 bytes → 2 frames
     assert per_id[3] == [0]             # tiny payload → 1 frame
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine dedup + IVF similarity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+    rows = []
+    for i in range(20):
+        # 8-d unit-ish vectors on distinct directions; 10/11 nearly parallel
+        base = [math.sin(i * 0.7 + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    rows.append((20, [x * 1.001 + 0.0005 for x in rows[10][1]]))  # near-dup of 10
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_dedup_exact(vecs):
+    from spork_spark.operators import embedding_dedup_pairs
+    pairs = {(r.id_a, r.id_b)
+             for r in embedding_dedup_pairs(
+                 vecs, threshold=0.9999, method="exact").collect()}
+    assert (10, 20) in pairs
+
+
+def test_embedding_dedup_lsh_subset_of_exact(vecs):
+    from spork_spark.operators import embedding_dedup_pairs
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_dedup_pairs(
+                 vecs, threshold=0.99, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in embedding_dedup_pairs(
+               vecs, threshold=0.99, method="lsh",
+               n_planes=6, bands=8).collect()}
+    assert lsh <= exact                     # verification step kills false +
+    assert (10, 20) in lsh                  # parallel vectors always collide
+
+
+def test_ivf_equals_bruteforce_when_probing_all(vecs):
+    from spork_spark.operators import brute_force_topk, ivf_topk
+    q = vecs.filter(F.col("vec_id") < 2)
+    bf = {(r.query_id, r.vec_id, r.rank)
+          for r in brute_force_topk(vecs, q, k=3).collect()}
+    ivf = {(r.query_id, r.vec_id, r.rank)
+           for r in ivf_topk(vecs, q, k=3, n_centroids=4,
+                             nprobe=4).collect()}
+    assert ivf == bf
+
+
+def test_fake_decode_is_process_stable():
+    # decode must not depend on salted hash(): crc32-derived dims
+    import zlib
+    from spork_spark.operators.multimodal import _fake_decode
+    h = zlib.crc32(b"payload") & 0x7FFFFFFF
+    assert _fake_decode(b"payload") == (16 + h % 1024, 16 + (h >> 10) % 1024)
