@@ -772,6 +772,84 @@ def q_multimodal_decode(spark, sf):
     return decode_images(payloads, "payload", "item_id").orderBy("item_id")
 
 
+def q_bloom_join(spark, sf):
+    """BuildBloom/Bloom idiom: bloom-prune lineitem against the suppliers
+    of one nation, then exact semi join — result equals a plain semi join
+    (the oracle), the bloom only cuts the shuffled volume."""
+    from spork_spark.operators import bloom_pruned_semi_join
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df()
+    supp = _t(eng, sf, "supplier").df().filter(F.col("s_nationkey") == 3)
+    out = bloom_pruned_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return (out.groupBy("l_suppkey")
+               .agg(F.count("*").alias("n_items"))
+               .orderBy("l_suppkey"))
+
+
+def q_map_funcs(spark, sf):
+    """Map type surface: TOMAP construction, m#'key' lookup, SIZE(map)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    m = fn("TOMAP", lit("status"), col("o_orderstatus"),
+           lit("prio"), col("o_orderpriority"))
+    return (orders.foreach(col("o_orderkey").alias("o_orderkey"),
+                           m.lookup("status").alias("status"),
+                           m.lookup("prio").alias("prio"),
+                           fn("SIZE", m).alias("map_size"))
+                  .order_by(col("o_orderkey"))).df()
+
+
+def q_diff_bags(spark, sf):
+    """Bag DIFF/SUBTRACT builtins: per customer, orderkey bags for two
+    predicates; counts survive any bag ordering (orderkeys are unique, so
+    the set-algebra oracle is exact)."""
+    from spork_spark import lam
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    g = orders.group_by(col("o_custkey"))
+    big = fn("FILTER_BAG", col("orders"),
+             lam(lambda t: t.get("o_totalprice") > 100000.0))
+    fstat = fn("FILTER_BAG", col("orders"),
+               lam(lambda t: t.get("o_orderstatus") == lit("F")))
+    big_keys = big.get("o_orderkey")
+    f_keys = fstat.get("o_orderkey")
+    return (g.foreach(col("group").alias("custkey"),
+                      fn("SIZE", fn("SUBTRACT", big_keys, f_keys))
+                      .alias("n_big_not_f"),
+                      fn("SIZE", fn("DIFF", big_keys, f_keys))
+                      .alias("n_sym_diff"))
+             .order_by(col("custkey"))).df()
+
+
+def q_udf_python(spark, sf):
+    """REGISTER'd Python UDF (EvalFunc surface, SURVEY.md §2.10): scalar
+    row-at-a-time function over nation names — deterministic, so the
+    oracle is plain SQL."""
+    eng = _eng(spark)
+    eng.register_udf("REV_UP", lambda s: s[::-1].upper() if s else None,
+                     returns="string")
+    nation = eng.load(f"{sf}/nation.parquet", alias="nation")
+    return (nation.foreach(col("n_nationkey").alias("n_nationkey"),
+                           fn("REV_UP", col("n_name")).alias("rev_name"))
+                  .order_by(col("n_nationkey"))).df()
+
+
+def q_events_sliding(spark, sf):
+    """Sliding windows in batch (6-hour window, 3-hour slide): every event
+    lands in 2 windows — Spark's window() duplication, oracled as the
+    union of two shifted tumbling bucketings."""
+    ev = _eng(spark)
+    ev = _t(ev, sf, "events").df()
+    win = (ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"),
+                      F.col("event_type"))
+             .agg(F.count("*").alias("cnt")))
+    return (win.select(F.col("event_type"),
+                       F.unix_timestamp(F.col("w.start").cast("timestamp"))
+                        .alias("win_start"),
+                       "cnt")
+               .orderBy("event_type", "win_start"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -831,6 +909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "bloom_join": q_bloom_join,
+        "map_funcs": q_map_funcs,
+        "diff_bags": q_diff_bags,
+        "udf_python": q_udf_python,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -1253,5 +1336,48 @@ def oracle_sql() -> dict[str, str]:
                              ELSE octet_length(encode(text)) END
                         AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        "bloom_join": """
+            SELECT l_suppkey, COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                WHERE s_nationkey = 3)
+            GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "map_funcs": """
+            SELECT o_orderkey, o_orderstatus AS status,
+                   o_orderpriority AS prio,
+                   CAST(2 AS BIGINT) AS map_size
+            FROM orders ORDER BY o_orderkey
+        """,
+        "diff_bags": """
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CASE WHEN o_totalprice > 100000.0
+                                  AND o_orderstatus <> 'F'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_big_not_f,
+                   CAST(SUM(CASE WHEN (o_totalprice > 100000.0)
+                                  <> (o_orderstatus = 'F')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sym_diff
+            FROM orders GROUP BY o_custkey ORDER BY custkey
+        """,
+        "udf_python": """
+            SELECT n_nationkey, UPPER(reverse(n_name)) AS rev_name
+            FROM nation ORDER BY n_nationkey
+        """,
+        "events_sliding": """
+            SELECT event_type, win_start, COUNT(*) AS cnt FROM (
+              SELECT event_type,
+                     (CAST(trunc(epoch(ts)) AS BIGINT) // 21600) * 21600
+                         AS win_start
+              FROM events
+              UNION ALL
+              SELECT event_type,
+                     ((CAST(trunc(epoch(ts)) AS BIGINT) - 10800) // 21600)
+                         * 21600 + 10800 AS win_start
+              FROM events) t
+            GROUP BY event_type, win_start
+            ORDER BY event_type, win_start
         """,
     }

@@ -9,6 +9,7 @@ from .text import (bpe_ish_token_count, detect_language, fingerprint,
 from .multimodal import (attach_binary_meta, decode_images, extract_features,
                          sample_frames)
 from .skew import salted_join, skew_histogram
+from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 
 __all__ = [
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
@@ -19,4 +20,5 @@ __all__ = [
     "attach_binary_meta", "decode_images", "extract_features",
     "sample_frames",
     "salted_join", "skew_histogram",
+    "bloom_filter", "bloom_pruned_semi_join", "build_bloom",
 ]

@@ -217,3 +217,16 @@ def test_fake_decode_is_process_stable():
     from spork_spark.operators.multimodal import _fake_decode
     h = zlib.crc32(b"payload") & 0x7FFFFFFF
     assert _fake_decode(b"payload") == (16 + h % 1024, 16 + (h >> 10) % 1024)
+
+
+def test_bloom_no_false_negatives_and_exact_after_join(spark):
+    from spork_spark.operators import (bloom_filter, bloom_pruned_semi_join,
+                                       build_bloom)
+    big = spark.createDataFrame([(i,) for i in range(1000)], "k bigint")
+    small = spark.createDataFrame([(i * 97,) for i in range(10)], "j bigint")
+    bits = build_bloom(small, "j", n_bits=256, n_hashes=3)
+    pruned = {r.k for r in bloom_filter(big, bits, "k", 256, 3).collect()}
+    assert {i * 97 for i in range(10) if i * 97 < 1000} <= pruned  # no FN
+    exact = {r.k for r in
+             bloom_pruned_semi_join(big, small, "k", "j", 256, 3).collect()}
+    assert exact == {i * 97 for i in range(10) if i * 97 < 1000}   # exact
