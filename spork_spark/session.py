@@ -36,7 +36,12 @@ _SCALE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Spark's default 10 MB: big enough that true dimension tables
+    # (region/nation/supplier) broadcast, small enough that a fact table
+    # never does — at sf0.1 a 64 MB threshold made Spark broadcast the
+    # 600k-row lineitem, which inverts at scale. Pig 'replicated' joins
+    # get an explicit broadcast() hint regardless of this threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local[32] default; a real deployment sizes this to cluster cores and
     # lets AQE coalesce down.
