@@ -850,6 +850,64 @@ def q_events_sliding(spark, sf):
                .orderBy("event_type", "win_start"))
 
 
+def q_join_merge(spark, sf):
+    """JOIN USING 'merge' → sort-merge join hint (POMergeJoin; semantics
+    identical to inner join, SURVEY.md §2.1 #13)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    orders = _t(eng, sf, "orders")
+    j = li.join([col("l_orderkey")], orders, [col("o_orderkey")],
+                strategy="merge")
+    g = j.group_by(col("o_orderpriority"))
+    return (g.foreach(col("group").alias("o_orderpriority"),
+                      fn("SUM", col(j.alias).get("l_quantity")).alias("sum_qty"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by(col("o_orderpriority"))).df()
+
+
+def q_join_skewed(spark, sf):
+    """JOIN USING 'skewed' → AQE skew-join handles hot keys at runtime
+    (replaces SkewedPartitioner/PoissonSampleLoader, SURVEY.md §2.1 #12);
+    semantics identical to inner join."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    orders = _t(eng, sf, "orders")
+    j = li.join([col("l_orderkey")], orders, [col("o_orderkey")],
+                strategy="skewed")
+    g = j.group_by(col("o_orderstatus"))
+    return (g.foreach(col("group").alias("o_orderstatus"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by(col("o_orderstatus"))).df()
+
+
+def q_pluck(spark, sf):
+    """PluckTuple(prefix): prefix-based column projection
+    (pig:src/org/apache/pig/builtin/PluckTuple.java)."""
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    return cust.pluck("c_n").order_by(col("c_name")).df()
+
+
+def q_pigstorage_roundtrip(spark, sf):
+    """PigStorage (tab-delimited text) STORE + LOAD round trip: write the
+    nation table as TSV, read it back with an AS-schema, return it — the
+    oracle reads the same rows straight from parquet, so the equality
+    check proves the text codec preserves values (SURVEY.md §2.7)."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation").df().select(
+        "n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spork_pigstorage_{abs(hash(sf)) % 10**8}")
+    write(nation, path, fmt="pigstorage")
+    out = read(spark, path, fmt="pigstorage",
+               schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    return out.orderBy("n_nationkey")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -914,6 +972,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_bags": q_diff_bags,
         "udf_python": q_udf_python,
         "events_sliding": q_events_sliding,
+        "join_merge": q_join_merge,
+        "join_skewed": q_join_skewed,
+        "pluck": q_pluck,
+        "pigstorage_roundtrip": q_pigstorage_roundtrip,
     }
 
 
@@ -1379,5 +1441,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events) t
             GROUP BY event_type, win_start
             ORDER BY event_type, win_start
+        """,
+        "join_merge": """
+            SELECT o_orderpriority, SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "join_skewed": """
+            SELECT o_orderstatus, COUNT(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "pluck": """
+            SELECT c_name, c_nationkey FROM customer ORDER BY c_name
+        """,
+        "pigstorage_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey
         """,
     }

@@ -91,6 +91,11 @@ class PlanCompiler:
     def _c_limit(self, node: L.Limit) -> DataFrame:
         return self._compile(node.child).limit(node.n)
 
+    def _c_pluck(self, node: L.Pluck) -> DataFrame:
+        df = self._compile(node.child)
+        keep = [c for c in df.columns if c.startswith(node.prefix)]
+        return df.select(*keep)
+
     def _c_distinct(self, node: L.Distinct) -> DataFrame:
         df = self._compile(node.child).distinct()
         if node.parallel:

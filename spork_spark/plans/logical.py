@@ -186,6 +186,16 @@ class Sample(LogicalOp):
 
 
 @dataclass(eq=False)
+class Pluck(LogicalOp):
+    """PluckTuple(prefix) — keep only columns whose name starts with prefix
+    (pig:src/org/apache/pig/builtin/PluckTuple.java; used after joins to
+    select one input's columns). Column pruning stays visible to Catalyst:
+    compiles to a plain select, so the pruned set reaches the scan."""
+    child: LogicalOp
+    prefix: str
+
+
+@dataclass(eq=False)
 class StreamThrough(LogicalOp):
     """STREAM rel THROUGH 'cmd' AS schema — pipe rows through an external
     executable, tab-delimited stdin/stdout (POStream/ExecutableManager)."""

@@ -131,6 +131,10 @@ class Relation:
     def limit(self, n: int) -> "Relation":
         return self._wrap(L.Limit(self.node, n))
 
+    def pluck(self, prefix: str) -> "Relation":
+        """PluckTuple(prefix): keep columns whose name starts with prefix."""
+        return self._wrap(L.Pluck(self.node, prefix))
+
     def distinct(self, parallel: int | None = None) -> "Relation":
         return self._wrap(L.Distinct(self.node, parallel))
 

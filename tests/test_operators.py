@@ -96,6 +96,14 @@ def test_limit(eng, students):
     assert len(rows(eng.from_df(students).limit(3))) == 3
 
 
+def test_pluck_prefix_projection(eng, spark):
+    df = spark.createDataFrame([(1, "x", 2.0)],
+                               "a_id int, a_name string, b_val double")
+    out = eng.from_df(df).pluck("a_")
+    assert out.df().columns == ["a_id", "a_name"]
+    assert rows(out) == [(1, "x")]
+
+
 def test_split_routes_and_otherwise(eng, spark):
     df = spark.createDataFrame([(1,), (5,), (None,)], "a int")
     big, small, rest = eng.from_df(df).split(col("a") > 3, col("a") <= 3,
