@@ -73,6 +73,46 @@ def sessionize(df: DataFrame, ts_col: str, gap: str,
                       *(keys or []), *aggs.keys())
 
 
+def stateful_running_agg(df: DataFrame, key_cols: list[str], value_col: str,
+                         state_timeout: str | None = None) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    count + sum maintained in explicit GroupState across micro-batches,
+    emitting the updated totals each batch.
+
+    This is the arbitrary-stateful-logic escape hatch the built-in windowed
+    aggregations can't express (e.g. CEP-ish accumulators, decaying
+    counters). State is per-key and Arrow-batched; at scale the state store
+    is partitioned by the grouping key, so memory is bounded by
+    (#distinct keys in state) / #partitions per executor — pair with a
+    timeout to bound unbounded key domains.
+
+    Streaming-only API; batch parity oracle is groupBy(key).agg(count,sum)
+    after all input is processed (see tests).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                            for c in key_cols)
+                  + ", running_cnt bigint, running_sum double")
+
+    def fn(key, pdf_iter, state):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((cnt, total))
+        import pandas as pd
+        yield pd.DataFrame([[*key, cnt, total]],
+                           columns=[*key_cols, "running_cnt", "running_sum"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout
+               else GroupStateTimeout.NoTimeout)
+    return (df.groupBy(*key_cols)
+              .applyInPandasWithState(fn, out_schema,
+                                      "running_cnt bigint, running_sum double",
+                                      "update", timeout))
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str,
                   output_mode: str = "complete") -> "StreamingQuery":
     """Execute a streaming aggregation into the in-memory sink with the

@@ -89,3 +89,28 @@ def test_streaming_session_window(spark, tmp_path):
     q = run_to_memory(agg, "session_test", output_mode="complete")
     got = spark.sql("SELECT * FROM session_test").collect()
     assert len(got) == 2                    # two sessions survive streaming
+
+
+def test_stateful_running_agg(spark, events, tmp_path):
+    """applyInPandasWithState custom operator: after availableNow drains
+    all input, the per-key running totals equal the batch groupBy."""
+    from spork_spark.streaming import stateful_running_agg
+
+    path = str(tmp_path / "stateful_in")
+    events.write.mode("overwrite").parquet(path)
+    stream = read_stream(spark, path, SCHEMA)
+    agg = stateful_running_agg(stream, ["user_id"], "value")
+    assert agg.isStreaming
+    q = run_to_memory(agg, "stateful_test", output_mode="update")
+    # update mode may emit once per key per batch; the LAST row per key is
+    # the final running total.
+    got = spark.sql("""
+        SELECT user_id, running_cnt, running_sum FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY running_cnt DESC) rn
+          FROM stateful_test) WHERE rn = 1""").collect()
+    expected = {r.user_id: (r.cnt, r.total) for r in
+                events.groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum("value").alias("total")).collect()}
+    assert {r.user_id: (r.running_cnt, r.running_sum) for r in got} == expected
