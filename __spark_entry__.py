@@ -908,6 +908,25 @@ def q_pigstorage_roundtrip(spark, sf):
     return out.orderBy("n_nationkey")
 
 
+def q_corpus_pipeline(spark, sf):
+    """End-to-end training-data pipeline over `documents`: length filter →
+    deterministic exact dedup (keep min doc_id per text) → per-(lang,
+    source) corpus stats with whitespace token counts. Every stage is a
+    native DataFrame op (filter pushdown → hash-agg dedup → fused
+    aggregation), the composition a 100 TB curation job runs."""
+    from spork_spark.operators import exact_dedup
+    from spork_spark.operators.text import token_count
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    filtered = docs.filter(F.length("text") >= 50)
+    deduped = exact_dedup(filtered, ["text"], keep="min", tiebreak="doc_id")
+    return (deduped.groupBy("lang", "source")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum(token_count("text")).alias("total_tokens"),
+                        F.sum(F.length("text")).alias("total_chars"))
+                   .orderBy("lang", "source"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -976,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skewed": q_join_skewed,
         "pluck": q_pluck,
         "pigstorage_roundtrip": q_pigstorage_roundtrip,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1459,5 +1479,17 @@ def oracle_sql() -> dict[str, str]:
         "pigstorage_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey
             FROM nation ORDER BY n_nationkey
+        """,
+        "corpus_pipeline": r"""
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        t -> t != ''))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY text
+                                                 ORDER BY doc_id) AS rn
+                    FROM documents WHERE length(text) >= 50) WHERE rn = 1)
+            GROUP BY lang, source ORDER BY lang, source
         """,
     }
