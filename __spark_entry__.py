@@ -927,6 +927,20 @@ def q_corpus_pipeline(spark, sf):
                    .orderBy("lang", "source"))
 
 
+def q_multimodal_frames(spark, sf):
+    """Video-style frame sampling (1→N mapInPandas fan-out): per-item frame
+    counts from the deterministic fake kernel — the oracle recomputes
+    ceil(max(bytes//4096,1)/every_n) from the payload length."""
+    from spork_spark.operators import sample_frames
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    frames = sample_frames(_doc_payloads(docs), "payload", "doc_id",
+                           every_n=2)
+    return (frames.groupBy(F.col("item_id"))
+                  .agg(F.count("*").alias("n_frames"))
+                  .orderBy("item_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -996,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pluck": q_pluck,
         "pigstorage_roundtrip": q_pigstorage_roundtrip,
         "corpus_pipeline": q_corpus_pipeline,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1491,5 +1506,12 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY doc_id) AS rn
                     FROM documents WHERE length(text) >= 50) WHERE rn = 1)
             GROUP BY lang, source ORDER BY lang, source
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS item_id,
+                   CAST(CEIL(GREATEST((strlen(text) +
+                          CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END) // 4096,
+                          1) / 2.0) AS BIGINT) AS n_frames
+            FROM documents ORDER BY item_id
         """,
     }
