@@ -514,12 +514,15 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by lang."""
+    """Exact 3-gram Jaccard near-dup pairs, blocked by (lang, source) —
+    blocking keys bound the quadratic self-join (SCALE.md); the
+    sub-quadratic path at corpus scale is minhash LSH."""
     from spork_spark.operators import ngram_jaccard_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35,
-                               block_col="lang").orderBy("id_a", "id_b")
+                               block_col=["lang", "source"]) \
+        .orderBy("id_a", "id_b")
 
 
 def q_similarity_bruteforce(spark, sf):
@@ -1275,7 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": """
             WITH sh AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, source,
                      list_distinct([substring(text, i, 3)
                                     for i in generate_series(
                                         1, greatest(length(text) - 2, 1))]) AS s
@@ -1285,7 +1288,8 @@ def oracle_sql() -> dict[str, str]:
                          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                          len(list_distinct(list_concat(a.s, b.s))) AS jac
                   FROM sh a JOIN sh b
-                    ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+                    ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id) t
             WHERE jac >= 0.35
             ORDER BY id_a, id_b
         """,

