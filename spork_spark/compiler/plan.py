@@ -478,7 +478,7 @@ class PlanCompiler:
     def _c_rank(self, node: L.Rank) -> DataFrame:
         df = self._compile(node.child)
         if not node.keys:
-            return self._scalable_row_number(df, "rank")
+            return self._scalable_row_number(df, node.name)
         return self._scalable_rank_by(df, node)
 
     def _scalable_rank_by(self, df: DataFrame, node: L.Rank) -> DataFrame:
@@ -542,7 +542,7 @@ class PlanCompiler:
             cond = c if cond is None else cond & c
         joined = df.join(F.broadcast(ranked_keys) if len(parts) <= 1
                          else ranked_keys, on=cond)
-        return joined.select(out_rank.alias("rank"), *df.columns)
+        return joined.select(out_rank.alias(node.name), *df.columns)
 
     def _scalable_row_number(self, df: DataFrame, out_name: str) -> DataFrame:
         """Reference design (POCounter/PORank, SURVEY.md §2.1 #18): pass 1

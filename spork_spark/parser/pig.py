@@ -421,13 +421,15 @@ class PigParser:
         return src.order_by(*keys, parallel=self._parallel())
 
     def op_rank(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src_name = self.expect("ident").text
+        src = self.rel(src_name)
         keys, dense = [], False
         if self.accept("kw", "by"):
             keys = self._sort_keys(stop_kws=("dense",))
             if self.accept("kw", "dense"):
                 dense = True
-        return src.rank(*keys, dense=dense)
+        # Pig names the rank field rank_<operand alias> (LORank schema rule)
+        return src.rank(*keys, dense=dense, name=f"rank_{src_name}")
 
     def op_union(self) -> Relation:
         onschema = bool(self.accept("kw", "onschema"))

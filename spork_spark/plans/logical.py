@@ -147,6 +147,7 @@ class Rank(LogicalOp):
     child: LogicalOp
     keys: list[tuple[Expr, bool]] = field(default_factory=list)
     dense: bool = False
+    name: str = "rank"              # Pig names the column rank_<alias>
 
 
 @dataclass(eq=False)

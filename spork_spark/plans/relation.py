@@ -124,9 +124,12 @@ class Relation:
         norm = [(k, True) if isinstance(k, Expr) else k for k in keys]
         return self._wrap(L.Sort(self.node, norm, parallel))
 
-    def rank(self, *keys, dense: bool = False) -> "Relation":
+    def rank(self, *keys, dense: bool = False,
+             name: str | None = None) -> "Relation":
+        """RANK: builder default column name is "rank"; the Pig parser
+        passes name="rank_<alias>" (Pig's naming rule for RANK output)."""
         norm = [(k, True) if isinstance(k, Expr) else k for k in keys]
-        return self._wrap(L.Rank(self.node, norm, dense))
+        return self._wrap(L.Rank(self.node, norm, dense, name or "rank"))
 
     def limit(self, n: int) -> "Relation":
         return self._wrap(L.Limit(self.node, n))

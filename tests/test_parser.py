@@ -131,8 +131,9 @@ def test_rank_and_sample_and_cross(eng):
         sm = SAMPLE n 0.5;
     """)
     assert rels["x"].df().count() == 125
-    first = rels["rk"].df().orderBy("rank").first()
-    assert first["rank"] == 1
+    # Pig's LORank schema rule: the field is rank_<operand alias>
+    first = rels["rk"].df().orderBy("rank_n").first()
+    assert first["rank_n"] == 1
     assert 0 <= rels["sm"].df().count() <= 25
 
 
