@@ -96,6 +96,9 @@ class PlanCompiler:
         keep = [c for c in df.columns if c.startswith(node.prefix)]
         return df.select(*keep)
 
+    def _c_transform(self, node: L.Transform) -> DataFrame:
+        return node.fn(self._compile(node.child))
+
     def _c_distinct(self, node: L.Distinct) -> DataFrame:
         df = self._compile(node.child).distinct()
         if node.parallel:

@@ -197,6 +197,15 @@ class Pluck(LogicalOp):
 
 
 @dataclass(eq=False)
+class Transform(LogicalOp):
+    """A DataFrame→DataFrame closure node (internal): used where a plan
+    fragment is most naturally expressed directly (e.g. the as_scalar
+    1-row guard). The closure must be pure and lazy."""
+    child: LogicalOp
+    fn: Any
+
+
+@dataclass(eq=False)
 class StreamThrough(LogicalOp):
     """STREAM rel THROUGH 'cmd' AS schema — pipe rows through an external
     executable, tab-delimited stdin/stdout (POStream/ExecutableManager)."""

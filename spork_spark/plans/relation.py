@@ -138,6 +138,26 @@ class Relation:
         """PluckTuple(prefix): keep columns whose name starts with prefix."""
         return self._wrap(L.Pluck(self.node, prefix))
 
+    def as_scalar(self, column: str) -> "Relation":
+        """Scalar-of-relation guard (pig:src/org/apache/pig/impl/builtin/
+        ReadScalars.java): a 1-row, 1-column relation to cross onto another
+        relation. Pig's runtime contract: >1 row is a job-time error;
+        0 rows yields a null scalar. The guard is inside the plan
+        (raise_error branch), so it costs one aggregate, not an eager
+        count, and the 1-row result broadcasts in the subsequent cross."""
+        from pyspark.sql import functions as F
+
+        def _guard(df: DataFrame) -> DataFrame:
+            agg = df.agg(F.first(column).alias(column),
+                         F.count(F.lit(1)).alias("__n"))
+            return agg.select(
+                F.when(F.col("__n") <= 1, F.col(column))
+                 .otherwise(F.raise_error(F.lit(
+                     f"scalar has more than one row in the output "
+                     f"(relation {self.alias!r}, column {column!r})")))
+                 .alias(column))
+        return self._wrap(L.Transform(self.node, _guard))
+
     def distinct(self, parallel: int | None = None) -> "Relation":
         return self._wrap(L.Distinct(self.node, parallel))
 

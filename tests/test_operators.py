@@ -199,3 +199,26 @@ def test_stream_through(eng, spark):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, n int")
     out = eng.from_df(df).stream_through("cat", schema="s string, n int")
     assert sorted_rows(out) == [("a", 1), ("b", 2)]
+
+
+def test_scalar_of_relation_guard(eng, spark):
+    """ReadScalars contract: 1 row OK, 0 rows -> null, >1 rows -> error."""
+    import pyspark.sql.utils
+    import pytest as _pytest
+    from spork_spark import col
+
+    base = eng.from_df(spark.createDataFrame([(1,)], "x int"), alias="base")
+    one = eng.from_df(spark.createDataFrame([(10,)], "v int"), alias="one")
+    r = base.cross(one.as_scalar("v")).foreach(
+        (col("x") + col("v")).alias("y"))
+    assert rows(r) == [(11,)]
+
+    empty = eng.from_df(
+        spark.createDataFrame([], "v int"), alias="empty")
+    r0 = base.cross(empty.as_scalar("v")).foreach(col("v").alias("v"))
+    assert rows(r0) == [(None,)]
+
+    two = eng.from_df(spark.createDataFrame([(10,), (20,)], "v int"),
+                      alias="two")
+    with _pytest.raises(Exception, match="more than one row"):
+        base.cross(two.as_scalar("v")).df().collect()
