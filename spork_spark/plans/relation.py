@@ -223,6 +223,23 @@ class Relation:
         self.engine._compiler.note_consumers(node)   # multi-store → persist
         self.engine.compile(node)
 
+    def store_bucketed(self, table: str, n_buckets: int, bucket_cols: list[str],
+                       sort_cols: list[str] | None = None,
+                       fmt: str = "parquet", mode: str = "overwrite") -> None:
+        """Bucketed STORE (the scale path for repeated co-located joins,
+        SCALE.md): write as a bucketed+sorted table so later equi-joins on
+        the bucket key elide BOTH the exchange and the sort — Spark's
+        equivalent of the reference's pre-sorted 'merge' join inputs
+        (POMergeJoin/DefaultIndexableLoader). Bucketing requires the table
+        catalog (saveAsTable), not a bare path — Spark's bucketing metadata
+        lives in the metastore."""
+        df = self.engine.compile(self.node)
+        w = (df.write.format(fmt).mode(mode)
+               .bucketBy(n_buckets, *bucket_cols))
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+
     # -- internals -------------------------------------------------------------
     def _wrap(self, node: L.LogicalOp) -> "Relation":
         return self.engine._rel(node)

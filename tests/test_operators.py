@@ -222,3 +222,23 @@ def test_scalar_of_relation_guard(eng, spark):
                       alias="two")
     with _pytest.raises(Exception, match="more than one row"):
         base.cross(two.as_scalar("v")).df().collect()
+
+
+def test_bucketed_store_elides_join_exchange(eng, spark, tmp_path):
+    """store_bucketed + join on the bucket key: no shuffle Exchange on
+    either side of the SortMergeJoin (the 'merge' join pre-sorted-input
+    case, SCALE.md)."""
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)],
+                              "k int, va string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100)],
+                              "k int, vb string")
+    eng.from_df(a).store_bucketed("t_buck_a", 4, ["k"], sort_cols=["k"])
+    eng.from_df(b).store_bucketed("t_buck_b", 4, ["k"], sort_cols=["k"])
+    ta, tb = spark.table("t_buck_a"), spark.table("t_buck_b")
+    joined = ta.join(tb.hint("merge"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 100
+    spark.sql("DROP TABLE IF EXISTS t_buck_a")
+    spark.sql("DROP TABLE IF EXISTS t_buck_b")
