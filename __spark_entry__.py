@@ -944,6 +944,22 @@ def q_multimodal_frames(spark, sf):
                   .orderBy("item_id"))
 
 
+def q_multimodal_features(spark, sf):
+    """Multimodal feature pipeline: binary payloads → fake-kernel feature
+    vectors (mapInPandas, Arrow-batched) → brute-force cosine top-3 of the
+    first 5 items against the corpus — the decode→embed→ANN composition a
+    multimodal training pipeline runs. Deterministic kernel; rows-only
+    check (float32 kernel arithmetic is not SQL-reproducible)."""
+    from spork_spark.operators import brute_force_topk, extract_features
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    feats = extract_features(_doc_payloads(docs), "payload", "doc_id")
+    queries_df = feats.filter(F.col("item_id") < 5)
+    return (brute_force_topk(feats, queries_df, k=3, id_col="item_id",
+                             vec_col="embedding")
+            .orderBy("query_id", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1014,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pigstorage_roundtrip": q_pigstorage_roundtrip,
         "corpus_pipeline": q_corpus_pipeline,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
     }
 
 
