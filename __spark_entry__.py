@@ -556,7 +556,8 @@ def q_text_quality(spark, sf):
 
 
 def q_lang_id(spark, sf):
-    """Stopword-vote language ID (heuristic, engine-side — rows-only)."""
+    """Stopword-vote language ID; oracle replicates the argmax +
+    lexicographic tiebreak with DuckDB struct sorting."""
     from spork_spark.operators import detect_language
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
@@ -1345,6 +1346,37 @@ def oracle_sql() -> dict[str, str]:
                          lower(x)))) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0),
                          4) AS stopword_ratio
             FROM t ORDER BY doc_id
+        """,
+        "lang_id": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_transform(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t != ''), t -> lower(t)) AS tk
+              FROM documents),
+            scored AS (
+              SELECT doc_id, lang, list_sort([
+                {'score': len(list_filter(tk, t -> list_contains(
+                    ['the','and','of','to','is','in','that','it','with'], t))),
+                 'lang': 'en'},
+                {'score': len(list_filter(tk, t -> list_contains(
+                    ['el','la','de','que','y','los','las','una','por'], t))),
+                 'lang': 'es'},
+                {'score': len(list_filter(tk, t -> list_contains(
+                    ['der','die','das','und','ist','nicht','mit','ein','zu'], t))),
+                 'lang': 'de'},
+                {'score': len(list_filter(tk, t -> list_contains(
+                    ['le','la','les','de','et','est','une','dans','que'], t))),
+                 'lang': 'fr'},
+                {'score': len(list_filter(tk, t -> list_contains(
+                    ['的','是','了','在','和','有','我','不','这'], t))),
+                 'lang': 'zh'}
+              ]) AS ss
+              FROM toks)
+            SELECT doc_id, lang,
+                   CASE WHEN ss[-1].score > 0 THEN ss[-1].lang
+                        ELSE 'und' END AS lang_pred
+            FROM scored ORDER BY doc_id
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS content_fp
