@@ -493,17 +493,30 @@ class PigParser:
             how = self.next().text
             self.accept("kw", "outer")
         self.expect("op", ",")
-        right = self.rel(self.expect("ident").text)
-        self.expect("kw", "by")
-        rkeys = self._key_list()
+        others = []                      # n-way: JOIN a BY k, b BY k, c BY k
+        while True:
+            r = self.rel(self.expect("ident").text)
+            self.expect("kw", "by")
+            others.append((r, self._key_list()))
+            if not self.accept("op", ","):
+                break
         strategy = "default"
         if self.accept("kw", "using"):
             strategy = self._string().strip("'")
             strategy = {"replicated": "replicated", "repl": "replicated",
                         "skewed": "skewed", "merge": "merge",
                         "merge-sparse": "merge"}.get(strategy, "default")
-        return left.join(lkeys, right, rkeys, how=how, strategy=strategy,
-                         parallel=self._parallel())
+        parallel = self._parallel()
+        out = left
+        keys = lkeys
+        for i, (r, rkeys) in enumerate(others):
+            last = i == len(others) - 1
+            # outer is 2-way only in Pig; extra inputs chain as inner
+            out = out.join(keys, r, rkeys, how=how, strategy=strategy,
+                           parallel=parallel if last else None)
+            how = "inner"
+            keys = rkeys
+        return out
 
     def op_stream(self) -> Relation:
         src = self.rel(self.expect("ident").text)
