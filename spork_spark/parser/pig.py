@@ -460,12 +460,20 @@ class PigParser:
             self.expect("op", ")")
             return src.cube(*dims) if mode == "cube" else src.rollup(*dims)
         keys = self._key_list()
+        # per-input INNER/OUTER flag (COGROUP a BY k INNER, …): INNER drops
+        # groups where that input's bag is empty (SURVEY.md §2.1 #8)
+        inner = [bool(self.accept("kw", "inner"))]
+        if not inner[0]:
+            self.accept("kw", "outer")
         # additional COGROUP-style inputs
         others = []
         while self.accept("op", ","):
             r2 = self.rel(self.expect("ident").text)
             self.expect("kw", "by")
             others.append((r2, self._key_list()))
+            inner.append(bool(self.accept("kw", "inner")))
+            if not inner[-1]:
+                self.accept("kw", "outer")
         # USING 'collected' (map-side group when loader guarantees
         # collocation) is a perf-only variant → plain groupBy; PARTITION BY
         # custom partitioner classes are accepted and ignored (Catalyst
@@ -478,7 +486,7 @@ class PigParser:
             self.expect("kw", "by")
             self.next()                      # partitioner class name
         if others:
-            return src.cogroup(keys, *others)
+            return src.cogroup(keys, *others, inner=inner)
         return src.group_by(*keys, parallel=self._parallel())
 
     op_cogroup = op_group

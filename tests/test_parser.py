@@ -180,3 +180,16 @@ def test_cogroup_script(eng):
     out = rows(rels["sz"])
     assert len(out) == 25
     assert all(len(r) == 3 for r in out)
+
+
+def test_cogroup_inner_flag(eng):
+    """COGROUP a BY k INNER, b BY k: groups where a's bag is empty drop."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        nf = FILTER n BY n_regionkey <= 2;
+        r = LOAD '{SF}/region.parquet';
+        cg = COGROUP nf BY n_regionkey INNER, r BY r_regionkey;
+        cg2 = COGROUP nf BY n_regionkey, r BY r_regionkey;
+    """)
+    assert rels["cg"].df().count() == 3      # regions 3,4 have empty nf bags
+    assert rels["cg2"].df().count() == 5     # OUTER default keeps all groups
