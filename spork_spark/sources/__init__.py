@@ -82,11 +82,17 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         options.setdefault("sep", "\t")       # PigStorage default delimiter
         options.setdefault("header", "false")
-    if schema is not None:
+    # Pig's AS-schema is POSITIONAL (LOAD 'f' AS (a:int, b) names fields by
+    # position). For self-describing formats Spark's .schema() would match
+    # by NAME (yielding all-null columns under different names) — so load
+    # the file's own schema and apply AS as a positional rename + try_cast
+    # (cast failure → null, POCast semantics).
+    positional_as = schema is not None and fmt in ("parquet", "orc", "avro")
+    if schema is not None and not positional_as:
         reader = reader.schema(schema)
 
-    nano_cols = _nano_ts_fields(path) if fmt == "parquet" and schema is None \
-        else []
+    nano_cols = _nano_ts_fields(path) if fmt == "parquet" and \
+        (schema is None or positional_as) else []
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = reader.options(**options).format(fmt).load(path)
@@ -97,6 +103,17 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     .cast("timestamp_ntz"))
+    if positional_as:
+        from pyspark.sql import types as T
+        target = schema if isinstance(schema, T.StructType) \
+            else T.StructType.fromDDL(schema)
+        if len(target.fields) > len(df.columns):
+            raise ValueError(
+                f"AS schema has {len(target.fields)} fields but "
+                f"{path} has {len(df.columns)} columns")
+        df = df.select(*[
+            F.col(df.columns[i]).try_cast(f.dataType).alias(f.name)
+            for i, f in enumerate(target.fields)])
     _load_cache[key] = df
     return df
 

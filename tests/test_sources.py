@@ -89,3 +89,21 @@ def test_avro_or_orc_if_available(eng, spark, tmp_path):
         pytest.skip("spark-avro package not bundled in this environment")
     back = eng.load(str(tmp_path / "avro_out"), fmt="avro")
     assert rows(back) == [(1, "x")]
+
+
+def test_load_as_schema_is_positional(eng):
+    """Pig's AS-schema names fields by POSITION; for self-describing
+    formats Spark's name-matching .schema() would null everything out —
+    the reader applies a positional rename + try_cast instead."""
+    import pytest
+    from spork_spark import col
+
+    sf = "/root/testdata/sf0.001"
+    n = eng.load(f"{sf}/nation.parquet",
+                 schema="nk int, nm string, rk int")
+    df = n.filter(col("nk") > 10).df()
+    assert df.columns == ["nk", "nm", "rk"]
+    assert df.count() == 14
+    with pytest.raises(Exception, match="AS schema has"):
+        eng.load(f"{sf}/nation.parquet",
+                 schema="a int, b string, c int, d string").df()
