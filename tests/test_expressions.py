@@ -107,3 +107,15 @@ def test_tuple_deref(eng, spark):
     df = spark.createDataFrame([((1, "a"),)], "t struct<x:int,y:string>")
     assert rows(eng.from_df(df).foreach(col("t").get("y").alias("y"))) \
         == [("a",)]
+
+
+def test_division_by_zero_null_all_types(eng, spark):
+    """x/0 -> null for int AND double (SQL semantics, matches the DuckDB
+    oracle; divergence from Java-Pig's double Infinity is documented)."""
+    from spork_spark import col
+    src = spark.createDataFrame([(1.0, 0.0, 1, 0)],
+                                "a double, b double, x int, y int")
+    r = eng.from_df(src).foreach((col("a") / col("b")).alias("dd"),
+                                 (col("x") / col("y")).alias("ii"),
+                                 (col("a") % col("b")).alias("dm"))
+    assert [tuple(x) for x in r.df().collect()] == [(None, None, None)]
