@@ -89,3 +89,25 @@ def test_distinct_union_roundtrip(eng, spark, data):
     want_d = norm(con.sql("SELECT DISTINCT * FROM t").fetchall())
     assert got_d == want_d
     assert len(r.union(r).collect()) == 2 * len(data)   # no dedup
+
+
+@SLOW
+@given(data=tables)
+def test_rank_by_matches_duckdb(eng, spark, data):
+    """Scalable RANK BY (distinct-key prefix-sum) ≡ SQL rank()/dense_rank()
+    on arbitrary keys incl. ties and nulls (nulls rank smallest)."""
+    sdf, con = mk(spark, data)
+    r = eng.from_df(sdf).rank((col("v"), True)).df() \
+           .select("rank", "k", "v", "s")
+    got = norm(tuple(x) for x in r.collect())
+    exp = norm(con.sql(
+        "SELECT rank() OVER (ORDER BY v ASC NULLS FIRST) AS rank, k, v, s "
+        "FROM t").fetchall())
+    assert got == exp
+    rd = eng.from_df(sdf).rank((col("v"), False), dense=True).df() \
+            .select("rank", "k", "v", "s")
+    got_d = norm(tuple(x) for x in rd.collect())
+    exp_d = norm(con.sql(
+        "SELECT dense_rank() OVER (ORDER BY v DESC NULLS LAST) AS rank, "
+        "k, v, s FROM t").fetchall())
+    assert got_d == exp_d
