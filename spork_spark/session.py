@@ -36,12 +36,19 @@ _SCALE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Spark's default 10 MB: big enough that true dimension tables
-    # (region/nation/supplier) broadcast, small enough that a fact table
-    # never does — at sf0.1 a 64 MB threshold made Spark broadcast the
-    # 600k-row lineitem, which inverts at scale. Pig 'replicated' joins
-    # get an explicit broadcast() hint regardless of this threshold.
-    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Static auto-broadcast OFF, AQE runtime conversion ON (10 MB).
+    # The static threshold decides from pre-filter file-size estimates —
+    # at 100 TB that is exactly how a "small" side turns out to be tens of
+    # GB post-scan and OOMs the build. AQE's conversion uses the EXACT
+    # shuffle bytes observed at runtime, so small dims (region/nation,
+    # a filtered supplier) still become broadcast joins, with no estimate
+    # risk. Measured at sf0.1 this is also faster: the static planner
+    # chose to broadcast the column-pruned 600k-row lineitem (fits 10 MB)
+    # and paid ~0.2 s building the hash relation; the runtime plan joins
+    # it by shuffle. Pig 'replicated' joins get an explicit broadcast()
+    # hint regardless of either threshold.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local[32] default; a real deployment sizes this to cluster cores and
     # lets AQE coalesce down.
