@@ -495,22 +495,29 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_minhash(spark, sf):
-    """MinHash+LSH near-dup pairs over documents (no SQL oracle — the
-    signature family is engine-specific; rows-only check)."""
+    """MinHash+LSH near-dup pairs over documents, hash_fn='md5' so the
+    j-th permutation (min of md5(j || ':' || shingle) as a hex string) is
+    byte-identical in DuckDB — the full pipeline, INCLUDING which candidate
+    pairs the banding surfaces, is exact-oracle-checked. Production default
+    is hash_fn='xxhash64' (same plan shape, faster scalar hash)."""
     from spork_spark.operators import minhash_lsh_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
     return minhash_lsh_pairs(docs, "doc_id", "text", shingle_n=5,
-                             num_hashes=64, bands=16, threshold=0.6) \
+                             num_hashes=64, bands=16, threshold=0.6,
+                             hash_fn="md5") \
         .orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf):
-    """64-bit SimHash signatures (xxhash64-based — rows-only check)."""
+    """64-bit SimHash signatures, hash_fn='md5' (bits = md5 hex nibbles,
+    signature = 16-hex-char string) so every signature bit is reproducible
+    in DuckDB — exact oracle. Production default is hash_fn='xxhash64'
+    (long signature, same majority-vote semantics)."""
     from spork_spark.operators import simhash
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+    return simhash(docs, "doc_id", "text", hash_fn="md5").orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf):
@@ -536,7 +543,9 @@ def q_similarity_bruteforce(spark, sf):
 
 
 def q_similarity_lsh(spark, sf):
-    """SRP-LSH approximate top-5 (engine-specific hashing — rows-only)."""
+    """SRP-LSH approximate top-5. Exact-oracle-checked: the hyperplanes are
+    seed-deterministic and embedded in the oracle SQL as literals, and
+    dot/norm/rounding orders match bit-for-bit (see _lsh_oracle_sql)."""
     from spork_spark.operators import lsh_topk
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
@@ -730,8 +739,9 @@ def q_dedup_embedding(spark, sf):
 
 def q_similarity_ivf(spark, sf):
     """IVF approximate top-5: coarse-quantize the corpus into cells, probe
-    the 3 nearest cells per query (engine-specific quantizer → rows-only;
-    nprobe=n_centroids equivalence to brute force is pinned in tests)."""
+    the 3 nearest cells per query. Exact-oracle-checked: the quantizer is
+    training-free/deterministic and fold orders match (_ivf_oracle_sql);
+    nprobe=n_centroids equivalence to brute force is pinned in tests."""
     from spork_spark.operators import ivf_topk
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
@@ -1035,8 +1045,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sql_dot(vec: str, other: str) -> str:
+    """Dot product with DuckDB's left-to-right list_reduce — matches
+    Spark's aggregate() fold order bit-for-bit ((0+p1)+p2+… ≡ (p1+p2)+…
+    since 0.0+x is exact)."""
+    return (f"list_reduce(list_transform(list_zip({vec}, {other}), "
+            f"x -> x[1]*x[2]), (a,b) -> a+b)")
+
+
+def _sql_norm(vec: str) -> str:
+    return (f"sqrt(list_reduce(list_transform({vec}, x -> x*x), "
+            f"(a,b) -> a+b))")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+
+
+def _lsh_oracle_sql() -> str:
+    """ANSI-SQL mirror of q_similarity_lsh. The SRP hyperplanes are
+    seed-deterministic Python floats, embedded here as full-precision
+    literals; dots/norms use DuckDB's left-to-right list_reduce, which
+    matches Spark's aggregate() fold order bit-for-bit, and the query
+    rounds scores before ranking — so buckets, candidates, scores, and
+    ranks all reproduce exactly."""
+    from spork_spark.operators.similarity import _hyperplanes
+    bands, n_planes, dim, seed, k = 4, 10, 64, 42, 5
+
+    dot, norm = _sql_dot, _sql_norm
+
+    def plane_lit(ws: list) -> str:
+        return "[" + ", ".join(repr(w) for w in ws) + "]::DOUBLE[]"
+
+    def bucket(vec: str, planes: list) -> str:
+        terms = [f"(CASE WHEN {dot(vec, plane_lit(p))} >= 0 "
+                 f"THEN {1 << i} ELSE 0 END)"
+                 for i, p in enumerate(planes)]
+        return "(" + " + ".join(terms) + ")"
+
+    tables = [_hyperplanes(dim, n_planes, seed + 101 * b)
+              for b in range(bands)]
+    cb_cols = ", ".join(f"{bucket('v', tables[b])} AS b{b}"
+                        for b in range(bands))
+    qb_cols = ", ".join(f"{bucket('qv', tables[b])} AS qb{b}"
+                        for b in range(bands))
+    unions = " UNION ALL ".join(
+        f"SELECT cb.vec_id, qb.query_id FROM cb JOIN qb ON cb.b{b} = qb.qb{b}"
+        for b in range(bands))
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 3),
+        cb AS (SELECT vec_id, v, {cb_cols} FROM c),
+        qb AS (SELECT query_id, qv, {qb_cols} FROM q),
+        cand AS (SELECT DISTINCT vec_id, query_id FROM ({unions}) u
+                 WHERE vec_id <> query_id),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 ROUND({dot('c.v', 'q.qv')} /
+                       ({norm('c.v')} * {norm('q.qv')}), 6) AS score
+          FROM cand
+          JOIN c ON c.vec_id = cand.vec_id
+          JOIN q ON q.query_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, score, rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """ANSI-SQL mirror of q_similarity_ivf. The coarse quantizer is
+    training-free and deterministic (centroids = vectors of the 8 smallest
+    ids), so cell assignment (argmax cosine, ties to the larger cell id —
+    Spark's reverse(array_sort) order), the nprobe=3 probe set, and the
+    round-before-rank scores all reproduce exactly."""
+    n_centroids, nprobe, k, score_round = 8, 3, 5, 4
+    cos = _sql_cos("t.v", "cent.cv")
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cell, v AS cv FROM c
+                 ORDER BY vec_id LIMIT {n_centroids}),
+        crank AS (
+          SELECT t.vec_id, cent.cell,
+                 row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY {cos} DESC, cent.cell DESC) AS rn
+          FROM c t CROSS JOIN cent),
+        cassign AS (SELECT vec_id, cell FROM crank WHERE rn = 1),
+        q AS (SELECT vec_id, v FROM c WHERE vec_id < 3),
+        qrank AS (
+          SELECT t.vec_id AS query_id, cent.cell,
+                 row_number() OVER (PARTITION BY t.vec_id
+                     ORDER BY {cos} DESC, cent.cell DESC) AS rn
+          FROM q t CROSS JOIN cent),
+        qprobe AS (SELECT query_id, cell FROM qrank WHERE rn <= {nprobe}),
+        scored AS (
+          SELECT qp.query_id, ca.vec_id,
+                 ROUND({_sql_cos('cv2.v', 'qv2.v')}, {score_round}) AS score
+          FROM cassign ca
+          JOIN qprobe qp ON ca.cell = qp.cell
+          JOIN c cv2 ON cv2.vec_id = ca.vec_id
+          JOIN c qv2 ON qv2.vec_id = qp.query_id
+          WHERE ca.vec_id <> qp.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, score, rank
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "similarity_lsh": _lsh_oracle_sql(),
+        "similarity_ivf": _ivf_oracle_sql(),
         "agg_q1": """
             SELECT l_returnflag, l_linestatus,
                    FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty,
@@ -1293,6 +1420,63 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, MAX(n_chars) AS n_chars
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_simhash": """
+            WITH sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([substring(text, i, 4)
+                            for i in generate_series(
+                                1, greatest(length(text) - 3, 1))])) AS sg
+              FROM documents WHERE text IS NOT NULL),
+            h AS (SELECT doc_id, md5(sg) AS m FROM sh),
+            votes AS (
+              SELECT doc_id, t.b AS b,
+                     SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                     substring(m, (t.b // 4) + 1, 1)) - 1)
+                                    >> (3 - t.b % 4)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN range(64) t(b)
+              GROUP BY doc_id, t.b),
+            nib AS (
+              SELECT doc_id, b // 4 AS p,
+                     SUM(CASE WHEN v > 0 THEN 1 << (3 - b % 4)
+                              ELSE 0 END) AS nv
+              FROM votes GROUP BY doc_id, b // 4)
+            SELECT doc_id,
+                   string_agg(substring('0123456789abcdef',
+                                        (nv + 1)::BIGINT, 1),
+                              '' ORDER BY p) AS simhash
+            FROM nib GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_minhash": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 4, 1))]) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            sig AS (
+              SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || sg)) AS mh
+              FROM ex CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j),
+            band AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 4),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b)
+            SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+            FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
         """,
         "ngram_jaccard": """
             WITH sh AS (

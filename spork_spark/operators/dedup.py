@@ -83,7 +83,7 @@ def minhash_signature(shingle_col, num_hashes: int = 64,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 5, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.7,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
     Pipeline (all shuffle-bounded):
@@ -92,6 +92,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
       3. pair ids within bucket (collect_set per bucket is bounded by LSH
          bucket size), distinct pairs
       4. verify candidate pairs with exact jaccard over shingle sets
+
+    hash_fn='xxhash64' (default): fastest — one JVM xxhash64 per shingle +
+    num_hashes long multiplies. hash_fn='md5': the j-th permutation is
+    min(md5(j || ':' || shingle)) compared as a hex STRING — slower, but
+    md5 is byte-identical across engines, so the whole pipeline (including
+    which candidate pairs LSH surfaces) is reproducible in ANSI SQL and
+    exact-oracle-checkable. Same architecture either way: codegen'd
+    min() HashAggregates, narrow banding rows, post-hoc jaccard verify.
     """
     import random
 
@@ -103,15 +111,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # aggregation, instead of interpreted per-element higher-order
     # functions (HOF lambdas don't participate in whole-stage codegen;
     # measured 10×+ faster at 5k docs).
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
-               rnd.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
-    h = F.xxhash64(F.col("__s"))
-    sig = (base.select(id_col, F.explode("__sh").alias("__s"))
-               .groupBy(id_col)
-               .agg(*[F.min(F.pmod(h * a + b, F.lit(MERSENNE_PRIME)))
-                      .alias(f"__mh{j}")
-                      for j, (a, b) in enumerate(coeffs)])
+    exploded = base.select(id_col, F.explode("__sh").alias("__s"))
+    if hash_fn == "md5":
+        sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))))
+                    .alias(f"__mh{j}") for j in range(num_hashes)]
+    else:
+        rnd = random.Random(seed)
+        coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
+                   rnd.randrange(0, MERSENNE_PRIME))
+                  for _ in range(num_hashes)]
+        h = F.xxhash64(F.col("__s"))
+        sig_aggs = [F.min(F.pmod(h * a + b, F.lit(MERSENNE_PRIME)))
+                    .alias(f"__mh{j}") for j, (a, b) in enumerate(coeffs)]
+    sig = (exploded.groupBy(id_col)
+               .agg(*sig_aggs)
                .select(id_col, F.array(*[F.col(f"__mh{j}")
                                          for j in range(num_hashes)])
                        .alias("__sig")))
@@ -121,13 +134,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # ids first, dedupe, then re-join the shingle sets once per surviving
     # candidate for exact-jaccard verification (two narrow hash joins
     # instead of wide arrays through the explosion).
+    if hash_fn == "md5":
+        band_key = lambda b: F.md5(F.concat_ws("|", F.slice(  # noqa: E731
+            F.col("__sig"), b * rows_per_band + 1, rows_per_band)))
+    else:
+        band_key = lambda b: F.xxhash64(F.slice(  # noqa: E731
+            F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+            .cast("string"))
     banded = sig.select(
         id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice(
-                F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-                .cast("string")))).alias("__band", "__bh"))
+            band_key)).alias("__band", "__bh"))
     left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bh")
     right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bh")
     pairs = (left.join(right, on=["__band", "__bh"])
@@ -174,14 +192,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            shingle_n: int = 4) -> DataFrame:
+            shingle_n: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, fully vectorized:
 
     For each bit position b, the signature bit is 1 iff
-    sum over shingles of sign(bit b of xxhash64(shingle)) > 0.
-    Computed with one transform/aggregate pipeline per doc — linear work,
-    no UDFs, no shuffle (narrow transformation).
+    sum over shingles of sign(bit b of hash(shingle)) > 0.
+
+    hash_fn='xxhash64' (default): bits come from xxhash64; signature is a
+    long; computed with one transform/aggregate pipeline per doc — linear
+    work, no UDFs, no shuffle (narrow transformation).
+
+    hash_fn='md5': bits come from the 16 hex nibbles of md5(shingle);
+    signature is the 16-hex-char string. md5 is byte-identical across
+    engines, so this variant is exact-oracle-checkable in ANSI SQL. It is
+    also the better scale shape: explode + 64 codegen'd sum() aggregates
+    (map-side partial agg) instead of interpreted per-element HOF lambdas.
     """
+    if hash_fn == "md5":
+        return _simhash_md5(df, id_col, text_col, shingle_n)
     hashed = F.transform(shingles(text_col, shingle_n),
                          lambda s: F.xxhash64(s))
     # Per bit position: majority vote over shingle-hash bits. shiftright
@@ -201,6 +229,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                            F.shiftleft(F.lit(1).cast("long"), b)) \
                      .otherwise(F.lit(0).cast("long"))
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _simhash_md5(df: DataFrame, id_col: str, text_col: str,
+                 shingle_n: int) -> DataFrame:
+    """Portable SimHash: bit b of a shingle is bit (3 - b%4) of hex nibble
+    b//4 of md5(shingle). Majority vote per bit via 64 sum() aggregates
+    over the exploded shingle set; nibbles reassemble to a hex string."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("__s"))
+    m = F.md5(F.col("__s"))
+    aggs = []
+    for b in range(64):
+        nib = F.conv(F.substring(m, b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__v{b}"))
+    votes = exploded.groupBy(id_col).agg(*aggs)
+    hexdigits = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    chars = []
+    for p in range(16):
+        nv = None
+        for k in range(4):
+            term = F.when(F.col(f"__v{4 * p + k}") > 0,
+                          F.lit(1 << (3 - k))).otherwise(F.lit(0))
+            nv = term if nv is None else nv + term
+        chars.append(F.element_at(hexdigits, nv + 1))
+    return votes.select(F.col(id_col), F.concat(*chars).alias("simhash"))
 
 
 def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",

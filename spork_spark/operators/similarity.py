@@ -101,10 +101,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             out = out.withColumn(f"__b{b}", _srp_bucket(F.col(vname), planes))
         return out
 
+    # Double precision end-to-end and round-before-rank (below): bucket
+    # signs and rank boundaries are then bit-reproducible in any engine
+    # with IEEE doubles and left-to-right list reduction — which is what
+    # makes this query exact-oracle-checkable, not rows-only.
     c = with_buckets(corpus.select(F.col(id_col),
-                                   F.col(vec_col).alias("__cvec")), "__cvec")
+                                   F.col(vec_col).cast("array<double>")
+                                    .alias("__cvec")), "__cvec")
     q = with_buckets(queries.select(F.col(qid).alias("query_id"),
-                                    F.col(vec_col).alias("__qvec")), "__qvec")
+                                    F.col(vec_col).cast("array<double>")
+                                     .alias("__qvec")), "__qvec")
     cand = None
     for b in range(bands):
         pairs = c.select(id_col, "__cvec", F.col(f"__b{b}").alias("__bk")) \
@@ -115,13 +121,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = (cand.dropDuplicates([id_col, "query_id"])
                 .filter(F.col(id_col) != F.col("query_id"))
-                .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec"))))
+                .withColumn("score", F.round(
+                    cosine(F.col("__cvec"), F.col("__qvec")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
-                .select("query_id", id_col,
-                        F.round("score", 6).alias("score"), "rank"))
+                .select("query_id", id_col, "score", "rank"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
