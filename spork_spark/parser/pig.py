@@ -62,7 +62,8 @@ _KEYWORDS = {
     "outer", "inner", "cross", "order", "rank", "dense", "limit", "distinct",
     "union", "onschema", "split", "if", "otherwise", "sample", "stream",
     "through", "and", "or", "not", "in", "matches", "is", "null", "asc",
-    "desc", "flatten", "dump", "describe", "explain", "define", "register",
+    "desc", "flatten", "dump", "describe", "explain", "illustrate",
+    "define", "register",
     "set", "cube", "rollup", "true", "false", "case", "when", "then", "else",
     "end", "parallel", "any",
 }
@@ -270,8 +271,8 @@ class PigParser:
     def statement(self) -> None:
         t = self.peek()
         if t.kind == "kw" and t.text in ("store", "dump", "describe",
-                                         "explain", "split", "define",
-                                         "register", "set"):
+                                         "explain", "illustrate", "split",
+                                         "define", "register", "set"):
             getattr(self, f"st_{t.text}")()
             return
         if t.kind == "ident" and t.text.lower() == "assert":
@@ -338,6 +339,11 @@ class PigParser:
     def st_explain(self) -> None:
         self.expect("kw", "explain")
         self.rel(self.expect("ident").text).explain()
+        self.expect("op", ";")
+
+    def st_illustrate(self) -> None:
+        self.expect("kw", "illustrate")
+        self.rel(self.expect("ident").text).illustrate()
         self.expect("op", ";")
 
     def st_define(self) -> None:

@@ -217,6 +217,42 @@ class Relation:
     def explain(self, mode: str = "formatted") -> None:  # EXPLAIN
         self.df().explain(mode)
 
+    def illustrate(self, n: int = 5) -> None:            # ILLUSTRATE
+        """ILLUSTRATE: print schema + example rows after every operator in
+        this relation's lineage, bottom-up (the role of
+        pig:src/org/apache/pig/pen/ExampleGenerator.java). Divergence from
+        the reference, documented: Pig SYNTHESIZES example tuples so every
+        operator (e.g. a selective FILTER) still shows rows; this version
+        is sample-based — it runs limit(n) per step and flags steps whose
+        example set is empty. Diagnostic only: costs one small job per
+        lineage node, never a full materialization."""
+        order: list[L.LogicalOp] = []
+        seen: set[int] = set()
+
+        def visit(node: L.LogicalOp) -> None:
+            if node._id in seen:
+                return
+            seen.add(node._id)
+            for ch in node.children:
+                visit(ch)
+            order.append(node)
+
+        visit(self.node)
+        for node in order:
+            label = type(node).__name__
+            alias = getattr(node, "alias", None)
+            df = self.engine.compile(node)
+            rows = df.limit(n).collect()
+            name = f"{label}" + (f"  [{alias}]" if alias else "")
+            print(f"-- {name}: {df.schema.simpleString()}")
+            if rows:
+                for r in rows:
+                    cells = [repr(v)[:57] + "..." if len(repr(v)) > 60
+                             else repr(v) for v in r]
+                    print("    (" + ", ".join(cells) + ")")
+            else:
+                print("    (no example rows reach this operator)")
+
     def store(self, path: str, fmt: str = "parquet",
               partition_by: list[str] | None = None, **options) -> None:
         node = L.Store(self.node, path, fmt, options, partition_by or [])

@@ -193,3 +193,19 @@ def test_cogroup_inner_flag(eng):
     """)
     assert rels["cg"].df().count() == 3      # regions 3,4 have empty nf bags
     assert rels["cg2"].df().count() == 5     # OUTER default keeps all groups
+
+
+def test_illustrate_traces_lineage(eng, capsys):
+    """ILLUSTRATE prints schema + example rows per lineage step, and flags
+    steps whose example set is empty (our sample-based stand-in for the
+    reference's ExampleGenerator row synthesis — divergence documented)."""
+    run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        f = FILTER n BY n_nationkey < 0;
+        g = FOREACH f GENERATE n_name;
+        ILLUSTRATE g;
+    """)
+    out = capsys.readouterr().out
+    assert "-- Load" in out and "-- Filter" in out and "-- ForEach" in out
+    assert "n_nationkey:int" in out            # schema shown
+    assert out.count("no example rows reach this operator") == 2
