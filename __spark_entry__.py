@@ -92,6 +92,52 @@ def q_join_3way(spark, sf):
              .order_by(col("n_name"))).df()
 
 
+def q_pigmix_distinct_agg(spark, sf):
+    """PigMix L4/L15 shape (pig:test/perf/pigmix/): several distinct-count
+    aggregates per group. The Pig idiom is nested FOREACH { DISTINCT bag;
+    GENERATE COUNT }; the scalable compilation is fused count_distinct —
+    Catalyst expands multi-distinct into the expand+partial-agg plan, no
+    bag materialization."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    g = li.group_by(col("l_returnflag"))
+    return (g.foreach(col("group").alias("l_returnflag"),
+                      fn("COUNT_DISTINCT", col("lineitem").get("l_partkey"))
+                      .alias("n_parts"),
+                      fn("COUNT_DISTINCT", col("lineitem").get("l_suppkey"))
+                      .alias("n_supps"),
+                      fn("COUNT_STAR").alias("n_rows"))
+             .order_by(col("l_returnflag"))).df()
+
+
+def q_pigmix_wide_group(spark, sf):
+    """PigMix L17 shape: wide (4-part, mixed-type, computed) group key."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    g = li.group_by(col("l_returnflag"), col("l_linestatus"),
+                    col("l_linenumber"), fn("GETYEAR", col("l_shipdate")))
+    return (g.foreach(col("group").get("l_returnflag").alias("l_returnflag"),
+                      col("group").get("l_linestatus").alias("l_linestatus"),
+                      col("group").get("l_linenumber").alias("l_linenumber"),
+                      col("group").get("group_3").alias("ship_year"),
+                      _r2(fn("SUM", col("lineitem").get("l_quantity")))
+                      .alias("sum_qty"),
+                      fn("COUNT_STAR").alias("n"))
+             .order_by(col("l_returnflag"), col("l_linestatus"),
+                       col("l_linenumber"), col("ship_year"))).df()
+
+
+def q_union_distinct(spark, sf):
+    """PigMix L11 shape: UNION of two projections, then DISTINCT."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    a = orders.filter(col("o_orderstatus") == "F") \
+              .foreach(col("o_custkey").alias("k"))
+    b = orders.filter(col("o_totalprice") > lit(150000.0)) \
+              .foreach(col("o_custkey").alias("k"))
+    return a.union(b).distinct().order_by(col("k")).df()
+
+
 def q_filter_expr(spark, sf):
     """FILTER with compound predicate (matches anchored, IN, arithmetic) +
     FOREACH expression language (bincond, CASE-ish)."""
@@ -983,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderby_limit": q_orderby_limit,
         "distinct": q_distinct,
         "union_all": q_union_all,
+        "union_distinct": q_union_distinct,
+        "pigmix_distinct_agg": q_pigmix_distinct_agg,
+        "pigmix_wide_group": q_pigmix_wide_group,
         "union_onschema": q_union_onschema,
         "split": q_split,
         "cross": q_cross,
@@ -1420,6 +1469,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, MAX(n_chars) AS n_chars
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "pigmix_distinct_agg": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "pigmix_wide_group": """
+            SELECT l_returnflag, l_linestatus, l_linenumber,
+                   CAST(year(l_shipdate) AS INT) AS ship_year,
+                   FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus, l_linenumber,
+                     year(l_shipdate)
+            ORDER BY l_returnflag, l_linestatus, l_linenumber, ship_year
+        """,
+        "union_distinct": """
+            SELECT DISTINCT k FROM (
+              SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
+            ) u ORDER BY k
         """,
         "dedup_simhash": """
             WITH sh AS (
