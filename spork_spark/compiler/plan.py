@@ -196,6 +196,7 @@ class PlanCompiler:
             alias, inner = None, g
             if isinstance(inner, E.Aliased):
                 alias, inner = inner.name, inner.child
+            inner = self._normalize_distinct_agg(inner)
             kind = self._classify_generator(inner, keys)
             if kind == "group":
                 out_cols.append(("group", inner, alias))
@@ -261,6 +262,33 @@ class PlanCompiler:
 
     _HOF_NAMES = {"FILTER_BAG", "TRANSFORM_BAG", "FOREACH_BAG", "SORT_BAG",
                   "LIMIT_BAG", "DISTINCT_BAG", "TOP"}
+
+    _DISTINCT_FUSABLE = {"COUNT": "COUNT_DISTINCT", "SUM": "SUM_DISTINCT"}
+
+    def _normalize_distinct_agg(self, e: E.Expr) -> E.Expr:
+        """Pig's nested-DISTINCT idiom — FOREACH (GROUP x BY k) { d =
+        DISTINCT x.f; GENERATE COUNT(d) } (PigMix L4/L15) — arrives as
+        AGG(DISTINCT_BAG(bag.f)). Rewrite to the distinct-aggregate form
+        (COUNT_DISTINCT/SUM_DISTINCT) so it fuses into groupBy().agg()
+        and gets Catalyst's expand + two-phase partial aggregation instead
+        of materializing and deduplicating per-group bags — the same
+        motivation as the reference's CombinerOptimizer (SURVEY.md §4.3)."""
+        if (isinstance(e, E.Func) and e.name.upper() in self._DISTINCT_FUSABLE
+                and len(e.args) == 1 and isinstance(e.args[0], E.Func)
+                and e.args[0].name.upper() == "DISTINCT_BAG"
+                and len(e.args[0].args) == 1
+                and isinstance(e.args[0].args[0], (E.Deref, E.Col))):
+            return E.Func(self._DISTINCT_FUSABLE[e.name.upper()],
+                          [e.args[0].args[0]])
+        if isinstance(e, E.Func):
+            return E.Func(e.name,
+                          [self._normalize_distinct_agg(a) for a in e.args])
+        if isinstance(e, E.BinOp):
+            return E.BinOp(e.op, self._normalize_distinct_agg(e.left),
+                           self._normalize_distinct_agg(e.right))
+        if isinstance(e, E.Cast):
+            return E.Cast(e.pig_type, self._normalize_distinct_agg(e.child))
+        return e
 
     def _contains_inner_plan(self, e: E.Expr) -> bool:
         """Nested-FOREACH constructs (bag HOFs / lambdas) can't fuse into

@@ -272,6 +272,7 @@ REGISTRY: dict = {
     "COR": lambda a, b: F.corr(a, b),
     "COV": lambda a, b: F.covar_samp(a, b),
     "COUNT_DISTINCT": lambda *c: F.count_distinct(*c),
+    "SUM_DISTINCT": lambda c: F.sum_distinct(c),
     "APPROX_COUNT_DISTINCT": lambda c: F.approx_count_distinct(c),
     "COLLECT": lambda c: F.collect_list(c),
     # analytic aggregates beyond the reference (extensions; exact
@@ -409,6 +410,6 @@ TYPED_REGISTRY: dict = {
 # (SURVEY.md §4.3) — map straight to Catalyst partial aggregation.
 ALGEBRAIC_AGGS = {
     "COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "VAR", "COR", "COV",
-    "COUNT_DISTINCT", "APPROX_COUNT_DISTINCT", "COLLECT",
+    "COUNT_DISTINCT", "SUM_DISTINCT", "APPROX_COUNT_DISTINCT", "COLLECT",
     "PERCENTILE", "MEDIAN", "STDEV",
 }

@@ -601,19 +601,32 @@ class PigParser:
                                      for x in v])
             return out
 
+        def inner_bag_ref() -> E.Expr:
+            """A bag reference inside the block: a prior inner alias or the
+            grouped relation, optionally projected (`li.l_partkey` — Pig's
+            bag projection, a bag of 1-field tuples; the L4 nested-DISTINCT
+            idiom depends on it)."""
+            nm = self.expect("ident").text
+            if nm not in bag_env:
+                raise PigSyntaxError(f"unknown inner relation {nm!r}")
+            bag = bag_env[nm]
+            while self.accept("op", "."):
+                bag = E.Deref(bag, self.expect("ident").text)
+            return bag
+
         while not self._kw("generate"):
             name = self.expect("ident").text
             self.expect("op", "=")
             kw = self.next()
             if kw.text == "filter":
-                bag = bag_env[self.expect("ident").text]
+                bag = inner_bag_ref()
                 self.expect("kw", "by")
                 cond = self.expression()
                 var = E.LambdaVar("t")
                 bag_env[name] = E.Func("FILTER_BAG", [
                     bag, E.Lambda(["t"], lower_inner_expr(cond, var))])
             elif kw.text == "order":
-                bag = bag_env[self.expect("ident").text]
+                bag = inner_bag_ref()
                 self.expect("kw", "by")
                 field = self.expect("ident").text
                 asc = True
@@ -622,11 +635,11 @@ class PigParser:
                 bag_env[name] = E.Func("SORT_BAG",
                                        [bag, E.Lit(field), E.Lit(asc)])
             elif kw.text == "limit":
-                bag = bag_env[self.expect("ident").text]
+                bag = inner_bag_ref()
                 n = int(self.expect("number").text.rstrip("lL"))
                 bag_env[name] = E.Func("LIMIT_BAG", [bag, E.Lit(n)])
             elif kw.text == "distinct":
-                bag = bag_env[self.expect("ident").text]
+                bag = inner_bag_ref()
                 bag_env[name] = E.Func("DISTINCT_BAG", [bag])
             else:
                 raise PigSyntaxError(

@@ -96,3 +96,27 @@ def test_multi_consumer_parent_persisted(eng, spark):
         col("a") > 5, col("a") <= 5)
     p = plan_of(outs[0])
     assert "InMemoryTableScan" in p      # shared parent cached once
+
+
+def test_nested_distinct_fuses_to_distinct_agg(eng):
+    """PigMix L4/L15 idiom: FOREACH (GROUP x BY k) { d = DISTINCT x.f;
+    GENERATE COUNT(d) / SUM(d) } must compile to fused
+    count_distinct/sum_distinct aggregates (two-phase, spillable), never
+    to a materialized-then-deduplicated bag."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY l_returnflag;
+        agg = FOREACH g {{ d = DISTINCT li.l_partkey;
+                           u = DISTINCT li.l_quantity;
+                           GENERATE group AS flag, COUNT(d) AS n_parts,
+                                    SUM(u) AS uq, SUM(li.l_quantity) AS q; }};
+    """)
+    p = plan_of(rels["agg"])
+    assert "collect_list" not in p and "array_distinct" not in p
+    rows = {r["flag"]: r for r in rels["agg"].df().collect()}
+    # sf0.001 lineitem: 200 distinct parts per flag; quantities are 1..50
+    # so the per-flag distinct-quantity sum is 1275.0
+    assert rows["A"]["n_parts"] == 200 and rows["A"]["uq"] == 1275.0
+    assert rows["A"]["q"] > rows["A"]["uq"]
