@@ -280,6 +280,9 @@ class PlanCompiler:
                 and isinstance(e.args[0].args[0], (E.Deref, E.Col))):
             return E.Func(self._DISTINCT_FUSABLE[e.name.upper()],
                           [e.args[0].args[0]])
+        filt = self._normalize_filter_agg(e)
+        if filt is not None:
+            return filt
         if isinstance(e, E.Func):
             return E.Func(e.name,
                           [self._normalize_distinct_agg(a) for a in e.args])
@@ -289,6 +292,72 @@ class PlanCompiler:
         if isinstance(e, E.Cast):
             return E.Cast(e.pig_type, self._normalize_distinct_agg(e.child))
         return e
+
+    _FILTER_FUSABLE = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+    def _normalize_filter_agg(self, e: E.Expr) -> E.Expr | None:
+        """The inner-FILTER aggregate idiom — FOREACH (GROUP x BY k) { f =
+        FILTER x BY cond; GENERATE SUM(f.v) } — arrives as
+        AGG(FILTER_BAG(bag, λ)[.field]). Rewrite to AGG(when(cond, v)):
+        the filter fuses into the aggregate (SURVEY.md §2.3 mapping #2) so
+        the whole generator compiles to groupBy().agg() with map-side
+        partial aggregation — no bag ever materializes. Returns None when
+        the pattern doesn't apply (caller falls through)."""
+        if not (isinstance(e, E.Func) and e.name.upper() in
+                self._FILTER_FUSABLE and len(e.args) == 1):
+            return None
+        a, fb, field = e.args[0], None, None
+        if isinstance(a, E.Func) and a.name.upper() == "FILTER_BAG":
+            fb = a
+        elif isinstance(a, E.Deref) and isinstance(a.child, E.Func) \
+                and a.child.name.upper() == "FILTER_BAG" \
+                and isinstance(a.field, str):
+            fb, field = a.child, a.field
+        if fb is None or len(fb.args) != 2 \
+                or not isinstance(fb.args[0], E.Col) \
+                or not isinstance(fb.args[1], E.Lambda) \
+                or len(fb.args[1].params) != 1:
+            return None
+        if field is None and e.name.upper() != "COUNT":
+            return None                      # SUM(bag) etc. needs a field
+        cond = self._delambda(fb.args[1].body, fb.args[1].params[0])
+        if cond is None:
+            return None
+        val = E.Lit(1) if field is None else E.Col(field)
+        return E.Func(e.name, [E.BinCond(cond, val, E.Lit(None))])
+
+    def _delambda(self, e: E.Expr, param: str) -> E.Expr | None:
+        """Rewrite a lambda body into a row-level expression: t.f → Col(f).
+        Returns None if the body uses the tuple var other than via a named
+        field deref (positional/whole-tuple uses keep the bag path)."""
+        if isinstance(e, E.Deref) and isinstance(e.child, E.LambdaVar) \
+                and e.child.name == param and isinstance(e.field, str):
+            return E.Col(e.field)
+        if isinstance(e, (E.LambdaVar, E.Lambda)):
+            return None
+        if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star)):
+            return e
+        out = e.__class__(**{k: v for k, v in vars(e).items() if k != "_id"})
+        for k, v in vars(out).items():
+            if k == "_id":
+                continue
+            if isinstance(v, E.Expr):
+                sub = self._delambda(v, param)
+                if sub is None:
+                    return None
+                setattr(out, k, sub)
+            elif isinstance(v, list):
+                subs = []
+                for x in v:
+                    if isinstance(x, E.Expr):
+                        sx = self._delambda(x, param)
+                        if sx is None:
+                            return None
+                        subs.append(sx)
+                    else:
+                        subs.append(x)
+                setattr(out, k, subs)
+        return out
 
     def _contains_inner_plan(self, e: E.Expr) -> bool:
         """Nested-FOREACH constructs (bag HOFs / lambdas) can't fuse into

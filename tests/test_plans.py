@@ -120,3 +120,23 @@ def test_nested_distinct_fuses_to_distinct_agg(eng):
     # so the per-flag distinct-quantity sum is 1275.0
     assert rows["A"]["n_parts"] == 200 and rows["A"]["uq"] == 1275.0
     assert rows["A"]["q"] > rows["A"]["uq"]
+
+
+def test_inner_filter_agg_fuses(eng):
+    """FOREACH (GROUP x BY k) { f = FILTER x BY cond; GENERATE COUNT(f),
+    SUM(f.v) } fuses to agg(when(cond, v)) — map-side partial aggregation,
+    no materialized bag (SURVEY.md §2.3 mapping #2)."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, f"""
+        o = LOAD '{SF}/orders.parquet';
+        g = GROUP o BY o_custkey;
+        agg = FOREACH g {{ big = FILTER o BY o_totalprice > 150000.0;
+                           GENERATE group AS custkey, COUNT(big) AS n_big,
+                                    SUM(big.o_totalprice) AS big_total; }};
+    """)
+    p = plan_of(rels["agg"])
+    assert "collect_list" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+    row = {r["custkey"]: r for r in rels["agg"].df().collect()}[0]
+    assert row["n_big"] == 9 and abs(row["big_total"] - 2715836.51) < 1e-6
