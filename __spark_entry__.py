@@ -512,6 +512,34 @@ def q_nested_foreach(spark, sf):
               .order_by(col("custkey"))).df()
 
 
+def q_nested_cross(spark, sf):
+    """Inner CROSS + inner FOREACH (SURVEY.md §2.3, Pig 0.13+): per order
+    priority, cartesian of the very-expensive and very-cheap order bags,
+    then a per-pair projection and aggregates over the crossed bag. All
+    compiled to nested transform/flatten array expressions — one shuffle
+    (the GROUP), no UDF, no extra join."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        o = LOAD '{sf}/orders.parquet';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {{ hv0 = FOREACH o GENERATE o_totalprice AS hv;
+                         hi = FILTER hv0 BY hv > 400000.0;
+                         lv0 = FOREACH o GENERATE o_totalprice AS lv;
+                         lo = FILTER lv0 BY lv < 2000.0;
+                         c = CROSS hi, lo;
+                         d = FOREACH c GENERATE hv - lv AS spread;
+                         GENERATE group AS pri, COUNT_STAR(c) AS n_pairs,
+                                  SUM(d.spread) AS spread_total; }};
+        srt = ORDER x BY pri;
+    """)
+    from pyspark.sql import functions as F
+    df = rels["srt"].df()
+    return df.withColumn(
+        "spread_total",
+        F.floor(F.col("spread_total") * 100.0 + 0.5) / 100.0)
+
+
 def q_scalar_of_relation(spark, sf):
     """Scalar-of-relation (SURVEY.md §2.2): orders above the global average
     price — the 1-row aggregate crosses back onto the relation."""
@@ -1055,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "pig_script": q_pig_script,
         "nested_foreach": q_nested_foreach,
+        "nested_cross": q_nested_cross,
         "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1460,6 +1489,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((SUM(o_totalprice) FILTER (WHERE rn <= 2))*100
                          + 0.5)/100 AS top2_total
             FROM r GROUP BY o_custkey ORDER BY custkey
+        """,
+        "nested_cross": """
+            WITH hi AS (SELECT o_orderpriority AS pri, o_totalprice AS hv
+                        FROM orders WHERE o_totalprice > 400000.0),
+                 lo AS (SELECT o_orderpriority AS pri, o_totalprice AS lv
+                        FROM orders WHERE o_totalprice < 2000.0)
+            SELECT hi.pri AS pri, COUNT(*) AS n_pairs,
+                   FLOOR((SUM(hi.hv - lo.lv))*100 + 0.5)/100 AS spread_total
+            FROM hi JOIN lo ON hi.pri = lo.pri
+            GROUP BY hi.pri ORDER BY pri
         """,
         "scalar_of_relation": """
             SELECT o_orderkey, o_totalprice FROM orders

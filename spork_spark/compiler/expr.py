@@ -162,6 +162,25 @@ class ExprCompiler:
             if name in ("TRANSFORM_BAG", "FOREACH_BAG"):
                 # array-ness is known; element type needs analysis
                 return T.ArrayType(T.NullType())
+            if name == "CROSS_BAG":
+                lt, rt = self.infer(e.args[0]), self.infer(e.args[1])
+                if (isinstance(lt, T.ArrayType) and isinstance(rt, T.ArrayType)
+                        and isinstance(lt.elementType, T.StructType)
+                        and isinstance(rt.elementType, T.StructType)):
+                    an = e.args[2].value if len(e.args) > 2 else "l"
+                    bn = e.args[3].value if len(e.args) > 3 else "r"
+                    fa, fb = lt.elementType.fields, rt.elementType.fields
+                    na = {f.name for f in fa}
+                    nb = {f.name for f in fb}
+                    merged = (
+                        [T.StructField(f.name if f.name not in nb
+                                       else f"{an}::{f.name}", f.dataType)
+                         for f in fa] +
+                        [T.StructField(f.name if f.name not in na
+                                       else f"{bn}::{f.name}", f.dataType)
+                         for f in fb])
+                    return T.ArrayType(T.StructType(merged))
+                return T.ArrayType(T.NullType())
             return None
         return None   # WindowFunc/etc. → RPC fallback
 
@@ -331,6 +350,22 @@ class ExprCompiler:
                 return True
         return False
 
+    _BAG_HOF_NAMES = frozenset({"FILTER_BAG", "TRANSFORM_BAG", "FOREACH_BAG",
+                                "SORT_BAG", "LIMIT_BAG", "DISTINCT_BAG",
+                                "CROSS_BAG", "TOP"})
+
+    def _mentions_bag_hof(self, e: E.Expr) -> bool:
+        if isinstance(e, E.Func) and e.name.upper() in self._BAG_HOF_NAMES:
+            return True
+        for v in vars(e).values():
+            if isinstance(v, E.Expr) and self._mentions_bag_hof(v):
+                return True
+            if isinstance(v, list) and any(
+                    isinstance(x, E.Expr) and self._mentions_bag_hof(x)
+                    for x in v):
+                return True
+        return False
+
     def _as_pyfunc(self, lam: E.Lambda):
         """Compile a Lambda into a Python callable over pyspark Columns,
         as expected by F.filter/F.transform/F.array_sort."""
@@ -371,6 +406,33 @@ class ExprCompiler:
             return F.slice(bag(), 1, e.args[1].value)
         if name == "DISTINCT_BAG":        # inner DISTINCT
             return F.array_distinct(bag())
+        if name == "CROSS_BAG":
+            # Inner CROSS (Pig 0.13+, SURVEY.md §2.3): per-group cartesian
+            # product of two inner bags — a bag of concatenated tuples.
+            # Compiled as nested transform + flatten: stays a whole-stage-
+            # codegen'd array expression, no shuffle, no UDF. Colliding
+            # field names get Pig's alias::field disambiguation.
+            a, b = self.compile(e.args[0]), self.compile(e.args[1])
+            an = e.args[2].value if len(e.args) > 2 else "l"
+            bn = e.args[3].value if len(e.args) > 3 else "r"
+            at = self._type_of(e.args[0], a)
+            bt = self._type_of(e.args[1], b)
+            if not isinstance(getattr(at, "elementType", None), T.StructType):
+                at = self.dtype(a)         # TRANSFORM_BAG input: analyze
+            if not isinstance(getattr(bt, "elementType", None), T.StructType):
+                bt = self.dtype(b)
+            af = [f.name for f in at.elementType.fields]
+            bf = [f.name for f in bt.elementType.fields]
+            names_a = [f if f not in bf else f"{an}::{f}" for f in af]
+            names_b = [f if f not in af else f"{bn}::{f}" for f in bf]
+
+            def pair(x: Column, y: Column) -> Column:
+                return F.struct(
+                    *([x[f].alias(nm) for f, nm in zip(af, names_a)] +
+                      [y[f].alias(nm) for f, nm in zip(bf, names_b)]))
+
+            return F.flatten(
+                F.transform(a, lambda x: F.transform(b, lambda y: pair(x, y))))
         if name == "TOP":                 # TOP(n, field, bag) builtin
             n, field = e.args[0].value, e.args[1].value
             b = self.compile(e.args[2])
@@ -392,9 +454,16 @@ class ExprCompiler:
             return None
         arg = e.args[0]
         at = self.infer(arg)
+        c = None
+        if at is None and self._mentions_bag_hof(arg):
+            # e.g. SUM(p.f) where p is a TRANSFORM_BAG/CROSS_BAG result:
+            # the element type needs one analysis round trip
+            c = self.compile(arg)
+            at = self.dtype(c)
         if not isinstance(at, T.ArrayType):
             return None
-        c = self.compile(arg)
+        if c is None:
+            c = self.compile(arg)
         if isinstance(at.elementType, T.NullType):   # TRANSFORM_BAG result
             at = self.dtype(c)
         elem = at.elementType

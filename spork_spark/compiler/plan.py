@@ -261,7 +261,7 @@ class PlanCompiler:
         return "other"
 
     _HOF_NAMES = {"FILTER_BAG", "TRANSFORM_BAG", "FOREACH_BAG", "SORT_BAG",
-                  "LIMIT_BAG", "DISTINCT_BAG", "TOP"}
+                  "LIMIT_BAG", "DISTINCT_BAG", "CROSS_BAG", "TOP"}
 
     _DISTINCT_FUSABLE = {"COUNT": "COUNT_DISTINCT", "SUM": "SUM_DISTINCT"}
 

@@ -601,32 +601,32 @@ class PigParser:
                                      for x in v])
             return out
 
-        def inner_bag_ref() -> E.Expr:
+        def inner_bag_ref() -> tuple[str, E.Expr]:
             """A bag reference inside the block: a prior inner alias or the
             grouped relation, optionally projected (`li.l_partkey` — Pig's
             bag projection, a bag of 1-field tuples; the L4 nested-DISTINCT
-            idiom depends on it)."""
+            idiom depends on it). Returns (alias, bag expression)."""
             nm = self.expect("ident").text
             if nm not in bag_env:
                 raise PigSyntaxError(f"unknown inner relation {nm!r}")
             bag = bag_env[nm]
             while self.accept("op", "."):
                 bag = E.Deref(bag, self.expect("ident").text)
-            return bag
+            return nm, bag
 
         while not self._kw("generate"):
             name = self.expect("ident").text
             self.expect("op", "=")
             kw = self.next()
             if kw.text == "filter":
-                bag = inner_bag_ref()
+                _, bag = inner_bag_ref()
                 self.expect("kw", "by")
                 cond = self.expression()
                 var = E.LambdaVar("t")
                 bag_env[name] = E.Func("FILTER_BAG", [
                     bag, E.Lambda(["t"], lower_inner_expr(cond, var))])
             elif kw.text == "order":
-                bag = inner_bag_ref()
+                _, bag = inner_bag_ref()
                 self.expect("kw", "by")
                 field = self.expect("ident").text
                 asc = True
@@ -635,12 +635,46 @@ class PigParser:
                 bag_env[name] = E.Func("SORT_BAG",
                                        [bag, E.Lit(field), E.Lit(asc)])
             elif kw.text == "limit":
-                bag = inner_bag_ref()
+                _, bag = inner_bag_ref()
                 n = int(self.expect("number").text.rstrip("lL"))
                 bag_env[name] = E.Func("LIMIT_BAG", [bag, E.Lit(n)])
             elif kw.text == "distinct":
-                bag = inner_bag_ref()
+                _, bag = inner_bag_ref()
                 bag_env[name] = E.Func("DISTINCT_BAG", [bag])
+            elif kw.text == "cross":
+                # inner CROSS (Pig 0.13+): n-way per-group cartesian,
+                # folded pairwise into CROSS_BAG array expressions
+                nm, bag = inner_bag_ref()
+                self.expect("op", ",")
+                nm2, bag2 = inner_bag_ref()
+                acc = E.Func("CROSS_BAG", [bag, bag2, E.Lit(nm), E.Lit(nm2)])
+                while self.accept("op", ","):
+                    nmx, bagx = inner_bag_ref()
+                    acc = E.Func("CROSS_BAG", [acc, bagx,
+                                               E.Lit(name), E.Lit(nmx)])
+                bag_env[name] = acc
+            elif kw.text == "foreach":
+                # inner FOREACH: per-tuple projection over a bag →
+                # transform(bag, t -> struct(...)); result is a bag of
+                # tuples like every other inner alias
+                _, bag = inner_bag_ref()
+                self.expect("kw", "generate")
+                gens = [self._generator()]
+                while self.accept("op", ","):
+                    gens.append(self._generator())
+                var = E.LambdaVar("t")
+                fields = []
+                for g in gens:
+                    if isinstance(g, E.Aliased):
+                        fields.append(E.Aliased(
+                            lower_inner_expr(g.child, var), g.name))
+                    elif isinstance(g, E.Col):
+                        fields.append(E.Aliased(
+                            lower_inner_expr(g, var), g.name))
+                    else:
+                        fields.append(lower_inner_expr(g, var))
+                bag_env[name] = E.Func("TRANSFORM_BAG", [
+                    bag, E.Lambda(["t"], E.Func("TOTUPLE", fields))])
             else:
                 raise PigSyntaxError(
                     f"unsupported inner operator {kw.text.upper()}")
@@ -667,9 +701,16 @@ class PigParser:
                                      else x for x in v])
             return out
 
-        gens = [subst_bags(self._generator())]
+        def lower_gen(g: E.Expr) -> E.Expr:
+            # a bare inner alias keeps its name: GENERATE group, c;
+            if isinstance(g, E.Col) and g.name in bag_env \
+                    and g.name != src.alias:
+                return E.Aliased(subst_bags(g), g.name)
+            return subst_bags(g)
+
+        gens = [lower_gen(self._generator())]
         while self.accept("op", ","):
-            gens.append(subst_bags(self._generator()))
+            gens.append(lower_gen(self._generator()))
         self.accept("op", ";")               # GENERATE …; } — ; is optional
         self.expect("op", "}")
         return src.foreach(*gens)

@@ -106,3 +106,69 @@ def test_apply_per_group_escape_hatch(eng, spark):
                                         "k string, spread double")
     out = {x["k"]: x["spread"] for x in r.df().collect()}
     assert out == {"a": 2.0, "b": 0.0}
+
+
+def test_inner_cross_via_script(eng):
+    """Inner CROSS (Pig 0.13+): per-group cartesian of two inner bags,
+    parsed from script and compiled to nested transform+flatten."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, """
+        o = LOAD '/root/testdata/sf0.001/orders.parquet';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g { a = FILTER o BY o_totalprice > 250000.0;
+                        b = FILTER o BY o_totalprice < 5000.0;
+                        c = CROSS a, b;
+                        GENERATE group AS pri, COUNT_STAR(c) AS n; };
+    """)
+    import duckdb
+    exp = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_totalprice > 250000.0 THEN 1 END)
+               * COUNT(CASE WHEN o_totalprice < 5000.0 THEN 1 END)
+        FROM '/root/testdata/sf0.001/orders.parquet' GROUP BY 1""").fetchall()}
+    got = {r["pri"]: r["n"] for r in rels["x"].df().collect()}
+    assert got == exp
+
+
+def test_inner_cross_field_collision_disambiguates(eng):
+    """CROSS of bags sharing field names → Pig's alias::field naming."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, """
+        o = LOAD '/root/testdata/sf0.001/orders.parquet';
+        g = GROUP o BY o_orderpriority;
+        z = FOREACH g { a = ORDER o BY o_totalprice DESC; a = LIMIT a 2;
+                        b = ORDER o BY o_totalprice ASC;  b = LIMIT b 2;
+                        c = CROSS a, b;
+                        GENERATE group AS pri, c; };
+    """)
+    row = rels["z"].df().collect()[0]
+    assert len(row["c"]) == 4
+    names = row["c"][0].asDict().keys()
+    assert "a::o_totalprice" in names and "b::o_totalprice" in names
+
+
+def test_inner_foreach_projection_and_agg(eng):
+    """Inner FOREACH computes per-tuple expressions; downstream inner ops
+    and bag-mode aggregates see the projected bag."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, """
+        li = LOAD '/root/testdata/sf0.001/lineitem.parquet';
+        g = GROUP li BY l_returnflag;
+        y = FOREACH g { p = FOREACH li GENERATE l_quantity,
+                                l_extendedprice * 0.5 AS half;
+                        q = FILTER p BY half > 20000.0;
+                        GENERATE group AS flag, COUNT(q) AS n,
+                                 SUM(p.l_quantity) AS qty; };
+    """)
+    import duckdb
+    exp = {r[0]: (r[1], r[2]) for r in duckdb.sql("""
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_extendedprice * 0.5 > 20000.0 THEN 1 END),
+               SUM(l_quantity)
+        FROM '/root/testdata/sf0.001/lineitem.parquet' GROUP BY 1""").fetchall()}
+    got = {r["flag"]: (r["n"], r["qty"]) for r in rels["y"].df().collect()}
+    for k, (n, qty) in exp.items():
+        assert got[k][0] == n and abs(got[k][1] - qty) < 1e-6
