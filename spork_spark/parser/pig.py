@@ -406,7 +406,10 @@ class PigParser:
     def op_filter(self) -> Relation:
         src = self.rel(self.expect("ident").text)
         self.expect("kw", "by")
-        return src.filter(self.expression())
+        cond = self.expression()
+        src, (cond,), helpers = self._bind_scalars(src, [cond])
+        out = src.filter(cond)
+        return out.drop(*helpers) if helpers else out
 
     def op_distinct(self) -> Relation:
         return self.rel(self.expect("ident").text).distinct(
@@ -552,7 +555,52 @@ class PigParser:
         gens = [self._generator()]
         while self.accept("op", ","):
             gens.append(self._generator())
+        src, gens, _ = self._bind_scalars(src, gens)
         return src.foreach(*gens)
+
+    def _bind_scalars(self, src: Relation, exprs: list[E.Expr]) \
+            -> tuple[Relation, list[E.Expr], list[str]]:
+        """Scalar-of-relation references (SURVEY.md §2.2): `rel.field`
+        inside an expression, where `rel` names another relation, reads
+        that relation's single value (pig:src/org/apache/pig/impl/builtin/
+        ReadScalars.java contract: >1 row errors, 0 rows is null). Each
+        distinct reference becomes a cross with the guarded 1-row scalar
+        — a broadcast-size side at any scale — and the deref rewrites to
+        the crossed column. Column names shadow relation names."""
+        try:
+            src_cols = set(src.df().columns)
+        except Exception:
+            src_cols = set()
+        found: dict[tuple[str, str], str] = {}
+
+        def rewrite(e: E.Expr) -> E.Expr:
+            if (isinstance(e, E.Deref) and isinstance(e.child, E.Col)
+                    and isinstance(e.field, str)
+                    and e.child.name in self.rels
+                    and e.child.name not in src_cols):
+                key = (e.child.name, e.field)
+                if key not in found:
+                    found[key] = f"__sc_{e.child.name}_{e.field}"
+                return E.Col(found[key])
+            if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star, E.LambdaVar)):
+                return e
+            out = e.__class__(**vars(e))
+            for k, v in vars(out).items():
+                if k == "_id":
+                    continue
+                if isinstance(v, E.Expr):
+                    setattr(out, k, rewrite(v))
+                elif isinstance(v, list):
+                    setattr(out, k, [rewrite(x) if isinstance(x, E.Expr)
+                                     else x for x in v])
+            return out
+
+        new = [rewrite(x) for x in exprs]
+        for (rel_nm, field), uniq in found.items():
+            scalar = (self.rels[rel_nm].as_scalar(field)
+                      .foreach(E.Aliased(E.Col(field), uniq)))
+            src = src.cross(scalar)
+        return src, new, list(found.values())
 
     def _generator(self) -> E.Expr:
         e = self.expression()

@@ -150,13 +150,22 @@ class Relation:
         def _guard(df: DataFrame) -> DataFrame:
             agg = df.agg(F.first(column).alias(column),
                          F.count(F.lit(1)).alias("__n"))
-            return agg.select(
+            # broadcast hint: the guarded result is exactly one row, so the
+            # cross onto the consuming relation must be a broadcast
+            # nested-loop join, never a cartesian of shuffled sides
+            return F.broadcast(agg.select(
                 F.when(F.col("__n") <= 1, F.col(column))
                  .otherwise(F.raise_error(F.lit(
                      f"scalar has more than one row in the output "
                      f"(relation {self.alias!r}, column {column!r})")))
-                 .alias(column))
+                 .alias(column)))
         return self._wrap(L.Transform(self.node, _guard))
+
+    def drop(self, *columns: str) -> "Relation":
+        """Project away helper columns (used by the parser to clean up
+        scalar-of-relation cross columns after a FILTER)."""
+        return self._wrap(L.Transform(self.node,
+                                      lambda df: df.drop(*columns)))
 
     def distinct(self, parallel: int | None = None) -> "Relation":
         return self._wrap(L.Distinct(self.node, parallel))
