@@ -69,9 +69,11 @@ class ExprCompiler:
     """Compiles Expr trees against a specific input DataFrame (the current
     relation), with access to the engine's UDF registry."""
 
-    def __init__(self, df: DataFrame, udfs: dict[str, Any] | None = None):
+    def __init__(self, df: DataFrame, udfs: dict[str, Any] | None = None,
+                 udafs: dict[str, Any] | None = None):
         self.df = df
         self.udfs = udfs or {}
+        self.udafs = udafs or {}
         self._schema: T.StructType | None = None   # lazy, one RPC
         self._lambda_env: dict[str, Column] = {}   # bag-HOF variable bindings
 
@@ -509,6 +511,10 @@ class ExprCompiler:
             return TYPED_REGISTRY[name](dtypes, *cols)
         if name in REGISTRY:
             return REGISTRY[name](*self._compile_args(name, e.args))
+        if name in self.udafs:
+            # grouped-agg pandas UDF — valid inside the fused
+            # groupBy().agg() path (register_udaf contract)
+            return self.udafs[name](*[self.compile(a) for a in e.args])
         if name in self.udfs:
             return self.udfs[name](*[self.compile(a) for a in e.args])
         raise NameError(f"unknown function {name!r} (not a builtin, not "

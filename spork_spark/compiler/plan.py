@@ -38,9 +38,11 @@ GROUP_COL = "group"
 
 
 class PlanCompiler:
-    def __init__(self, spark: SparkSession, udfs: dict[str, Any] | None = None):
+    def __init__(self, spark: SparkSession, udfs: dict[str, Any] | None = None,
+                 udafs: dict[str, Any] | None = None):
         self.spark = spark
         self.udfs = udfs if udfs is not None else {}
+        self.udafs = udafs if udafs is not None else {}
         self._cache: dict[int, DataFrame] = {}
         self._consumers: dict[int, int] = {}
 
@@ -69,7 +71,7 @@ class PlanCompiler:
         return df
 
     def _ctx(self, df: DataFrame) -> ExprCompiler:
-        return ExprCompiler(df, self.udfs)
+        return ExprCompiler(df, self.udfs, self.udafs)
 
     # -------------------------------------------------------------- sources
     def _c_load(self, node: L.Load) -> DataFrame:
@@ -202,24 +204,17 @@ class PlanCompiler:
                 out_cols.append(("group", inner, alias))
             elif kind == "agg":
                 rewritten = self._rewrite_bag_refs(inner)
-                col = ctx.compile(rewritten).alias(alias or f"col_{i}")
-                agg_cols.append(col)
-                out_cols.append(("agg", alias or f"col_{i}", None))
+                name = alias or f"col_{i}"
+                col = ctx.compile(rewritten).alias(name)
+                agg_cols.append((col, name, self._mentions_udaf(rewritten)))
+                out_cols.append(("agg", name, None))
                 saw_agg = True
             else:
                 return None
         if not saw_agg:
             return None
 
-        if group.mode == "all":
-            grouped = child_df.groupBy()
-        elif group.mode == "cube":
-            grouped = child_df.cube(*self._group_key_cols(ctx, keys))
-        elif group.mode == "rollup":
-            grouped = child_df.rollup(*self._group_key_cols(ctx, keys))
-        else:
-            grouped = child_df.groupBy(*self._group_key_cols(ctx, keys))
-        agg_df = grouped.agg(*agg_cols)
+        agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)
 
         # Re-project to the requested generator shape/order.
         final = []
@@ -230,6 +225,68 @@ class PlanCompiler:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))
         return agg_df.select(*final)
+
+    def _grouped_agg(self, group: L.Group, child_df: DataFrame,
+                     ctx: ExprCompiler, keys: list[E.Expr],
+                     agg_cols: list[tuple]) -> DataFrame:
+        """One groupBy().agg() — unless the generators mix grouped-agg
+        pandas UDAFs with JVM aggregates, which Spark forbids in a single
+        Aggregate (INVALID_PANDAS_UDF_PLACEMENT). Then: two aggregations
+        over the same child, null-safe-joined on the keys. Both sides hash-
+        partition by the same keys, so Catalyst reuses the exchange and the
+        join is co-partitioned — no extra shuffle of the input."""
+        def grouped():
+            if group.mode == "all":
+                return child_df.groupBy()
+            if group.mode == "cube":
+                return child_df.cube(*self._group_key_cols(ctx, keys))
+            if group.mode == "rollup":
+                return child_df.rollup(*self._group_key_cols(ctx, keys))
+            return child_df.groupBy(*self._group_key_cols(ctx, keys))
+
+        native = [(c, n) for c, n, u in agg_cols if not u]
+        pandas_ = [(c, n) for c, n, u in agg_cols if u]
+        if not native or not pandas_:
+            return grouped().agg(*[c for c, _, _ in agg_cols])
+        if group.mode in ("cube", "rollup"):
+            raise NotImplementedError(
+                "custom aggregate (register_udaf) cannot be combined with "
+                "builtin aggregates under CUBE/ROLLUP — grouping-set null "
+                "rows are ambiguous join keys across the split aggregation")
+        if group.mode == "all":
+            return (child_df.groupBy().agg(*[c for c, _ in native])
+                    .crossJoin(child_df.groupBy()
+                               .agg(*[c for c, _ in pandas_])))
+        # Each side plans independently: the native side keeps map-side
+        # partial aggregation (tiny shuffle), the pandas side shuffles only
+        # its pruned columns. The input is scanned twice, but each scan is
+        # column-pruned — together ≈ one unpruned scan. (A shared
+        # repartition would merge the scans but forfeit the combine and
+        # shuffle raw rows twice — measured worse.) The reference charges
+        # non-Algebraic UDFs a comparable toll: no combiner, full bags to
+        # the reducer (pig:…/mapReduceLayer/CombinerOptimizer.java).
+        a = grouped().agg(*[c for c, _ in native])
+        b = grouped().agg(*[c for c, _ in pandas_])
+        knames = a.columns[:len(self._group_key_cols(ctx, keys))]
+        cond = None
+        for k in knames:
+            c = a[k].eqNullSafe(b[k])
+            cond = c if cond is None else (cond & c)
+        return a.join(b, cond).select(
+            *[a[k] for k in knames],
+            *[a[n] for _, n in native], *[b[n] for _, n in pandas_])
+
+    def _mentions_udaf(self, e: E.Expr) -> bool:
+        if isinstance(e, E.Func) and e.name.upper() in self.udafs:
+            return True
+        for v in vars(e).values():
+            if isinstance(v, E.Expr) and self._mentions_udaf(v):
+                return True
+            if isinstance(v, list) and any(
+                    isinstance(x, E.Expr) and self._mentions_udaf(x)
+                    for x in v):
+                return True
+        return False
 
     def _compile_group_ref(self, e: E.Expr, keys: list[E.Expr],
                            alias: str | None, agg_df: DataFrame):
@@ -381,7 +438,8 @@ class PlanCompiler:
         if self._contains_inner_plan(e):
             return False
         if isinstance(e, E.Func):
-            if e.name.upper() in ALGEBRAIC_AGGS:
+            if e.name.upper() in ALGEBRAIC_AGGS or \
+                    e.name.upper() in self.udafs:
                 return True
             # scalar fn over aggregates: ≥1 algebraic arg, rest literals
             args_ok = all(self._is_algebraic_agg(a) or isinstance(a, E.Lit)

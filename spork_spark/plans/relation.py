@@ -36,7 +36,8 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.udfs: dict[str, Any] = {}
-        self._compiler = PlanCompiler(self.spark, self.udfs)
+        self.udafs: dict[str, Any] = {}
+        self._compiler = PlanCompiler(self.spark, self.udfs, self.udafs)
 
     # -- sources -----------------------------------------------------------
     def load(self, path: str, fmt: str = "parquet", schema=None,
@@ -59,6 +60,32 @@ class Engine:
         wrapped = (F.pandas_udf(func, returns) if vectorized
                    else F.udf(func, returns))
         self.udfs[name.upper()] = wrapped
+
+    def register_udaf(self, name: str, func: Callable,
+                      returns: str | None = None) -> None:
+        """Custom aggregate (the reference's Algebraic/Accumulator surface,
+        SURVEY.md §2.10: pig:src/org/apache/pig/Algebraic.java). ``func``
+        takes a pandas Series (one group's values, Arrow-batched) and
+        returns a scalar — a grouped-agg pandas UDF. Used by name inside a
+        FOREACH over a GROUP, it participates in the fused groupBy().agg()
+        path: the group's bag is never materialized (the Accumulator
+        contract). Unlike builtin aggregates there is no map-side partial
+        aggregation — same caveat as the reference's non-Algebraic UDFs."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+        if returns is None:
+            returns = getattr(func, "__pig_output_schema__", "double")
+
+        # the Series→scalar type hints classify this as a grouped-agg UDF
+        # (the actual return conversion follows the `returns` DDL type);
+        # set real type objects — PEP 563 string annotations in this module
+        # wouldn't resolve from pyspark's typehints introspection
+        def _grouped(s):
+            return func(s)
+
+        _grouped.__annotations__ = {"s": pd.Series, "return": float}
+        _grouped.__name__ = getattr(func, "__name__", name)
+        self.udafs[name.upper()] = F.pandas_udf(_grouped, returns)
 
     def compile(self, node: L.LogicalOp) -> DataFrame:
         return self._compiler.compile(node)

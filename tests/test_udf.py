@@ -66,3 +66,28 @@ def test_udtf_bag_returning_plus_flatten(spark):
                     flatten(fn("SPLIT_CSV", col("s")))))
     rows = [tuple(r) for r in out.df().collect()]
     assert rows == [(1, "a"), (1, "b")]      # empty bag drops row 2
+
+
+def test_register_udaf_grouped_agg(eng, spark):
+    """Custom aggregate (Algebraic/Accumulator analog, SURVEY.md §2.10):
+    a grouped-agg pandas UDF participates in the fused groupBy().agg()
+    path — values stream through Arrow, no bag materialization."""
+    from spork_spark import col, fn
+
+    def trimmed_mean(s):
+        import numpy as np
+        a = np.sort(s.to_numpy())
+        return float(a[1:-1].mean()) if len(a) > 2 else float(a.mean())
+
+    eng.register_udaf("TRIMMED_MEAN", trimmed_mean, "double")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("a", 2.0), ("a", 3.0), ("b", 7.0)],
+        "k string, v double")
+    r = (eng.from_df(df, alias="x").group_by(col("k"))
+         .foreach(col("group").alias("k"),
+                  fn("TRIMMED_MEAN", col("x").get("v")).alias("tm"),
+                  fn("COUNT_STAR").alias("n")))
+    plan = r.df()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    out = {row["k"]: (row["tm"], row["n"]) for row in r.df().collect()}
+    assert out["a"] == (2.5, 4) and out["b"] == (7.0, 1)
