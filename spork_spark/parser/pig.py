@@ -1017,7 +1017,16 @@ class PigParser:
 
 
 def run_script(engine: Engine, script: str,
-               params: dict | None = None) -> dict[str, Relation]:
+               params: dict | None = None,
+               relations: dict[str, Relation] | None = None
+               ) -> dict[str, Relation]:
     """Execute a Pig Latin script; returns {alias: Relation} (lazy — STORE/
-    DUMP statements have already run their actions, like PigServer)."""
-    return PigParser(engine).run(script, params)
+    DUMP statements have already run their actions, like PigServer).
+
+    ``relations`` seeds the alias environment with pre-built Relations —
+    the PigUnit/mock.Storage role (pig:src/org/apache/pig/pigunit/
+    PigTest.java): inject in-memory inputs, run a script over them."""
+    p = PigParser(engine)
+    if relations:
+        p.rels.update(relations)
+    return p.run(script, params)

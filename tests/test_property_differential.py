@@ -111,3 +111,86 @@ def test_rank_by_matches_duckdb(eng, spark, data):
         "SELECT dense_rank() OVER (ORDER BY v DESC NULLS LAST) AS rank, "
         "k, v, s FROM t").fetchall())
     assert got_d == exp_d
+
+
+# ---------------------------------------------------------------------------
+# expression-language fuzz: random Pig expression TEXT through the parser,
+# mirrored SQL through DuckDB — catches precedence / bincond / three-valued
+# logic / promotion drift in the tokenizer+compiler, not just plan shapes
+# ---------------------------------------------------------------------------
+
+@st.composite
+def num_expr(draw, depth=0):
+    """Returns (pig_text, sql_text) for a numeric expression over columns
+    k (int, nullable) and v (double, nullable)."""
+    if depth >= 3 or draw(st.booleans()):
+        return draw(st.sampled_from([
+            ("k", "k"), ("v", "v"), ("3", "3"), ("2", "2"),
+            ("1.5", "1.5"), ("-4", "-4"),
+        ]))
+    kind = draw(st.sampled_from(["arith", "bincond"]))
+    if kind == "arith":
+        lp, ls = draw(num_expr(depth + 1))
+        rp, rs = draw(num_expr(depth + 1))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return (f"({lp} {op} {rp})", f"({ls} {op} {rs})")
+    cp, cs = draw(bool_expr(depth + 1))
+    tp, ts = draw(num_expr(depth + 1))
+    fp, fs = draw(num_expr(depth + 1))
+    return (f"({cp} ? {tp} : {fp})",
+            f"(CASE WHEN {cs} THEN {ts} ELSE {fs} END)")
+
+
+@st.composite
+def bool_expr(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        lp, ls = draw(num_expr(depth + 1))
+        rp, rs = draw(num_expr(depth + 1))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
+        sql_op = "=" if op == "==" else ("<>" if op == "!=" else op)
+        return (f"({lp} {op} {rp})", f"({ls} {sql_op} {rs})")
+    kind = draw(st.sampled_from(["and", "or", "not", "isnull"]))
+    if kind == "isnull":
+        c = draw(st.sampled_from(["k", "v"]))
+        neg = draw(st.booleans())
+        return ((f"({c} is not null)", f"({c} IS NOT NULL)") if neg
+                else (f"({c} is null)", f"({c} IS NULL)"))
+    if kind == "not":
+        p, s = draw(bool_expr(depth + 1))
+        return (f"(NOT {p})", f"(NOT {s})")
+    lp, ls = draw(bool_expr(depth + 1))
+    rp, rs = draw(bool_expr(depth + 1))
+    op = kind.upper()
+    return (f"({lp} {op} {rp})", f"({ls} {op} {rs})")
+
+
+@given(data=tables, e=num_expr())
+@SLOW
+def test_generate_expression_matches_duckdb(eng, spark, data, e):
+    """FOREACH … GENERATE <expr>: value + null propagation parity."""
+    from spork_spark.parser import run_script
+    pig, sql = e
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_fuzz")
+    rels = run_script(eng, f"x = FOREACH t_fuzz GENERATE {pig} AS r;",
+                      relations={"t_fuzz": t})
+    got = norm((None if r["r"] is None else round(float(r["r"]), 6),)
+               for r in rels["x"].df().collect())
+    want = norm((None if r[0] is None else round(float(r[0]), 6),)
+                for r in con.sql(f"SELECT {sql} AS r FROM t").fetchall())
+    assert got == want
+
+
+@given(data=tables, e=bool_expr())
+@SLOW
+def test_filter_expression_matches_duckdb(eng, spark, data, e):
+    """FILTER … BY <expr>: three-valued logic parity (null drops)."""
+    from spork_spark.parser import run_script
+    pig, sql = e
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_fuzz2")
+    rels = run_script(eng, f"x = FILTER t_fuzz2 BY {pig};",
+                      relations={"t_fuzz2": t})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    want = norm(con.sql(f"SELECT * FROM t WHERE {sql}").fetchall())
+    assert got == want
