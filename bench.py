@@ -54,7 +54,7 @@ def main() -> None:
         df = qs[qname](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()   # warm codegen
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
