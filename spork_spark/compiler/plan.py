@@ -750,7 +750,15 @@ class PlanCompiler:
         tsv = df.select(F.concat_ws(
             "\t", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
                     for c in df.columns]))
-        piped = tsv.rdd.map(lambda r: r[0]).pipe(node.command)
+        lines = tsv.rdd.map(lambda r: r[0])
+        if node.shipped:
+            # SHIP'd commands need the task-local SparkFiles dir as cwd —
+            # resolvable only on the executor, so rdd.pipe (driver-fixed
+            # argv) can't express it: subprocess-per-partition with a
+            # stdin feeder thread (the ExecutableManager model).
+            piped = lines.mapPartitions(_pipe_with_cwd(node.command))
+        else:
+            piped = lines.pipe(node.command)
         schema = node.schema
         if schema is None:
             schema = T.StructType([T.StructField(f"f{i}", T.StringType())
@@ -771,6 +779,44 @@ class PlanCompiler:
         df = self._compile(node.child)
         write(df, node.path, node.fmt, node.options, node.partition_by)
         return df
+
+
+def _pipe_with_cwd(command: str):
+    """Partition pipe for SHIP'd STREAM commands: run the shell command
+    with cwd = the task's SparkFiles root (where addFile'd scripts land on
+    every executor), feeding stdin from a thread and yielding stdout
+    lines. Mirrors pig:…/impl/streaming/ExecutableManager.java."""
+    def run(it):
+        import subprocess
+        import threading
+
+        from pyspark import SparkFiles
+        proc = subprocess.Popen(
+            command, shell=True, stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, cwd=SparkFiles.getRootDirectory(),
+            text=True)
+
+        def feed():
+            try:
+                for line in it:
+                    proc.stdin.write(line + "\n")
+            finally:
+                try:
+                    proc.stdin.close()
+                except Exception:
+                    pass
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        for out in proc.stdout:
+            yield out.rstrip("\n")
+        proc.stdout.close()
+        t.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(
+                f"STREAM command exited with status {rc}: {command!r}")
+    return run
 
 
 class _CrossShim:

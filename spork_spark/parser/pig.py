@@ -350,9 +350,19 @@ class PigParser:
         self.expect("kw", "define")
         name = self.expect("ident").text
         t = self.next()                      # `cmd` or fn name (+ args)
-        self.defines[name] = t.text.strip("`")
+        cmd, ship = t.text.strip("`"), []
         while not self.accept("op", ";"):
-            self.next()
+            t = self.next()
+            # DEFINE … SHIP('a.py','b.txt'): distribute files to tasks
+            # (CACHE/INPUT/OUTPUT clauses parse but are no-ops: HDFS cache
+            # localization / non-stdin-stdout plumbing don't apply here)
+            if t.kind == "ident" and t.text.lower() == "ship" \
+                    and self.accept("op", "("):
+                while not self.accept("op", ")"):
+                    p = self.next()
+                    if p.kind == "string":
+                        ship.append(p.text[1:-1])
+        self.defines[name] = (cmd, tuple(ship)) if ship else cmd
 
     def st_register(self) -> None:
         self.expect("kw", "register")
@@ -541,10 +551,13 @@ class PigParser:
         t = self.next()
         cmd = t.text.strip("`'")
         cmd = self.defines.get(cmd, cmd)
+        ship: tuple = ()
+        if isinstance(cmd, tuple):           # DEFINE'd with SHIP(...)
+            cmd, ship = cmd
         schema = None
         if self.accept("kw", "as"):
             schema = self._schema_ddl()
-        return src.stream_through(cmd, schema=schema)
+        return src.stream_through(cmd, schema=schema, ship=ship)
 
     # FOREACH rel GENERATE … | FOREACH rel { inner; GENERATE … }
     def op_foreach(self) -> Relation:

@@ -208,10 +208,13 @@ class Transform(LogicalOp):
 @dataclass(eq=False)
 class StreamThrough(LogicalOp):
     """STREAM rel THROUGH 'cmd' AS schema — pipe rows through an external
-    executable, tab-delimited stdin/stdout (POStream/ExecutableManager)."""
+    executable, tab-delimited stdin/stdout (POStream/ExecutableManager).
+    ``shipped`` = DEFINE … SHIP('f') files already SparkContext.addFile'd;
+    the command then runs with cwd at the task's SparkFiles directory."""
     child: LogicalOp
     command: str
     schema: Any = None
+    shipped: tuple = ()
 
 
 @dataclass(eq=False)

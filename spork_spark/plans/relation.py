@@ -221,8 +221,19 @@ class Relation:
     def sample(self, fraction: float, seed: int | None = None) -> "Relation":
         return self._wrap(L.Sample(self.node, fraction, seed))
 
-    def stream_through(self, command: str, schema=None) -> "Relation":
-        return self._wrap(L.StreamThrough(self.node, command, schema))
+    def stream_through(self, command: str, schema=None,
+                       ship: tuple | list = ()) -> "Relation":
+        """STREAM THROUGH. ``ship`` paths are distributed to every task
+        (DEFINE … SHIP contract: pig:src/org/apache/pig/impl/streaming/
+        StreamingCommand.java#addPathToShip) via SparkContext.addFile; the
+        command then executes with the task's SparkFiles dir as cwd, so
+        `python script.py` finds its shipped script on any executor."""
+        for p in ship:
+            self.engine.spark.sparkContext.addFile(p)
+        import os
+        shipped = tuple(os.path.basename(p) for p in ship)
+        return self._wrap(L.StreamThrough(self.node, command, schema,
+                                          shipped))
 
     def apply_per_group(self, keys: list[Expr], func, out_schema) -> "Relation":
         """Nested-FOREACH escape hatch: arbitrary per-group pandas transform

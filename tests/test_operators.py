@@ -242,3 +242,25 @@ def test_bucketed_store_elides_join_exchange(eng, spark, tmp_path):
     assert joined.count() == 100
     spark.sql("DROP TABLE IF EXISTS t_buck_a")
     spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_stream_through_ship(eng, tmp_path):
+    """DEFINE … SHIP('script') + STREAM THROUGH: the shipped script is
+    distributed via addFile and found from the task's cwd."""
+    from spork_spark.parser import run_script
+
+    script = tmp_path / "double_price.py"
+    script.write_text(
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    k, p = line.rstrip('\\n').split('\\t')\n"
+        "    print(f'{k}\\t{float(p) * 2}')\n")
+    rels = run_script(eng, f"""
+        r = LOAD '/root/testdata/sf0.001/region.parquet';
+        p = FOREACH r GENERATE r_regionkey, (double)r_regionkey * 10.0 AS price;
+        DEFINE doubler `python3 double_price.py` SHIP('{script}');
+        s = STREAM p THROUGH doubler AS (k:int, doubled:double);
+        out = ORDER s BY k;
+    """)
+    rows = [(r["k"], r["doubled"]) for r in rels["out"].df().collect()]
+    assert rows == [(i, i * 20.0) for i in range(5)]
