@@ -110,6 +110,31 @@ def q_pigmix_distinct_agg(spark, sf):
              .order_by(col("l_returnflag"))).df()
 
 
+def q_udaf_custom(spark, sf):
+    """Custom aggregate surface (SURVEY.md §2.10 Algebraic/Accumulator →
+    register_udaf grouped-agg pandas UDF): per-flag trimmed mean of
+    quantity (drop one min + one max) MIXED with builtin aggregates —
+    exercises the split-aggregation compilation (grouped-agg pandas UDFs
+    cannot share a Spark Aggregate with JVM aggregates)."""
+    eng = _eng(spark)
+
+    def trimmed_mean(s):
+        s = s.dropna()            # aggregates skip nulls (Pig/SQL contract)
+        n = len(s)
+        if n <= 2:
+            return float(s.mean())
+        return float((s.sum() - s.min() - s.max()) / (n - 2))
+
+    eng.register_udaf("TRIMMED_MEAN", trimmed_mean, "double")
+    li = _t(eng, sf, "lineitem")
+    g = li.group_by(col("l_returnflag"))
+    return (g.foreach(col("group").alias("l_returnflag"),
+                      _r2(fn("TRIMMED_MEAN", col("lineitem").get("l_quantity")))
+                      .alias("trimmed_qty"),
+                      fn("COUNT_STAR").alias("n_rows"))
+             .order_by(col("l_returnflag"))).df()
+
+
 def q_pigmix_wide_group(spark, sf):
     """PigMix L17 shape: wide (4-part, mixed-type, computed) group key."""
     eng = _eng(spark)
@@ -1084,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pig_script": q_pig_script,
         "nested_foreach": q_nested_foreach,
         "nested_cross": q_nested_cross,
+        "udaf_custom": q_udaf_custom,
         "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1489,6 +1515,14 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((SUM(o_totalprice) FILTER (WHERE rn <= 2))*100
                          + 0.5)/100 AS top2_total
             FROM r GROUP BY o_custkey ORDER BY custkey
+        """,
+        "udaf_custom": """
+            SELECT l_returnflag,
+                   FLOOR(((SUM(l_quantity) - MIN(l_quantity) - MAX(l_quantity))
+                          / (COUNT(l_quantity) - 2))*100 + 0.5)/100
+                       AS trimmed_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "nested_cross": """
             WITH hi AS (SELECT o_orderpriority AS pri, o_totalprice AS hv
