@@ -365,10 +365,35 @@ class PigParser:
         self.defines[name] = (cmd, tuple(ship)) if ship else cmd
 
     def st_register(self) -> None:
+        """REGISTER 'udfs.py' [USING jython|streaming_python] AS ns —
+        the reference's scripting-UDF surface (pig:src/org/apache/pig/
+        scripting/jython/JythonScriptEngine.java): execute the Python
+        file, register its functions as ns.fn; an @outputSchema
+        annotation (injected into the module, like Pig's pig_util)
+        declares the return type. Non-.py paths (jars) parse and no-op."""
         self.expect("kw", "register")
-        self.next()                          # path (string or ident chain)
+        t = self.next()                      # path (string or ident chain)
+        path = t.text[1:-1] if t.kind == "string" else t.text
+        ns = None
         while not self.accept("op", ";"):
-            self.next()
+            tok = self.next()
+            if tok.kind == "kw" and tok.text == "as":
+                ns = self.expect("ident").text
+        if path.endswith(".py"):
+            self._register_python_udfs(path, ns)
+
+    def _register_python_udfs(self, path: str, ns: str | None) -> None:
+        from ..functions.udf import output_schema
+        mod: dict = {"outputSchema": output_schema,
+                     "output_schema": output_schema}
+        with open(path) as f:
+            code = compile(f.read(), path, "exec")
+        exec(code, mod)                       # noqa: S102 — user UDF file
+        for name, v in mod.items():
+            if callable(v) and getattr(v, "__code__", None) is not None \
+                    and v.__code__.co_filename == path:
+                full = f"{ns}.{name}" if ns else name
+                self.engine.register_udf(full, v)
 
     def st_set(self) -> None:
         self.expect("kw", "set")
@@ -989,6 +1014,25 @@ class PigParser:
                         args.append(self.expression())
                 self.expect("op", ")")
                 return E.Func(t.text.upper(), args)
+            # namespaced UDF call: ns.fn(args) for a REGISTER'd module —
+            # only when the dotted name is actually registered (otherwise
+            # dots mean field dereference)
+            if (self.peek().kind == "op" and self.peek().text == "."
+                    and self.peek(1).kind == "ident"
+                    and self.peek(2).kind == "op"
+                    and self.peek(2).text == "("
+                    and f"{t.text}.{self.peek(1).text}".upper()
+                    in self.engine.udfs):
+                self.next()
+                fn_name = self.next().text
+                self.next()                  # consume "("
+                args = []
+                if not (self.peek().kind == "op" and self.peek().text == ")"):
+                    args.append(self.expression())
+                    while self.accept("op", ","):
+                        args.append(self.expression())
+                self.expect("op", ")")
+                return E.Func(f"{t.text}.{fn_name}".upper(), args)
             return self._qualified(E.Col(t.text))
         raise PigSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 

@@ -91,3 +91,31 @@ def test_register_udaf_grouped_agg(eng, spark):
     assert "collect_list" not in plan
     out = {row["k"]: (row["tm"], row["n"]) for row in r.df().collect()}
     assert out["a"] == (2.5, 4) and out["b"] == (7.0, 1)
+
+
+def test_register_python_file_with_namespace(eng, tmp_path):
+    """REGISTER 'udfs.py' AS ns (the Jython scripting surface, SURVEY.md
+    §2.10): @outputSchema-annotated functions become callable as ns.fn."""
+    from spork_spark.parser import run_script
+
+    udfs = tmp_path / "myudfs.py"
+    udfs.write_text(
+        "@outputSchema('v:double')\n"
+        "def square(x):\n"
+        "    return None if x is None else float(x) * float(x)\n"
+        "\n"
+        "@outputSchema('s:chararray')\n"
+        "def shout(s):\n"
+        "    return None if s is None else s.upper() + '!'\n")
+    rels = run_script(eng, f"""
+        REGISTER '{udfs}' AS myns;
+        r = LOAD '/root/testdata/sf0.001/region.parquet';
+        p = FOREACH r GENERATE r_regionkey,
+                               myns.square(r_regionkey) AS sq,
+                               myns.shout(r_name) AS nm;
+        out = ORDER p BY r_regionkey;
+    """)
+    rows = [(r["r_regionkey"], r["sq"], r["nm"])
+            for r in rels["out"].df().collect()]
+    assert rows[0] == (0, 0.0, "AFRICA!")
+    assert rows[4] == (4, 16.0, "MIDDLE EAST!")
