@@ -131,6 +131,10 @@ class PlanCompiler:
             if isinstance(inner, E.Star):
                 cols.append(F.col("*"))
                 continue
+            if isinstance(inner, E.RangeProj):
+                cols.extend(F.col(c) for c in
+                            self._expand_range(df.columns, inner))
+                continue
             if isinstance(inner, E.Flatten):
                 name = alias or f"__flat_{i}"
                 cols.append(ctx.compile(inner.child).alias(name))
@@ -143,6 +147,30 @@ class PlanCompiler:
         for name, alias in flatten_names:
             out = self._explode_one(out, name, alias)
         return out
+
+    @staticmethod
+    def _expand_range(columns: list[str], r: E.RangeProj) -> list[str]:
+        """Expand a project-range ``a .. c`` positionally against the input
+        schema (Pig 0.9 project-range; bounds inclusive, open ends allowed)."""
+        def idx(bound, default):
+            if bound is None:
+                return default
+            if isinstance(bound, int):
+                if bound >= len(columns):
+                    raise ValueError(
+                        f"range bound ${bound} out of range "
+                        f"({len(columns)} columns)")
+                return bound
+            try:
+                return columns.index(bound)
+            except ValueError:
+                raise ValueError(f"unknown column {bound!r} in range "
+                                 f"projection over {columns}") from None
+        lo, hi = idx(r.start, 0), idx(r.end, len(columns) - 1)
+        if lo > hi:
+            raise ValueError(f"empty range projection "
+                             f"({r.start!r} .. {r.end!r})")
+        return columns[lo:hi + 1]
 
     @staticmethod
     def _default_name(e: E.Expr, i: int) -> str:
@@ -392,7 +420,7 @@ class PlanCompiler:
             return E.Col(e.field)
         if isinstance(e, (E.LambdaVar, E.Lambda)):
             return None
-        if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star)):
+        if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star, E.RangeProj)):
             return e
         out = e.__class__(**{k: v for k, v in vars(e).items() if k != "_id"})
         for k, v in vars(out).items():

@@ -620,7 +620,7 @@ class PigParser:
                 if key not in found:
                     found[key] = f"__sc_{e.child.name}_{e.field}"
                 return E.Col(found[key])
-            if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star, E.LambdaVar)):
+            if isinstance(e, (E.Lit, E.Col, E.Pos, E.Star, E.RangeProj, E.LambdaVar)):
                 return e
             out = e.__class__(**vars(e))
             for k, v in vars(out).items():
@@ -640,8 +640,40 @@ class PigParser:
             src = src.cross(scalar)
         return src, new, list(found.values())
 
+    def _maybe_range(self) -> E.RangeProj | None:
+        """Project-range generator: ``a .. c``, ``$0 .. $3``, ``.. b``,
+        ``a ..``, bare ``..`` (Pig 0.9 project-range syntax). Only fires
+        when the lookahead actually contains ``..`` — otherwise the normal
+        expression parser runs."""
+        def bound_tok(k: int) -> tuple[int, str | int] | None:
+            t = self.peek(k)
+            if t.kind == "dollar":
+                return k + 1, int(t.text[1:])
+            if t.kind == "ident":
+                return k + 1, t.text
+            return None
+
+        start: str | int | None = None
+        k = 0
+        b = bound_tok(0)
+        if b is not None:
+            k, start = b
+        if not (self.peek(k).kind == "op" and self.peek(k).text == ".."):
+            return None
+        for _ in range(k + 1):
+            self.next()
+        end: str | int | None = None
+        b = bound_tok(0)
+        if b is not None:
+            self.next()
+            end = b[1]
+        if start is None and end is None:
+            return E.RangeProj(0, None)      # bare '..' ≡ '*'
+        return E.RangeProj(start, end)
+
     def _generator(self) -> E.Expr:
-        e = self.expression()
+        rng = self._maybe_range()
+        e = rng if rng is not None else self.expression()
         if self.accept("kw", "as"):
             if self.accept("op", "("):       # AS (name[:type], …) on FLATTEN
                 names = [self.expect("ident").text]
@@ -774,7 +806,7 @@ class PigParser:
                     and e.child.name in bag_env \
                     and e.child.name != "group":
                 return E.Deref(subst_bags(e.child), e.field)
-            if isinstance(e, (E.Lit, E.Pos, E.Star, E.LambdaVar)):
+            if isinstance(e, (E.Lit, E.Pos, E.Star, E.RangeProj, E.LambdaVar)):
                 return e
             out = e.__class__(**vars(e))
             for k, v in vars(out).items():

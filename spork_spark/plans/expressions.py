@@ -105,6 +105,16 @@ class Star(Expr):
 
 
 @dataclass(eq=False)
+class RangeProj(Expr):
+    """Column-range projection ``a .. c`` / ``$0 .. $3`` / ``.. b`` / ``a ..``
+    (Pig 0.9+ "project-range"; expands positionally against the input schema
+    at compile time). ``start``/``end`` are a column name (str), a position
+    (int), or None for an open end; both bounds inclusive."""
+    start: str | int | None
+    end: str | int | None
+
+
+@dataclass(eq=False)
 class Lit(Expr):
     value: Any
 

@@ -209,3 +209,30 @@ def test_illustrate_traces_lineage(eng, capsys):
     assert "-- Load" in out and "-- Filter" in out and "-- ForEach" in out
     assert "n_nationkey:int" in out            # schema shown
     assert out.count("no example rows reach this operator") == 2
+
+
+def test_range_projection(eng):
+    """Project-range (Pig 0.9): name..name, $n..$m, ..name, name.., bare ..
+    expand positionally against the input schema at compile time."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        a = FOREACH n GENERATE n_nationkey .. n_regionkey;
+        b = FOREACH n GENERATE $0 .. $1;
+        c = FOREACH n GENERATE .. n_name;
+        d = FOREACH n GENERATE n_name ..;
+        e = FOREACH n GENERATE ..;
+        f = FOREACH n GENERATE n_name .. n_regionkey, UPPER(n_name) AS un;
+    """)
+    all_cols = rels["e"].df().columns
+    assert rels["a"].df().columns == all_cols[:3]
+    assert rels["b"].df().columns == all_cols[:2]
+    assert rels["c"].df().columns == all_cols[:2]
+    assert rels["d"].df().columns == all_cols[1:]
+    assert rels["f"].df().columns == all_cols[1:3] + ["un"]
+    # unknown bound errors at compile time, not silently
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        run_script(eng, f"""
+            n = LOAD '{SF}/nation.parquet';
+            x = FOREACH n GENERATE nope .. n_name;
+        """)["x"].df()
