@@ -304,6 +304,25 @@ class ExprCompiler:
         # fall through: positional/name access on maps or via getItem
         return child.getItem(e.field)
 
+    def _c_derefmulti(self, e: E.DerefMulti) -> Column:
+        """tuple.(f1,f2) → sub-struct; bag.(f1,f2) → bag of n-field tuples
+        (Pig parenthesized projection; stays a codegen'd HOF, no shuffle)."""
+        child = self.compile(e.child)
+        if self._contains_lambda_var(e.child):
+            return F.struct(*[child[f] for f in e.fields])
+        dt = self._type_of(e.child, child)
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                      T.StructType):
+            st = dt.elementType
+            names = [self._field_name(st, f) for f in e.fields]
+            return F.transform(
+                child, lambda t: F.struct(*[t[n].alias(n) for n in names]))
+        if isinstance(dt, T.StructType):
+            names = [self._field_name(dt, f) for f in e.fields]
+            return F.struct(*[child.getField(n).alias(n) for n in names])
+        raise ValueError("multi-field projection .(…) requires a tuple or "
+                         f"bag input, got {dt}")
+
     @staticmethod
     def _field_name(st: T.StructType, f: Any) -> str:
         return st.fields[f].name if isinstance(f, int) else f

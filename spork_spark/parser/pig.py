@@ -876,27 +876,84 @@ class PigParser:
                     args.append(t.text)
         return args
 
-    def _schema_ddl(self) -> str:
-        """AS (a:int, b:chararray, …) → Spark DDL string. Untyped fields
-        default to string (the bytearray→StringType strategy, §1.3)."""
-        self.expect("op", "(")
-        fields = []
-        type_map = {"int": "int", "long": "bigint", "float": "float",
+    _DDL_SCALARS = {"int": "int", "long": "bigint", "float": "float",
                     "double": "double", "chararray": "string",
                     "bytearray": "binary", "boolean": "boolean",
                     "datetime": "timestamp", "biginteger": "decimal(38,0)",
                     "bigdecimal": "decimal(38,18)"}
+
+    def _schema_ddl(self) -> str:
+        """AS (a:int, b:chararray, t:tuple(…), bg:bag{…}, m:map[…]) → Spark
+        DDL string. Untyped fields default to string (the
+        bytearray→StringType strategy, §1.3); nested Pig types map to
+        struct/array<struct>/map (SURVEY.md §1.2)."""
+        self.expect("op", "(")
+        fields = []
         while True:
             name = self.expect("ident").text
             spark_t = "string"
             if self.accept("op", ":"):
-                t = self.next().text.lower()
-                spark_t = type_map.get(t, "string")
+                spark_t = self._ddl_type()
             fields.append(f"{name} {spark_t}")
             if not self.accept("op", ","):
                 break
         self.expect("op", ")")
         return ", ".join(fields)
+
+    def _ddl_type(self) -> str:
+        """One Pig type in a schema DDL, possibly nested:
+        tuple(a:int, …) | (a:int, …) → struct<…>;
+        bag{alias:(…)} | {(…)} → array<struct<…>>;  map[t] | [t] → map."""
+        t = self.peek()
+        if t.kind == "ident" and t.text.lower() == "tuple":
+            self.next()
+            return self._ddl_struct()
+        if t.kind == "op" and t.text == "(":
+            return self._ddl_struct()
+        if t.kind == "ident" and t.text.lower() == "bag":
+            self.next()
+            return self._ddl_bag()
+        if t.kind == "op" and t.text == "{":
+            return self._ddl_bag()
+        if t.kind == "ident" and t.text.lower() == "map":
+            self.next()
+            return self._ddl_map()
+        if t.kind == "op" and t.text == "[":
+            return self._ddl_map()
+        return self._DDL_SCALARS.get(self.next().text.lower(), "string")
+
+    def _ddl_struct(self) -> str:
+        self.expect("op", "(")
+        parts = []
+        while True:
+            name = self.expect("ident").text
+            spark_t = "string"
+            if self.accept("op", ":"):
+                spark_t = self._ddl_type()
+            parts.append(f"{name}:{spark_t}")
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        return f"struct<{','.join(parts)}>"
+
+    def _ddl_bag(self) -> str:
+        self.expect("op", "{")
+        if self.accept("op", "}"):           # bag{} — untyped tuples
+            return "array<string>"
+        if self.peek().kind == "ident" and self.peek(1).text == ":":
+            self.next()                      # inner tuple alias (t:)
+            self.next()
+        inner = self._ddl_type()             # tuple(...) or (...)
+        self.expect("op", "}")
+        return f"array<{inner}>"
+
+    def _ddl_map(self) -> str:
+        self.expect("op", "[")
+        if self.accept("op", "]"):           # map[] — untyped values
+            return "map<string,string>"
+        val = self._ddl_type()
+        self.expect("op", "]")
+        return f"map<string,{val}>"
 
     # -- expressions (precedence climbing) ------------------------------------
     def expression(self) -> E.Expr:
@@ -991,6 +1048,13 @@ class PigParser:
         e = self._primary()
         while True:
             if self.accept("op", "."):
+                if self.accept("op", "("):   # multi-field: b.(f1, f2)
+                    fields = [self._deref_field()]
+                    while self.accept("op", ","):
+                        fields.append(self._deref_field())
+                    self.expect("op", ")")
+                    e = E.DerefMulti(e, fields)
+                    continue
                 t = self.next()
                 if t.kind == "dollar":
                     e = E.Deref(e, int(t.text[1:]))
@@ -1000,6 +1064,14 @@ class PigParser:
                 e = E.MapLookup(e, self._string())
             else:
                 return e
+
+    def _deref_field(self) -> str | int:
+        t = self.next()
+        if t.kind == "dollar":
+            return int(t.text[1:])
+        if t.kind in ("ident", "kw"):
+            return t.text
+        raise PigSyntaxError(f"expected field name, got {t.text!r} at {t.pos}")
 
     def _primary(self) -> E.Expr:
         t = self.next()

@@ -180,6 +180,15 @@ class Deref(Expr):
 
 
 @dataclass(eq=False)
+class DerefMulti(Expr):
+    """``tuple.(f1, f2)`` / ``bag.(f1, f2)`` — multi-field projection: on a
+    tuple yields a sub-tuple, on a bag yields a bag of n-field tuples
+    (Pig's parenthesized projection list)."""
+    child: Expr
+    fields: list  # str names and/or int positions
+
+
+@dataclass(eq=False)
 class Func(Expr):
     """Builtin or registered-UDF call by Pig name, e.g. SUM, CONCAT, TOKENIZE.
 

@@ -236,3 +236,37 @@ def test_range_projection(eng):
             n = LOAD '{SF}/nation.parquet';
             x = FOREACH n GENERATE nope .. n_name;
         """)["x"].df()
+
+
+def test_multi_field_projection(eng):
+    """b.(f1,f2): bag → bag of 2-field tuples; tuple → sub-tuple (Pig's
+    parenthesized projection list). Compiles to transform/struct HOFs."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        g = GROUP n BY n_regionkey;
+        p = FOREACH g GENERATE group, n.(n_name, n_nationkey) AS pairs;
+        t = FOREACH n GENERATE TOTUPLE(n_nationkey, n_name) AS tt;
+        s = FOREACH t GENERATE tt.(n_name) AS sub;
+    """)
+    assert rels["p"].df().schema["pairs"].dataType.simpleString() == \
+        "array<struct<n_name:string,n_nationkey:int>>"
+    assert rels["s"].df().schema["sub"].dataType.simpleString() == \
+        "struct<n_name:string>"
+    row = rels["p"].df().filter("group = 0").collect()[0]
+    assert all(len(p) == 2 for p in row.pairs) and len(row.pairs) == 5
+
+
+def test_nested_schema_ddl(eng, tmp_path):
+    """AS (…) accepts nested Pig types: tuple(…), bag{t:(…)}, map[t] →
+    struct / array<struct> / map (SURVEY.md §1.2 mapping)."""
+    f = tmp_path / "t.json"
+    f.write_text('{"a":1,"t":{"p":2,"q":3.5},"bg":[{"m":7}],"mp":{"k":9}}\n')
+    rels = run_script(eng, f"""
+        x = LOAD '{f}' USING JsonLoader()
+            AS (a:int, t:tuple(p:int,q:double), bg:bag{{tt:(m:int)}}, mp:map[int]);
+    """)
+    assert rels["x"].df().schema.simpleString() == \
+        ("struct<a:int,t:struct<p:int,q:double>,"
+         "bg:array<struct<m:int>>,mp:map<string,int>>")
+    r = rels["x"].df().collect()[0]
+    assert r.t.q == 3.5 and r.bg[0].m == 7 and r.mp["k"] == 9
