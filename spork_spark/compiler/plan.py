@@ -148,6 +148,21 @@ class PlanCompiler:
             out = self._explode_one(out, name, alias)
         return out
 
+    def _expand_star_keys(self, df: DataFrame,
+                          keys: list[E.Expr]) -> list[E.Expr]:
+        """GROUP/ORDER BY * (and project-ranges) expand to per-column keys
+        against the input schema — Pig's whole-tuple key."""
+        out: list[E.Expr] = []
+        for k in keys:
+            if isinstance(k, E.Star):
+                out.extend(E.Col(c) for c in df.columns)
+            elif isinstance(k, E.RangeProj):
+                out.extend(E.Col(c) for c in
+                           self._expand_range(df.columns, k))
+            else:
+                out.append(k)
+        return out
+
     @staticmethod
     def _expand_range(columns: list[str], r: E.RangeProj) -> list[str]:
         """Expand a project-range ``a .. c`` positionally against the input
@@ -219,7 +234,7 @@ class PlanCompiler:
         """
         child_df = self._compile(group.child)
         ctx = self._ctx(child_df)
-        keys = group.keys
+        keys = self._expand_star_keys(child_df, group.keys)
         agg_cols, out_cols, saw_agg = [], [], False
 
         for i, g in enumerate(gens):
@@ -518,9 +533,10 @@ class PlanCompiler:
         if node.mode == "all":
             return df.groupBy().agg(bag).select(
                 F.lit("all").alias(GROUP_COL), F.col(bag_alias))
-        key_cols = self._group_key_cols(ctx, node.keys)
+        keys = self._expand_star_keys(df, node.keys)
+        key_cols = self._group_key_cols(ctx, keys)
         grouped = df.groupBy(*key_cols).agg(bag)
-        key_names = [self._key_name(k, i) for i, k in enumerate(node.keys)]
+        key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
         if len(key_names) == 1:
             group_col = F.col(key_names[0]).alias(GROUP_COL)
         else:
@@ -653,9 +669,11 @@ class PlanCompiler:
         nulls smallest."""
         df = self._compile(node.child)
         ctx = self._ctx(df)
+        pairs = [(k2, asc) for k, asc in node.keys
+                 for k2 in self._expand_star_keys(df, [k])]
         keys = [ctx.compile(k).asc_nulls_first() if asc
                 else ctx.compile(k).desc_nulls_last()
-                for k, asc in node.keys]
+                for k, asc in pairs]
         out = df.orderBy(*keys)
         if node.parallel:
             out = out.repartition(node.parallel)   # PARALLEL n post-sort

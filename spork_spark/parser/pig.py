@@ -452,11 +452,42 @@ class PigParser:
 
     def op_limit(self) -> Relation:
         src = self.rel(self.expect("ident").text)
-        return src.limit(int(self.expect("number").text.rstrip("lL")))
+        return src.limit(int(self._const_expr("LIMIT")))
 
     def op_sample(self) -> Relation:
         src = self.rel(self.expect("ident").text)
-        return src.sample(float(self.expect("number").text.rstrip("fF")))
+        return src.sample(float(self._const_expr("SAMPLE")))
+
+    def _const_expr(self, where: str) -> float:
+        """LIMIT/SAMPLE accept constant scalar expressions (Pig 0.10) —
+        folded at parse time. Non-constant expressions (e.g. a scalar of a
+        relation) are rejected with a clear error."""
+        e = self.expression()
+
+        def fold(x: E.Expr):
+            if isinstance(x, E.Lit) and isinstance(x.value, (int, float)):
+                return x.value
+            if isinstance(x, E.UnOp) and x.op == "neg":
+                return -fold(x.child)
+            if isinstance(x, E.BinOp):
+                l, r = fold(x.left), fold(x.right)
+                if x.op == "+":
+                    return l + r
+                if x.op == "-":
+                    return l - r
+                if x.op == "*":
+                    return l * r
+                if x.op == "/":
+                    # Pig int/int is truncating integer division
+                    if isinstance(l, int) and isinstance(r, int):
+                        return int(l / r)
+                    return l / r
+                if x.op == "%":
+                    return l % r
+            raise PigSyntaxError(
+                f"{where} expression must be a constant, got "
+                f"{type(x).__name__}")
+        return fold(e)
 
     def op_order(self) -> Relation:
         src = self.rel(self.expect("ident").text)
@@ -839,19 +870,23 @@ class PigParser:
             return int(self.expect("number").text)
         return None
 
+    def _key_expr(self) -> E.Expr:
+        rng = self._maybe_range()
+        return rng if rng is not None else self.expression()
+
     def _key_list(self) -> list[E.Expr]:
         if self.accept("op", "("):
-            keys = [self.expression()]
+            keys = [self._key_expr()]
             while self.accept("op", ","):
-                keys.append(self.expression())
+                keys.append(self._key_expr())
             self.expect("op", ")")
             return keys
-        return [self.expression()]
+        return [self._key_expr()]
 
     def _sort_keys(self, stop_kws=()) -> list[tuple[E.Expr, bool]]:
         keys = []
         while True:
-            e = self.expression()
+            e = self._key_expr()
             asc = True
             if self._kw("asc", "desc"):
                 asc = self.next().text == "asc"

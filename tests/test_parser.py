@@ -270,3 +270,26 @@ def test_nested_schema_ddl(eng, tmp_path):
          "bg:array<struct<m:int>>,mp:map<string,int>>")
     r = rels["x"].df().collect()[0]
     assert r.t.q == 3.5 and r.bg[0].m == 7 and r.mp["k"] == 9
+
+
+def test_star_keys_and_const_limit(eng):
+    """ORDER/GROUP BY * expand to the whole tuple (Pig's whole-tuple key);
+    LIMIT/SAMPLE accept constant scalar expressions (Pig 0.10)."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        o = ORDER n BY *;
+        g = GROUP n BY *;
+        c = FOREACH g GENERATE group, COUNT(n) AS cnt;
+        l = LIMIT n 2*3;
+        o2 = ORDER n BY n_name ..;
+    """)
+    first = rels["o"].df().collect()[0]
+    assert first.n_nationkey == 0            # sorted by leading column
+    cdf = rels["c"].df()
+    assert cdf.count() == 25                 # whole-tuple key: all distinct
+    assert cdf.schema["group"].dataType.typeName() == "struct"
+    assert rels["l"].df().count() == 6
+    assert rels["o2"].df().count() == 25
+    import pytest as _pt
+    with _pt.raises(Exception):
+        run_script(eng, f"n = LOAD '{SF}/nation.parquet'; l = LIMIT n n_x;")
