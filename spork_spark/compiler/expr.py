@@ -209,7 +209,28 @@ class ExprCompiler:
 
     # -- leaves --------------------------------------------------------------
     def _c_col(self, e: E.Col) -> Column:
-        return F.col(e.name)
+        """Pig name resolution: a join/cogroup output qualifies colliding
+        fields as ``alias::field``. A qualified reference to a field that
+        stayed bare resolves to the bare name; a bare reference to a field
+        that got qualified resolves when unambiguous (Pig errors on
+        ambiguity — so do we, via Spark's unresolved-column error)."""
+        name = e.name
+        try:
+            cols = self.df.columns
+        except Exception:
+            return F.col(name)
+        if name in cols:
+            return F.col(name)
+        if "::" in name:
+            bare = name.split("::")[-1]
+            if bare in cols and not any(c.endswith(f"::{bare}")
+                                        for c in cols):
+                return F.col(bare)
+        else:
+            matches = [c for c in cols if c.endswith(f"::{name}")]
+            if len(matches) == 1:
+                return F.col(matches[0])
+        return F.col(name)
 
     def _c_pos(self, e: E.Pos) -> Column:
         return F.col(self.df.columns[e.index])

@@ -302,6 +302,9 @@ class PigParser:
         if self.accept("kw", "using"):
             fn_name = self.expect("ident").text
             args = self._paren_string_args()
+            d = self.defines.get(fn_name)
+            if isinstance(d, dict) and "fn" in d:   # DEFINE'd loader alias
+                fn_name, args = d["fn"], list(d["args"])
             fmt = fn_name
             if fn_name.lower() == "pigstorage" and args:
                 options["sep"] = args[0]
@@ -319,7 +322,10 @@ class PigParser:
         fmt = "parquet"
         if self.accept("kw", "using"):
             fmt = self.expect("ident").text
-            self._paren_string_args()
+            args = self._paren_string_args()
+            d = self.defines.get(fmt)
+            if isinstance(d, dict) and "fn" in d:   # DEFINE'd storer alias
+                fmt = d["fn"]
         self.rel(alias).store(path, fmt=fmt)
         self.stored.append((alias, path))
         self.expect("op", ";")
@@ -350,6 +356,13 @@ class PigParser:
         self.expect("kw", "define")
         name = self.expect("ident").text
         t = self.next()                      # `cmd` or fn name (+ args)
+        # DEFINE alias SomeFunc('args') — a named load/store/stream-func
+        # instance (SURVEY.md §2.1 #27); resolved at USING sites.
+        if t.kind == "ident" and self.peek().text == "(":
+            args = self._paren_string_args()
+            self.expect("op", ";")
+            self.defines[name] = {"fn": t.text, "args": tuple(args)}
+            return
         cmd, ship = t.text.strip("`"), []
         while not self.accept("op", ";"):
             t = self.next()
@@ -608,6 +621,10 @@ class PigParser:
         cmd = t.text.strip("`'")
         cmd = self.defines.get(cmd, cmd)
         ship: tuple = ()
+        if isinstance(cmd, dict):
+            raise PigSyntaxError(
+                "STREAM THROUGH requires a command DEFINE (`cmd`), "
+                "not a function DEFINE")
         if isinstance(cmd, tuple):           # DEFINE'd with SHIP(...)
             cmd, ship = cmd
         schema = None

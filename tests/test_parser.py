@@ -293,3 +293,35 @@ def test_star_keys_and_const_limit(eng):
     import pytest as _pt
     with _pt.raises(Exception):
         run_script(eng, f"n = LOAD '{SF}/nation.parquet'; l = LIMIT n n_x;")
+
+
+def test_define_function_alias(eng, tmp_path):
+    """DEFINE alias PigStorage(',') names a loader instance; USING alias
+    resolves it (SURVEY.md §2.1 #27)."""
+    f = tmp_path / "t.csv"
+    f.write_text("1,x\n2,y\n")
+    rels = run_script(eng, f"""
+        DEFINE myload PigStorage(',');
+        x = LOAD '{f}' USING myload AS (a:int, b:chararray);
+    """)
+    assert [tuple(r) for r in rels["x"].df().orderBy("a").collect()] == \
+        [(1, "x"), (2, "y")]
+
+
+def test_qualified_field_refs(eng):
+    """alias::field referencing after JOIN: qualified refs to bare columns
+    resolve; bare refs to collided (renamed) columns resolve when
+    unambiguous — Pig's name-resolution rule."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        r = LOAD '{SF}/region.parquet';
+        j = JOIN n BY n_regionkey, r BY r_regionkey;
+        p = FOREACH j GENERATE n::n_name, r::r_name;
+        a = LOAD '{SF}/nation.parquet';
+        b = LOAD '{SF}/nation.parquet';
+        j2 = JOIN a BY n_nationkey, b BY n_nationkey;
+        q = FOREACH j2 GENERATE a::n_name AS an, b::n_regionkey AS brk;
+    """)
+    assert rels["p"].df().columns == ["n_name", "r_name"]
+    assert rels["p"].df().count() == 25
+    assert rels["q"].df().count() == 25
