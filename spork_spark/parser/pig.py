@@ -267,6 +267,23 @@ class PigParser:
             raise PigSyntaxError(f"unknown relation {name!r}")
         return self.rels[name]
 
+    def _rel_operand(self) -> Relation:
+        """A relation operand: an alias, or an inline parenthesized
+        relational expression — Pig's `FOREACH (GROUP x BY k) GENERATE …`
+        idiom (anonymous intermediate relation)."""
+        if self.accept("op", "("):
+            t = self.next()
+            if t.kind != "kw":
+                raise PigSyntaxError(
+                    f"expected operator keyword, got {t.text!r} at {t.pos}")
+            m = getattr(self, f"op_{t.text}", None)
+            if m is None:
+                raise PigSyntaxError(f"unsupported operator {t.text.upper()}")
+            r = m()
+            self.expect("op", ")")
+            return r
+        return self.rel(self.expect("ident").text)
+
     # -- statements -------------------------------------------------------------
     def statement(self) -> None:
         t = self.peek()
@@ -421,7 +438,7 @@ class PigParser:
     def st_assert(self) -> None:
         """ASSERT rel BY cond [, 'msg'];  (SURVEY.md §2.1 #26)"""
         self.next()                          # 'assert' ident token
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         self.expect("kw", "by")
         cond = self.expression()
         msg = "assertion failed"
@@ -432,7 +449,7 @@ class PigParser:
 
     def st_split(self) -> None:
         self.expect("kw", "split")
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         self.expect("kw", "into")
         names, conds, otherwise_name = [], [], None
         while True:
@@ -452,7 +469,7 @@ class PigParser:
         self.expect("op", ";")
 
     def op_filter(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         self.expect("kw", "by")
         cond = self.expression()
         src, (cond,), helpers = self._bind_scalars(src, [cond])
@@ -460,15 +477,15 @@ class PigParser:
         return out.drop(*helpers) if helpers else out
 
     def op_distinct(self) -> Relation:
-        return self.rel(self.expect("ident").text).distinct(
+        return self._rel_operand().distinct(
             parallel=self._parallel())
 
     def op_limit(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         return src.limit(int(self._const_expr("LIMIT")))
 
     def op_sample(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         return src.sample(float(self._const_expr("SAMPLE")))
 
     def _const_expr(self, where: str) -> float:
@@ -503,7 +520,7 @@ class PigParser:
         return fold(e)
 
     def op_order(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         self.expect("kw", "by")
         keys = self._sort_keys()
         return src.order_by(*keys, parallel=self._parallel())
@@ -521,21 +538,21 @@ class PigParser:
 
     def op_union(self) -> Relation:
         onschema = bool(self.accept("kw", "onschema"))
-        first = self.rel(self.expect("ident").text)
+        first = self._rel_operand()
         others = []
         while self.accept("op", ","):
-            others.append(self.rel(self.expect("ident").text))
+            others.append(self._rel_operand())
         return first.union(*others, onschema=onschema)
 
     def op_cross(self) -> Relation:
-        first = self.rel(self.expect("ident").text)
+        first = self._rel_operand()
         others = []
         while self.accept("op", ","):
-            others.append(self.rel(self.expect("ident").text))
+            others.append(self._rel_operand())
         return first.cross(*others)
 
     def op_group(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         if self.accept("kw", "all"):
             return src.group_all()
         self.expect("kw", "by")
@@ -556,7 +573,7 @@ class PigParser:
         # additional COGROUP-style inputs
         others = []
         while self.accept("op", ","):
-            r2 = self.rel(self.expect("ident").text)
+            r2 = self._rel_operand()
             self.expect("kw", "by")
             others.append((r2, self._key_list()))
             inner.append(bool(self.accept("kw", "inner")))
@@ -581,7 +598,7 @@ class PigParser:
     op_cube = op_group  # CUBE rel BY CUBE(...) parses via group path
 
     def op_join(self) -> Relation:
-        left = self.rel(self.expect("ident").text)
+        left = self._rel_operand()
         self.expect("kw", "by")
         lkeys = self._key_list()
         how = "inner"
@@ -591,7 +608,7 @@ class PigParser:
         self.expect("op", ",")
         others = []                      # n-way: JOIN a BY k, b BY k, c BY k
         while True:
-            r = self.rel(self.expect("ident").text)
+            r = self._rel_operand()
             self.expect("kw", "by")
             others.append((r, self._key_list()))
             if not self.accept("op", ","):
@@ -615,7 +632,7 @@ class PigParser:
         return out
 
     def op_stream(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         self.expect("kw", "through")
         t = self.next()
         cmd = t.text.strip("`'")
@@ -634,7 +651,7 @@ class PigParser:
 
     # FOREACH rel GENERATE … | FOREACH rel { inner; GENERATE … }
     def op_foreach(self) -> Relation:
-        src = self.rel(self.expect("ident").text)
+        src = self._rel_operand()
         if self.accept("op", "{"):
             return self._nested_foreach(src)
         self.expect("kw", "generate")

@@ -325,3 +325,21 @@ def test_qualified_field_refs(eng):
     assert rels["p"].df().columns == ["n_name", "r_name"]
     assert rels["p"].df().count() == 25
     assert rels["q"].df().count() == 25
+
+
+def test_inline_relational_operands(eng):
+    """Pig's anonymous-relation idiom: FOREACH (GROUP x BY k) GENERATE …,
+    JOIN (FILTER …) BY …, ORDER (DISTINCT …) BY … — parenthesized
+    relational expressions as operands. The §4.3 fusion must still fire."""
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        c = FOREACH (GROUP n BY n_regionkey) GENERATE group, COUNT(n) AS cnt;
+        j = JOIN (FILTER n BY n_regionkey > 1) BY n_regionkey,
+                 (LOAD '{SF}/region.parquet') BY r_regionkey;
+        o = ORDER (DISTINCT n) BY n_nationkey;
+    """)
+    assert rels["c"].df().count() == 5
+    plan = rels["c"].df()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "HashAggregate" in plan
+    assert rels["j"].df().count() == 15
+    assert rels["o"].df().count() == 25
