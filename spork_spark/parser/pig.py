@@ -325,6 +325,13 @@ class PigParser:
             fmt = fn_name
             if fn_name.lower() == "pigstorage" and args:
                 options["sep"] = args[0]
+                # PigStorage option string: '-tagFile' prepends the source
+                # file name, '-tagPath' the full path (first output column)
+                if len(args) > 1:
+                    if "-tagFile" in args[1]:
+                        options["tagFile"] = "true"
+                    if "-tagPath" in args[1]:
+                        options["tagPath"] = "true"
                 fmt = "csv"
         schema = None
         if self.accept("kw", "as"):
@@ -337,13 +344,16 @@ class PigParser:
         self.expect("kw", "into")
         path = self._string()
         fmt = "parquet"
+        store_opts: dict = {}
         if self.accept("kw", "using"):
             fmt = self.expect("ident").text
             args = self._paren_string_args()
             d = self.defines.get(fmt)
             if isinstance(d, dict) and "fn" in d:   # DEFINE'd storer alias
-                fmt = d["fn"]
-        self.rel(alias).store(path, fmt=fmt)
+                fmt, args = d["fn"], list(d["args"])
+            if fmt.lower() == "pigstorage" and args:
+                store_opts["sep"] = args[0]
+        self.rel(alias).store(path, fmt=fmt, **store_opts)
         self.stored.append((alias, path))
         self.expect("op", ";")
 

@@ -79,6 +79,18 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     if key in _load_cache:
         return _load_cache[key]
     reader = spark.read
+    # PigStorage -tagFile/-tagPath: prepend the source file name/path as the
+    # first column (pig:src/org/apache/pig/builtin/PigStorage.java options).
+    # With an AS schema, its first field names the tag column (Pig contract).
+    tag_file = options.pop("tagFile", None)
+    tag_path = options.pop("tagPath", None)
+    tag_name = None
+    if (tag_file or tag_path) and schema is not None:
+        from pyspark.sql import types as T
+        target = schema if isinstance(schema, T.StructType) \
+            else T.StructType.fromDDL(schema)
+        tag_name = target.fields[0].name
+        schema = T.StructType(target.fields[1:])
     if fmt == "csv":
         options.setdefault("sep", "\t")       # PigStorage default delimiter
         options.setdefault("header", "false")
@@ -103,6 +115,12 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
                     .cast("timestamp_ntz"))
+    if tag_file or tag_path:
+        name = tag_name or ("INPUT_FILE_NAME" if tag_file
+                            else "INPUT_FILE_PATH")
+        tag_col = F.input_file_name() if tag_path else \
+            F.regexp_extract(F.input_file_name(), r"([^/]*)$", 1)
+        df = df.select(tag_col.alias(name), "*")
     if positional_as:
         from pyspark.sql import types as T
         target = schema if isinstance(schema, T.StructType) \

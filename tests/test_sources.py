@@ -107,3 +107,26 @@ def test_load_as_schema_is_positional(eng):
     with pytest.raises(Exception, match="AS schema has"):
         eng.load(f"{sf}/nation.parquet",
                  schema="a int, b string, c int, d string").df()
+
+
+def test_pigstorage_tagfile_and_store_sep(eng, tmp_path):
+    """PigStorage '-tagFile'/'-tagPath' prepend the source file name/path
+    (first AS field names the column); STORE USING PigStorage('|') honors
+    the separator."""
+    (tmp_path / "a.csv").write_text("1,x\n")
+    (tmp_path / "b.csv").write_text("2,y\n")
+    from spork_spark.parser import run_script
+    out = tmp_path / "out"
+    rels = run_script(eng, f"""
+        a = LOAD '{tmp_path}/*.csv' USING PigStorage(',', '-tagFile')
+            AS (fname:chararray, a:int, b:chararray);
+        p = LOAD '{tmp_path}/a.csv' USING PigStorage(',', '-tagPath');
+        STORE a INTO '{out}' USING PigStorage('|');
+    """)
+    rows = sorted(tuple(r) for r in rels["a"].df().collect())
+    assert rows == [("a.csv", 1, "x"), ("b.csv", 2, "y")]
+    assert rels["p"].df().collect()[0][0].endswith("a.csv")
+    import glob
+    lines = sorted(line.strip() for f in glob.glob(f"{out}/part*")
+                   for line in open(f))
+    assert lines == ["a.csv|1|x", "b.csv|2|y"]
