@@ -499,6 +499,24 @@ def q_window_lag(spark, sf):
                   .order_by(col("o_custkey"), col("o_orderkey"))).df()
 
 
+def q_cube_mixed(spark, sf):
+    """Mixed grouping clauses: CUBE rel BY CUBE(a), ROLLUP(b) → the cross
+    product of per-clause grouping sets, compiled to one
+    DataFrame.groupingSets pass (SURVEY.md §2.1 #25; the reference expands
+    via CubeDimensions × RollupDimensions)."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        c = CUBE li BY CUBE(l_returnflag), ROLLUP(l_linestatus);
+        p = FOREACH c GENERATE group.l_returnflag AS l_returnflag,
+                               group.l_linestatus AS l_linestatus,
+                               COUNT(li) AS cnt;
+        srt = ORDER p BY l_returnflag, l_linestatus, cnt;
+    """)
+    return rels["srt"].df()
+
+
 def q_pig_script(spark, sf):
     """Full front-end path: Pig Latin text → parse → lower → compile.
     Same result contract as a hand-built plan (oracle: plain SQL)."""
@@ -1096,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_all": q_group_all,
         "rank_window": q_rank_window,
         "cube": q_cube,
+        "cube_mixed": q_cube_mixed,
         "rollup": q_rollup,
         "flatten_wordcount": q_flatten_wordcount,
         "string_funcs": q_string_funcs,
@@ -1393,6 +1412,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders) t
             WHERE rnk <= 3
             ORDER BY o_custkey, rnk, o_orderkey
+        """,
+        "cube_mixed": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag),
+                                    (l_linestatus), ())
+            ORDER BY l_returnflag, l_linestatus, cnt
         """,
         "cube": """
             SELECT l_returnflag, l_linestatus,

@@ -278,6 +278,24 @@ class PlanCompiler:
         over the same child, null-safe-joined on the keys. Both sides hash-
         partition by the same keys, so Catalyst reuses the exchange and the
         join is co-partitioned — no extra shuffle of the input."""
+        if group.mode == "gsets":
+            # groupingSets matches set members to grouping columns by
+            # expression equality — aliased copies don't match (all-null
+            # keys), so group on raw expressions and rename afterward.
+            if any(u for _, _, u in agg_cols):
+                raise NotImplementedError(
+                    "custom aggregate (register_udaf) cannot be combined "
+                    "with mixed CUBE/ROLLUP grouping sets")
+            raw = [ctx.compile(k) for k in keys]
+            sets = [[raw[i] for i in s] for s in group.gsets]
+            out = child_df.groupingSets(sets, *raw) \
+                          .agg(*[c for c, _, _ in agg_cols])
+            names = [self._key_name(k, i) for i, k in enumerate(keys)]
+            for old, new in zip(out.columns[:len(names)], names):
+                if old != new:
+                    out = out.withColumnRenamed(old, new)
+            return out
+
         def grouped():
             if group.mode == "all":
                 return child_df.groupBy()
@@ -291,7 +309,7 @@ class PlanCompiler:
         pandas_ = [(c, n) for c, n, u in agg_cols if u]
         if not native or not pandas_:
             return grouped().agg(*[c for c, _, _ in agg_cols])
-        if group.mode in ("cube", "rollup"):
+        if group.mode in ("cube", "rollup", "gsets"):
             raise NotImplementedError(
                 "custom aggregate (register_udaf) cannot be combined with "
                 "builtin aggregates under CUBE/ROLLUP — grouping-set null "
@@ -525,6 +543,10 @@ class PlanCompiler:
         path by design (SURVEY.md §4.3) — the fusion above avoids it
         whenever the consumer is aggregate-only.
         """
+        if node.mode == "gsets":
+            raise NotImplementedError(
+                "the bag of a mixed CUBE/ROLLUP grouping cannot escape — "
+                "consume it with aggregate-only FOREACH generators")
         df = self._compile(node.child)
         ctx = self._ctx(df)
         bag_alias = getattr(node, "bag_alias", "bag")

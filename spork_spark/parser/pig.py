@@ -566,14 +566,42 @@ class PigParser:
         if self.accept("kw", "all"):
             return src.group_all()
         self.expect("kw", "by")
-        if self._kw("cube", "rollup"):          # CUBE rel BY CUBE(a,b)
-            mode = self.next().text
-            self.expect("op", "(")
-            dims = [self.expression()]
-            while self.accept("op", ","):
-                dims.append(self.expression())
-            self.expect("op", ")")
-            return src.cube(*dims) if mode == "cube" else src.rollup(*dims)
+        if self._kw("cube", "rollup"):          # CUBE rel BY CUBE(a,b)[, ROLLUP(c)]
+            clauses = []
+            while True:
+                mode = self.next().text
+                self.expect("op", "(")
+                dims = [self.expression()]
+                while self.accept("op", ","):
+                    dims.append(self.expression())
+                self.expect("op", ")")
+                clauses.append((mode, dims))
+                if not (self.peek().text == "," and
+                        self.peek(1).kind == "kw" and
+                        self.peek(1).text in ("cube", "rollup")):
+                    break
+                self.next()                      # consume ','
+            if len(clauses) == 1:
+                mode, dims = clauses[0]
+                return src.cube(*dims) if mode == "cube" \
+                    else src.rollup(*dims)
+            # mixed clauses → grouping sets: cross product of per-clause
+            # sets (CUBE = all subsets, ROLLUP = prefixes — the reference's
+            # CubeDimensions/RollupDimensions expansion, SURVEY.md §2.1 #25)
+            import itertools
+            all_dims, per_clause = [], []
+            for mode, dims in clauses:
+                idxs = list(range(len(all_dims), len(all_dims) + len(dims)))
+                all_dims.extend(dims)
+                if mode == "cube":
+                    sets = [list(c) for r in range(len(idxs), -1, -1)
+                            for c in itertools.combinations(idxs, r)]
+                else:
+                    sets = [idxs[:k] for k in range(len(idxs), -1, -1)]
+                per_clause.append(sets)
+            gsets = [sorted(x for part in combo for x in part)
+                     for combo in itertools.product(*per_clause)]
+            return src.grouping_sets(all_dims, gsets)
         keys = self._key_list()
         # per-input INNER/OUTER flag (COGROUP a BY k INNER, …): INNER drops
         # groups where that input's bag is empty (SURVEY.md §2.1 #8)

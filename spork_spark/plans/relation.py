@@ -130,6 +130,16 @@ class Relation:
         g.bag_alias = self.alias
         return self._wrap(g)
 
+    def grouping_sets(self, dims: list[Expr],
+                      gsets: list[list[int]]) -> "Relation":
+        """Mixed CUBE/ROLLUP clauses (CUBE rel BY CUBE(a), ROLLUP(b)) —
+        the cross product of per-clause grouping sets, as index lists
+        into ``dims``. Compiles to DataFrame.groupingSets (one pass)."""
+        g = L.Group(self.node, list(dims), "gsets")
+        g.bag_alias = self.alias
+        g.gsets = gsets
+        return self._wrap(g)
+
     def cogroup(self, keys: list[Expr], *others: tuple["Relation", list[Expr]],
                 inner: list[bool] | None = None) -> "Relation":
         inputs = [self.node] + [r.node for r, _ in others]

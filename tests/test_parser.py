@@ -343,3 +343,21 @@ def test_inline_relational_operands(eng):
     assert "collect_list" not in plan and "HashAggregate" in plan
     assert rels["j"].df().count() == 15
     assert rels["o"].df().count() == 25
+
+
+def test_mixed_cube_rollup(eng):
+    """CUBE rel BY CUBE(a), ROLLUP(b): cross product of per-clause grouping
+    sets in ONE groupingSets pass; aggregate fusion still applies."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        c = CUBE li BY CUBE(l_returnflag), ROLLUP(l_linestatus);
+        p = FOREACH c GENERATE group.l_returnflag AS rf,
+                               group.l_linestatus AS ls, COUNT(li) AS n;
+    """)
+    rows = rels["p"].df().collect()
+    # sets: {rf,ls},{rf},{ls},{} → 6 + 3 + 2 + 1 rows on this data
+    assert len(rows) == 12
+    total = [r.n for r in rows if r.rf is None and r.ls is None]
+    assert total == [rels["li"].df().count()]
+    plan = rels["p"].df()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan   # fused, no bag
