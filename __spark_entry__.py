@@ -517,6 +517,26 @@ def q_cube_mixed(spark, sf):
     return rels["srt"].df()
 
 
+def q_sample_deterministic(spark, sf):
+    """Reproducible corpus split (extension, SURVEY.md §2.11): route each
+    document to train/eval by an md5-prefix of its key — deterministic,
+    rerunnable, cluster-order-independent (unlike SAMPLE/rand), and
+    oracle-exact since md5 is engine-portable. The standard trick for
+    stable train/test splits over a 100 TB corpus: no shuffle, no state,
+    pure map-side predicate."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        d = LOAD '{sf}/documents.parquet';
+        t = FOREACH d GENERATE lang, SUBSTRING(MD5(doc_id), 0, 2) AS h;
+        s = FOREACH t GENERATE lang, (h < '1a' ? 'eval' : 'train') AS part;
+        g = FOREACH (GROUP s BY (lang, part))
+            GENERATE group.lang AS lang, group.part AS part, COUNT(s) AS n;
+        o = ORDER g BY lang, part;
+    """)
+    return rels["o"].df()
+
+
 def q_pig_script(spark, sf):
     """Full front-end path: Pig Latin text → parse → lower → compile.
     Same result contract as a hand-built plan (oracle: plain SQL)."""
@@ -1115,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_window": q_rank_window,
         "cube": q_cube,
         "cube_mixed": q_cube_mixed,
+        "sample_deterministic": q_sample_deterministic,
         "rollup": q_rollup,
         "flatten_wordcount": q_flatten_wordcount,
         "string_funcs": q_string_funcs,
@@ -1412,6 +1433,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders) t
             WHERE rnk <= 3
             ORDER BY o_custkey, rnk, o_orderkey
+        """,
+        "sample_deterministic": """
+            SELECT lang,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'eval' ELSE 'train' END AS part,
+                   COUNT(*) AS n
+            FROM documents
+            GROUP BY 1, 2
+            ORDER BY lang, part
         """,
         "cube_mixed": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt

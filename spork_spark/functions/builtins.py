@@ -317,6 +317,11 @@ REGISTRY: dict = {
     "LOG": F.log,
     "LOG10": F.log10,
     "RANDOM": lambda: F.rand(),
+    # hashing (extension — reproducible sampling / fingerprints; not in
+    # Pig core, piggybank-era territory). Input cast to string bytes so the
+    # digest matches other engines (DuckDB md5(text)) byte-for-byte.
+    "MD5": lambda c: F.md5(c.cast("string").cast("binary")),
+    "SHA256": lambda c: F.sha2(c.cast("string").cast("binary"), 256),
     "ACOS": F.acos, "ASIN": F.asin, "ATAN": F.atan,
     "COS": F.cos, "COSH": F.cosh, "SIN": F.sin, "SINH": F.sinh,
     "TAN": F.tan, "TANH": F.tanh,

@@ -202,3 +202,18 @@ def test_top_builtin(spark):
                           .get("v")).alias("top2_sum"))
               .order_by(col("k"))).df().collect()
     assert [(r.k, r.top2_sum) for r in out] == [("a", 8), ("b", 9)]
+
+
+def test_md5_sha256_portable(eng, spark):
+    """MD5/SHA256 (extension): digest of the value's string form, matching
+    other engines byte-for-byte — the basis of reproducible corpus splits
+    (q_sample_deterministic)."""
+    import hashlib
+    from spork_spark import col, fn
+    df = spark.createDataFrame([(123,), (456,)], "k long")
+    r = (eng.from_df(df)
+            .foreach(col("k"), fn("MD5", col("k")).alias("h"),
+                     fn("SHA256", col("k")).alias("s2")))
+    for row in r.df().collect():
+        assert row.h == hashlib.md5(str(row.k).encode()).hexdigest()
+        assert row.s2 == hashlib.sha256(str(row.k).encode()).hexdigest()
