@@ -46,7 +46,7 @@ from ..plans.relation import Engine, Relation
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*|/\*.*?\*/)
-  | (?P<number>\d+\.\d+([eE][+-]?\d+)?[fF]?|\d+[lLfF]?)
+  | (?P<number>\d+\.\d+([eE][+-]?\d+)?[fF]?|\d+[eE][+-]?\d+[fF]?|\d+[lLfF]?)
   | (?P<string>'(?:[^'\\]|\\.)*')
   | (?P<backtick>`[^`]*`)
   | (?P<dcolon>::)
@@ -99,6 +99,35 @@ def tokenize(src: str) -> list[Tok]:
 
 class PigSyntaxError(SyntaxError):
     pass
+
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "'": "'", '"': '"',
+            "\\": "\\"}
+
+
+def unescape_string(s: str) -> str:
+    r"""Pig string-literal escapes (Java-style: \t \n \r \' \" \\
+    \uXXXX). Unknown escapes pass through unchanged, so regex literals
+    like '\d+' keep their backslash."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nx = s[i + 1]
+            if nx in _ESCAPES:
+                out.append(_ESCAPES[nx])
+                i += 2
+                continue
+            if nx == "u" and i + 5 < len(s):
+                try:
+                    out.append(chr(int(s[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -564,6 +593,7 @@ class PigParser:
     def op_group(self) -> Relation:
         src = self._rel_operand()
         if self.accept("kw", "all"):
+            self._parallel()                 # PARALLEL accepted; 1 group
             return src.group_all()
         self.expect("kw", "by")
         if self._kw("cube", "rollup"):          # CUBE rel BY CUBE(a,b)[, ROLLUP(c)]
@@ -970,7 +1000,7 @@ class PigParser:
         return keys
 
     def _string(self) -> str:
-        return self.expect("string").text[1:-1].replace("\\'", "'")
+        return unescape_string(self.expect("string").text[1:-1])
 
     def _paren_string_args(self) -> list[str]:
         args = []
@@ -1185,7 +1215,7 @@ class PigParser:
         if t.kind == "number":
             return E.Lit(self._number(t.text))
         if t.kind == "string":
-            return E.Lit(t.text[1:-1].replace("\\'", "'"))
+            return E.Lit(unescape_string(t.text[1:-1]))
         if t.kind == "dollar":
             return E.Pos(int(t.text[1:]))
         if t.kind == "op" and t.text == "*":

@@ -361,3 +361,24 @@ def test_mixed_cube_rollup(eng):
     assert total == [rels["li"].df().count()]
     plan = rels["p"].df()._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan   # fused, no bag
+
+
+def test_literals_and_escapes(eng, tmp_path):
+    r"""Scientific-notation integers (1e6), string escapes (\t \n \uXXXX),
+    unknown escapes pass through (regex '\d+' keeps its backslash), and
+    GROUP rel ALL PARALLEL parses."""
+    f = tmp_path / "t.tsv"
+    f.write_text("1\tx\n2\ty\n")
+    rels = run_script(eng, f"""
+        n = LOAD '{SF}/nation.parquet';
+        sci = FILTER n BY n_nationkey < 1e6;
+        x = LOAD '{f}' USING PigStorage('\\t') AS (a:int, b:chararray);
+        g = GROUP n ALL PARALLEL 1;
+        c = FOREACH g GENERATE COUNT(n) AS n;
+        rx = FILTER n BY n_name matches 'NATION\\u005F\\d+';
+    """)
+    assert rels["sci"].df().count() == 25
+    assert [tuple(r) for r in rels["x"].df().orderBy("a").collect()] == \
+        [(1, "x"), (2, "y")]
+    assert rels["c"].df().collect()[0].n == 25
+    assert rels["rx"].df().count() == 25       # names are NATION_<k>
