@@ -136,10 +136,14 @@ class PlanCompiler:
                             self._expand_range(df.columns, inner))
                 continue
             if isinstance(inner, E.Flatten):
-                name = alias or f"__flat_{i}"
+                name = alias if isinstance(alias, str) else f"__flat_{i}"
                 cols.append(ctx.compile(inner.child).alias(name))
                 flatten_names.append((name, alias))
                 continue
+            if isinstance(alias, tuple):
+                raise ValueError(
+                    "AS (a, b, …) multi-name aliases apply to FLATTEN "
+                    "generators only")
             c = ctx.compile(inner)
             cols.append(c.alias(alias) if alias else
                         c.alias(self._default_name(inner, i)))
@@ -195,20 +199,48 @@ class PlanCompiler:
             return e.field
         return f"col_{i}"
 
-    def _explode_one(self, df: DataFrame, name: str, alias: str | None) -> DataFrame:
+    def _explode_one(self, df: DataFrame, name: str,
+                     alias: str | tuple | None) -> DataFrame:
         """FLATTEN semantics (SURVEY.md §2.2): bag → cross product with the
         row, EMPTY/NULL BAG DROPS THE ROW (explode, not explode_outer);
-        tuple → inline fields; map → key/value rows."""
+        tuple → inline fields; map → key/value rows. ``AS name`` renames a
+        single flattened field; ``AS (a, b, …)`` renames them all."""
         dt = df.select(name).schema[0].dataType
-        others = [c for c in df.columns if c != name]
+        # flattened fields replace the bag column AT ITS POSITION (Pig's
+        # output ordering), not appended at the end
+        idx = df.columns.index(name)
+        before, after = df.columns[:idx], df.columns[idx + 1:]
+
+        def placed(*inner):
+            return df.select(*before, *inner, *after)
         if isinstance(dt, T.ArrayType):
+            if isinstance(alias, tuple) and \
+                    not isinstance(dt.elementType, T.StructType):
+                # FLATTEN(tuple-valued) AS (a, b): Pig's STRSPLIT-style
+                # dynamic-arity tuple is an array here; the AS names declare
+                # the arity, so inline elements as columns (no row fan-out).
+                return placed(*[F.col(name)[i].alias(a)
+                                for i, a in enumerate(alias)])
             df = df.withColumn(name, F.explode(F.col(name)))
             dt = dt.elementType
         if isinstance(dt, T.StructType):
-            inner = [F.col(f"{name}.{f.name}").alias(f.name) for f in dt.fields]
-            return df.select(*others, *inner)
+            fields = dt.fields
+            if isinstance(alias, tuple):
+                if len(alias) != len(fields):
+                    raise ValueError(
+                        f"FLATTEN AS names {len(alias)} fields but the "
+                        f"value has {len(fields)}")
+                names = list(alias)
+            elif alias is not None and len(fields) == 1:
+                names = [alias]
+            else:
+                names = [f.name for f in fields]
+            return placed(*[F.col(f"{name}.{f.name}").alias(n)
+                            for f, n in zip(fields, names)])
         if isinstance(dt, T.MapType):
-            return df.select(*others, F.explode(F.col(name)).alias("key", "value"))
+            knames = alias if isinstance(alias, tuple) and len(alias) == 2 \
+                else ("key", "value")
+            return placed(F.explode(F.col(name)).alias(*knames))
         # scalar array element / passthrough
         if alias is None and name.startswith("__flat_"):
             df = df.withColumnRenamed(name, name.removeprefix("__flat_"))

@@ -817,7 +817,8 @@ class PigParser:
                     if self.accept("op", ":"):
                         self.next()
                 self.expect("op", ")")
-                return E.Aliased(e, names[0]) if len(names) == 1 else e
+                return E.Aliased(e, names[0] if len(names) == 1
+                                 else tuple(names))
             name = self.expect("ident").text
             if self.accept("op", ":"):
                 self.next()                   # type annotation — informative

@@ -382,3 +382,22 @@ def test_literals_and_escapes(eng, tmp_path):
         [(1, "x"), (2, "y")]
     assert rels["c"].df().collect()[0].n == 25
     assert rels["rx"].df().count() == 25       # names are NATION_<k>
+
+
+def test_flatten_aliases_and_position(eng):
+    """FLATTEN(...) AS name renames a single flattened field; AS (a, b)
+    renames them all (and inlines dynamic-arity STRSPLIT tuples without a
+    row fan-out); flattened fields sit at the generator's position."""
+    rels = run_script(eng, f"""
+        d = LOAD '{SF}/nation.parquet';
+        w = FOREACH d GENERATE FLATTEN(TOKENIZE(n_name)) AS tok, n_regionkey;
+        s = FOREACH d GENERATE FLATTEN(STRSPLIT(n_name, '_')) AS (w1, w2),
+                               n_regionkey;
+        g = FOREACH (GROUP d BY n_regionkey)
+            GENERATE group, FLATTEN(d.n_name) AS nm;
+    """)
+    assert rels["w"].df().columns == ["tok", "n_regionkey"]
+    assert rels["s"].df().columns == ["w1", "w2", "n_regionkey"]
+    assert rels["s"].df().count() == 25          # inline, no fan-out
+    assert rels["g"].df().columns == ["group", "nm"]
+    assert rels["g"].df().count() == 25          # bag fan-out preserved
