@@ -537,6 +537,20 @@ def q_sample_deterministic(spark, sf):
     return rels["o"].df()
 
 
+def q_range_proj(spark, sf):
+    """Project-range + multi-field projection (Pig 0.9 syntax): positional
+    column ranges expand at compile time, so pruning still reaches the
+    parquet scan (ReadSchema carries only the 4 selected columns)."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        p = FOREACH li GENERATE l_orderkey .. l_suppkey, l_quantity;
+        o = ORDER p BY l_orderkey, l_partkey, l_suppkey, l_quantity;
+    """)
+    return rels["o"].df()
+
+
 def q_pig_script(spark, sf):
     """Full front-end path: Pig Latin text → parse → lower → compile.
     Same result contract as a hand-built plan (oracle: plain SQL)."""
@@ -1136,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "cube_mixed": q_cube_mixed,
         "sample_deterministic": q_sample_deterministic,
+        "range_proj": q_range_proj,
         "rollup": q_rollup,
         "flatten_wordcount": q_flatten_wordcount,
         "string_funcs": q_string_funcs,
@@ -1433,6 +1448,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders) t
             WHERE rnk <= 3
             ORDER BY o_custkey, rnk, o_orderkey
+        """,
+        "range_proj": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity
         """,
         "sample_deterministic": """
             SELECT lang,
