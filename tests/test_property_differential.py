@@ -128,12 +128,18 @@ def num_expr(draw, depth=0):
             ("k", "k"), ("v", "v"), ("3", "3"), ("2", "2"),
             ("1.5", "1.5"), ("-4", "-4"),
         ]))
-    kind = draw(st.sampled_from(["arith", "bincond"]))
+    kind = draw(st.sampled_from(["arith", "bincond", "case_simple"]))
     if kind == "arith":
         lp, ls = draw(num_expr(depth + 1))
         rp, rs = draw(num_expr(depth + 1))
         op = draw(st.sampled_from(["+", "-", "*"]))
         return (f"({lp} {op} {rp})", f"({ls} {op} {rs})")
+    if kind == "case_simple":
+        tp, ts = draw(num_expr(depth + 1))
+        fp, fs = draw(num_expr(depth + 1))
+        w = draw(st.integers(0, 3))
+        return (f"(CASE k WHEN {w} THEN {tp} ELSE {fp} END)",
+                f"(CASE k WHEN {w} THEN {ts} ELSE {fs} END)")
     cp, cs = draw(bool_expr(depth + 1))
     tp, ts = draw(num_expr(depth + 1))
     fp, fs = draw(num_expr(depth + 1))
@@ -149,7 +155,18 @@ def bool_expr(draw, depth=0):
         op = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
         sql_op = "=" if op == "==" else ("<>" if op == "!=" else op)
         return (f"({lp} {op} {rp})", f"({ls} {sql_op} {rs})")
-    kind = draw(st.sampled_from(["and", "or", "not", "isnull"]))
+    kind = draw(st.sampled_from(["and", "or", "not", "isnull", "in",
+                                 "matches"]))
+    if kind == "in":
+        vals = sorted(draw(st.sets(st.integers(0, 5), min_size=1,
+                                   max_size=3)))
+        lst = ", ".join(map(str, vals))
+        return (f"(k IN ({lst}))", f"(k IN ({lst}))")
+    if kind == "matches":
+        # Pig matches = FULL-string regex (anchored); DuckDB equivalent is
+        # regexp_full_match
+        rx = draw(st.sampled_from(["a.*", ".*b.*", "[A-Za-z]+", "", "Z."]))
+        return (f"(s matches '{rx}')", f"regexp_full_match(s, '{rx}')")
     if kind == "isnull":
         c = draw(st.sampled_from(["k", "v"]))
         neg = draw(st.booleans())
