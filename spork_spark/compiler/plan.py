@@ -278,7 +278,8 @@ class PlanCompiler:
             if kind == "group":
                 out_cols.append(("group", inner, alias))
             elif kind == "agg":
-                rewritten = self._rewrite_bag_refs(inner)
+                rewritten = self._rewrite_bag_refs(
+                    inner, child_df.columns[0] if child_df.columns else None)
                 name = alias or f"col_{i}"
                 col = ctx.compile(rewritten).alias(name)
                 agg_cols.append((col, name, self._mentions_udaf(rewritten)))
@@ -546,10 +547,12 @@ class PlanCompiler:
             return self._is_algebraic_agg(e.child)
         return False
 
-    def _rewrite_bag_refs(self, e: E.Expr) -> E.Expr:
+    def _rewrite_bag_refs(self, e: E.Expr,
+                          first_col: str | None = None) -> E.Expr:
         """Inside a fused aggregate, `bag.field` / `rel.field` refs become
-        direct column refs on the pre-group child; bare bag ref (COUNT(x))
-        becomes a non-null literal (count of rows)."""
+        direct column refs on the pre-group child. COUNT(bag) counts tuples
+        whose FIRST field is non-null (pig:src/org/apache/pig/builtin/
+        COUNT.java) → count(first_col); COUNT_STAR(bag) counts all."""
         if isinstance(e, E.Deref):
             if isinstance(e.field, str):
                 return E.Col(e.field)
@@ -558,14 +561,18 @@ class PlanCompiler:
             name = e.name.upper()
             if name in ("COUNT", "COUNT_STAR") and len(e.args) == 1 and \
                     isinstance(e.args[0], E.Col):
-                # COUNT(bag) counts tuples in the bag → count(*) per group
+                if name == "COUNT" and first_col is not None:
+                    return E.Func("COUNT", [E.Col(first_col)])
                 return E.Func("COUNT_STAR", [])
-            return E.Func(e.name, [self._rewrite_bag_refs(a) for a in e.args])
+            return E.Func(e.name,
+                          [self._rewrite_bag_refs(a, first_col)
+                           for a in e.args])
         if isinstance(e, E.BinOp):
-            return E.BinOp(e.op, self._rewrite_bag_refs(e.left),
-                           self._rewrite_bag_refs(e.right))
+            return E.BinOp(e.op, self._rewrite_bag_refs(e.left, first_col),
+                           self._rewrite_bag_refs(e.right, first_col))
         if isinstance(e, E.Cast):
-            return E.Cast(e.pig_type, self._rewrite_bag_refs(e.child))
+            return E.Cast(e.pig_type,
+                          self._rewrite_bag_refs(e.child, first_col))
         return e
 
     def _c_group(self, node: L.Group) -> DataFrame:

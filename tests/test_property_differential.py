@@ -211,3 +211,53 @@ def test_filter_expression_matches_duckdb(eng, spark, data, e):
     got = norm(tuple(r) for r in rels["x"].df().collect())
     want = norm(con.sql(f"SELECT * FROM t WHERE {sql}").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pipeline fuzz: random multi-operator scripts (FILTER* → DISTINCT? →
+# GROUP-agg?) through the full parser, mirrored as nested SQL — catches
+# operator-composition drift (schema propagation, fusion, null keys)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def pipeline(draw):
+    """Returns (pig_statements, sql_text) over seed relation t_pipe."""
+    sql = "SELECT * FROM t"
+    pig, cur, n = [], "t_pipe", 0
+    for _ in range(draw(st.integers(1, 2))):
+        p, sq = draw(bool_expr())
+        nxt = f"r{n}"
+        n += 1
+        pig.append(f"{nxt} = FILTER {cur} BY {p};")
+        sql = f"SELECT * FROM ({sql}) sub{n} WHERE {sq}"
+        cur = nxt
+    if draw(st.booleans()):
+        nxt = f"r{n}"
+        n += 1
+        pig.append(f"{nxt} = DISTINCT {cur};")
+        sql = f"SELECT DISTINCT * FROM ({sql}) sub{n}"
+        cur = nxt
+    if draw(st.booleans()):
+        nxt = f"r{n}"
+        n += 1
+        # COUNT(bag) counts rows whose FIRST field is non-null (Pig);
+        # mirror as COUNT(k)
+        pig.append(f"{nxt} = FOREACH (GROUP {cur} BY k) GENERATE "
+                   f"group AS k, COUNT({cur}) AS c, SUM({cur}.v) AS sm;")
+        sql = (f"SELECT k, COUNT(k) AS c, SUM(v) AS sm "
+               f"FROM ({sql}) sub{n} GROUP BY k")
+        cur = nxt
+    return pig, sql, cur
+
+
+@given(data=tables, pl=pipeline())
+@SLOW
+def test_pipeline_matches_duckdb(eng, spark, data, pl):
+    from spork_spark.parser import run_script
+    stmts, sql, last = pl
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_pipe")
+    rels = run_script(eng, "\n".join(stmts), relations={"t_pipe": t})
+    got = norm(tuple(r) for r in rels[last].df().collect())
+    want = norm(con.sql(sql).fetchall())
+    assert got == want
