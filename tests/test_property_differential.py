@@ -261,3 +261,27 @@ def test_pipeline_matches_duckdb(eng, spark, data, pl):
     got = norm(tuple(r) for r in rels[last].df().collect())
     want = norm(con.sql(sql).fetchall())
     assert got == want
+
+
+@given(data=tables, data2=tables,
+       how=st.sampled_from(["", "LEFT OUTER", "FULL OUTER"]))
+@SLOW
+def test_join_matches_duckdb(eng, spark, data, data2, how):
+    """Random equi-joins (inner/left/full) on a nullable key: null keys
+    never match, outer sides null-fill, colliding names qualify — all
+    identical to SQL."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    sdf2 = spark.createDataFrame(data2, "k int, v double, s string")
+    con.register("t2", pd.DataFrame(data2, columns=["k", "v", "s"]))
+    a = eng.from_df(sdf, alias="ja")
+    b = eng.from_df(sdf2, alias="jb")
+    rels = run_script(eng, f"x = JOIN ja BY k {how}, jb BY k;",
+                      relations={"ja": a, "jb": b})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    sql_how = {"": "JOIN", "LEFT OUTER": "LEFT JOIN",
+               "FULL OUTER": "FULL JOIN"}[how]
+    want = norm(con.sql(
+        f"SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a {sql_how} t2 b "
+        f"ON a.k = b.k").fetchall())
+    assert got == want
