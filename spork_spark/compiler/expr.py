@@ -435,14 +435,26 @@ class ExprCompiler:
             return F.filter(bag(), self._as_pyfunc(e.args[1]))
         if name in ("TRANSFORM_BAG", "FOREACH_BAG"):   # inner FOREACH
             return F.transform(bag(), self._as_pyfunc(e.args[1]))
-        if name == "SORT_BAG":            # inner ORDER BY field [ASC|DESC]
-            field = e.args[1].value
-            asc = e.args[2].value if len(e.args) > 2 else True
+        if name == "SORT_BAG":            # inner ORDER BY f [ASC|DESC], …
+            spec = e.args[1].value
+            keys = [(spec, e.args[2].value if len(e.args) > 2 else True)] \
+                if isinstance(spec, str) else list(spec)
+
             def cmp(a, b):
-                k_a, k_b = a[field], b[field]
-                lt, gt = (-1, 1) if asc else (1, -1)
-                return (F.when(k_a < k_b, lt).when(k_a > k_b, gt)
-                        .otherwise(0))
+                # lexicographic multi-key compare, Pig null ordering
+                # (nulls smaller than any value)
+                out = F.lit(0)
+                for field, asc in reversed(keys):
+                    k_a, k_b = a[field], b[field]
+                    lt, gt = (-1, 1) if asc else (1, -1)
+                    c = (F.when(k_a.isNull() & k_b.isNull(), 0)
+                          .when(k_a.isNull(), lt)
+                          .when(k_b.isNull(), gt)
+                          .when(k_a < k_b, lt)
+                          .when(k_a > k_b, gt)
+                          .otherwise(0))
+                    out = F.when(c != 0, c).otherwise(out)
+                return out
             return F.array_sort(bag(), cmp)
         if name == "LIMIT_BAG":           # inner LIMIT
             return F.slice(bag(), 1, e.args[1].value)
@@ -482,7 +494,11 @@ class ExprCompiler:
                 dt = self._type_of(e.args[2], b)
                 field = dt.elementType.fields[field].name
             def cmp_desc(a, x):
-                return (F.when(a[field] > x[field], -1)
+                # desc; Pig nulls smallest → sort last
+                return (F.when(a[field].isNull() & x[field].isNull(), 0)
+                         .when(a[field].isNull(), 1)
+                         .when(x[field].isNull(), -1)
+                         .when(a[field] > x[field], -1)
                          .when(a[field] < x[field], 1).otherwise(0))
             return F.slice(F.array_sort(b, cmp_desc), 1, n)
         return None

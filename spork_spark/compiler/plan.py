@@ -273,7 +273,8 @@ class PlanCompiler:
             alias, inner = None, g
             if isinstance(inner, E.Aliased):
                 alias, inner = inner.name, inner.child
-            inner = self._normalize_distinct_agg(inner)
+            inner = self._normalize_distinct_agg(
+                inner, child_df.columns[0] if child_df.columns else None)
             kind = self._classify_generator(inner, keys)
             if kind == "group":
                 out_cols.append(("group", inner, alias))
@@ -416,7 +417,8 @@ class PlanCompiler:
 
     _DISTINCT_FUSABLE = {"COUNT": "COUNT_DISTINCT", "SUM": "SUM_DISTINCT"}
 
-    def _normalize_distinct_agg(self, e: E.Expr) -> E.Expr:
+    def _normalize_distinct_agg(self, e: E.Expr,
+                                first_col: str | None = None) -> E.Expr:
         """Pig's nested-DISTINCT idiom — FOREACH (GROUP x BY k) { d =
         DISTINCT x.f; GENERATE COUNT(d) } (PigMix L4/L15) — arrives as
         AGG(DISTINCT_BAG(bag.f)). Rewrite to the distinct-aggregate form
@@ -431,22 +433,26 @@ class PlanCompiler:
                 and isinstance(e.args[0].args[0], (E.Deref, E.Col))):
             return E.Func(self._DISTINCT_FUSABLE[e.name.upper()],
                           [e.args[0].args[0]])
-        filt = self._normalize_filter_agg(e)
+        filt = self._normalize_filter_agg(e, first_col)
         if filt is not None:
             return filt
         if isinstance(e, E.Func):
             return E.Func(e.name,
-                          [self._normalize_distinct_agg(a) for a in e.args])
+                          [self._normalize_distinct_agg(a, first_col)
+                           for a in e.args])
         if isinstance(e, E.BinOp):
-            return E.BinOp(e.op, self._normalize_distinct_agg(e.left),
-                           self._normalize_distinct_agg(e.right))
+            return E.BinOp(e.op,
+                           self._normalize_distinct_agg(e.left, first_col),
+                           self._normalize_distinct_agg(e.right, first_col))
         if isinstance(e, E.Cast):
-            return E.Cast(e.pig_type, self._normalize_distinct_agg(e.child))
+            return E.Cast(e.pig_type,
+                          self._normalize_distinct_agg(e.child, first_col))
         return e
 
     _FILTER_FUSABLE = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
-    def _normalize_filter_agg(self, e: E.Expr) -> E.Expr | None:
+    def _normalize_filter_agg(self, e: E.Expr,
+                              first_col: str | None = None) -> E.Expr | None:
         """The inner-FILTER aggregate idiom — FOREACH (GROUP x BY k) { f =
         FILTER x BY cond; GENERATE SUM(f.v) } — arrives as
         AGG(FILTER_BAG(bag, λ)[.field]). Rewrite to AGG(when(cond, v)):
@@ -474,7 +480,11 @@ class PlanCompiler:
         cond = self._delambda(fb.args[1].body, fb.args[1].params[0])
         if cond is None:
             return None
-        val = E.Lit(1) if field is None else E.Col(field)
+        # bare COUNT(filtered bag): Pig counts tuples whose FIRST field is
+        # non-null, so count the first column under the condition — not a
+        # literal 1 (which would count null-first-field rows too)
+        val = (E.Col(first_col) if field is None and first_col is not None
+               else E.Lit(1) if field is None else E.Col(field))
         return E.Func(e.name, [E.BinCond(cond, val, E.Lit(None))])
 
     def _delambda(self, e: E.Expr, param: str) -> E.Expr | None:

@@ -880,12 +880,16 @@ class PigParser:
             elif kw.text == "order":
                 _, bag = inner_bag_ref()
                 self.expect("kw", "by")
-                field = self.expect("ident").text
-                asc = True
-                if self._kw("asc", "desc"):
-                    asc = self.next().text == "asc"
-                bag_env[name] = E.Func("SORT_BAG",
-                                       [bag, E.Lit(field), E.Lit(asc)])
+                keys = []
+                while True:
+                    field = self.expect("ident").text
+                    asc = True
+                    if self._kw("asc", "desc"):
+                        asc = self.next().text == "asc"
+                    keys.append((field, asc))
+                    if not self.accept("op", ","):
+                        break
+                bag_env[name] = E.Func("SORT_BAG", [bag, E.Lit(keys)])
             elif kw.text == "limit":
                 _, bag = inner_bag_ref()
                 n = int(self.expect("number").text.rstrip("lL"))

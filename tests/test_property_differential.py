@@ -285,3 +285,54 @@ def test_join_matches_duckdb(eng, spark, data, data2, how):
         f"SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a {sql_how} t2 b "
         f"ON a.k = b.k").fetchall())
     assert got == want
+
+
+@given(data=tables, c=threshold)
+@SLOW
+def test_nested_filter_agg_matches_duckdb(eng, spark, data, c):
+    """Nested FOREACH { FILTER; GENERATE COUNT/SUM }: fuses to
+    agg(when(cond, x)) with Pig COUNT semantics (non-null first field of
+    the filtered bag, which is k here)."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_nf")
+    rels = run_script(eng, f"""
+        g = FOREACH (GROUP t_nf BY s) {{
+            f = FILTER t_nf BY v > {c}.0;
+            GENERATE group AS s, COUNT(f) AS n, SUM(f.v) AS sm;
+        }};
+    """, relations={"t_nf": t})
+    got = norm(tuple(r) for r in rels["g"].df().collect())
+    want = norm(con.sql(f"""
+        SELECT s, COUNT(CASE WHEN v > {c} THEN k END) AS n,
+               SUM(CASE WHEN v > {c} THEN v END) AS sm
+        FROM t GROUP BY s
+    """).fetchall())
+    assert got == want
+
+
+@given(data=tables, n=st.integers(1, 3))
+@SLOW
+def test_nested_order_limit_agg_matches_duckdb(eng, spark, data, n):
+    """Nested FOREACH { ORDER; LIMIT n; GENERATE SUM }: per-group top-n
+    aggregation ≡ SQL row_number window mirror (ties broken identically by
+    a total sort key)."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_tl")
+    rels = run_script(eng, f"""
+        g = FOREACH (GROUP t_tl BY s) {{
+            srt = ORDER t_tl BY v DESC, k DESC;
+            lim = LIMIT srt {n};
+            GENERATE group AS s, SUM(lim.v) AS sm;
+        }};
+    """, relations={"t_tl": t})
+    got = norm(tuple(r) for r in rels["g"].df().collect())
+    want = norm(con.sql(f"""
+        SELECT s, SUM(v) AS sm FROM (
+            SELECT s, v, row_number() OVER (
+                PARTITION BY s ORDER BY v DESC NULLS LAST, k DESC NULLS LAST
+            ) AS rn FROM t) sub
+        WHERE rn <= {n} GROUP BY s
+    """).fetchall())
+    assert got == want
