@@ -336,3 +336,35 @@ def test_nested_order_limit_agg_matches_duckdb(eng, spark, data, n):
         WHERE rn <= {n} GROUP BY s
     """).fetchall())
     assert got == want
+
+
+strings = st.lists(st.tuples(st.sampled_from(
+    ["", "a", "ab", "abc", "aXbXc", "  pad  ", "ZzZ", "a_b_c", "ααβ"])),
+    min_size=1, max_size=12)
+
+
+@given(data=strings, i=st.integers(0, 4), j=st.integers(0, 6))
+@SLOW
+def test_string_funcs_match_duckdb(eng, spark, data, i, j):
+    """SUBSTRING (0-based, stop-exclusive), INDEXOF (0-based, -1 absent),
+    TRIM/UPPER — the index-base divergences vs 1-based SQL, on random
+    strings incl. empty/unicode."""
+    from spork_spark.parser import run_script
+    sdf = spark.createDataFrame(data, "s string")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["s"]))
+    t = eng.from_df(sdf, alias="t_str")
+    lo, hi = min(i, j), max(i, j)
+    rels = run_script(eng, f"""
+        x = FOREACH t_str GENERATE SUBSTRING(s, {lo}, {hi}) AS sub,
+                                   INDEXOF(s, 'X') AS ix,
+                                   UPPER(TRIM(s)) AS up;
+    """, relations={"t_str": t})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    want = norm(con.sql(f"""
+        SELECT CASE WHEN length(s) < {lo} THEN NULL
+                    ELSE substring(s, {lo} + 1, {hi} - {lo}) END AS sub,
+               CAST(strpos(s, 'X') - 1 AS INT) AS ix,
+               upper(trim(s)) AS up FROM t
+    """).fetchall())
+    assert got == want
