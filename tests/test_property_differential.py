@@ -368,3 +368,43 @@ def test_string_funcs_match_duckdb(eng, spark, data, i, j):
                upper(trim(s)) AS up FROM t
     """).fetchall())
     assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_group_flatten_roundtrip(eng, spark, data):
+    """GROUP BY k then FLATTEN(bag) reproduces the original multiset
+    (bag materialization + explode inverse property; null keys group)."""
+    from spork_spark.parser import run_script
+    sdf, _ = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_rt")
+    rels = run_script(eng, """
+        g = GROUP t_rt BY k;
+        f = FOREACH g GENERATE FLATTEN(t_rt);
+    """, relations={"t_rt": t})
+    got = norm(tuple(r) for r in rels["f"].df().collect())
+    want = norm(tuple(r) for r in data)
+    assert got == want
+
+
+@given(data=tables, data2=tables)
+@SLOW
+def test_union_onschema_matches_duckdb(eng, spark, data, data2):
+    """UNION ONSCHEMA merges by column name, null-padding missing columns
+    — DuckDB's UNION ALL BY NAME."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    sdf2 = spark.createDataFrame([(k, s) for k, _, s in data2],
+                                 "k int, s2 string")
+    con.register("t2", pd.DataFrame([(k, s) for k, _, s in data2],
+                                    columns=["k", "s2"]))
+    a = eng.from_df(sdf, alias="ua")
+    b = eng.from_df(sdf2, alias="ub")
+    rels = run_script(eng, "x = UNION ONSCHEMA ua, ub;",
+                      relations={"ua": a, "ub": b})
+    got = norm(tuple(r) for r in rels["x"].df().select("k", "v", "s", "s2")
+               .collect())
+    want = norm(con.sql(
+        "SELECT k, v, s, s2 FROM (SELECT * FROM t UNION ALL BY NAME "
+        "SELECT * FROM t2)").fetchall())
+    assert got == want
