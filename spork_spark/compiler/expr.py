@@ -57,6 +57,7 @@ WANTS_LITERALS: dict[str, set[int]] = {
     "ROUND_TO": {1},
     "TODATE": {1, 2},
     "TOSTRING_DT": {1},
+    "TOSTRING": {1},      # 2-arg datetime form ToString(dt, 'fmt')
     "ADDDURATION": {1},
     "SUBTRACTDURATION": {1},
     "BAGTOSTRING": {1},
@@ -562,8 +563,10 @@ class ExprCompiler:
             if bagged is not None:
                 return bagged
         if name in TYPED_REGISTRY:
-            cols = [self.compile(a) for a in e.args]
-            dtypes = [self._type_of(a, c) for a, c in zip(e.args, cols)]
+            # literal-position args (fmt/tz strings) stay python strings
+            cols = self._compile_args(name, e.args)
+            dtypes = [self._type_of(a, c) if isinstance(c, Column) else None
+                      for a, c in zip(e.args, cols)]
             return TYPED_REGISTRY[name](dtypes, *cols)
         if name in REGISTRY:
             return REGISTRY[name](*self._compile_args(name, e.args))

@@ -404,11 +404,22 @@ def _top(dtypes: list[T.DataType], n: Column, idx: Column,
     return F.slice(ordered, 1, nv)
 
 
+def _todate_typed(dtypes, x, fmt=None, tz=None) -> Column:
+    """ToDate(long) interprets the value as epoch MILLISECONDS (Joda
+    instant, pig:src/org/apache/pig/builtin/ToDate.java) — Spark's
+    to_timestamp(long) would read it as seconds. String inputs parse."""
+    if fmt is None and dtypes and isinstance(
+            dtypes[0], (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.timestamp_millis(x.cast("long"))
+    return _todate(x, fmt, tz)
+
+
 # Type-dependent builtins: callable(dtypes: list[DataType], *cols) -> Column
 TYPED_REGISTRY: dict = {
     "SIZE": _size_typed,
     "BAGTOTUPLE": _bag_to_tuple,
     "TOP": _top,
+    "TODATE": _todate_typed,
 }
 
 # Aggregate names the GROUP+FOREACH fusion treats as algebraic

@@ -408,3 +408,38 @@ def test_union_onschema_matches_duckdb(eng, spark, data, data2):
         "SELECT k, v, s, s2 FROM (SELECT * FROM t UNION ALL BY NAME "
         "SELECT * FROM t2)").fetchall())
     assert got == want
+
+
+@given(ms=st.lists(st.integers(0, 4102444800000), min_size=1, max_size=15))
+@SLOW
+def test_datetime_funcs_match_duckdb(eng, spark, ms):
+    """ToDate(ms) + GetYear/Month/Day/Hour/Minute/Second + ToUnixTime vs
+    DuckDB epoch arithmetic over random instants (UTC session) — pins the
+    Joda-to-java.time field mappings."""
+    from spork_spark.parser import run_script
+    data = [(m,) for m in ms]
+    sdf = spark.createDataFrame(data, "ms long")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["ms"]))
+    t = eng.from_df(sdf, alias="t_dt")
+    rels = run_script(eng, """
+        x = FOREACH t_dt GENERATE GetYear(ToDate(ms)) AS y,
+                                  GetMonth(ToDate(ms)) AS mo,
+                                  GetDay(ToDate(ms)) AS d,
+                                  GetHour(ToDate(ms)) AS h,
+                                  GetMinute(ToDate(ms)) AS mi,
+                                  GetSecond(ToDate(ms)) AS sec,
+                                  ToUnixTime(ToDate(ms)) AS ut;
+    """, relations={"t_dt": t})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    want = norm(con.sql("""
+        SELECT CAST(date_part('year', ts) AS INT) AS y,
+               CAST(date_part('month', ts) AS INT) AS mo,
+               CAST(date_part('day', ts) AS INT) AS d,
+               CAST(date_part('hour', ts) AS INT) AS h,
+               CAST(date_part('minute', ts) AS INT) AS mi,
+               CAST(date_part('second', ts) AS INT) AS sec,
+               CAST(floor(ms / 1000) AS BIGINT) AS ut
+        FROM (SELECT ms, to_timestamp(ms / 1000.0) AS ts FROM t)
+    """).fetchall())
+    assert got == want
