@@ -443,3 +443,43 @@ def test_datetime_funcs_match_duckdb(eng, spark, ms):
         FROM (SELECT ms, to_timestamp(ms / 1000.0) AS ts FROM t)
     """).fetchall())
     assert got == want
+
+
+@given(data=tables, c1=threshold, c2=threshold)
+@SLOW
+def test_split_matches_duckdb(eng, spark, data, c1, c2):
+    """SPLIT routing: rows may reach several outputs; OTHERWISE catches
+    rows matching no predicate (null-safe — a null predicate is not a
+    match)."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="t_sp")
+    rels = run_script(eng, f"""
+        SPLIT t_sp INTO lo IF v < {c1}.0, hi IF v > {c2}.0, rest OTHERWISE;
+    """, relations={"t_sp": t})
+    for alias, cond in [("lo", f"v < {c1}"), ("hi", f"v > {c2}"),
+                        ("rest", f"NOT coalesce(v < {c1}, false) "
+                                 f"AND NOT coalesce(v > {c2}, false)")]:
+        got = norm(tuple(r) for r in rels[alias].df().collect())
+        want = norm(con.sql(f"SELECT * FROM t WHERE {cond}").fetchall())
+        assert got == want, alias
+
+
+@given(data=st.lists(row, min_size=1, max_size=6),
+       data2=st.lists(row, min_size=1, max_size=6))
+@SLOW
+def test_cross_matches_duckdb(eng, spark, data, data2):
+    """CROSS = full cartesian product (row counts multiply; no null
+    special-casing)."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    sdf2 = spark.createDataFrame(data2, "k int, v double, s string")
+    con.register("t2", pd.DataFrame(data2, columns=["k", "v", "s"]))
+    a = eng.from_df(sdf, alias="ca")
+    b = eng.from_df(sdf2, alias="cb")
+    rels = run_script(eng, "x = CROSS ca, cb;", relations={"ca": a, "cb": b})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    want = norm(con.sql(
+        "SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a CROSS JOIN t2 b"
+    ).fetchall())
+    assert got == want
