@@ -73,6 +73,12 @@ class PlanCompiler:
     def _ctx(self, df: DataFrame) -> ExprCompiler:
         return ExprCompiler(df, self.udfs, self.udafs)
 
+    def _conf(self, key: str, default: str) -> str:
+        try:
+            return self.spark.conf.get(key, default)
+        except Exception:
+            return default
+
     # -------------------------------------------------------------- sources
     def _c_load(self, node: L.Load) -> DataFrame:
         from ..sources import read
@@ -681,6 +687,17 @@ class PlanCompiler:
                 right = F.broadcast(right)
             elif node.strategy == "merge":
                 right = right.hint("merge")
+            elif node.strategy == "default":
+                # Pig's default JOIN is a shuffled HASH join (JoinPackager
+                # over the rearrange pipeline, SURVEY.md §2.1 #9). Spark's
+                # default is SMJ; `spark.spork.join.defaultStrategy` lets a
+                # deployment restore the hash-join physical choice
+                # (shuffle_hash avoids the two per-side sorts — measurably
+                # faster when shuffled partitions fit in memory, which AQE
+                # guards at scale). Default 'auto' defers to Catalyst/AQE.
+                hint = self._conf("spark.spork.join.defaultStrategy", "auto")
+                if hint in ("shuffle_hash", "merge", "broadcast"):
+                    right = right.hint(hint)
             rkeys = [self._ctx(dfs[i]).compile(k) for k in node.keys[i]]
             cond = None
             for lk, rk in zip(lkeys, rkeys):
