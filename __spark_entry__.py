@@ -1122,6 +1122,262 @@ def q_multimodal_features(spark, sf):
             .orderBy("query_id", "rank"))
 
 
+def _r6(e):
+    """Six-decimal stabilization (same floor arithmetic as _r2) for
+    correlation-scale values where 2 decimals would erase the signal."""
+    return fn("FLOOR", e * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+
+def q_regex_funcs(spark, sf):
+    """REGEX_EXTRACT / REGEX_EXTRACT_ALL (full-match anchored, null on
+    no-match — PORegexp matcher.matches semantics) and STRSPLIT."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    pr = col("o_orderpriority")
+    return (orders.foreach(
+        col("o_orderkey").alias("o_orderkey"),
+        fn("REGEX_EXTRACT", pr, "([0-9])-(.*)", 1).alias("pri_num"),
+        fn("REGEX_EXTRACT", pr, "([0-9])-(.*)", 2).alias("pri_word"),
+        fn("REGEX_EXTRACT", pr, "URGENT-(.*)", 1).alias("no_match"),
+        fn("REGEX_EXTRACT_ALL", pr, "([0-9])-(.*)").alias("all_groups"),
+        fn("STRSPLIT", pr, "-").alias("parts"))
+        .order_by(col("o_orderkey"))).df()
+
+
+def q_string_funcs2(spark, sf):
+    """Second string-builtin sweep: LAST_INDEX_OF (0-based), LCFIRST,
+    ENDSWITH, EqualsIgnoreCase, SPRINTF, ROUND_TO (HALF_EVEN), TRIM
+    family."""
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer")
+    name = col("c_name")
+    padded = fn("CONCAT", lit("  "), name, lit("  "))
+    return (cust.foreach(
+        col("c_custkey").alias("c_custkey"),
+        fn("LAST_INDEX_OF", name, "0").alias("last0"),
+        fn("LCFIRST", name).alias("lcf"),
+        fn("ENDSWITH", name, lit("5")).alias("ew5"),
+        fn("EQUALSIGNORECASE", col("c_mktsegment"), lit("building"))
+        .alias("is_bldg"),
+        fn("SPRINTF", "%05d:%s", col("c_custkey"), col("c_mktsegment"))
+        .alias("tag"),
+        fn("ROUND_TO", col("c_acctbal"), 0).alias("bal0"),
+        fn("TRIM", padded).alias("tr"),
+        fn("LTRIM", padded).alias("ltr"),
+        fn("RTRIM", padded).alias("rtr"))
+        .order_by(col("c_custkey"))).df()
+
+
+def q_datetime_funcs2(spark, sf):
+    """Second datetime sweep: AddDuration/SubtractDuration (ISO-8601
+    durations → make_interval), the Between family (Joda truncate-toward-
+    zero), GETWEEK/GETWEEKYEAR, ToUnixTime/ToMilliSeconds, ToString(fmt)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    d = col("o_orderdate")
+    epoch0 = fn("TODATE", lit("1995-06-15"))
+    return (orders.foreach(
+        col("o_orderkey").alias("o_orderkey"),
+        fn("ADDDURATION", d, "P1DT2H").alias("plus_1d2h"),
+        fn("SUBTRACTDURATION", d, "P2M").alias("minus_2m"),
+        fn("MONTHSBETWEEN", d, epoch0).alias("mb"),
+        fn("YEARSBETWEEN", d, epoch0).alias("yb"),
+        fn("WEEKSBETWEEN", d, epoch0).alias("wb"),
+        fn("GETWEEK", d).alias("wk"),
+        fn("GETWEEKYEAR", d).alias("wky"),
+        fn("TOUNIXTIME", d).alias("ut"),
+        fn("TOMILLISECONDS", d).alias("ms"),
+        fn("TOSTRING", d, "yyyy/MM/dd").alias("fmt"))
+        .order_by(col("o_orderkey"))).df()
+
+
+def q_bag_string(spark, sf):
+    """BagToString over a deterministically sorted bag + TOTUPLE struct
+    construction (pig BagToString.java / TOTUPLE.java)."""
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation")
+    g = nation.group_by(col("n_regionkey"))
+    sorted_names = fn("SORT_BAG", col("nation"), "n_name", True) \
+        .get("n_name")
+    return (g.foreach(col("group").alias("n_regionkey"),
+                      fn("BAGTOSTRING", sorted_names, ",").alias("names"),
+                      fn("SIZE", col("nation")).alias("n"))
+             .order_by(col("n_regionkey"))).df()
+
+
+def q_tuple_construct(spark, sf):
+    """TOTUPLE → struct column; field access back out of it (POProject
+    dereference on a constructed tuple)."""
+    eng = _eng(spark)
+    region = _t(eng, sf, "region")
+    t = fn("TOTUPLE", col("r_regionkey"), col("r_name"))
+    return (region.foreach(col("r_regionkey").alias("r_regionkey"),
+                           t.alias("pair"),
+                           t.get("r_name").alias("name_again"))
+                  .order_by(col("r_regionkey"))).df()
+
+
+def q_macro_params_script(spark, sf):
+    """Parser front-end: %default parameter substitution + DEFINE…RETURNS
+    macro expansion (QueryParserDriver#expandMacro / PreprocessorContext
+    models, SURVEY.md §2.1 #29–30)."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        %default MINQTY 30.0;
+        DEFINE big_by_flag(rel, qty) RETURNS agg {{
+            flt = FILTER $rel BY l_quantity >= $qty;
+            g = GROUP flt BY l_returnflag;
+            $agg = FOREACH g GENERATE group AS l_returnflag,
+                                      COUNT(flt) AS cnt,
+                                      SUM(flt.l_quantity) AS qty;
+        }};
+        li = LOAD '{sf}/lineitem.parquet';
+        out = big_by_flag(li, $MINQTY);
+        srt = ORDER out BY l_returnflag;
+    """)
+    return rels["srt"].df()
+
+
+def q_json_roundtrip(spark, sf):
+    """JsonStorage STORE + JsonLoader LOAD round trip (SURVEY.md §2.7):
+    write nation as JSON-per-line, read back with an explicit schema;
+    oracle reads the same rows from parquet — proves the JSON codec."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation").df().select(
+        "n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spork_json_{abs(hash(sf)) % 10**8}")
+    write(nation, path, fmt="jsonstorage")
+    out = read(spark, path, fmt="jsonloader",
+               schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+    return out.orderBy("n_nationkey")
+
+
+def q_orc_roundtrip(spark, sf):
+    """OrcStorage round trip (pig OrcStorage.java, SURVEY.md §2.7)."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    supp = _t(eng, sf, "supplier").df().select(
+        "s_suppkey", "s_name", "s_nationkey")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spork_orc_{abs(hash(sf)) % 10**8}")
+    write(supp, path, fmt="orcstorage")
+    out = read(spark, path, fmt="orcstorage")
+    return out.orderBy("s_suppkey")
+
+
+def q_text_loader(spark, sf):
+    """TextLoader: one line = one chararray (pig TextLoader.java). Write
+    names out as raw text, read back, re-derive the key by parsing — the
+    codec-free text path."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation").df()
+    lines = nation.select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"))
+        .alias("value"))
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spork_text_{abs(hash(sf)) % 10**8}")
+    write(lines, path, fmt="textloader")
+    out = read(spark, path, fmt="textloader")
+    return (out.select(
+        F.split(F.col("value"), r"\|").getItem(0).cast("long")
+         .alias("n_nationkey"),
+        F.split(F.col("value"), r"\|").getItem(1).alias("n_name"))
+        .orderBy("n_nationkey"))
+
+
+def q_stats_agg(spark, sf):
+    """COR / COV / VAR aggregates (pig COR.java/COV.java; VAR from
+    piggybank — SURVEY.md §2.4)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    q = col("lineitem").get("l_quantity")
+    p = col("lineitem").get("l_extendedprice")
+    return (li.group_by(col("l_returnflag"))
+              .foreach(col("group").alias("l_returnflag"),
+                       _r6(fn("COR", q, p)).alias("cor_qp"),
+                       _r2(fn("COV", q, p)).alias("cov_qp"),
+                       _r2(fn("VAR", q)).alias("var_q"))
+              .order_by(col("l_returnflag"))).df()
+
+
+def q_skew_salted(spark, sf):
+    """Manual salted skew join (operators/skew.py — the deterministic
+    fallback behind AQE skew-join, SURVEY.md §2.1 #12): result is
+    bitwise-identical to the plain join, only shuffle distribution
+    changes — the oracle is the plain join."""
+    from spork_spark.operators.skew import salted_join
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df().select("l_orderkey", "l_quantity")
+    orders = _t(eng, sf, "orders").df().select("o_orderkey",
+                                               "o_orderpriority")
+    j = salted_join(li, orders, ["l_orderkey"], ["o_orderkey"], salt=8)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count("*").alias("cnt"),
+                  F.floor(F.sum("l_quantity") * 100.0 + 0.5).cast("double")
+                  .alias("qty_x100"))
+             .orderBy("o_orderpriority"))
+
+
+def q_partitioned_pruning(spark, sf):
+    """Partitioned STORE + partition-pruned LOAD (LoadMetadata
+    getPartitionKeys / PartitionFilterOptimizer, SURVEY.md §2.7+§4.1):
+    write orders partitioned by o_orderstatus, read back filtered — the
+    'F' filter prunes to one directory (PartitionFilters in the scan;
+    pinned in tests)."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders").df().select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"spork_part_{abs(hash(sf)) % 10**8}")
+    write(orders, path, fmt="parquet", partition_by=["o_orderstatus"])
+    out = read(spark, path, fmt="parquet")
+    return (out.filter(F.col("o_orderstatus") == "F")
+               .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+               .agg(F.count("*").alias("cnt"))
+               .orderBy("yr"))
+
+
+def q_strsplittobag(spark, sf):
+    """STRSPLITTOBAG + FLATTEN: split to a bag of 1-field tuples, explode
+    to rows (the TOKENIZE-family row-fanout path)."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    toks = orders.foreach(
+        flatten(fn("STRSPLITTOBAG", col("o_orderpriority"), "-")))
+    g = toks.group_by(col("token"))
+    return (g.foreach(col("group").alias("token"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by(col("token"))).df()
+
+
+def q_unique_id(spark, sf):
+    """UniqueID() — partition-id + per-partition counter (pig
+    UniqueID.java). Engine-specific values → rows-only check; uniqueness
+    and count are pinned in tests."""
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation")
+    return (nation.foreach(col("n_nationkey").alias("n_nationkey"),
+                           fn("UNIQUEID").alias("uid"))
+                  .order_by(col("n_nationkey"))).df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1201,6 +1457,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "regex_funcs": q_regex_funcs,
+        "string_funcs2": q_string_funcs2,
+        "datetime_funcs2": q_datetime_funcs2,
+        "bag_string": q_bag_string,
+        "tuple_construct": q_tuple_construct,
+        "macro_params_script": q_macro_params_script,
+        "json_roundtrip": q_json_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "text_loader": q_text_loader,
+        "stats_agg": q_stats_agg,
+        "skew_salted": q_skew_salted,
+        "partitioned_pruning": q_partitioned_pruning,
+        "strsplittobag": q_strsplittobag,
+        "unique_id": q_unique_id,
     }
 
 
@@ -1973,5 +2243,120 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END) // 4096,
                           1) / 2.0) AS BIGINT) AS n_frames
             FROM documents ORDER BY item_id
+        """,
+        "regex_funcs": """
+            SELECT o_orderkey,
+                   regexp_extract(o_orderpriority, '^(?:([0-9])-(.*))$', 1)
+                       AS pri_num,
+                   regexp_extract(o_orderpriority, '^(?:([0-9])-(.*))$', 2)
+                       AS pri_word,
+                   CASE WHEN regexp_full_match(o_orderpriority, 'URGENT-(.*)')
+                        THEN regexp_extract(o_orderpriority,
+                                            '^(?:URGENT-(.*))$', 1)
+                   END AS no_match,
+                   CASE WHEN regexp_full_match(o_orderpriority, '([0-9])-(.*)')
+                        THEN struct_pack(
+                          group_1 := regexp_extract(o_orderpriority,
+                                         '^(?:([0-9])-(.*))$', 1),
+                          group_2 := regexp_extract(o_orderpriority,
+                                         '^(?:([0-9])-(.*))$', 2))
+                   END AS all_groups,
+                   string_split(o_orderpriority, '-') AS parts
+            FROM orders ORDER BY o_orderkey
+        """,
+        "string_funcs2": """
+            SELECT c_custkey,
+                   CAST(CASE WHEN strpos(reverse(c_name), '0') = 0 THEN -1
+                        ELSE length(c_name) - strpos(reverse(c_name), '0')
+                        END AS INT) AS last0,
+                   LOWER(substring(c_name, 1, 1)) || substring(c_name, 2)
+                       AS lcf,
+                   ends_with(c_name, '5') AS ew5,
+                   LOWER(c_mktsegment) = 'building' AS is_bldg,
+                   printf('%05d:%s', c_custkey, c_mktsegment) AS tag,
+                   ROUND_EVEN(c_acctbal, 0) AS bal0,
+                   TRIM('  ' || c_name || '  ') AS tr,
+                   LTRIM('  ' || c_name || '  ') AS ltr,
+                   RTRIM('  ' || c_name || '  ') AS rtr
+            FROM customer ORDER BY c_custkey
+        """,
+        "datetime_funcs2": """
+            SELECT o_orderkey,
+                   o_orderdate + INTERVAL 1 DAY + INTERVAL 2 HOUR
+                       AS plus_1d2h,
+                   o_orderdate - INTERVAL 2 MONTH AS minus_2m,
+                   CAST(trunc(
+                     (year(o_orderdate)*12 + month(o_orderdate)
+                      - (1995*12 + 6))
+                     + (day(o_orderdate) - 15) / 31.0) AS BIGINT) AS mb,
+                   CAST(trunc((
+                     (year(o_orderdate)*12 + month(o_orderdate)
+                      - (1995*12 + 6))
+                     + (day(o_orderdate) - 15) / 31.0) / 12.0) AS BIGINT)
+                       AS yb,
+                   CAST(trunc((epoch(o_orderdate) -
+                               epoch(TIMESTAMP '1995-06-15')) / 604800.0)
+                        AS BIGINT) AS wb,
+                   CAST(weekofyear(o_orderdate) AS INT) AS wk,
+                   CAST(isoyear(o_orderdate) AS INT) AS wky,
+                   CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS ut,
+                   CAST(trunc(epoch(o_orderdate)) * 1000 AS BIGINT) AS ms,
+                   strftime(o_orderdate, '%Y/%m/%d') AS fmt
+            FROM orders ORDER BY o_orderkey
+        """,
+        "bag_string": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS names,
+                   COUNT(*) AS n
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        "tuple_construct": """
+            SELECT r_regionkey,
+                   struct_pack(r_regionkey := r_regionkey,
+                               r_name := r_name) AS pair,
+                   r_name AS name_again
+            FROM region ORDER BY r_regionkey
+        """,
+        "macro_params_script": """
+            SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS qty
+            FROM lineitem WHERE l_quantity >= 30.0
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "json_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey
+        """,
+        "orc_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier ORDER BY s_suppkey
+        """,
+        "text_loader": """
+            SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+        """,
+        "stats_agg": """
+            SELECT l_returnflag,
+                   FLOOR((corr(l_quantity, l_extendedprice))*1000000
+                         + 0.5)/1000000 AS cor_qp,
+                   FLOOR((covar_samp(l_quantity, l_extendedprice))*100
+                         + 0.5)/100 AS cov_qp,
+                   FLOOR((var_samp(l_quantity))*100 + 0.5)/100 AS var_q
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "skew_salted": """
+            SELECT o_orderpriority, COUNT(*) AS cnt,
+                   FLOOR(SUM(l_quantity)*100 + 0.5) AS qty_x100
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "partitioned_pruning": """
+            SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS cnt
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY yr
+        """,
+        "strsplittobag": """
+            SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS token
+                  FROM orders) t
+            GROUP BY token ORDER BY token
         """,
     }

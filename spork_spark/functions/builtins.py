@@ -341,7 +341,12 @@ REGISTRY: dict = {
     "GETSECOND": F.second,
     "GETMILLISECOND": lambda dt: F.date_format(dt, "SSS").cast("int"),
     "GETWEEK": F.weekofyear,
-    "GETWEEKYEAR": lambda dt: F.date_format(dt, "YYYY").cast("int"),
+    # ISO week-based year = calendar year of that week's Thursday (the
+    # Joda weekyear() contract). Spark 4 rejects the 'YYYY' pattern, so
+    # compute it directly: ISO dow (Mon=1..Sun=7) from dayofweek
+    # (Sun=1..Sat=7), then shift to Thursday.
+    "GETWEEKYEAR": lambda dt: F.year(F.date_add(
+        dt.cast("date"), F.lit(4) - ((F.dayofweek(dt) + 5) % 7 + 1))),
     "ADDDURATION": _add_duration,
     "SUBTRACTDURATION": _sub_duration,
     "YEARSBETWEEN": lambda a, b: (F.months_between(a, b) / 12).cast("long"),
@@ -360,9 +365,8 @@ REGISTRY: dict = {
     "ISEMPTY": _is_empty,
     "DIFF": _diff,
     "SUBTRACT": lambda a, b: F.array_except(a, b),
-    "BAGTOSTRING": lambda bag, d=None: F.array_join(
-        F.transform(bag, lambda t: t.cast("string")),
-        _lit_str(d) if d is not None else "_"),
+    # BAGTOSTRING lives in TYPED_REGISTRY (needs the element type to
+    # flatten tuple fields per Pig BagToString semantics).
     "UNIQUEID": _unique_id,
     "TOSTRING": _dt_tostring,
 
@@ -414,12 +418,30 @@ def _todate_typed(dtypes, x, fmt=None, tz=None) -> Column:
     return _todate(x, fmt, tz)
 
 
+def _bag_to_string_typed(dtypes, bag: Column, d=None) -> Column:
+    """Pig BagToString (pig:src/org/apache/pig/builtin/BagToString.java):
+    flatten the bag — every field of every tuple — joined with the
+    delimiter. Bag projections arrive as array<struct<…>> (Pig's bag of
+    tuples), so struct elements join their fields with the same delim."""
+    from pyspark.sql import types as T
+    delim = _lit_str(d) if d is not None else "_"
+    et = dtypes[0].elementType if dtypes and \
+        isinstance(dtypes[0], T.ArrayType) else None
+    if isinstance(et, T.StructType):
+        names = [f.name for f in et.fields]
+        return F.array_join(
+            F.transform(bag, lambda t: F.concat_ws(
+                delim, *[t[n].cast("string") for n in names])), delim)
+    return F.array_join(F.transform(bag, lambda t: t.cast("string")), delim)
+
+
 # Type-dependent builtins: callable(dtypes: list[DataType], *cols) -> Column
 TYPED_REGISTRY: dict = {
     "SIZE": _size_typed,
     "BAGTOTUPLE": _bag_to_tuple,
     "TOP": _top,
     "TODATE": _todate_typed,
+    "BAGTOSTRING": _bag_to_string_typed,
 }
 
 # Aggregate names the GROUP+FOREACH fusion treats as algebraic

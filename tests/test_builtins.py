@@ -217,3 +217,37 @@ def test_md5_sha256_portable(eng, spark):
     for row in r.df().collect():
         assert row.h == hashlib.md5(str(row.k).encode()).hexdigest()
         assert row.s2 == hashlib.sha256(str(row.k).encode()).hexdigest()
+
+
+def test_getweekyear_iso_boundaries(eng, spark):
+    """ISO week-year (Joda weekyear contract): Jan 1 can belong to the
+    previous week-year, Dec 31 to the next."""
+    data, ddl = [("2021-01-01",), ("2019-12-30",), ("2016-01-03",),
+                 ("2020-12-31",)], "s string"
+    df = spark.createDataFrame(data, ddl)
+    out = (eng.from_df(df)
+              .foreach(fn("GETWEEKYEAR", fn("TODATE", col("s"), "yyyy-MM-dd"))
+                       .alias("wy")).df().collect())
+    assert [r.wy for r in out] == [2020, 2020, 2015, 2020]
+
+
+def test_bagtostring_flattens_tuple_fields(eng, spark):
+    """BagToString joins every field of every tuple with the delimiter
+    (pig BagToString.java)."""
+    df = spark.createDataFrame([(1, "a", 10), (1, "b", 20)],
+                               "k int, s string, v int")
+    g = eng.from_df(df, alias="t").group_by(col("k"))
+    out = (g.foreach(col("group").alias("k"),
+                     fn("BAGTOSTRING",
+                        fn("SORT_BAG", col("t"), "s", True), "_")
+                     .alias("joined")).df().collect())
+    assert out[0].joined == "1_a_10_1_b_20"
+
+
+def test_bagtostring_single_field_projection(eng, spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y")], "k int, s string")
+    g = eng.from_df(df, alias="t").group_by(col("k"))
+    out = (g.foreach(fn("BAGTOSTRING",
+                        fn("SORT_BAG", col("t"), "s", True).get("s"), ",")
+                     .alias("joined")).df().collect())
+    assert out[0].joined == "x,y"
