@@ -65,6 +65,11 @@ LATENCY_PROFILE = {
     "spark.spork.join.defaultStrategy": "shuffle_hash",
     "spark.shuffle.compress": "false",
     "spark.shuffle.spill.compress": "false",
+    # 4× the default vectorized-reader batch (4096): fewer batch-boundary
+    # crossings in the single-row-group scans that dominate at sf0.1.
+    # Memory cost is per-column-per-task (~16k × width), negligible here
+    # and bounded on executors at scale.
+    "spark.sql.parquet.columnarReaderBatchSize": "16384",
 }
 
 

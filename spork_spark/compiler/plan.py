@@ -697,7 +697,11 @@ class PlanCompiler:
                 # guards at scale). Default 'auto' defers to Catalyst/AQE.
                 hint = self._conf("spark.spork.join.defaultStrategy", "auto")
                 if hint in ("shuffle_hash", "merge", "broadcast"):
-                    right = right.hint(hint)
+                    # Hint the LEFT side: Pig's packager materializes the
+                    # earlier inputs and STREAMS the last one, so the left
+                    # is the hash-build side (and in left-deep n-way joins
+                    # it's also the smaller, already-reduced side).
+                    left = left.hint(hint)
             rkeys = [self._ctx(dfs[i]).compile(k) for k in node.keys[i]]
             cond = None
             for lk, rk in zip(lkeys, rkeys):
