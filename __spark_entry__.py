@@ -1378,6 +1378,23 @@ def q_unique_id(spark, sf):
                   .order_by(col("n_nationkey"))).df()
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (test-set overlap guard): flag corpus
+    documents sharing any 4-word n-gram with a held-out 'benchmark' slice
+    (doc_id % 50 == 0), report per-(lang, contaminated) counts. The
+    broadcast-semi-join-on-ngram design is the standard 100 TB
+    decontamination pass (operators/text.py decontaminate)."""
+    from spork_spark.operators import decontaminate
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    flagged = decontaminate(corpus, bench, n=4, mode="flag")
+    return (flagged.groupBy("lang", "contaminated")
+                   .agg(F.count("*").alias("n_docs"))
+                   .orderBy("lang", "contaminated"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1471,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_pruning": q_partitioned_pruning,
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2358,5 +2376,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS token
                   FROM orders) t
             GROUP BY token ORDER BY token
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_transform(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t != ''), t -> lower(t)) AS tk
+              FROM documents),
+            grams AS (
+              SELECT doc_id, lang,
+                     list_distinct([array_to_string(tk[i:i+3], ' ')
+                         for i in generate_series(
+                             1, greatest(len(tk) - 4, 0) + 1)]) AS gs
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams
+              WHERE doc_id % 50 = 0),
+            corpus AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+            hits AS (
+              SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+              JOIN bench USING (g))
+            SELECT lang, (corpus.doc_id IN (SELECT doc_id FROM hits))
+                       AS contaminated,
+                   COUNT(*) AS n_docs
+            FROM corpus
+            GROUP BY 1, 2 ORDER BY lang, contaminated
         """,
     }

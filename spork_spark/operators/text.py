@@ -129,3 +129,48 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str = "text",
                                   F.log(F.lit(float(n_docs)) / F.col("df")),
                                   6))
               .select(id_col, "token", "tf", "df", "tfidf"))
+
+
+def word_ngrams(text_col, n: int) -> "F.Column":
+    """Distinct lowercased word n-grams of a text column, as joined
+    strings — the decontamination/overlap unit. Native HOFs: split →
+    sliding slice → concat; linear per row, no Python."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str | None = None, n: int = 8,
+                  mode: str = "remove") -> DataFrame:
+    """Benchmark decontamination: drop (mode='remove') or mark
+    (mode='flag', adds boolean `contaminated`) training documents that
+    share any word n-gram with a benchmark/eval corpus — the standard
+    test-set-overlap guard in LLM data pipelines (n=13 is the common
+    production choice; smaller n is stricter).
+
+    Scale shape: the benchmark side is tiny relative to the corpus → its
+    distinct n-gram set broadcasts; the corpus side explodes to one row
+    per *distinct* n-gram per doc (array_distinct bounds the fan-out),
+    then a broadcast LEFT SEMI join marks hits — no shuffle of the corpus,
+    no Python. With a large benchmark, drop the broadcast hint and let the
+    join shuffle on the n-gram key (uniformly distributed — no skew)."""
+    bcol = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngrams(bcol, n)).alias("__ngram"))
+                   .distinct())
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__ngram"))
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams), on="__ngram", how="left_semi")
+            .select(id_col).distinct())
+    if mode == "flag":
+        return docs.join(hits.withColumn("__hit", F.lit(True)),
+                         on=id_col, how="left") \
+                   .withColumn("contaminated",
+                               F.coalesce(F.col("__hit"), F.lit(False))) \
+                   .drop("__hit")
+    return docs.join(hits, on=id_col, how="left_anti")

@@ -230,3 +230,31 @@ def test_bloom_no_false_negatives_and_exact_after_join(spark):
     exact = {r.k for r in
              bloom_pruned_semi_join(big, small, "k", "j", 256, 3).collect()}
     assert exact == {i * 97 for i in range(10) if i * 97 < 1000}   # exact
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    from spork_spark.operators import decontaminate
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different sentence with no overlap here"),
+         (3, "brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over everything")],
+        "doc_id long, text string")
+    # docs 1 and 3 both share the 4-gram "brown fox jumps over"
+    kept = decontaminate(docs, bench, n=4, mode="remove")
+    assert sorted(r.doc_id for r in kept.collect()) == [2]
+    flagged = decontaminate(docs, bench, n=4, mode="flag")
+    got = {r.doc_id: r.contaminated for r in flagged.collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # n=5: doc 3's only shared run is 4 words long, so it survives
+    kept5 = decontaminate(docs, bench, n=5, mode="remove")
+    assert sorted(r.doc_id for r in kept5.collect()) == [2, 3]
+
+
+def test_decontaminate_short_doc_partial_ngram(spark):
+    from spork_spark.operators import decontaminate
+    docs = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    assert decontaminate(docs, bench, n=13).count() == 0
