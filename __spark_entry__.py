@@ -1395,6 +1395,19 @@ def q_decontaminate(spark, sf):
                    .orderBy("lang", "contaminated"))
 
 
+def q_chunk_documents(spark, sf):
+    """Fixed-length sequence chunking (training prep): 32-token chunks per
+    document, boundary-preserving; verify chunk counts + per-chunk token
+    accounting. Map-side fan-out, no shuffle (operators/text.py)."""
+    from spork_spark.operators import chunk_documents
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    ch = chunk_documents(docs, seq_len=32)
+    return (ch.select("doc_id", "chunk_idx", "n_tokens",
+                      F.length("chunk_text").alias("n_chars"))
+              .orderBy("doc_id", "chunk_idx"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1489,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
         "decontaminate": q_decontaminate,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2403,5 +2417,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM corpus
             GROUP BY 1, 2 ORDER BY lang, contaminated
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     LEAST(len(tk) - i*32, 32) AS n_tokens,
+                     array_to_string(tk[i*32+1 : i*32+32], ' ') AS chunk_text
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, CAST(floor((len(tk)-1)/32.0) AS INT))) AS i)
+              WHERE len(tk) >= 1)
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(length(chunk_text) AS INT) AS n_chars
+            FROM chunks ORDER BY doc_id, chunk_idx
         """,
     }

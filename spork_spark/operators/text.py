@@ -174,3 +174,32 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                                F.coalesce(F.col("__hit"), F.lit(False))) \
                    .drop("__hit")
     return docs.join(hits, on=id_col, how="left_anti")
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", seq_len: int = 128,
+                    min_tokens: int = 1) -> DataFrame:
+    """Fixed-length training-sequence prep: split each document's token
+    stream into consecutive chunks of `seq_len` tokens (last chunk may be
+    short; docs under `min_tokens` drop). Output one row per chunk:
+    (id, chunk_idx, n_tokens, chunk_text).
+
+    Scale shape: pure map-side fan-out (split → sequence → slice →
+    explode), no shuffle, no state — each 128 MB input partition streams
+    its chunks; downstream repartitioning (e.g. shuffle to shard files)
+    is the caller's choice. This is the document-boundary-preserving
+    variant; cross-document packing needs a stateful pass
+    (streaming.stateful_running_agg is the building block)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0),
+                     F.floor((n - 1) / F.lit(seq_len)).cast("int"))
+    chunks = F.transform(
+        idx, lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(n - i * seq_len, F.lit(seq_len)).alias("n_tokens"),
+            F.array_join(F.slice(toks, i * seq_len + 1, seq_len), " ")
+             .alias("chunk_text")))
+    return (df.filter(n >= min_tokens)
+              .select(F.col(id_col), F.explode(chunks).alias("c"))
+              .select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_text"))

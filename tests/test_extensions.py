@@ -258,3 +258,19 @@ def test_decontaminate_short_doc_partial_ngram(spark):
     docs = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     assert decontaminate(docs, bench, n=13).count() == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from spork_spark.operators import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),   # 10 toks -> 4,4,2
+         (2, "a b c"),                                 # 3 toks -> one chunk
+         (3, "")],                                     # empty -> dropped
+        "doc_id long, text string")
+    out = chunk_documents(docs, seq_len=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    assert by_doc == {1: [(0, 4), (1, 4), (2, 2)], 2: [(0, 3)]}
+    first = [r for r in out if r.doc_id == 1 and r.chunk_idx == 2][0]
+    assert first.chunk_text == "w8 w9"
