@@ -1408,6 +1408,22 @@ def q_chunk_documents(spark, sf):
               .orderBy("doc_id", "chunk_idx"))
 
 
+def q_text_signals(spark, sf):
+    """Corpus-quality signals beyond ratios: repeated-2-gram share
+    (boilerplate/spam) and character Shannon entropy (gibberish) — both
+    pure HOF expressions; the entropy fold is order-pinned (sorted
+    distinct chars) so DuckDB reproduces it bit-for-bit."""
+    from spork_spark.operators import char_entropy, repetition_ratio
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0
+    return (docs.select(
+                "doc_id",
+                r4(repetition_ratio("text", n=2)).alias("rep2"),
+                r4(char_entropy("text")).alias("entropy"))
+                .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1503,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_id": q_unique_id,
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
+        "text_signals": q_text_signals,
     }
 
 
@@ -2436,5 +2453,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INT) AS n_tokens,
                    CAST(length(chunk_text) AS INT) AS n_chars
             FROM chunks ORDER BY doc_id, chunk_idx
+        """,
+        "text_signals": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t != ''), t -> lower(t)) AS tk,
+                     text
+              FROM documents),
+            g AS (
+              SELECT doc_id, text,
+                     [array_to_string(tk[i:i+1], ' ')
+                      for i in generate_series(
+                          1, greatest(len(tk) - 2, 0) + 1)] AS grams
+              FROM toks),
+            ch AS (
+              SELECT doc_id, grams,
+                     [text[i] for i in generate_series(1, length(text))]
+                         AS chars
+              FROM g),
+            ent AS (
+              SELECT doc_id, grams,
+                     CASE WHEN len(chars) > 0 THEN
+                       list_reduce(list_transform(
+                         list_sort(list_distinct(chars)),
+                         c -> -(CAST(len(list_filter(chars, x -> x = c))
+                                     AS DOUBLE) / len(chars)) *
+                              log2(CAST(len(list_filter(chars, x -> x = c))
+                                        AS DOUBLE) / len(chars))),
+                         (a, b) -> a + b)
+                     ELSE 0.0 END AS entropy
+              FROM ch)
+            SELECT doc_id,
+                   FLOOR((CASE WHEN len(grams) > 0
+                          THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                     / len(grams)
+                          ELSE 0.0 END)*10000 + 0.5)/10000 AS rep2,
+                   FLOOR(entropy*10000 + 0.5)/10000 AS entropy
+            FROM ent ORDER BY doc_id
         """,
     }

@@ -4,9 +4,10 @@ BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
                     minhash_signature, ngram_jaccard_pairs, shingles, simhash)
 from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
-from .text import (bpe_ish_token_count, chunk_documents, decontaminate,
-                   detect_language, fingerprint, quality_score, tf_idf,
-                   token_count, tokens, word_ngrams)
+from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
+                   decontaminate, detect_language, fingerprint,
+                   quality_score, repetition_ratio, tf_idf, token_count,
+                   tokens, word_ngrams)
 from .multimodal import (attach_binary_meta, decode_images, extract_features,
                          sample_frames)
 from .skew import salted_join, skew_histogram
@@ -16,8 +17,8 @@ __all__ = [
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",
-    "bpe_ish_token_count", "chunk_documents", "decontaminate",
-    "detect_language",
+    "bpe_ish_token_count", "char_entropy", "chunk_documents",
+    "decontaminate", "detect_language", "repetition_ratio",
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",
     "attach_binary_meta", "decode_images", "extract_features",

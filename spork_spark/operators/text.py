@@ -203,3 +203,34 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     return (df.filter(n >= min_tokens)
               .select(F.col(id_col), F.explode(chunks).alias("c"))
               .select(id_col, "c.chunk_idx", "c.n_tokens", "c.chunk_text"))
+
+
+def repetition_ratio(text_col, n: int = 2) -> "F.Column":
+    """Share of repeated word n-grams (1 − distinct/total) — the cheap
+    boilerplate/spam signal in corpus quality filtering. 0.0 for texts
+    shorter than n+1 tokens (no repeatable window)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    total = F.size(grams).cast("double")
+    return F.when(total > 0,
+                  F.lit(1.0) - F.size(F.array_distinct(grams)) / total) \
+            .otherwise(F.lit(0.0))
+
+
+def char_entropy(text_col) -> "F.Column":
+    """Shannon entropy (bits/char) of the character distribution — the
+    gibberish/low-diversity signal. Distinct characters are SORTED before
+    the fold so the floating-point summation order is deterministic
+    (and matches the DuckDB oracle bit-for-bit)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    total = F.size(chars).cast("double")
+    d = F.array_sort(F.array_distinct(chars))
+    ent = F.aggregate(
+        d, F.lit(0.0),
+        lambda acc, ch: acc - (
+            F.size(F.filter(chars, lambda x: x == ch)) / total
+        ) * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / total))
+    return F.when(total > 0, ent).otherwise(F.lit(0.0))

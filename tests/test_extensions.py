@@ -274,3 +274,26 @@ def test_chunk_documents_boundaries(spark):
     assert by_doc == {1: [(0, 4), (1, 4), (2, 2)], 2: [(0, 3)]}
     first = [r for r in out if r.doc_id == 1 and r.chunk_idx == 2][0]
     assert first.chunk_text == "w8 w9"
+
+
+def test_repetition_ratio_and_entropy(spark):
+    from pyspark.sql import functions as F
+    from spork_spark.operators import char_entropy, repetition_ratio
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),       # 4 identical 2-grams
+         (2, "all words here are unique okay"),
+         (3, "aaaa"),                           # zero entropy
+         (4, "")],
+        "doc_id long, text string")
+    out = docs.select("doc_id",
+                      repetition_ratio("text", n=2).alias("rep"),
+                      F.round(char_entropy("text"), 4).alias("ent")) \
+              .orderBy("doc_id").collect()
+    assert out[0].rep == 0.75         # 4 grams, 1 distinct
+    assert out[1].rep == 0.0
+    assert out[2].ent == 0.0
+    assert out[3].rep == 0.0 and out[3].ent == 0.0
+    # "ab" -> two equiprobable chars -> exactly 1 bit
+    one = docs.limit(0)
+    ab = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert ab.select(char_entropy("text").alias("e")).first().e == 1.0
