@@ -94,6 +94,11 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         options.setdefault("sep", "\t")       # PigStorage default delimiter
         options.setdefault("header", "false")
+        if schema is None:
+            # PigStorage('-schema'): a .pig_schema sidecar written at STORE
+            # time restores names+types on LOAD
+            # (pig:src/org/apache/pig/builtin/PigStorage.java#getSchema).
+            schema = _read_schema_sidecar(spark, path)
     # Pig's AS-schema is POSITIONAL (LOAD 'f' AS (a:int, b) names fields by
     # position). For self-describing formats Spark's .schema() would match
     # by NAME (yielding all-null columns under different names) — so load
@@ -136,14 +141,55 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     return df
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    """(Path, FileSystem) via the JVM Hadoop FS API — works on any
+    Hadoop-compatible filesystem (local, HDFS, object stores), which is
+    what a cluster deployment needs for sidecar files."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return hpath, fs
+
+
+def _write_schema_sidecar(df: DataFrame, path: str) -> None:
+    hpath, fs = _hadoop_path(df.sparkSession, path + "/.pig_schema")
+    out = fs.create(hpath, True)
+    out.write(bytearray(df.schema.json().encode("utf-8")))
+    out.close()
+
+
+def _read_schema_sidecar(spark: SparkSession, path: str):
+    from pyspark.sql import types as T
+    import json
+    try:
+        hpath, fs = _hadoop_path(spark, path + "/.pig_schema")
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            # commons-io returns the byte[] (py4j copies JVM->Python);
+            # FSDataInputStream.readFully mutates a JVM-side copy of a
+            # Python-passed buffer, which never comes back.
+            jvm = spark.sparkContext._jvm
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return T.StructType.fromJson(json.loads(data.decode("utf-8")))
+    except Exception:
+        return None
+
+
 def write(df: DataFrame, path: str, fmt: str = "parquet",
           options: dict | None = None, partition_by: list[str] | None = None,
           mode: str = "overwrite") -> None:
     fmt = _norm(fmt)
     options = dict(options or {})
+    sidecar = bool(options.pop("schema", False))
     if fmt == "csv":
         options.setdefault("sep", "\t")
     w = df.write.mode(options.pop("mode", mode)).options(**options)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(path)
+    if sidecar and fmt == "csv":
+        _write_schema_sidecar(df, path)

@@ -130,3 +130,18 @@ def test_pigstorage_tagfile_and_store_sep(eng, tmp_path):
     lines = sorted(line.strip() for f in glob.glob(f"{out}/part*")
                    for line in open(f))
     assert lines == ["a.csv|1|x", "b.csv|2|y"]
+
+
+def test_pigstorage_schema_sidecar(eng, spark, tmp_path):
+    """PigStorage('-schema'): STORE writes .pig_schema; a schemaless LOAD
+    restores names AND types from the sidecar."""
+    from spork_spark.sources import read, write
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b", 3.5)],
+                               "k int, s string, v double")
+    path = str(tmp_path / "sidecar_out")
+    write(df, path, fmt="pigstorage", options={"schema": True})
+    back = read(spark, path, fmt="pigstorage")
+    assert [f.name for f in back.schema.fields] == ["k", "s", "v"]
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        ["int", "string", "double"]
+    assert sorted(map(tuple, back.collect())) == [(1, "a", 2.5), (2, "b", 3.5)]
