@@ -88,10 +88,10 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm-up: two full passes over the suite — JVM/JIT, codegen caches,
+    # Warm-up: three full passes over the suite — JVM/JIT, codegen caches,
     # parquet footers, page cache. Steady-state is the protocol (BASELINE.md:
     # DuckDB baseline numbers are equally warm medians).
-    for _ in range(2):
+    for _ in range(3):
         for df in dfs.values():
             run(df)
 
@@ -99,7 +99,7 @@ def main() -> None:
     for bench_name, df in dfs.items():
         run(df)  # per-query re-warm directly before timing
         times = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             run(df)
             times.append(time.perf_counter() - t0)
