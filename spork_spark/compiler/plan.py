@@ -651,8 +651,23 @@ class PlanCompiler:
             sides.append((g, bag_name, bag_type))
         out, _, _ = sides[0]
         knames = [f"__k{i}" for i in range(len(node.keys[0]))]
-        for g, _, _ in sides[1:]:
-            out = out.join(g, on=knames, how="full")
+        for idx, (g, _, _) in enumerate(sides[1:], 1):
+            # Null-SAFE key join: GROUP/COGROUP collect null keys into one
+            # group (Pig "Nulls" contract — unlike JOIN, where null keys
+            # never match). A USING join would split the null group per
+            # side, so join on <=> and coalesce the key columns.
+            rk = [f"__r{idx}_{i}" for i in range(len(knames))]
+            for old, new in zip(knames, rk):
+                g = g.withColumnRenamed(old, new)
+            cond = None
+            for lname, rname in zip(knames, rk):
+                c = F.col(lname).eqNullSafe(F.col(rname))
+                cond = c if cond is None else cond & c
+            out = out.join(g, on=cond, how="full")
+            for lname, rname in zip(knames, rk):
+                out = out.withColumn(lname,
+                                     F.coalesce(F.col(lname), F.col(rname))) \
+                         .drop(rname)
         bag_cols = [F.coalesce(F.col(bag_name),
                                F.array().cast(bag_type)).alias(bag_name)
                     for _, bag_name, bag_type in sides]

@@ -483,3 +483,58 @@ def test_cross_matches_duckdb(eng, spark, data, data2):
         "SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a CROSS JOIN t2 b"
     ).fetchall())
     assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_window_lag_rank_matches_duckdb(eng, spark, data):
+    """Window functions over random partitions: lag + rank with a unique
+    id tiebreak so both engines see one deterministic order."""
+    from spork_spark.plans import expressions as E
+    rows = [(i, k, v) for i, (k, v, s) in enumerate(data)]
+    sdf = spark.createDataFrame(rows, "id int, k int, v double")
+    pdf = pd.DataFrame(rows, columns=["id", "k", "v"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    w_lag = E.WindowFunc("lag", [col("v")], [col("k")], [(col("id"), True)])
+    w_rank = E.WindowFunc("rank", [], [col("k")],
+                          [(col("v"), False), (col("id"), True)])
+    out = (eng.from_df(sdf, alias="x")
+              .foreach(col("id").alias("id"),
+                       E.Aliased(w_lag, "pv"),
+                       E.Aliased(w_rank, "r"))
+              .df().collect())
+    got = norm((r.id, r.pv, int(r.r)) for r in out)
+    want = norm(con.sql("""
+        SELECT id, lag(v) OVER (PARTITION BY k ORDER BY id) AS pv,
+               CAST(rank() OVER (PARTITION BY k
+                    ORDER BY v DESC NULLS LAST, id) AS INT) AS r
+        FROM t""").fetchall())
+    assert got == want
+
+
+@given(data=tables, data2=tables)
+@SLOW
+def test_cogroup_matches_duckdb(eng, spark, data, data2):
+    """COGROUP on a nullable key: bag sizes per group key, absent groups
+    give empty (size-0) bags, null keys group together (Pig contract)."""
+    a = spark.createDataFrame(data, "k int, v double, s string")
+    b = spark.createDataFrame(data2, "k int, v double, s string")
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(data, columns=["k", "v", "s"]))
+    con.register("tb", pd.DataFrame(data2, columns=["k", "v", "s"]))
+    ra = eng.from_df(a, alias="ra")
+    rb = eng.from_df(b, alias="rb")
+    cg = ra.cogroup([col("k")], (rb, [col("k")]))
+    out = (cg.foreach(col("group").alias("k"),
+                      fn("SIZE", col("ra")).alias("na"),
+                      fn("SIZE", col("rb")).alias("nb"))
+             .df().collect())
+    got = norm(tuple(r) for r in out)
+    want = norm(con.sql("""
+        SELECT COALESCE(ga.k, gb.k) AS k,
+               COALESCE(ga.n, 0) AS na, COALESCE(gb.n, 0) AS nb
+        FROM (SELECT k, COUNT(*) AS n FROM ta GROUP BY k) ga
+        FULL OUTER JOIN (SELECT k, COUNT(*) AS n FROM tb GROUP BY k) gb
+          ON ga.k IS NOT DISTINCT FROM gb.k""").fetchall())
+    assert got == want
