@@ -538,3 +538,33 @@ def test_cogroup_matches_duckdb(eng, spark, data, data2):
         FULL OUTER JOIN (SELECT k, COUNT(*) AS n FROM tb GROUP BY k) gb
           ON ga.k IS NOT DISTINCT FROM gb.k""").fetchall())
     assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_cube_rollup_matches_duckdb(eng, spark, data):
+    """CUBE/ROLLUP over nullable dims: real-null dimension values and
+    grouping-set null-fills must produce the same row multiset as SQL
+    GROUP BY CUBE/ROLLUP (Spark cube == ANSI cube; order-insensitive)."""
+    sdf = spark.createDataFrame(data, "k int, v double, s string")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["k", "v", "s"]))
+    cubed = (eng.from_df(sdf, alias="x").cube(col("k"), col("s"))
+                .foreach(col("group").get("k").alias("k"),
+                         col("group").get("s").alias("s"),
+                         fn("COUNT_STAR").alias("n"),
+                         fn("SUM", col("x").get("v")).alias("sv"))
+                .df().collect())
+    got = norm(tuple(r) for r in cubed)
+    want = norm(con.sql("""
+        SELECT k, s, COUNT(*) AS n, SUM(v) AS sv
+        FROM t GROUP BY CUBE (k, s)""").fetchall())
+    assert got == want
+    rolled = (eng.from_df(sdf, alias="x").rollup(col("k"))
+                 .foreach(col("group").alias("k"),
+                          fn("COUNT_STAR").alias("n"))
+                 .df().collect())
+    got_r = norm(tuple(r) for r in rolled)
+    want_r = norm(con.sql(
+        "SELECT k, COUNT(*) AS n FROM t GROUP BY ROLLUP (k)").fetchall())
+    assert got_r == want_r
