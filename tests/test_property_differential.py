@@ -568,3 +568,26 @@ def test_cube_rollup_matches_duckdb(eng, spark, data):
     want_r = norm(con.sql(
         "SELECT k, COUNT(*) AS n FROM t GROUP BY ROLLUP (k)").fetchall())
     assert got_r == want_r
+
+
+@given(data=tables, data2=tables,
+       how=st.sampled_from(["", "LEFT OUTER", "FULL OUTER"]))
+@SLOW
+def test_multikey_join_matches_duckdb(eng, spark, data, data2, how):
+    """Composite (k, s) join keys through the script path: any null key
+    component kills the match (SQL AND of equalities), collisions qualify."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    sdf2 = spark.createDataFrame(data2, "k int, v double, s string")
+    con.register("t2", pd.DataFrame(data2, columns=["k", "v", "s"]))
+    a = eng.from_df(sdf, alias="ma")
+    b = eng.from_df(sdf2, alias="mb")
+    rels = run_script(eng, f"x = JOIN ma BY (k, s) {how}, mb BY (k, s);",
+                      relations={"ma": a, "mb": b})
+    got = norm(tuple(r) for r in rels["x"].df().collect())
+    sql_how = {"": "JOIN", "LEFT OUTER": "LEFT JOIN",
+               "FULL OUTER": "FULL JOIN"}[how]
+    want = norm(con.sql(
+        f"SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a {sql_how} t2 b "
+        f"ON a.k = b.k AND a.s = b.s").fetchall())
+    assert got == want
