@@ -1424,6 +1424,27 @@ def q_text_signals(spark, sf):
                 .orderBy("doc_id"))
 
 
+def q_asof_join(spark, sf):
+    """As-of join (operators/asof.py — union+window single-shuffle design):
+    each purchase event picks up the most recent at-or-before view event's
+    value per user. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from spork_spark.operators import asof_join
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    views = (ev.filter(F.col("event_type") == "view")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("view_value")))
+    out = asof_join(purchases, views, on="ts", by="user_id")
+    return (out.select(
+                "event_id", "user_id",
+                F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts"),
+                (F.floor(F.col("view_value_asof") * 100.0 + 0.5) / 100.0)
+                .alias("view_value"))
+               .orderBy("event_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1520,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "chunk_documents": q_chunk_documents,
         "text_signals": q_text_signals,
+        "asof_join": q_asof_join,
     }
 
 
@@ -2492,5 +2514,18 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END)*10000 + 0.5)/10000 AS rep2,
                    FLOOR(entropy*10000 + 0.5)/10000 AS entropy
             FROM ent ORDER BY doc_id
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, ts, MAX(value) AS view_value
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id,
+                   CAST(trunc(epoch(p.ts)) AS BIGINT) AS ts,
+                   FLOOR(v.view_value*100 + 0.5)/100 AS view_value
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
         """,
     }

@@ -1,0 +1,72 @@
+"""As-of (temporal) join — an operator Spark's DataFrame API lacks
+(SURVEY.md §2.11 custom-operator mandate): for every left row, attach the
+most recent right row at-or-before its timestamp, per key.
+
+Spark-first design — the UNION + WINDOW plan, not a range join:
+tag both inputs, union them, and take `last(right_payload, ignorenulls)`
+over a window partitioned by key and ordered by (ts, side). One shuffle on
+the key, sorted once, streamed once — O((|L|+|R|) log) per partition with
+bounded memory, versus the naive inequality join's per-key quadratic
+blow-up. This is the same trick Flink/KDB-style engines use for temporal
+joins, and it scales to 100 TB because the only shuffle is the same
+hash-partition a plain join would need, with no skew amplification (hot
+keys stay one partition's sorted run, never a cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: list[str] | str | None = None,
+              right_cols: list[str] | None = None,
+              suffix: str = "_asof", tolerance: float | None = None,
+              how: str = "left") -> DataFrame:
+    """For each left row, the latest right row with right.ts <= left.ts
+    (per `by` key). Right payload columns come back `<name><suffix>`;
+    unmatched rows null-fill (how='left') or drop (how='inner').
+
+    `tolerance` (seconds): matches older than left.ts - tolerance are
+    discarded — the standard staleness bound.
+
+    If several right rows share (key, ts), the winner is the one last in
+    the union's sort — make the right side unique per (key, ts) first
+    (e.g. groupBy.agg(max)) for deterministic results.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rcols = right_cols or [c for c in right.columns
+                           if c not in keys and c != on]
+    lcols = left.columns
+
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(on).alias("__ts"),
+        F.struct(*[F.col(c) for c in rcols], F.col(on).alias("__rts"))
+         .alias("__r"),
+        F.lit(0).alias("__side"))
+    l_tag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(on).alias("__ts"),
+        F.lit(None).cast(r_tag.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+               .orderBy(F.col("__ts"), F.col("__side"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = F.last(F.col("__r"), ignorenulls=True).over(w)
+    out = (u.withColumn("__m", matched)
+            .filter(F.col("__side") == 1))
+    if tolerance is not None:
+        fresh = (F.col("__ts").cast("double") -
+                 F.col("__m.__rts").cast("double")) <= F.lit(float(tolerance))
+        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+    elif how != "left":
+        raise ValueError("asof_join supports how='left'|'inner'")
+    sel = [F.col(c) for c in lcols]
+    sel += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols]
+    return out.select(*sel)

@@ -297,3 +297,31 @@ def test_repetition_ratio_and_entropy(spark):
     one = docs.limit(0)
     ab = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
     assert ab.select(char_entropy("text").alias("e")).first().e == 1.0
+
+
+def test_asof_join_backward_per_key(spark):
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "u long, ts long, x string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 50, 300.0)],
+        "u long, ts long, p double")
+    out = asof_join(left, right, on="ts", by="u")
+    got = {(r.u, r.ts): r.p_asof for r in out.collect()}
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (1, 5): None,
+                   (2, 10): None}
+    inner = asof_join(left, right, on="ts", by="u", how="inner")
+    assert sorted((r.u, r.ts) for r in inner.collect()) == [(1, 10), (1, 20)]
+    tol = asof_join(left, right, on="ts", by="u", tolerance=3)
+    got_t = {(r.u, r.ts): r.p_asof for r in tol.collect()}
+    assert got_t == {(1, 10): 100.0, (1, 20): None, (1, 5): None,
+                     (2, 10): None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame([(1, 10, "a")], "u long, ts long, x string")
+    right = spark.createDataFrame([(1, 10, 7.0)], "u long, ts long, p double")
+    out = asof_join(left, right, on="ts", by="u").collect()
+    assert out[0].p_asof == 7.0
