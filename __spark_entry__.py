@@ -1445,6 +1445,28 @@ def q_asof_join(spark, sf):
                .orderBy("event_id"))
 
 
+def q_range_join(spark, sf):
+    """Range (interval-containment) join via bin-equi-join compilation
+    (operators/asof.py range_join): orders priced into 25k-wide bands
+    derived from nation keys; per-band count + sum. Oracle: plain BETWEEN
+    join (which DuckDB executes natively as an IE join; Spark would plan a
+    nested loop — the binning rewrite is the scale path)."""
+    from spork_spark.operators import range_join
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders").df().select("o_orderkey", "o_totalprice")
+    bands = _t(eng, sf, "nation").df().select(
+        F.col("n_nationkey").alias("band"),
+        (F.col("n_nationkey") * 25000.0).alias("lo"),
+        (F.col("n_nationkey") * 25000.0 + 24999.99).alias("hi"))
+    j = range_join(orders, bands, "o_totalprice", "lo", "hi",
+                   bin_width=10000.0)
+    return (j.groupBy("band")
+             .agg(F.count("*").alias("n_orders"),
+                  (F.floor(F.sum("o_totalprice") * 100.0 + 0.5) / 100.0)
+                  .alias("total"))
+             .orderBy("band"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1542,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "text_signals": q_text_signals,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -2527,5 +2550,17 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT n_nationkey AS band,
+                     n_nationkey*25000.0 AS lo,
+                     n_nationkey*25000.0 + 24999.99 AS hi
+              FROM nation)
+            SELECT band, COUNT(*) AS n_orders,
+                   FLOOR(SUM(o_totalprice)*100 + 0.5)/100 AS total
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice <= hi
+            GROUP BY band ORDER BY band
         """,
     }

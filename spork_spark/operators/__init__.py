@@ -12,7 +12,7 @@ from .multimodal import (attach_binary_meta, decode_images, extract_features,
                          sample_frames)
 from .skew import salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
-from .asof import asof_join
+from .asof import asof_join, range_join
 
 __all__ = [
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
@@ -22,7 +22,7 @@ __all__ = [
     "decontaminate", "detect_language", "repetition_ratio",
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",
-    "asof_join",
+    "asof_join", "range_join",
     "attach_binary_meta", "decode_images", "extract_features",
     "sample_frames",
     "salted_join", "skew_histogram",

@@ -70,3 +70,45 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     sel = [F.col(c) for c in lcols]
     sel += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols]
     return out.select(*sel)
+
+
+def range_join(left: DataFrame, right: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, bin_width: float,
+               how: str = "inner") -> DataFrame:
+    """Interval-containment join: left rows matched to right intervals with
+    lo <= point <= hi. Spark plans a raw inequality join as a broadcast
+    nested loop (per-partition cartesian — unusable at scale); this
+    compiles it to an EQUI-join on a bin key instead:
+
+      1. each right interval explodes to the bins it covers
+         (ceil(span/bin_width)+1 rows — pick bin_width near the typical
+         interval span so replication stays O(1)),
+      2. left rows hash-join on their point's bin (one shuffle, AQE/skew
+         handling apply as for any equi-join),
+      3. an exact containment filter removes same-bin near-misses.
+
+    Inner and left modes (left = unmatched left rows null-filled).
+    """
+    bw = float(bin_width)
+    lbin = F.floor(F.col(point_col) / bw).cast("long")
+    rlo = F.floor(F.col(lo_col) / bw).cast("long")
+    rhi = F.floor(F.col(hi_col) / bw).cast("long")
+    r_binned = right.withColumn("__bin", F.explode(F.sequence(rlo, rhi)))
+    l_binned = left.withColumn("__bin", lbin)
+    contains = (F.col(point_col) >= F.col(lo_col)) & \
+               (F.col(point_col) <= F.col(hi_col))
+    if how == "inner":
+        return (l_binned.join(r_binned, on="__bin", how="inner")
+                        .filter(contains).drop("__bin"))
+    if how != "left":
+        raise ValueError("range_join supports how='inner'|'left'")
+    matched = (l_binned.join(r_binned, on="__bin", how="inner")
+                       .filter(contains).drop("__bin"))
+    right_cols = [c for c in right.columns]
+    unmatched = (l_binned.drop("__bin")
+                 .join(matched.select(*left.columns), on=left.columns,
+                       how="left_anti"))
+    for c in right_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(right.schema[c].dataType))
+    return matched.unionByName(unmatched)

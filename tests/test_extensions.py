@@ -325,3 +325,19 @@ def test_asof_join_equal_ts_matches(spark):
     right = spark.createDataFrame([(1, 10, 7.0)], "u long, ts long, p double")
     out = asof_join(left, right, on="ts", by="u").collect()
     assert out[0].p_asof == 7.0
+
+
+def test_range_join_containment_and_left(spark):
+    from spork_spark.operators import range_join
+    pts = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 99.0)],
+                                "id long, x double")
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 4.0, 20.0), ("c", 50.0, 60.0)],
+        "label string, lo double, hi double")
+    inner = range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0)
+    got = sorted((r.id, r.label) for r in inner.collect())
+    assert got == [(1, "a"), (1, "b"), (2, "b")]   # overlap matches both
+    left = range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0, how="left")
+    got_l = sorted(((r.id, r.label) for r in left.collect()),
+                   key=lambda t: (t[0], t[1] or ""))
+    assert got_l == [(1, "a"), (1, "b"), (2, "b"), (3, None)]
