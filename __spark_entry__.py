@@ -1467,6 +1467,22 @@ def q_range_join(spark, sf):
              .orderBy("band"))
 
 
+def q_pack_sequences(spark, sf):
+    """Cross-document sequence packing (concat-and-chunk, documents cross
+    sequence boundaries): 64-token sequences over 4 deterministic streams
+    (doc_id % 4 here so the oracle can mirror routing; production default
+    is xxhash64). Declarative two-shuffle plan — window running offsets +
+    segment explode + (stream, seq) regroup (operators/text.py)."""
+    from spork_spark.operators import pack_sequences
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df() \
+        .withColumn("st", (F.col("doc_id") % 4).cast("int"))
+    out = pack_sequences(docs, seq_len=64, stream_col="st")
+    return (out.select("stream", "seq_idx", "n_tokens",
+                       F.length("seq_text").alias("n_chars"))
+               .orderBy("stream", "seq_idx"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1565,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signals": q_text_signals,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2562,5 +2579,40 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice <= hi
             GROUP BY band ORDER BY band
+        """,
+        "pack_sequences": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(doc_id % 4 AS INT) AS stream,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t != '') AS tk
+              FROM documents),
+            nz AS (SELECT * FROM base WHERE len(tk) > 0),
+            off AS (
+              SELECT *, SUM(len(tk)) OVER (PARTITION BY stream
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS e,
+                        SUM(len(tk)) OVER (PARTITION BY stream
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - len(tk) AS o
+              FROM nz),
+            segs AS (
+              SELECT stream, q AS seq,
+                     GREATEST(q*64 - o, 0) AS s,
+                     LEAST((q+1)*64 - o, len(tk)) AS e2,
+                     o, tk
+              FROM off,
+                   LATERAL (SELECT unnest(generate_series(
+                       CAST(floor(o/64.0) AS BIGINT),
+                       CAST(floor((e-1)/64.0) AS BIGINT))) AS q)),
+            parts AS (
+              SELECT stream, seq,
+                     array_to_string(flatten(list(tk[s+1:e2]
+                         ORDER BY o + s)), ' ') AS seq_text,
+                     SUM(e2 - s) AS n_tokens
+              FROM segs GROUP BY stream, seq)
+            SELECT stream, CAST(seq AS INT) AS seq_idx,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(length(seq_text) AS INT) AS n_chars
+            FROM parts ORDER BY stream, seq_idx
         """,
     }

@@ -6,7 +6,7 @@ linear per-row work, aggregations shuffle once on their keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword marker sets for the n-gram/stopword
@@ -234,3 +234,68 @@ def char_entropy(text_col) -> "F.Column":
             F.size(F.filter(chars, lambda x: x == ch)) / total
         ) * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / total))
     return F.when(total > 0, ent).otherwise(F.lit(0.0))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", seq_len: int = 128,
+                   n_streams: int = 16,
+                   stream_col: str | None = None) -> DataFrame:
+    """Cross-document sequence packing (the concat-and-chunk training
+    prep): documents are routed to `n_streams` deterministic streams
+    (hash of id), each stream's token flow is concatenated in id order and
+    cut into exact `seq_len`-token sequences — documents cross sequence
+    boundaries, so no padding waste except each stream's tail.
+
+    Fully declarative two-shuffle plan (no stateful pass, no Python):
+      1. window per stream: running token offset (sum over id order),
+      2. each doc explodes to the sequence ids its token range covers,
+         carrying the token sub-slice for that sequence,
+      3. groupBy (stream, seq): segments sorted by offset and joined.
+    Each stream is an independent sorted run — `n_streams` bounds
+    parallelism, window state is one running sum, and segments shuffle
+    once keyed by (stream, seq): holds at any corpus size.
+
+    Output: (stream, seq_idx, n_tokens, seq_text); every sequence has
+    exactly seq_len tokens except each stream's last.
+    """
+    toks = tokens(text_col)
+    extra = [F.col(stream_col)] if stream_col else []
+    base = (df.select(F.col(id_col).alias("__id"), toks.alias("__t"), *extra)
+              .withColumn("__n", F.size(F.col("__t")))
+              .filter(F.col("__n") > 0)
+              .withColumn("__stream",
+                          F.col(stream_col).cast("int") if stream_col
+                          else F.pmod(F.xxhash64(F.col("__id")),
+                                      F.lit(n_streams)).cast("int")))
+    w = (Window.partitionBy("__stream").orderBy("__id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = base.withColumn("__end", F.sum("__n").over(w)) \
+               .withColumn("__off", F.col("__end") - F.col("__n"))
+    L = F.lit(seq_len)
+    segs = (base.withColumn(
+                "__seq", F.explode(F.sequence(
+                    F.floor(F.col("__off") / L).cast("long"),
+                    F.floor((F.col("__end") - 1) / L).cast("long"))))
+                .withColumn("__s",
+                            F.greatest(F.col("__seq") * L - F.col("__off"),
+                                       F.lit(0)))
+                .withColumn("__e",
+                            F.least((F.col("__seq") + 1) * L - F.col("__off"),
+                                    F.col("__n")))
+                .select("__stream", "__seq", "__off", "__s",
+                        F.slice("__t", F.col("__s").cast("int") + 1,
+                                (F.col("__e") - F.col("__s")).cast("int"))
+                        .alias("__seg")))
+    packed = (segs.groupBy("__stream", "__seq")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct((F.col("__off") + F.col("__s")).alias("o"),
+                               F.col("__seg").alias("g")))).alias("__parts"))
+                  .select(
+                      F.col("__stream").alias("stream"),
+                      F.col("__seq").cast("int").alias("seq_idx"),
+                      F.flatten(F.transform("__parts", lambda p: p["g"]))
+                       .alias("__all")))
+    return packed.select(
+        "stream", "seq_idx",
+        F.size("__all").alias("n_tokens"),
+        F.array_join("__all", " ").alias("seq_text"))

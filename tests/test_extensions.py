@@ -341,3 +341,19 @@ def test_range_join_containment_and_left(spark):
     got_l = sorted(((r.id, r.label) for r in left.collect()),
                    key=lambda t: (t[0], t[1] or ""))
     assert got_l == [(1, "a"), (1, "b"), (2, "b"), (3, None)]
+
+
+def test_pack_sequences_crosses_doc_boundaries(spark):
+    from spork_spark.operators import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(7)), 0) for i in range(3)],
+        "doc_id long, text string, st int")
+    rows = pack_sequences(docs, seq_len=5, stream_col="st") \
+        .orderBy("seq_idx").collect()
+    # 21 tokens -> 4 full + 1-token tail; order follows doc_id
+    assert [r.n_tokens for r in rows] == [5, 5, 5, 5, 1]
+    assert rows[0].seq_text == "d0w0 d0w1 d0w2 d0w3 d0w4"
+    assert rows[1].seq_text == "d0w5 d0w6 d1w0 d1w1 d1w2"
+    assert rows[4].seq_text == "d2w6"
+    # empty docs contribute nothing; token totals conserved
+    assert sum(r.n_tokens for r in rows) == 21
