@@ -140,3 +140,45 @@ def test_inner_filter_agg_fuses(eng):
     assert "partial_count" in p or "HashAggregate" in p
     row = {r["custkey"]: r for r in rels["agg"].df().collect()}[0]
     assert row["n_big"] == 9 and abs(row["big_total"] - 2715836.51) < 1e-6
+
+
+def _raw_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """asof_join compiles to union + ONE hash exchange + Window — no join
+    operator, no per-key cross product (docs/SCALE.md claim)."""
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame([(1, 10, "a")], "u long, ts long, x string")
+    right = spark.createDataFrame([(1, 8, 1.0)], "u long, ts long, p double")
+    plan = _raw_plan(asof_join(left, right, on="ts", by="u"))
+    assert "Window" in plan
+    assert "Join" not in plan            # no SMJ/SHJ/BNLJ at all
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """range_join is an equi-join on the bin key — never
+    BroadcastNestedLoopJoin/CartesianProduct (Spark's native plan for an
+    inequality-only join)."""
+    from spork_spark.operators import range_join
+    pts = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    ivs = spark.createDataFrame([("a", 0.0, 10.0)],
+                                "label string, lo double, hi double")
+    plan = _raw_plan(range_join(pts, ivs, "x", "lo", "hi", bin_width=5.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_decontaminate_is_broadcast_semi(spark):
+    """decontaminate marks hits with a broadcast LEFT SEMI join — the
+    corpus side is never shuffled for the membership probe."""
+    from spork_spark.operators import decontaminate
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+    plan = _raw_plan(decontaminate(docs, bench, n=2, mode="flag"))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
