@@ -1483,6 +1483,27 @@ def q_pack_sequences(spark, sf):
                .orderBy("stream", "seq_idx"))
 
 
+def q_group_apply(spark, sf):
+    """apply_per_group (groupBy().applyInPandas — the Arrow-batched escape
+    hatch for inner plans HOFs can't express, SURVEY.md §2.3 fallback):
+    per-flag quantity-weighted average price. Deterministic arithmetic →
+    exact oracle."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+
+    def wavg(key, pdf):
+        import pandas as pd
+        num = float((pdf["l_extendedprice"] * pdf["l_quantity"]).sum())
+        den = float(pdf["l_quantity"].sum())
+        import math
+        val = math.floor(num / den * 100.0 + 0.5) / 100.0
+        return pd.DataFrame({"l_returnflag": [key[0]], "wavg": [val]})
+
+    return (li.apply_per_group([col("l_returnflag")], wavg,
+                               "l_returnflag string, wavg double")
+              .order_by(col("l_returnflag"))).df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1582,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "pack_sequences": q_pack_sequences,
+        "group_apply": q_group_apply,
     }
 
 
@@ -2614,5 +2636,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INT) AS n_tokens,
                    CAST(length(seq_text) AS INT) AS n_chars
             FROM parts ORDER BY stream, seq_idx
+        """,
+        "group_apply": """
+            SELECT l_returnflag,
+                   FLOOR(SUM(l_extendedprice * l_quantity)
+                         / SUM(l_quantity) * 100 + 0.5)/100 AS wavg
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }
