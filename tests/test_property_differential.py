@@ -591,3 +591,42 @@ def test_multikey_join_matches_duckdb(eng, spark, data, data2, how):
         f"SELECT a.k, a.v, a.s, b.k, b.v, b.s FROM t a {sql_how} t2 b "
         f"ON a.k = b.k AND a.s = b.s").fetchall())
     assert got == want
+
+
+CASTABLE = st.sampled_from(
+    ["1", "2.5", "abc", "", "-3", " 4 ", "1e2", "+5", "3.9", "007",
+     "2147483648", "- 5", "4.", ".5", "10000000000", "-2.5"])
+
+
+@given(data=st.lists(st.tuples(st.one_of(st.none(), CASTABLE)),
+                     min_size=1, max_size=25))
+@SLOW
+def test_string_cast_matches_pig_semantics(eng, spark, data):
+    """The all-bytearray path (SURVEY.md §7 hard part 4): (int)/(long)/
+    (double) casts of untyped strings. Engine = Spark legacy cast (ANSI
+    off): trims, truncates decimal strings toward zero for integrals,
+    rejects exponents for integrals, null on overflow/garbage — POCast's
+    null-on-failure contract. Oracle mirrors each rule explicitly."""
+    sdf = spark.createDataFrame(data, "s string")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["s"]))
+    out = (eng.from_df(sdf)
+              .foreach(col("s").alias("s"),
+                       col("s").cast("int").alias("i"),
+                       col("s").cast("long").alias("l"),
+                       col("s").cast("double").alias("d"))
+              .df().collect())
+    got = norm(tuple(r) for r in out)
+    num = r"'[+-]?(\d+\.?\d*|\.\d+)'"
+    trunc = "trunc(TRY_CAST(trim(s) AS DOUBLE))"
+    want = norm(con.sql(f"""
+        SELECT s,
+               CASE WHEN regexp_full_match(trim(s), {num})
+                     AND abs({trunc}) <= 2147483647
+                    THEN CAST({trunc} AS INT) END AS i,
+               CASE WHEN regexp_full_match(trim(s), {num})
+                     AND abs({trunc}) <= 9223372036854775807
+                    THEN CAST({trunc} AS BIGINT) END AS l,
+               TRY_CAST(trim(s) AS DOUBLE) AS d
+        FROM t""").fetchall())
+    assert got == want
