@@ -1504,6 +1504,24 @@ def q_group_apply(spark, sf):
               .order_by(col("l_returnflag"))).df()
 
 
+def q_window_frames(spark, sf):
+    """Window frames (SURVEY.md §2.6 extension surface): per-customer
+    running total (unbounded preceding) and 3-row moving average over the
+    order timeline."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    ob = [(col("o_orderdate"), True), (col("o_orderkey"), True)]
+    run = E.WindowFunc("sum", [col("o_totalprice")], [col("o_custkey")],
+                       ob, frame=("rows", None, 0))
+    mov = E.WindowFunc("avg", [col("o_totalprice")], [col("o_custkey")],
+                       ob, frame=("rows", -2, 0))
+    return (orders.foreach(col("o_custkey").alias("o_custkey"),
+                           col("o_orderkey").alias("o_orderkey"),
+                           _r2(run).alias("running"),
+                           _r2(mov).alias("moving3"))
+                  .order_by(col("o_custkey"), col("o_orderkey"))).df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1604,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pack_sequences": q_pack_sequences,
         "group_apply": q_group_apply,
+        "window_frames": q_window_frames,
     }
 
 
@@ -2642,5 +2661,17 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_extendedprice * l_quantity)
                          / SUM(l_quantity) * 100 + 0.5)/100 AS wavg
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "window_frames": """
+            SELECT o_custkey, o_orderkey,
+                   FLOOR(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         *100 + 0.5)/100 AS running,
+                   FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                         *100 + 0.5)/100 AS moving3
+            FROM orders ORDER BY o_custkey, o_orderkey
         """,
     }

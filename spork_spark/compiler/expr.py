@@ -586,6 +586,12 @@ class ExprCompiler:
                  for k, asc in e.order_by]
         if order:
             w = w.orderBy(*order)
+        if getattr(e, "frame", None):
+            mode, start, end = e.frame
+            lo = Window.unboundedPreceding if start is None else start
+            hi = Window.unboundedFollowing if end is None else end
+            w = w.rowsBetween(lo, hi) if mode == "rows" \
+                else w.rangeBetween(lo, hi)
         fn = getattr(F, e.name)
         # ntile(n) / lag(c, offset) take plain Python ints, not Columns
         args = [a.value if isinstance(a, E.Lit) else self.compile(a)

@@ -246,6 +246,9 @@ class WindowFunc(Expr):
     args: list[Expr]
     partition_by: list[Expr]
     order_by: list[tuple[Expr, bool]]  # (expr, ascending)
+    # optional frame: ("rows" | "range", start, end); start/end are ints
+    # (negative = preceding) or None for unbounded
+    frame: tuple | None = None
 
 
 # -- public constructors ----------------------------------------------------

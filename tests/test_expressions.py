@@ -119,3 +119,21 @@ def test_division_by_zero_null_all_types(eng, spark):
                                  (col("x") / col("y")).alias("ii"),
                                  (col("a") % col("b")).alias("dm"))
     assert [tuple(x) for x in r.df().collect()] == [(None, None, None)]
+
+
+def test_window_frame_rows_between(eng, spark):
+    from spork_spark.plans import expressions as E
+    from spork_spark import col
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k int, i int, v double")
+    run = E.WindowFunc("sum", [col("v")], [col("k")], [(col("i"), True)],
+                       frame=("rows", None, 0))
+    mov = E.WindowFunc("sum", [col("v")], [col("k")], [(col("i"), True)],
+                       frame=("rows", -1, 0))
+    out = (eng.from_df(df).foreach(col("k").alias("k"), col("i").alias("i"),
+                                   E.Aliased(run, "run"),
+                                   E.Aliased(mov, "mov"))
+              .order_by(col("k"), col("i")).df().collect())
+    assert [(r.run, r.mov) for r in out] == \
+        [(10.0, 10.0), (30.0, 30.0), (60.0, 50.0), (5.0, 5.0)]
