@@ -1522,6 +1522,20 @@ def q_window_frames(spark, sf):
                   .order_by(col("o_custkey"), col("o_orderkey"))).df()
 
 
+def q_cube_grouping(spark, sf):
+    """CUBE with GROUPING_ID: distinguishes grouping-set null-fill from
+    real null dimension values (extension over CubeDimensions)."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    return (li.cube(col("l_returnflag"), col("l_linestatus"))
+              .foreach(col("group").get("l_returnflag").alias("l_returnflag"),
+                       col("group").get("l_linestatus").alias("l_linestatus"),
+                       fn("GROUPING_ID").cast("int").alias("gid"),
+                       fn("COUNT_STAR").alias("cnt"))
+              .order_by(col("gid"), col("l_returnflag"),
+                        col("l_linestatus"))).df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1623,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "group_apply": q_group_apply,
         "window_frames": q_window_frames,
+        "cube_grouping": q_cube_grouping,
     }
 
 
@@ -2673,5 +2688,13 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                          *100 + 0.5)/100 AS moving3
             FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "cube_grouping": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag, l_linestatus
         """,
     }

@@ -612,7 +612,12 @@ class PlanCompiler:
                 F.lit("all").alias(GROUP_COL), F.col(bag_alias))
         keys = self._expand_star_keys(df, node.keys)
         key_cols = self._group_key_cols(ctx, keys)
-        grouped = df.groupBy(*key_cols).agg(bag)
+        if node.mode == "cube":
+            grouped = df.cube(*key_cols).agg(bag)
+        elif node.mode == "rollup":
+            grouped = df.rollup(*key_cols).agg(bag)
+        else:
+            grouped = df.groupBy(*key_cols).agg(bag)
         key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
         if len(key_names) == 1:
             group_col = F.col(key_names[0]).alias(GROUP_COL)

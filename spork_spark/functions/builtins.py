@@ -372,6 +372,9 @@ REGISTRY: dict = {
 
     # -- engine-internal helpers ------------------------------------------------
     "COALESCE": lambda *cs: F.coalesce(*cs),
+    # CUBE/ROLLUP grouping-set id (disambiguates null-fill from real-null
+    # dims — extension; the reference's CubeDimensions can't distinguish).
+    "GROUPING_ID": lambda *cs: F.grouping_id(*cs),
     "COALESCE_BOOL": lambda c: F.coalesce(c, F.lit(False)),
 
     # -- JSON extensions (events.props; SURVEY.md §2.5 JSON note) ---------------
@@ -450,4 +453,6 @@ ALGEBRAIC_AGGS = {
     "COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX", "VAR", "COR", "COV",
     "COUNT_DISTINCT", "SUM_DISTINCT", "APPROX_COUNT_DISTINCT", "COLLECT",
     "PERCENTILE", "MEDIAN", "STDEV",
+    # grouping-set id is evaluated inside the Aggregate (fused path only)
+    "GROUPING_ID",
 }

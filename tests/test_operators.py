@@ -264,3 +264,20 @@ def test_stream_through_ship(eng, tmp_path):
     """)
     rows = [(r["k"], r["doubled"]) for r in rels["out"].df().collect()]
     assert rows == [(i, i * 20.0) for i in range(5)]
+
+
+def test_cube_bag_escape_keeps_grouping_sets(eng, spark):
+    """An escaping bag under CUBE must still materialize per grouping set
+    (regression: the unfused path silently compiled CUBE as plain GROUP)."""
+    from spork_spark import col, fn
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)],
+                               "k string, v int")
+    out = (eng.from_df(df, alias="t").cube(col("k"))
+              .foreach(col("group").alias("k"),
+                       fn("SIZE", col("t")).alias("bag_n"))
+              .df().collect())
+    got = sorted(((r.k, r.bag_n) for r in out),
+                 key=lambda t: (t[0] or "", t[1]))
+    # grouping sets: (a)=2 rows, (b)=1, and the grand-total set = 3
+    assert got == [("", 3), ("a", 2), ("b", 1)] or \
+        got == [(None, 3), ("a", 2), ("b", 1)]
