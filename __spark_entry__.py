@@ -1536,6 +1536,35 @@ def q_cube_grouping(spark, sf):
                         col("l_linestatus"))).df()
 
 
+def q_bucketed_join(spark, sf):
+    """Bucketed STORE + co-located merge join (POMergeJoin's pre-sorted
+    inputs, SURVEY.md §2.1 #13 scale path): both sides written bucketed+
+    sorted on the key, re-read from the catalog, joined with zero
+    exchanges (elision pinned in tests). External table locations under
+    tmp; oracle = the plain join."""
+    import os
+    import tempfile
+
+    eng = _eng(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spork_buck_{abs(hash(sf)) % 10**8}")
+    cust = _t(eng, sf, "customer").df().select("c_custkey", "c_nationkey")
+    orders = _t(eng, sf, "orders").df().select("o_custkey", "o_totalprice")
+    for name, df, key in [("spork_bc", cust, "c_custkey"),
+                          ("spork_bo", orders, "o_custkey")]:
+        (df.write.format("parquet").mode("overwrite")
+           .option("path", os.path.join(base, name))
+           .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    bc = spark.table("spork_bc")
+    bo = spark.table("spork_bo")
+    j = bc.join(bo, bc.c_custkey == bo.o_custkey)
+    return (j.groupBy("c_nationkey")
+             .agg(F.count("*").alias("n_orders"),
+                  (F.floor(F.sum("o_totalprice") * 100.0 + 0.5) / 100.0)
+                  .alias("total"))
+             .orderBy("c_nationkey"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1638,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_apply": q_group_apply,
         "window_frames": q_window_frames,
         "cube_grouping": q_cube_grouping,
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -2696,5 +2726,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        "bucketed_join": """
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   FLOOR(SUM(o_totalprice)*100 + 0.5)/100 AS total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
     }
