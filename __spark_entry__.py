@@ -1565,6 +1565,22 @@ def q_bucketed_join(spark, sf):
              .orderBy("c_nationkey"))
 
 
+def q_events_json_struct(spark, sf):
+    """Typed JSON parsing (from_json → struct, the JsonLoader-with-schema
+    surface applied to a column): parse events.props into a struct and
+    aggregate on its fields."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"))
+    return (parsed.groupBy("event_type",
+                           (F.col("p.k") % 10).alias("kmod"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum("p.k").alias("sum_k"))
+                  .orderBy("event_type", "kmod"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1668,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "cube_grouping": q_cube_grouping,
         "bucketed_join": q_bucketed_join,
+        "events_json_struct": q_events_json_struct,
     }
 
 
@@ -2732,5 +2749,13 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(o_totalprice)*100 + 0.5)/100 AS total
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "events_json_struct": """
+            SELECT event_type,
+                   CAST(props->>'$.k' AS INT) % 10 AS kmod,
+                   COUNT(*) AS n,
+                   SUM(CAST(props->>'$.k' AS INT)) AS sum_k
+            FROM events
+            GROUP BY 1, 2 ORDER BY event_type, kmod
         """,
     }
