@@ -316,6 +316,13 @@ class Relation:
         self.engine._compiler.note_consumers(node)   # multi-store → persist
         self.engine.compile(node)
 
+    def to_view(self, name: str) -> "Relation":
+        """Register this relation as a temp view so `spark.sql` can query
+        it — the embedding surface (PigServer-style interop with the host
+        session's SQL)."""
+        self.engine.compile(self.node).createOrReplaceTempView(name)
+        return self
+
     def store_bucketed(self, table: str, n_buckets: int, bucket_cols: list[str],
                        sort_cols: list[str] | None = None,
                        fmt: str = "parquet", mode: str = "overwrite") -> None:

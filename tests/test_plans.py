@@ -182,3 +182,16 @@ def test_decontaminate_is_broadcast_semi(spark):
     plan = _raw_plan(decontaminate(docs, bench, n=2, mode="flag"))
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_to_view_sql_interop(eng, spark):
+    from spork_spark import col, fn
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 5.0)],
+                               "k int, v double")
+    (eng.from_df(df, alias="t").group_by(col("k"))
+        .foreach(col("group").alias("k"),
+                 fn("SUM", col("t").get("v")).alias("sv"))
+        .to_view("agg_view"))
+    got = sorted(map(tuple, spark.sql(
+        "SELECT k, sv FROM agg_view ORDER BY k").collect()))
+    assert got == [(1, 5.0), (2, 5.0)]
