@@ -630,3 +630,22 @@ def test_string_cast_matches_pig_semantics(eng, spark, data):
                TRY_CAST(trim(s) AS DOUBLE) AS d
         FROM t""").fetchall())
     assert got == want
+
+
+@given(data=tables, n=st.integers(1, 10))
+@SLOW
+def test_order_desc_mixed_matches_duckdb(eng, spark, data, n):
+    """Mixed-direction ORDER with nulls: Pig sorts nulls as the smallest
+    value — first under ASC, LAST under DESC (desc_nulls_last)."""
+    sdf, con = mk(spark, data)
+    rel = (eng.from_df(sdf)
+           .foreach(col("v").alias("v"), col("s").alias("s"),
+                    col("k").alias("k"))
+           .order_by((col("v"), False), col("s"), (col("k"), False))
+           .limit(n))
+    got = [tuple("∅" if x is None else x for x in r) for r in rel.collect()]
+    want = [tuple("∅" if x is None else x for x in r) for r in con.sql(
+        f"""SELECT v, s, k FROM t
+            ORDER BY v DESC NULLS LAST, s NULLS FIRST, k DESC NULLS LAST
+            LIMIT {n}""").fetchall()]
+    assert got == want
