@@ -1581,6 +1581,19 @@ def q_events_json_struct(spark, sf):
                   .orderBy("event_type", "kmod"))
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified downsampling: keep 75% of English docs,
+    25% of the rest, by md5-prefix threshold per stratum — rerunnable at
+    any scale, exact oracle (operators/text.py stratified_sample)."""
+    from spork_spark.operators import stratified_sample
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    kept = stratified_sample(docs, "lang", {"en": 0.75},
+                             key_col="doc_id", default_rate=0.25)
+    return (kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+                .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1685,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_grouping": q_cube_grouping,
         "bucketed_join": q_bucketed_join,
         "events_json_struct": q_events_json_struct,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2757,5 +2771,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(props->>'$.k' AS INT)) AS sum_k
             FROM events
             GROUP BY 1, 2 ORDER BY event_type, kmod
+        """,
+        "stratified_sample": """
+            SELECT lang, COUNT(*) AS n_docs
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE WHEN lang = 'en' THEN 'c000' ELSE '4000' END
+            GROUP BY lang ORDER BY lang
         """,
     }

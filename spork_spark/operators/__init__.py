@@ -6,8 +6,9 @@ from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
 from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
 from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, detect_language, fingerprint,
-                   pack_sequences, quality_score, repetition_ratio, tf_idf,
-                   token_count, tokens, word_ngrams)
+                   pack_sequences, quality_score, repetition_ratio,
+                   stratified_sample, tf_idf, token_count, tokens,
+                   word_ngrams)
 from .multimodal import (attach_binary_meta, decode_images, extract_features,
                          sample_frames)
 from .skew import salted_join, skew_histogram
@@ -20,7 +21,7 @@ __all__ = [
     "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",
     "bpe_ish_token_count", "char_entropy", "chunk_documents",
     "decontaminate", "detect_language", "pack_sequences",
-    "repetition_ratio",
+    "repetition_ratio", "stratified_sample",
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join",

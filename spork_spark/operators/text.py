@@ -299,3 +299,25 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         "stream", "seq_idx",
         F.size("__all").alias("n_tokens"),
         F.array_join("__all", " ").alias("seq_text"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
+                      key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first 4 hex
+    chars of md5(key) fall under the stratum's rate threshold. Unlike
+    SAMPLE/rand this is rerunnable, cluster-order-independent, and
+    engine-portable (md5 everywhere) — the per-language downsampling
+    primitive in corpus curation. Pure map-side predicate: no shuffle,
+    no state, pushes past the scan like any filter."""
+    def hex4(rate: float) -> str:
+        return format(min(int(rate * 65536), 65536), "04x")
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    thresh = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(hex4(rate))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(F.lit(hex4(default_rate))) if thresh is not None \
+        else F.lit(hex4(default_rate))
+    return df.filter(prefix < thresh)

@@ -357,3 +357,23 @@ def test_pack_sequences_crosses_doc_boundaries(spark):
     assert rows[4].seq_text == "d2w6"
     # empty docs contribute nothing; token totals conserved
     assert sum(r.n_tokens for r in rows) == 21
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from spork_spark.operators import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string")
+    kept = stratified_sample(docs, "lang", {"en": 0.5}, default_rate=0.1)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(__import__("pyspark.sql.functions",
+                  fromlist=["count"]).count("*").alias("n")).collect()}
+    # md5 is uniform: expect ~500 en, ~100 de (loose bounds)
+    assert 400 < counts.get("en", 0) < 600
+    assert 50 < counts.get("de", 0) < 160
+    # deterministic: same call, same rows
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(docs, "lang", {"en": 0.5},
+                                 default_rate=0.1).collect())
+    assert a == b
