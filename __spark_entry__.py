@@ -1594,6 +1594,23 @@ def q_stratified_sample(spark, sf):
                 .orderBy("lang"))
 
 
+def q_collected_group(spark, sf):
+    """GROUP … USING 'collected' (map-side group when the loader
+    guarantees collocation — perf-only variant, SURVEY.md §2.1 clause
+    table): identical semantics to plain GROUP, through the parser."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        g = GROUP li BY l_linenumber USING 'collected';
+        agg = FOREACH g GENERATE group AS l_linenumber,
+                                 COUNT(li) AS cnt,
+                                 SUM(li.l_quantity) AS qty;
+        srt = ORDER agg BY l_linenumber;
+    """)
+    return rels["srt"].df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1699,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "events_json_struct": q_events_json_struct,
         "stratified_sample": q_stratified_sample,
+        "collected_group": q_collected_group,
     }
 
 
@@ -2778,5 +2796,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
                   CASE WHEN lang = 'en' THEN 'c000' ELSE '4000' END
             GROUP BY lang ORDER BY lang
+        """,
+        "collected_group": """
+            SELECT l_linenumber, COUNT(*) AS cnt,
+                   SUM(l_quantity) AS qty
+            FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
         """,
     }
