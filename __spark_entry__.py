@@ -1611,6 +1611,31 @@ def q_collected_group(spark, sf):
     return rels["srt"].df()
 
 
+def q_schema_merge(spark, sf):
+    """Schema evolution across files (the 100 TB reality: a column added
+    mid-corpus): two parquet drops with different columns read as one
+    relation via mergeSchema — missing columns null-fill (Pig's
+    mismatched-UNION semantics applied at the storage layer)."""
+    import os
+    import tempfile
+
+    from spork_spark.sources import read, write
+    eng = _eng(spark)
+    nation = _t(eng, sf, "nation").df()
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spork_merge_{abs(hash(sf)) % 10**8}")
+    old = nation.filter(F.col("n_nationkey") < 12) \
+                .select("n_nationkey", "n_name")
+    new = nation.filter(F.col("n_nationkey") >= 12) \
+                .select("n_nationkey", "n_name", "n_regionkey")
+    write(old, os.path.join(base, "part=a"), fmt="parquet")
+    write(new, os.path.join(base, "part=b"), fmt="parquet")
+    merged = read(spark, base, fmt="parquet",
+                  options={"mergeSchema": "true", "recursiveFileLookup": "false"})
+    return (merged.select("n_nationkey", "n_name", "n_regionkey")
+                  .orderBy("n_nationkey"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1717,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_struct": q_events_json_struct,
         "stratified_sample": q_stratified_sample,
         "collected_group": q_collected_group,
+        "schema_merge": q_schema_merge,
     }
 
 
@@ -2801,5 +2827,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linenumber, COUNT(*) AS cnt,
                    SUM(l_quantity) AS qty
             FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+        """,
+        "schema_merge": """
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_nationkey >= 12 THEN n_regionkey END
+                       AS n_regionkey
+            FROM nation ORDER BY n_nationkey
         """,
     }
