@@ -1,0 +1,68 @@
+"""End-to-end training-corpus curation pipeline on the spork_spark engine —
+the composition a 100 TB curation job runs, on the sf0.001 fixtures:
+
+  quality filter → exact dedup → near-dup removal (MinHash LSH) →
+  benchmark decontamination → deterministic stratified sampling →
+  cross-document sequence packing → parquet out
+
+Run:  python examples/corpus_curation.py [sf_dir] [out_dir]
+Every stage is a native DataFrame transformation (see docs/SCALE.md for
+the shuffle analysis of each operator).
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spork_spark import get_spark
+from spork_spark.operators import (decontaminate, exact_dedup,
+                                   minhash_lsh_pairs, pack_sequences,
+                                   quality_score, stratified_sample)
+
+
+def curate(spark, sf_dir: str, out_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. quality floor: enough tokens, mostly alphabetic
+    scored = quality_score(docs)
+    good = scored.filter((F.col("n_tokens") >= 10) &
+                         (F.col("alpha_ratio") >= 0.5))
+
+    # 2. exact dedup (survivor = min doc_id per text)
+    deduped = exact_dedup(good, ["text"], keep="min", tiebreak="doc_id")
+
+    # 3. near-dup removal: drop the higher id of every LSH pair
+    pairs = minhash_lsh_pairs(deduped, "doc_id", "text", shingle_n=5,
+                              num_hashes=64, bands=16, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    uniq = deduped.join(losers, on="doc_id", how="left_anti")
+
+    # 4. decontamination against a held-out benchmark slice
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(uniq.filter(F.col("doc_id") % 97 != 0), bench,
+                          n=8, mode="remove")
+
+    # 5. per-language downsampling (deterministic, rerunnable)
+    sampled = stratified_sample(clean, "lang", {"en": 0.9}, "doc_id",
+                                default_rate=0.5)
+
+    # 6. pack into fixed 128-token training sequences
+    packed = pack_sequences(sampled, seq_len=128, n_streams=8)
+
+    packed.write.mode("overwrite").parquet(out_dir)
+    return packed
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else \
+        tempfile.mkdtemp(prefix="spork_curated_")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    result = curate(spark, sf, out)
+    n = spark.read.parquet(out).count()
+    print(f"curated corpus written to {out}: {n} sequences")
