@@ -649,3 +649,60 @@ def test_order_desc_mixed_matches_duckdb(eng, spark, data, n):
             ORDER BY v DESC NULLS LAST, s NULLS FIRST, k DESC NULLS LAST
             LIMIT {n}""").fetchall()]
     assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_flatten_map_matches_duckdb(eng, spark, data):
+    """FLATTEN(map) → key/value rows (Pig 0.17 semantics)."""
+    from spork_spark import flatten, lit
+    sdf, con = mk(spark, data)
+    rel = (eng.from_df(sdf)
+           .foreach(col("k").alias("k"),
+                    flatten(fn("TOMAP", lit("x"), col("k"),
+                               lit("y"), col("v")))))
+    got = norm(tuple(r) for r in rel.collect())
+    want = norm(con.sql("""
+        SELECT k, 'x' AS key, CAST(k AS DOUBLE) AS value FROM t
+        UNION ALL
+        SELECT k, 'y' AS key, v AS value FROM t""").fetchall())
+    assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_group_by_expression_key_matches_duckdb(eng, spark, data):
+    """Computed group keys (GROUP BY expr): null-producing expressions
+    group their nulls together."""
+    sdf, con = mk(spark, data)
+    rel = (eng.from_df(sdf, alias="x")
+           .group_by((col("k") % 3).alias("km"))
+           .foreach(col("group").alias("km"),
+                    fn("COUNT_STAR").alias("n"),
+                    fn("SUM", col("x").get("v")).alias("sv")))
+    got = norm(tuple(r) for r in rel.collect())
+    want = norm(con.sql("""
+        SELECT k % 3 AS km, COUNT(*) AS n, SUM(v) AS sv
+        FROM t GROUP BY 1""").fetchall())
+    assert got == want
+
+
+@given(data=tables)
+@SLOW
+def test_inner_distinct_count_matches_duckdb(eng, spark, data):
+    """Nested FOREACH { DISTINCT bag.field; COUNT } — the Pig
+    count-distinct idiom through the script path, fused to
+    count_distinct (no bag materialization)."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    t = eng.from_df(sdf, alias="fd")
+    rels = run_script(eng, """
+        g = FOREACH (GROUP fd BY k) {
+            ss = DISTINCT fd.s;
+            GENERATE group AS k, COUNT(ss) AS nd, COUNT_STAR(fd) AS n; };
+    """, relations={"fd": t})
+    got = norm(tuple(r) for r in rels["g"].df().collect())
+    want = norm(con.sql("""
+        SELECT k, COUNT(DISTINCT s) AS nd, COUNT(*) AS n
+        FROM t GROUP BY k""").fetchall())
+    assert got == want
