@@ -114,3 +114,42 @@ def test_stateful_running_agg(spark, events, tmp_path):
                       .agg(F.count(F.lit(1)).alias("cnt"),
                            F.sum("value").alias("total")).collect()}
     assert {r.user_id: (r.running_cnt, r.running_sum) for r in got} == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark contract across runs (the deployment reality: a job that
+    restarts from its checkpoint): run 1 commits watermark 11:50; run 2's
+    10:02 straggler targets a window already finalized below that
+    watermark and is discarded — the emitted count stays 2. (Within a
+    single availableNow run Spark's late-row filtering is best-effort —
+    the guarantee is per-committed-watermark, which this pins.)"""
+    path = str(tmp_path / "wm_in")
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, 0) + \
+        datetime.timedelta(minutes=m)
+
+    def run_once():
+        s = with_watermark(read_stream(spark, path, SCHEMA),
+                           "ts", "10 minutes")
+        agg = tumbling(s, "ts", "10 minutes", keys=["user_id"],
+                       aggs={"cnt": F.count(F.lit(1))})
+        q = (agg.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [(1, t(0), 1.0), (1, t(5), 1.0), (1, t(120), 1.0)], SCHEMA)
+    b1.coalesce(1).write.mode("overwrite").parquet(path)
+    run_once()                       # commits watermark 11:50
+    b2 = spark.createDataFrame(
+        [(1, t(2), 1.0),             # LATE vs committed watermark: dropped
+         (1, t(125), 1.0)], SCHEMA)
+    b2.coalesce(1).write.mode("append").parquet(path)
+    run_once()
+
+    got = {r.window_start.minute: r.cnt
+           for r in spark.read.parquet(out).collect()
+           if r.window_start.hour == 10}
+    assert got.get(0) == 2           # straggler never counted
