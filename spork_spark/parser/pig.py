@@ -1201,7 +1201,11 @@ class PigParser:
                 if t.kind == "dollar":
                     e = E.Deref(e, int(t.text[1:]))
                 else:
-                    e = E.Deref(e, t.text)
+                    # field may be a join-qualified name: j.qa::v
+                    name = t.text
+                    while self.accept("op", "::"):
+                        name += "::" + self.next().text
+                    e = E.Deref(e, name)
             elif self.accept("op", "#"):
                 e = E.MapLookup(e, self._string())
             else:
@@ -1212,7 +1216,10 @@ class PigParser:
         if t.kind == "dollar":
             return int(t.text[1:])
         if t.kind in ("ident", "kw"):
-            return t.text
+            name = t.text
+            while self.accept("op", "::"):
+                name += "::" + self.next().text
+            return name
         raise PigSyntaxError(f"expected field name, got {t.text!r} at {t.pos}")
 
     def _primary(self) -> E.Expr:

@@ -706,3 +706,27 @@ def test_inner_distinct_count_matches_duckdb(eng, spark, data):
         SELECT k, COUNT(DISTINCT s) AS nd, COUNT(*) AS n
         FROM t GROUP BY k""").fetchall())
     assert got == want
+
+
+@given(data=tables, data2=tables)
+@SLOW
+def test_join_group_qualified_matches_duckdb(eng, spark, data, data2):
+    """JOIN → GROUP on a qualified key (a::k) → aggregates over qualified
+    bag fields: the disambiguation + fusion composition."""
+    from spork_spark.parser import run_script
+    sdf, con = mk(spark, data)
+    sdf2 = spark.createDataFrame(data2, "k int, v double, s string")
+    con.register("t2", pd.DataFrame(data2, columns=["k", "v", "s"]))
+    a = eng.from_df(sdf, alias="qa")
+    b = eng.from_df(sdf2, alias="qb")
+    rels = run_script(eng, """
+        j = JOIN qa BY k, qb BY k;
+        g = GROUP j BY qa::k;
+        f = FOREACH g GENERATE group AS k, COUNT_STAR(j) AS n,
+                                SUM(j.qa::v) AS sva, SUM(j.qb::v) AS svb;
+    """, relations={"qa": a, "qb": b})
+    got = norm(tuple(r) for r in rels["f"].df().collect())
+    want = norm(con.sql("""
+        SELECT a.k, COUNT(*) AS n, SUM(a.v) AS sva, SUM(b.v) AS svb
+        FROM t a JOIN t2 b ON a.k = b.k GROUP BY a.k""").fetchall())
+    assert got == want
