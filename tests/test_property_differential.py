@@ -22,7 +22,12 @@ tables = st.lists(row, min_size=1, max_size=30)
 cmp_op = st.sampled_from(["<", "<=", "==", ">", ">=", "!="])
 threshold = st.integers(-5, 5)
 
-SLOW = settings(max_examples=12, deadline=None,
+import os as _os
+
+# SPORK_FUZZ_EXAMPLES raises the per-test example budget for soak runs
+# (e.g. SPORK_FUZZ_EXAMPLES=50 python -m pytest tests/test_property_differential.py)
+SLOW = settings(max_examples=int(_os.environ.get("SPORK_FUZZ_EXAMPLES", "12")),
+                deadline=None,
                 suppress_health_check=[HealthCheck.too_slow,
                                        HealthCheck.function_scoped_fixture])
 
