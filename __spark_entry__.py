@@ -1636,6 +1636,24 @@ def q_schema_merge(spark, sf):
                   .orderBy("n_nationkey"))
 
 
+def q_cogroup_3way(spark, sf):
+    """N-ary COGROUP (3 inputs): nation/customer/supplier grouped by
+    nation key — per-group bag sizes, absent groups empty (not null),
+    through the parser."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        n = LOAD '{sf}/nation.parquet';
+        c = LOAD '{sf}/customer.parquet';
+        s = LOAD '{sf}/supplier.parquet';
+        cg = COGROUP n BY n_nationkey, c BY c_nationkey, s BY s_nationkey;
+        f = FOREACH cg GENERATE group AS nationkey, SIZE(n) AS n_n,
+                                SIZE(c) AS n_c, SIZE(s) AS n_s;
+        srt = ORDER f BY nationkey;
+    """)
+    return rels["srt"].df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1743,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "collected_group": q_collected_group,
         "schema_merge": q_schema_merge,
+        "cogroup_3way": q_cogroup_3way,
     }
 
 
@@ -2833,5 +2852,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_nationkey >= 12 THEN n_regionkey END
                        AS n_regionkey
             FROM nation ORDER BY n_nationkey
+        """,
+        "cogroup_3way": """
+            WITH gn AS (SELECT n_nationkey AS k, COUNT(*) AS n
+                        FROM nation GROUP BY 1),
+                 gc AS (SELECT c_nationkey AS k, COUNT(*) AS n
+                        FROM customer GROUP BY 1),
+                 gs AS (SELECT s_nationkey AS k, COUNT(*) AS n
+                        FROM supplier GROUP BY 1)
+            SELECT COALESCE(gn.k, gc.k, gs.k) AS nationkey,
+                   COALESCE(gn.n, 0) AS n_n,
+                   COALESCE(gc.n, 0) AS n_c,
+                   COALESCE(gs.n, 0) AS n_s
+            FROM gn
+            FULL OUTER JOIN gc ON gn.k IS NOT DISTINCT FROM gc.k
+            FULL OUTER JOIN gs ON COALESCE(gn.k, gc.k)
+                                  IS NOT DISTINCT FROM gs.k
+            ORDER BY nationkey
         """,
     }
