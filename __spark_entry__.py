@@ -1654,6 +1654,42 @@ def q_cogroup_3way(spark, sf):
     return rels["srt"].df()
 
 
+def q_join_right(spark, sf):
+    """RIGHT OUTER join through the parser (SURVEY.md §2.1 #10):
+    big orders RIGHT OUTER customer — every customer survives."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        o = LOAD '{sf}/orders.parquet';
+        c = LOAD '{sf}/customer.parquet';
+        big = FILTER o BY o_totalprice > 250000.0;
+        j = JOIN big BY o_custkey RIGHT OUTER, c BY c_custkey;
+        g = GROUP j BY c_custkey;
+        f = FOREACH g GENERATE group AS c_custkey,
+                                COUNT(j.o_orderkey) AS n_big;
+        srt = ORDER f BY c_custkey;
+    """)
+    return rels["srt"].df()
+
+
+def q_join_full(spark, sf):
+    """FULL OUTER join through the parser: two disjoint-ish order slices
+    joined on custkey — both unmatched sides null-fill."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        o = LOAD '{sf}/orders.parquet';
+        a0 = FILTER o BY o_totalprice > 400000.0;
+        b0 = FILTER o BY o_totalprice < 1500.0;
+        a = FOREACH a0 GENERATE o_custkey AS ak, o_orderkey AS aid;
+        b = FOREACH b0 GENERATE o_custkey AS bk, o_orderkey AS bid;
+        j = JOIN a BY ak FULL OUTER, b BY bk;
+        f = FOREACH j GENERATE ak, aid, bk, bid;
+        srt = ORDER f BY aid, bid;
+    """)
+    return rels["srt"].df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1762,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collected_group": q_collected_group,
         "schema_merge": q_schema_merge,
         "cogroup_3way": q_cogroup_3way,
+        "join_right": q_join_right,
+        "join_full": q_join_full,
     }
 
 
@@ -2869,5 +2907,20 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN gs ON COALESCE(gn.k, gc.k)
                                   IS NOT DISTINCT FROM gs.k
             ORDER BY nationkey
+        """,
+        "join_right": """
+            SELECT c_custkey, COUNT(o_orderkey) AS n_big
+            FROM (SELECT * FROM orders WHERE o_totalprice > 250000.0) big
+            RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "join_full": """
+            SELECT a.ak, a.aid, b.bk, b.bid
+            FROM (SELECT o_custkey AS ak, o_orderkey AS aid FROM orders
+                  WHERE o_totalprice > 400000.0) a
+            FULL JOIN (SELECT o_custkey AS bk, o_orderkey AS bid FROM orders
+                       WHERE o_totalprice < 1500.0) b
+              ON a.ak = b.bk
+            ORDER BY aid, bid
         """,
     }

@@ -36,7 +36,10 @@ def norm_cell(v):
 
 def norm_rows(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # key=repr: rows may mix None with ints/strings, which plain tuple
+    # comparison rejects (the driver hashes values instead of sorting)
+    return sorted((tuple(norm_cell(r[i]) for i in order) for r in rows),
+                  key=repr)
 
 
 def main():
