@@ -2697,9 +2697,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             grams AS (
               SELECT doc_id, lang,
-                     list_distinct([array_to_string(tk[i:i+3], ' ')
-                         for i in generate_series(
-                             1, greatest(len(tk) - 4, 0) + 1)]) AS gs
+                     CASE WHEN len(tk) >= 4 THEN
+                       list_distinct([array_to_string(tk[i:i+3], ' ')
+                           for i in generate_series(1, len(tk) - 3)])
+                     ELSE [] END AS gs
               FROM toks),
             bench AS (
               SELECT DISTINCT unnest(gs) AS g FROM grams

@@ -39,6 +39,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     rcols = right_cols or [c for c in right.columns
                            if c not in keys and c != on]
     lcols = left.columns
+    reserved = {"__ts", "__r", "__side", "__m"}
+    clash = reserved & (set(lcols) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns collide with internal names "
+            f"{sorted(clash)}; rename them first")
 
     r_tag = right.select(
         *[F.col(k) for k in keys],
@@ -87,28 +93,36 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
          handling apply as for any equi-join),
       3. an exact containment filter removes same-bin near-misses.
 
-    Inner and left modes (left = unmatched left rows null-filled).
+    Inner and left modes (left = unmatched left rows null-filled; the
+    unmatched set is computed by anti-joining on a surrogate row id, so
+    rows containing NULLs — where equality on all columns is never true —
+    are not double-emitted, and duplicate left rows keep their multiplicity).
     """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"range_join: left/right share column names {sorted(overlap)}; "
+            f"rename one side first")
     bw = float(bin_width)
     lbin = F.floor(F.col(point_col) / bw).cast("long")
     rlo = F.floor(F.col(lo_col) / bw).cast("long")
     rhi = F.floor(F.col(hi_col) / bw).cast("long")
     r_binned = right.withColumn("__bin", F.explode(F.sequence(rlo, rhi)))
-    l_binned = left.withColumn("__bin", lbin)
     contains = (F.col(point_col) >= F.col(lo_col)) & \
                (F.col(point_col) <= F.col(hi_col))
     if how == "inner":
+        l_binned = left.withColumn("__bin", lbin)
         return (l_binned.join(r_binned, on="__bin", how="inner")
                         .filter(contains).drop("__bin"))
     if how != "left":
         raise ValueError("range_join supports how='inner'|'left'")
+    l_id = left.withColumn("__rid", F.monotonically_increasing_id())
+    l_binned = l_id.withColumn("__bin", lbin)
     matched = (l_binned.join(r_binned, on="__bin", how="inner")
                        .filter(contains).drop("__bin"))
-    right_cols = [c for c in right.columns]
-    unmatched = (l_binned.drop("__bin")
-                 .join(matched.select(*left.columns), on=left.columns,
-                       how="left_anti"))
-    for c in right_cols:
+    unmatched = l_id.join(matched.select("__rid"), on="__rid",
+                          how="left_anti")
+    for c in right.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(right.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return matched.drop("__rid").unionByName(unmatched.drop("__rid"))

@@ -136,16 +136,21 @@ def word_ngrams(text_col, n: int) -> "F.Column":
     strings — the decontamination/overlap unit. Native HOFs: split →
     sliding slice → concat; linear per row, no Python."""
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    return F.array_distinct(F.transform(
+    grams = F.array_distinct(F.transform(
         F.sequence(F.lit(0),
                    F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    # Texts shorter than n tokens have no full n-gram: emit an empty array
+    # rather than one truncated gram (a truncated/empty gram would make
+    # every short doc "overlap" every short benchmark line downstream).
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str | None = None, n: int = 8,
-                  mode: str = "remove") -> DataFrame:
+                  mode: str = "remove", broadcast: bool = True) -> DataFrame:
     """Benchmark decontamination: drop (mode='remove') or mark
     (mode='flag', adds boolean `contaminated`) training documents that
     share any word n-gram with a benchmark/eval corpus — the standard
@@ -156,16 +161,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     distinct n-gram set broadcasts; the corpus side explodes to one row
     per *distinct* n-gram per doc (array_distinct bounds the fan-out),
     then a broadcast LEFT SEMI join marks hits — no shuffle of the corpus,
-    no Python. With a large benchmark, drop the broadcast hint and let the
-    join shuffle on the n-gram key (uniformly distributed — no skew)."""
+    no Python. With a benchmark too large to broadcast, pass
+    broadcast=False to let the semi-join shuffle on the n-gram key instead
+    (uniformly distributed — no skew)."""
     bcol = bench_text_col or text_col
     bench_grams = (benchmark
                    .select(F.explode(word_ngrams(bcol, n)).alias("__ngram"))
                    .distinct())
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
     doc_grams = docs.select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__ngram"))
     hits = (doc_grams
-            .join(F.broadcast(bench_grams), on="__ngram", how="left_semi")
+            .join(bench_grams, on="__ngram", how="left_semi")
             .select(id_col).distinct())
     if mode == "flag":
         return docs.join(hits.withColumn("__hit", F.lit(True)),
@@ -309,15 +317,22 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     SAMPLE/rand this is rerunnable, cluster-order-independent, and
     engine-portable (md5 everywhere) — the per-language downsampling
     primitive in corpus curation. Pure map-side predicate: no shuffle,
-    no state, pushes past the scan like any filter."""
-    def hex4(rate: float) -> str:
-        return format(min(int(rate * 65536), 65536), "04x")
+    no state, pushes past the scan like any filter.
+
+    The comparison is NUMERIC (hash bucket 0..65535 vs rate*65536), not a
+    string compare: rate>=1.0 maps to threshold 65536, which no bucket can
+    reach, so a 'keep everything' stratum really keeps everything (a
+    lexicographic compare against the 5-digit hex '10000' would silently
+    drop ~94% of such a stratum)."""
+    def bucket_cap(rate: float) -> int:
+        return max(0, min(int(round(rate * 65536)), 65536))
     prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    bucket = F.conv(prefix, 16, 10).cast("int")
     thresh = None
     for stratum, rate in rates.items():
         cond = F.col(strata_col) == stratum
-        t = F.lit(hex4(rate))
+        t = F.lit(bucket_cap(rate))
         thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
-    thresh = thresh.otherwise(F.lit(hex4(default_rate))) if thresh is not None \
-        else F.lit(hex4(default_rate))
-    return df.filter(prefix < thresh)
+    thresh = thresh.otherwise(F.lit(bucket_cap(default_rate))) \
+        if thresh is not None else F.lit(bucket_cap(default_rate))
+    return df.filter(bucket < thresh)

@@ -254,10 +254,14 @@ def test_decontaminate_removes_overlapping_docs(spark):
 
 
 def test_decontaminate_short_doc_partial_ngram(spark):
+    # docs shorter than n have no full n-gram -> no overlap evidence; they
+    # survive (previously a truncated gram made identical short docs match,
+    # and empty docs match every empty benchmark line)
     from spork_spark.operators import decontaminate
     docs = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
-    assert decontaminate(docs, bench, n=13).count() == 0
+    assert decontaminate(docs, bench, n=13).count() == 1
+    assert decontaminate(docs, bench, n=2).count() == 0
 
 
 def test_chunk_documents_boundaries(spark):
@@ -377,3 +381,71 @@ def test_stratified_sample_rates_and_determinism(spark):
                stratified_sample(docs, "lang", {"en": 0.5},
                                  default_rate=0.1).collect())
     assert a == b
+
+
+def test_stratified_sample_rate_one_keeps_all(spark):
+    # regression: rate>=1.0 used to be compared as the 5-char hex '10000'
+    # which lexicographically dropped ~94% of a keep-everything stratum
+    from spork_spark.operators import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id long, lang string")
+    kept = stratified_sample(docs, "lang", {"en": 1.0})
+    assert kept.count() == 500
+    none = stratified_sample(docs, "lang", {"en": 0.0})
+    assert none.count() == 0
+
+
+def test_range_join_left_null_payload_not_duplicated(spark):
+    # regression: how='left' anti-joined on all left columns (null-unsafe),
+    # so a MATCHED left row with any NULL column was re-emitted null-filled
+    from spork_spark.operators import range_join
+    pts = spark.createDataFrame([(1, 5.0, None), (2, 99.0, None)],
+                                "id long, x double, note string")
+    ivs = spark.createDataFrame([("a", 0.0, 10.0)],
+                                "label string, lo double, hi double")
+    out = range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0, how="left")
+    rows = sorted(((r.id, r.label) for r in out.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+    assert rows == [(1, "a"), (2, None)]
+    # duplicate left rows keep their multiplicity
+    dup = spark.createDataFrame([(1, 5.0, None), (1, 5.0, None)],
+                                "id long, x double, note string")
+    assert range_join(dup, ivs, "x", "lo", "hi", bin_width=7.0,
+                      how="left").count() == 2
+
+
+def test_range_join_rejects_column_collision(spark):
+    import pytest
+    from spork_spark.operators import range_join
+    pts = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    ivs = spark.createDataFrame([(9, 0.0, 10.0)],
+                                "id long, lo double, hi double")
+    with pytest.raises(ValueError, match="share column names"):
+        range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0, how="left")
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    import pytest
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame([(1, 10, 0)], "u long, ts long, __side int")
+    right = spark.createDataFrame([(1, 8, 1.0)], "u long, ts long, p double")
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(left, right, on="ts", by="u")
+
+
+def test_word_ngrams_short_text_empty(spark):
+    # regression: texts shorter than n emitted one truncated gram (empty
+    # string for empty text), making every short doc overlap in decontaminate
+    from pyspark.sql import functions as F
+    from spork_spark.operators import word_ngrams, decontaminate
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   "), (4, "w x y z")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.g for r in
+           docs.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["w x y", "x y z"]
+    # empty benchmark text must not contaminate empty training docs
+    bench = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    out = decontaminate(docs, bench, n=3, mode="flag")
+    assert all(not r.contaminated for r in out.collect())
