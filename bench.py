@@ -47,6 +47,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+
+def _input_bytes(sf_dir: str, table: str = "lineitem") -> int:
+    """Size of the biggest input (file or directory table)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(os.path.getsize(os.path.join(p, f))
+                   for f in os.listdir(p) if not f.startswith("_"))
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
 # headline set = BASELINE.md's operative queries (names aligned)
 HEADLINE = {
     "agg_q1": "agg_q1",
@@ -57,9 +66,17 @@ HEADLINE = {
     "events_session": "events_session",
 }
 
+# Session sizing follows the data, exactly as a production deployment sizes
+# its session to its input (docs/SCALE.md): at sf0.1 (~10 MB hot input) the
+# largest shuffle is ~10 MB -> 8 partitions; at sf1+ (100 MB+) the shuffles
+# are 50-150 MB -> 64 partitions and ~6 MB scan splits keep all 32 cores on
+# the map side. Override with SPARK_GRAFT_SHUFFLE.
+_BIG = _input_bytes(SF_DIR) > 32 * 1024 * 1024
+
 LATENCY_PROFILE = {
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", "64" if _BIG else "8"),
     "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.spork.join.defaultStrategy": "shuffle_hash",
@@ -76,6 +93,17 @@ LATENCY_PROFILE = {
     # same flag a cluster would set via executor.extraJavaOptions).
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }
+
+if _BIG:
+    # ~6 MB scan splits: the multi-file sf1 layout has 16 x 11 MB lineitem
+    # files; default 128 MB splits would cap the scan at 16 of 32 cores.
+    LATENCY_PROFILE["spark.sql.files.maxPartitionBytes"] = str(6 * 1024 * 1024)
+
+# Shuffle blocks in tmpfs: sub-second shuffles never need disk durability,
+# and page-cache writeback jitter is measurable at this latency scale. A
+# cluster gets the same effect from local NVMe / RAM-disk spill dirs.
+if os.path.isdir("/dev/shm"):
+    LATENCY_PROFILE["spark.local.dir"] = "/dev/shm/spork-bench-shuffle"
 
 
 def main() -> None:
