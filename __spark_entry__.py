@@ -152,6 +152,144 @@ def q_pigmix_wide_group(spark, sf):
                        col("l_linenumber"), col("ship_year"))).df()
 
 
+def q_pigmix_map_access(spark, sf):
+    """PigMix L1 shape (pig:test/perf/pigmix/ L1 'explode map'): map built
+    under load, `#` key lookup used in both FILTER and FOREACH, then a
+    group-aggregate over the looked-up value. All native Column ops
+    (create_map / getItem / get_json_object) — no Python."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        e = LOAD '{sf}/events.parquet';
+        m = FOREACH e GENERATE user_id,
+                TOMAP('type', event_type,
+                      'k', GET_JSON_OBJECT(props, '$.k')) AS info;
+        f = FILTER m BY info#'type' == 'click';
+        p = FOREACH f GENERATE user_id, (int)(info#'k') AS k;
+        g = FOREACH (GROUP p BY user_id)
+            GENERATE group AS user_id, SUM(p.k) AS sum_k, COUNT(p) AS n;
+        out = ORDER g BY user_id;
+    """)
+    return rels["out"].df()
+
+
+def q_pigmix_fanout_join(spark, sf):
+    """PigMix L2 shape: fact × small-dim fan-out join USING 'replicated'
+    (POFRJoin → BroadcastHashJoin), grouped on the dim key."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        s = LOAD '{sf}/supplier.parquet';
+        j = JOIN li BY l_suppkey, s BY s_suppkey USING 'replicated';
+        g = FOREACH (GROUP j BY s_nationkey)
+            GENERATE group AS s_nationkey, COUNT_STAR(j) AS n_items,
+                     FLOOR(SUM(j.l_quantity) * 100.0 + 0.5) / 100.0 AS qty;
+        out = ORDER g BY s_nationkey;
+    """)
+    return rels["out"].df()
+
+
+def q_pigmix_anti_cogroup(spark, sf):
+    """PigMix L5 shape: the COGROUP + IsEmpty anti-join idiom, written
+    exactly as the Pig script would be — lineitems whose part never
+    crosses the price threshold."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        p = LOAD '{sf}/part.parquet';
+        pricey = FILTER p BY p_retailprice > 1800.0;
+        cg = COGROUP li BY l_partkey, pricey BY p_partkey;
+        anti = FILTER cg BY IsEmpty(pricey);
+        out = FOREACH anti GENERATE group AS l_partkey,
+                                    COUNT_STAR(li) AS n_items;
+        srt = ORDER out BY l_partkey;
+    """)
+    return rels["srt"].df()
+
+
+def q_pigmix_nested_split(spark, sf):
+    """PigMix L7 shape (nested split): one pass over the group bag feeding
+    two inner FILTER legs plus the unfiltered total — compiles to
+    conditional aggregates, not bag materialization."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        e = LOAD '{sf}/events.parquet';
+        g = GROUP e BY event_type;
+        r = FOREACH g {{ hi = FILTER e BY value > 40.0;
+                         lo = FILTER e BY value < 10.0;
+                         GENERATE group AS event_type,
+                                  COUNT_STAR(hi) AS n_hi,
+                                  COUNT_STAR(lo) AS n_lo,
+                                  COUNT_STAR(e) AS n; }};
+        out = ORDER r BY event_type;
+    """)
+    return rels["out"].df()
+
+
+def q_pigmix_total_sort(spark, sf):
+    """PigMix L9/L10 shape: full total-order sort (no LIMIT), mixed
+    directions and mixed key types — exercises range-partitioned sort
+    (sampling + rangepartitioning exchange), the scalable global sort."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        e = LOAD '{sf}/events.parquet';
+        p = FOREACH e GENERATE event_type, value, user_id;
+        out = ORDER p BY event_type ASC, value DESC, user_id ASC;
+    """)
+    return rels["out"].df()
+
+
+def q_pigmix_nested_sort(spark, sf):
+    """PigMix L16 shape: nested FOREACH with inner ORDER + LIMIT (top-3
+    per supplier) aggregated from the trimmed bag. Per-key bags are
+    bounded by the LIMIT before the SUM."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        li = LOAD '{sf}/lineitem.parquet';
+        g = GROUP li BY l_suppkey;
+        r = FOREACH g {{ srt = ORDER li BY l_extendedprice DESC;
+                         top = LIMIT srt 3;
+                         GENERATE group AS l_suppkey,
+                                  COUNT_STAR(top) AS n_top,
+                                  FLOOR(SUM(top.l_extendedprice) * 100.0 + 0.5)
+                                      / 100.0 AS top3_total; }};
+        out = ORDER r BY l_suppkey;
+    """)
+    return rels["out"].df()
+
+
+def q_pigmix_multistore(spark, sf):
+    """PigMix L12 shape: SPLIT + multiple STOREs in one script (multi-sink
+    DAG with a shared, persisted parent), outputs read back and
+    reassembled with route tags to prove both sinks."""
+    import os
+    import tempfile
+
+    from spork_spark.parser import run_script
+    from spork_spark.sources import read
+    eng = _eng(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spork_multistore_{abs(hash(sf)) % 10**8}")
+    for leg in ("hi", "lo"):
+        import shutil
+        shutil.rmtree(f"{base}_{leg}", ignore_errors=True)
+    run_script(eng, f"""
+        e = LOAD '{sf}/events.parquet';
+        p = FOREACH e GENERATE event_id, event_type, value;
+        SPLIT p INTO hi IF value >= 25.0, lo OTHERWISE;
+        STORE hi INTO '{base}_hi';
+        STORE lo INTO '{base}_lo';
+    """)
+    hi = read(spark, f"{base}_hi").withColumn("route", F.lit("hi"))
+    lo = read(spark, f"{base}_lo").withColumn("route", F.lit("lo"))
+    return hi.unionByName(lo).orderBy("event_id")
+
+
 def q_union_distinct(spark, sf):
     """PigMix L11 shape: UNION of two projections, then DISTINCT."""
     eng = _eng(spark)
@@ -1705,6 +1843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "pigmix_distinct_agg": q_pigmix_distinct_agg,
         "pigmix_wide_group": q_pigmix_wide_group,
+        "pigmix_map_access": q_pigmix_map_access,
+        "pigmix_fanout_join": q_pigmix_fanout_join,
+        "pigmix_anti_cogroup": q_pigmix_anti_cogroup,
+        "pigmix_nested_split": q_pigmix_nested_split,
+        "pigmix_total_sort": q_pigmix_total_sort,
+        "pigmix_nested_sort": q_pigmix_nested_sort,
+        "pigmix_multistore": q_pigmix_multistore,
         "union_onschema": q_union_onschema,
         "split": q_split,
         "cross": q_cross,
@@ -2225,6 +2370,56 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_suppkey) AS n_supps,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "pigmix_map_access": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events WHERE event_type = 'click')
+            SELECT user_id, SUM(k) AS sum_k, COUNT(k) AS n
+            FROM p GROUP BY user_id ORDER BY user_id
+        """,
+        "pigmix_fanout_join": """
+            SELECT s_nationkey, COUNT(*) AS n_items,
+                   FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "pigmix_anti_cogroup": """
+            SELECT l_partkey, COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_partkey NOT IN (
+                SELECT p_partkey FROM part WHERE p_retailprice > 1800.0)
+            GROUP BY l_partkey ORDER BY l_partkey
+        """,
+        "pigmix_nested_split": """
+            SELECT event_type,
+                   COUNT(*) FILTER (WHERE value > 40.0) AS n_hi,
+                   COUNT(*) FILTER (WHERE value < 10.0) AS n_lo,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pigmix_total_sort": """
+            SELECT event_type, value, user_id
+            FROM events
+            ORDER BY event_type ASC, value DESC, user_id ASC
+        """,
+        "pigmix_nested_sort": """
+            WITH ranked AS (
+              SELECT l_suppkey, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                        ORDER BY l_extendedprice DESC) AS rn
+              FROM lineitem)
+            SELECT l_suppkey, COUNT(*) AS n_top,
+                   FLOOR(SUM(l_extendedprice) * 100.0 + 0.5) / 100.0
+                       AS top3_total
+            FROM ranked WHERE rn <= 3
+            GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "pigmix_multistore": """
+            SELECT event_id, event_type, value,
+                   CASE WHEN value >= 25.0 THEN 'hi' ELSE 'lo' END AS route
+            FROM events ORDER BY event_id
         """,
         "pigmix_wide_group": """
             SELECT l_returnflag, l_linestatus, l_linenumber,

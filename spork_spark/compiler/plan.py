@@ -455,7 +455,7 @@ class PlanCompiler:
                           self._normalize_distinct_agg(e.child, first_col))
         return e
 
-    _FILTER_FUSABLE = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+    _FILTER_FUSABLE = {"COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX"}
 
     def _normalize_filter_agg(self, e: E.Expr,
                               first_col: str | None = None) -> E.Expr | None:
@@ -481,11 +481,16 @@ class PlanCompiler:
                 or not isinstance(fb.args[1], E.Lambda) \
                 or len(fb.args[1].params) != 1:
             return None
-        if field is None and e.name.upper() != "COUNT":
+        if field is None and e.name.upper() not in ("COUNT", "COUNT_STAR"):
             return None                      # SUM(bag) etc. needs a field
         cond = self._delambda(fb.args[1].body, fb.args[1].params[0])
         if cond is None:
             return None
+        if e.name.upper() == "COUNT_STAR":
+            # COUNT_STAR(filtered bag) counts EVERY tuple passing the
+            # filter (nulls included) → COUNT of when(cond, 1): rows
+            # failing the filter become null and drop out of the count
+            return E.Func("COUNT", [E.BinCond(cond, E.Lit(1), E.Lit(None))])
         # bare COUNT(filtered bag): Pig counts tuples whose FIRST field is
         # non-null, so count the first column under the condition — not a
         # literal 1 (which would count null-first-field rows too)

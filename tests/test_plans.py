@@ -142,6 +142,40 @@ def test_inner_filter_agg_fuses(eng):
     assert row["n_big"] == 9 and abs(row["big_total"] - 2715836.51) < 1e-6
 
 
+def test_inner_filter_count_star_fuses(eng):
+    """PigMix L7 (nested split) with COUNT_STAR legs: COUNT_STAR(filtered
+    bag) must rewrite to COUNT(when(cond, 1)) and fuse — COUNT_STAR would
+    otherwise count the nulls the filter introduces (or worse, fall back
+    to bag materialization)."""
+    from spork_spark.parser import run_script
+
+    rels = run_script(eng, f"""
+        o = LOAD '{SF}/orders.parquet';
+        g = GROUP o BY o_orderstatus;
+        agg = FOREACH g {{ hi = FILTER o BY o_totalprice > 150000.0;
+                           lo = FILTER o BY o_totalprice < 50000.0;
+                           GENERATE group AS st, COUNT_STAR(hi) AS n_hi,
+                                    COUNT_STAR(lo) AS n_lo,
+                                    COUNT_STAR(o) AS n; }};
+    """)
+    p = plan_of(rels["agg"])
+    assert "collect_list" not in p and "ObjectHashAggregate" not in p
+    rows = {r["st"]: r for r in rels["agg"].df().collect()}
+    for r in rows.values():
+        assert r["n_hi"] + r["n_lo"] <= r["n"]
+        assert r["n_hi"] > 0 and r["n_lo"] > 0
+    import duckdb
+    exp = duckdb.sql(f"""
+        SELECT o_orderstatus st,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000.0) n_hi,
+               COUNT(*) FILTER (WHERE o_totalprice < 50000.0) n_lo,
+               COUNT(*) n
+        FROM '{SF}/orders.parquet' GROUP BY 1""").fetchall()
+    for st, n_hi, n_lo, n in exp:
+        assert (rows[st]["n_hi"], rows[st]["n_lo"], rows[st]["n"]) == \
+               (n_hi, n_lo, n)
+
+
 def _raw_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
