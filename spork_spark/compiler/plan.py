@@ -248,7 +248,10 @@ class PlanCompiler:
                 else ("key", "value")
             return placed(F.explode(F.col(name)).alias(*knames))
         # scalar array element / passthrough
-        if alias is None and name.startswith("__flat_"):
+        if isinstance(alias, str) and name != alias:
+            # deferred-flatten path carries a temp bag name through the join
+            df = df.withColumnRenamed(name, alias)
+        elif alias is None and name.startswith("__flat_"):
             df = df.withColumnRenamed(name, name.removeprefix("__flat_"))
         return df
 
@@ -702,6 +705,19 @@ class PlanCompiler:
         """Equi-join; null keys never match (Spark = Pig). Strategy variants
         are hints over identical semantics (SURVEY.md §2.1 #9–14)."""
         dfs = [self._compile(i) for i in node.inputs]
+        post_explodes: list[tuple[str, Any]] = []
+        if node.how == "inner":
+            # Pig's PushDownForEachFlatten (SURVEY.md §4.1): Catalyst has no
+            # rule to reorder Generate below Join, so a FLATTEN-then-JOIN
+            # script would shuffle the exploded (amplified) rows. When the
+            # join keys don't touch the flattened output, defer the explode
+            # to after the join: the bag crosses the exchange as one column
+            # on the un-amplified row count.
+            for idx in range(len(node.inputs)):
+                d = self._try_defer_flatten(node, idx, dfs)
+                if d is not None:
+                    dfs[idx], explodes = d
+                    post_explodes.extend(explodes)
         dfs = self._disambiguate(dfs, node)
         left = dfs[0]
         lkeys = [self._ctx(left).compile(k) for k in node.keys[0]]
@@ -735,9 +751,103 @@ class PlanCompiler:
             how = {"semi": "left_semi", "anti": "left_anti"}.get(node.how,
                                                                  node.how)
             left = left.join(right, on=cond, how=how)
+        for tmp, alias in post_explodes:
+            left = self._explode_one(left, tmp, alias)
         if node.parallel:
             left = left.repartition(node.parallel)
         return left
+
+    def _try_defer_flatten(self, node: L.Join, idx: int,
+                           dfs: list[DataFrame]):
+        """If input ``idx`` is a FOREACH containing FLATTEN(bag) generators
+        and this input's join keys reference only the non-flattened outputs,
+        return (replacement DataFrame keeping the bag column, explodes to
+        apply after the join); else None.
+
+        Legal for INNER joins only: explode(bag)⋈k ≡ (⋈k)∘explode when k is
+        independent of the bag (empty/null bags drop the row on either side
+        of the join identically). Outer joins differ on the null-extended
+        side (a null-filled bag would drop the preserved row), so they keep
+        the eager explode. Reference rule:
+        pig:src/org/apache/pig/newplan/logical/rules/PushDownForEachFlatten.java.
+        """
+        inp = node.inputs[idx]
+        if not isinstance(inp, L.ForEach) or \
+                self._consumers.get(inp._id, 0) > 1:
+            return None
+        flats: dict[int, tuple] = {}
+        non_flat: set[str] = set()
+        for i, g in enumerate(inp.generators):
+            alias, inner = None, g
+            if isinstance(inner, E.Aliased):
+                alias, inner = inner.name, inner.child
+            if isinstance(inner, E.Flatten):
+                flats[i] = (alias, inner.child)
+            elif isinstance(inner, (E.Star, E.RangeProj)):
+                return None                    # names need schema; keep eager
+            else:
+                non_flat.add(alias if isinstance(alias, str)
+                             else self._default_name(inner, i))
+        if not flats:
+            return None
+        for k in node.keys[idx]:
+            if not set(self._expr_col_refs(k)) <= non_flat:
+                return None                    # key depends on the flatten
+        child_df = self._compile(inp.child)
+        ctx = self._ctx(child_df)
+        other_cols = {c for j, df in enumerate(dfs) if j != idx
+                      for c in df.columns}
+        new_gens = list(inp.generators)
+        explodes: list[tuple[str, Any]] = []
+        for i, (alias, inner) in flats.items():
+            try:
+                dt = child_df.select(
+                    ctx.compile(inner).alias("x")).schema[0].dataType
+            except Exception:
+                return None
+            if not isinstance(dt, T.ArrayType):
+                return None        # tuple/map flatten: no row fan-out to defer
+            if isinstance(alias, tuple) and \
+                    not isinstance(dt.elementType, T.StructType):
+                return None        # STRSPLIT-style inline: no fan-out either
+            # final flattened names must match the eager path bare (a
+            # collision would have been alias::qualified there — bail)
+            if isinstance(dt.elementType, T.StructType):
+                fields = dt.elementType.fields
+                if isinstance(alias, tuple):
+                    names = list(alias)
+                elif isinstance(alias, str) and len(fields) == 1:
+                    names = [alias]
+                else:
+                    names = [f.name for f in fields]
+            elif isinstance(alias, str):
+                names = [alias]
+            else:
+                return None        # bare scalar-array flatten naming edge
+            if other_cols & set(names):
+                return None
+            tmp = f"__jbf_{inp._id}_{i}"
+            new_gens[i] = E.Aliased(inner, tmp)
+            explodes.append((tmp, alias))
+        return self._apply_generators(child_df, new_gens), explodes
+
+    @staticmethod
+    def _expr_col_refs(e: E.Expr) -> list[str]:
+        """All column names referenced anywhere in an expression tree."""
+        import dataclasses
+        out: list[str] = []
+
+        def walk(x):
+            if isinstance(x, E.Col):
+                out.append(x.name)
+            if isinstance(x, E.Expr):
+                for f in dataclasses.fields(x):
+                    walk(getattr(x, f.name))
+            elif isinstance(x, (list, tuple)):
+                for v in x:
+                    walk(v)
+        walk(e)
+        return out
 
     def _disambiguate(self, dfs: list[DataFrame], node) -> list[DataFrame]:
         """Pig join output schema qualifies colliding names as alias::col;

@@ -6,7 +6,7 @@ covers the hot path."""
 
 import pytest
 
-from spork_spark import Engine, col, fn, lit
+from spork_spark import Engine, col, flatten, fn, lit
 
 SF = "/root/testdata/sf0.001"
 
@@ -229,3 +229,61 @@ def test_to_view_sql_interop(eng, spark):
     got = sorted(map(tuple, spark.sql(
         "SELECT k, sv FROM agg_view ORDER BY k").collect()))
     assert got == [(1, 5.0), (2, 5.0)]
+
+
+# -- join-before-explode (PushDownForEachFlatten, SURVEY.md §4.1) -----------
+
+def _jbf_fixtures(eng, spark):
+    left = spark.createDataFrame(
+        [(1, 10, ["a", "b"]), (2, 20, []), (3, 30, ["c"]), (4, 40, None)],
+        "k int, payload int, bag array<string>")
+    dim = spark.createDataFrame([(1, "x"), (3, "y"), (5, "z")],
+                                "k int, v string")
+    return eng.from_df(left, alias="jl"), eng.from_df(dim, alias="jd")
+
+
+def test_flatten_defers_below_inner_join(eng, spark):
+    """FLATTEN-then-JOIN on a non-flattened key reorders to join-first:
+    the explode (row amplification) runs above the join, so the shuffle
+    moves un-amplified rows (pig:…/rules/PushDownForEachFlatten.java)."""
+    l, d = _jbf_fixtures(eng, spark)
+    r = l.foreach(col("k"), col("payload"),
+                  flatten(col("bag")).alias("tok")) \
+         .join([col("k")], d, [col("k")])
+    got = sorted((row.tok, row.v) for row in r.df().collect())
+    assert got == [("a", "x"), ("b", "x"), ("c", "y")]
+    # column order matches the eager path: flattened col at its position
+    assert [c.split("::")[-1] for c in r.df().columns] == \
+        ["k", "payload", "tok", "k", "v"]
+    plan = optimized_of(r)
+    assert "Generate" in plan and "Join" in plan
+    # outer operators print first: Generate above Join = explode after join
+    assert plan.index("Generate") < plan.index("Join")
+
+
+def test_flatten_stays_eager_when_key_is_flattened(eng, spark):
+    """Join key produced by the FLATTEN ⇒ the reorder is illegal and must
+    not fire; results still correct with the explode below the join."""
+    l, _ = _jbf_fixtures(eng, spark)
+    toks = eng.from_df(
+        l.df().sparkSession.createDataFrame([("a", 1), ("c", 2)],
+                                            "tok string, w int"), alias="jt")
+    r = l.foreach(col("k"), flatten(col("bag")).alias("tok")) \
+         .join([col("tok")], toks, [col("tok")])
+    got = sorted((row.k, row.w) for row in r.df().collect())
+    assert got == [(1, 1), (3, 2)]
+    plan = optimized_of(r)
+    assert plan.index("Join") < plan.index("Generate")
+
+
+def test_flatten_stays_eager_on_outer_join(eng, spark):
+    """LEFT OUTER preserves unmatched right rows with a null bag — the
+    deferred explode would drop them, so outer joins keep the eager order."""
+    l, d = _jbf_fixtures(eng, spark)
+    r = d.join([col("k")],
+               l.foreach(col("k"), flatten(col("bag")).alias("tok")),
+               [col("k")], how="left")
+    got = sorted((row[0], row.tok) for row in r.df().collect())
+    assert got == [(1, "a"), (1, "b"), (3, "c"), (5, None)]
+    plan = optimized_of(r)
+    assert plan.index("Join") < plan.index("Generate")
