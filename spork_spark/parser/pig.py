@@ -833,6 +833,13 @@ class PigParser:
         from ..plans import logical as L
         if isinstance(src.node, L.Group):
             bag_env[src.node.bag_alias] = E.Col(src.node.bag_alias)
+        elif isinstance(src.node, L.CoGroup):
+            # COGROUP output carries one bag per input, named after the
+            # input relation (compiler bag_name rule) — all addressable
+            # from the inner block (FOREACH cg { x = CROSS a, b; … })
+            for cg_idx, cg_inp in enumerate(src.node.inputs):
+                nm = getattr(cg_inp, "alias", None) or f"bag_{cg_idx}"
+                bag_env[nm] = E.Col(nm)
 
         def lower_inner_expr(e: E.Expr, var: E.LambdaVar) -> E.Expr:
             """Inner expressions reference bag-tuple fields by name →

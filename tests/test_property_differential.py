@@ -735,3 +735,103 @@ def test_join_group_qualified_matches_duckdb(eng, spark, data, data2):
         SELECT a.k, COUNT(*) AS n, SUM(a.v) AS sva, SUM(b.v) AS svb
         FROM t a JOIN t2 b ON a.k = b.k GROUP BY a.k""").fetchall())
     assert got == want
+
+
+# -- script-level fuzz: full parser→compiler path ---------------------------
+# (VERDICT r2 item 5: the parser seam found 3 real bugs in round 2 — keep
+# fuzzing it with whole scripts, not builder calls.)
+
+from spork_spark.parser import run_script
+
+kv = st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+                        st.one_of(st.none(), st.integers(-5, 5).map(float))),
+              min_size=1, max_size=12)
+outer_how = st.sampled_from(["", "LEFT", "RIGHT", "FULL"])
+
+
+def mk3(spark, da, db, dc=None):
+    a = spark.createDataFrame(da, "k int, v double")
+    b = spark.createDataFrame(db, "k int, w double")
+    con = duckdb.connect()
+    con.register("a", pd.DataFrame(da, columns=["k", "v"]))
+    con.register("b", pd.DataFrame(db, columns=["k", "w"]))
+    dfs = {"a": a, "b": b}
+    if dc is not None:
+        dfs["c"] = spark.createDataFrame(dc, "k int, u double")
+        con.register("c", pd.DataFrame(dc, columns=["k", "u"]))
+    return dfs, con
+
+
+@given(da=kv, db=kv, dc=kv, h1=outer_how, h2=outer_how)
+@SLOW
+def test_script_chained_mixed_outer_joins_match_duckdb(eng, spark, da, db,
+                                                       dc, h1, h2):
+    """3-way left-deep JOIN chains with every inner/LEFT/RIGHT/FULL combo,
+    through the parser: qualified a::k keys, null keys never matching,
+    null-extension interactions between the two joins."""
+    dfs, con = mk3(spark, da, db, dc)
+    rels = run_script(eng, f"""
+        j1 = JOIN a BY k {h1 + ' OUTER' if h1 else ''}, b BY k;
+        j2 = JOIN j1 BY a::k {h2 + ' OUTER' if h2 else ''}, c BY k;
+        out = FOREACH j2 GENERATE a::k AS ak, v, b::k AS bk, w, k AS ck, u;
+    """, relations={nm: eng.from_df(df, alias=nm)
+                    for nm, df in dfs.items()})
+    got = norm(tuple(r) for r in rels["out"].collect())
+    want = norm(con.sql(f"""
+        SELECT a.k AS ak, v, b.k AS bk, w, c.k AS ck, u
+        FROM a {h1 or 'INNER'} JOIN b ON a.k = b.k
+               {h2 or 'INNER'} JOIN c ON a.k = c.k""").fetchall())
+    assert got == want
+
+
+@given(data=kv, c=threshold)
+@SLOW
+def test_script_nested_distinct_filter_combo_matches_duckdb(eng, spark,
+                                                            data, c):
+    """Nested FOREACH combining inner DISTINCT, FILTER, and DISTINCT-of-
+    FILTER (PigMix L4/L15 idiom under fuzz) vs DuckDB FILTER/DISTINCT
+    aggregates."""
+    dfs, con = mk3(spark, data, [(0, 0.0)])
+    rels = run_script(eng, f"""
+        g = GROUP a BY k;
+        out = FOREACH g {{ d = DISTINCT a.v;
+                           f = FILTER a BY v > {c}.0;
+                           fd = DISTINCT f.v;
+                           GENERATE group AS k, COUNT(d) AS nd,
+                                    COUNT(fd) AS nfd, SUM(f.v) AS sf,
+                                    COUNT_STAR(a) AS n; }};
+    """, relations={"a": eng.from_df(dfs["a"], alias="a")})
+    got = norm(tuple(r) for r in rels["out"].collect())
+    want = norm(con.sql(f"""
+        SELECT k, COUNT(DISTINCT v) AS nd,
+               COUNT(DISTINCT v) FILTER (WHERE v > {c}) AS nfd,
+               SUM(v) FILTER (WHERE v > {c}) AS sf,
+               COUNT(*) AS n
+        FROM a GROUP BY k""").fetchall())
+    assert got == want
+
+
+@given(da=kv, db=kv)
+@SLOW
+def test_script_cogroup_inner_cross_matches_duckdb(eng, spark, da, db):
+    """COGROUP + inner CROSS of the two cogrouped bags: per-key cartesian
+    cardinality must equal the product of per-key counts (null keys
+    cogroup together — null-safe oracle join)."""
+    dfs, con = mk3(spark, da, db)
+    rels = run_script(eng, """
+        cg = COGROUP a BY k, b BY k;
+        out = FOREACH cg { x = CROSS a, b;
+                           GENERATE group AS k, COUNT_STAR(x) AS n,
+                                    COUNT_STAR(a) AS na,
+                                    COUNT_STAR(b) AS nb; };
+    """, relations={nm: eng.from_df(df, alias=nm)
+                    for nm, df in dfs.items()})
+    got = norm(tuple(r) for r in rels["out"].collect())
+    want = norm(con.sql("""
+        WITH ga AS (SELECT k, COUNT(*) AS n FROM a GROUP BY k),
+             gb AS (SELECT k, COUNT(*) AS n FROM b GROUP BY k)
+        SELECT COALESCE(ga.k, gb.k) AS k,
+               COALESCE(ga.n, 0) * COALESCE(gb.n, 0) AS n,
+               COALESCE(ga.n, 0) AS na, COALESCE(gb.n, 0) AS nb
+        FROM ga FULL JOIN gb ON ga.k IS NOT DISTINCT FROM gb.k""").fetchall())
+    assert got == want
