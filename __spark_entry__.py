@@ -1065,14 +1065,79 @@ def q_multimodal_meta(spark, sf):
 
 def q_multimodal_decode(spark, sf):
     """Arrow-batched mapInPandas decode of binary payloads → (id, width,
-    height, n_bytes). The decode kernel is a deterministic crc32 fake (no
-    codecs in this env — SURVEY.md §2.11); the Spark plumbing is real.
-    Width/height are kernel-specific → rows-only check."""
+    height, format, n_bytes). Dimensions are REAL for png/gif/bmp/jpeg/pnm
+    payloads (pure header parsers — no codec library needed); payloads in
+    no known format fall back to deterministic fake dims (SURVEY.md §2.11).
+    These synthetic payloads are magic-bytes-only → rows-only check; the
+    real-codec path gets an exact oracle in multimodal_decode_pnm."""
     from spork_spark.operators import decode_images
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
     payloads = _doc_payloads(docs).withColumnRenamed("doc_id", "item_id")
     return decode_images(payloads, "payload", "item_id").orderBy("item_id")
+
+
+def q_multimodal_decode_pnm(spark, sf):
+    """REAL image decode, exact-oracle: build genuine binary PGM (P5)
+    images in pure SQL expressions (header + md5-derived ASCII raster
+    sized (len(text)%31+1) × (doc_id%7+1)), then run the engine's actual
+    PNM codec — header parse via decode_images, full numpy raster decode
+    via decode_pixel_stats — through Arrow-batched mapInPandas. The oracle
+    recomputes width/height/n_bytes/n_pixels from the same arithmetic, so
+    a hash match proves the decoder read back exactly what SQL wrote."""
+    from spork_spark.operators import decode_images, decode_pixel_stats
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    need = "CAST((length(text) % 31 + 1) * (doc_id % 7 + 1) AS INT)"
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.expr(
+            f"concat('P5\\n', length(text) % 31 + 1, ' ', doc_id % 7 + 1, "
+            f"'\\n255\\n', substring(rpad(md5(text), {need}, md5(text)), "
+            f"1, {need}))"), "UTF-8").alias("payload"))
+    dims = decode_images(payloads, "payload", "item_id")
+    px = decode_pixel_stats(payloads, "payload", "item_id") \
+        .select("item_id", "n_pixels")
+    return (dims.join(px, on="item_id")
+                .select("item_id", "width", "height", "format",
+                        "n_bytes", "n_pixels")
+                .orderBy("item_id"))
+
+
+def q_multimodal_audio(spark, sf):
+    """REAL audio decode, exact-oracle: synthesize valid 16-bit PCM WAV
+    files (stdlib wave writer) with per-doc sample rate and frame count,
+    decode them with the engine's WAV codec (stdlib wave reader + numpy
+    RMS) via mapInPandas. Writer and reader share no code; the oracle
+    recomputes rate/frames/duration from doc_id arithmetic."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from spork_spark.operators import decode_audio
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df().select("doc_id")
+
+    def build(batches):
+        import io
+        import wave
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                rate = 8000 + int(i) % 3 * 4000
+                frames = (int(i) % 5 + 1) * 100
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(b"\x00\x00" * frames)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"item_id": pdf["doc_id"].astype("int64"),
+                                "payload": payloads})
+    wavs = docs.mapInPandas(
+        build, T.StructType([T.StructField("item_id", T.LongType()),
+                             T.StructField("payload", T.BinaryType())]))
+    return decode_audio(wavs, "payload", "item_id").orderBy("item_id")
 
 
 def q_bloom_join(spark, sf):
@@ -1902,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_decode_pnm": q_multimodal_decode_pnm,
+        "multimodal_audio": q_multimodal_audio,
         "bloom_join": q_bloom_join,
         "map_funcs": q_map_funcs,
         "diff_bags": q_diff_bags,
@@ -2687,6 +2754,31 @@ def oracle_sql() -> dict[str, str]:
                              ELSE octet_length(encode(text)) END
                         AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        "multimodal_decode_pnm": """
+            WITH p AS (SELECT doc_id,
+                              length(text) % 31 + 1 AS w,
+                              doc_id % 7 + 1 AS h
+                       FROM documents)
+            SELECT doc_id AS item_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   'pnm' AS format,
+                   CAST(3 + length(CAST(w AS VARCHAR))
+                          + 1 + length(CAST(h AS VARCHAR))
+                          + 5 + w * h AS BIGINT) AS n_bytes,
+                   CAST(w * h AS BIGINT) AS n_pixels
+            FROM p ORDER BY item_id
+        """,
+        "multimodal_audio": """
+            SELECT doc_id AS item_id,
+                   CAST(8000 + doc_id % 3 * 4000 AS INT) AS sample_rate,
+                   1 AS channels,
+                   CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS n_frames,
+                   ((doc_id % 5 + 1) * 100)
+                       / CAST(8000 + doc_id % 3 * 4000 AS DOUBLE)
+                       AS duration_s,
+                   0.0 AS rms
+            FROM documents ORDER BY item_id
         """,
         "bloom_join": """
             SELECT l_suppkey, COUNT(*) AS n_items

@@ -9,7 +9,8 @@ from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    pack_sequences, quality_score, repetition_ratio,
                    stratified_sample, tf_idf, token_count, tokens,
                    word_ngrams)
-from .multimodal import (attach_binary_meta, decode_images, extract_features,
+from .multimodal import (attach_binary_meta, decode_audio,
+                         decode_images, decode_pixel_stats, extract_features,
                          sample_frames)
 from .skew import salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
@@ -25,7 +26,8 @@ __all__ = [
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join",
-    "attach_binary_meta", "decode_images", "extract_features",
+    "attach_binary_meta", "decode_audio", "decode_images",
+    "decode_pixel_stats", "extract_features",
     "sample_frames",
     "salted_join", "skew_histogram",
     "bloom_filter", "bloom_pruned_semi_join", "build_bloom",

@@ -145,7 +145,110 @@ def test_decode_images_batch_shape(blobs):
     assert rows[1].n_bytes == 9006
     assert rows[1].width >= 16 and rows[1].height >= 16
     assert dict(out.dtypes) == {"item_id": "bigint", "width": "int",
-                                "height": "int", "n_bytes": "bigint"}
+                                "height": "int", "format": "string",
+                                "n_bytes": "bigint"}
+
+
+# ---------------------------------------------------------------------------
+# real codecs: PNM raster, header dims, WAV PCM
+# ---------------------------------------------------------------------------
+
+def _pgm(w, h, pixels):
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def _ppm(w, h, pixels):
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def _wav(rate, nch, samples16):
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(struct.pack(f"<{len(samples16)}h", *samples16))
+    return buf.getvalue()
+
+
+def test_pnm_decode_exact_raster():
+    import numpy as np
+    from spork_spark.operators.multimodal import decode_pnm, parse_pnm_header
+    px = list(range(12))
+    arr = decode_pnm(_pgm(4, 3, px))
+    assert arr.shape == (3, 4) and arr.sum() == sum(px)
+    rgb = decode_pnm(_ppm(2, 2, range(12)))
+    assert rgb.shape == (2, 2, 3) and rgb[1, 1, 2] == 11
+    # comments + extra whitespace in header
+    weird = b"P5\n# a comment\n 4\t3 # x\n255\n" + bytes(px)
+    assert parse_pnm_header(weird)[:4] == ("P5", 4, 3, 255)
+    assert np.array_equal(decode_pnm(weird), arr)
+    with pytest.raises(ValueError):
+        decode_pnm(_pgm(4, 3, px[:-1]))          # truncated raster
+
+
+def test_header_dims_real_formats():
+    import struct
+    from spork_spark.operators.multimodal import parse_image_dims
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 7)
+    assert parse_image_dims(png) == (640, 480, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert parse_image_dims(gif) == (320, 200, "gif")
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert parse_image_dims(bmp) == (100, 50, "bmp")
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF" + b"\x00" * 12
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 333, 444) + b"\x03" + b"\x00" * 9)
+    assert parse_image_dims(jpeg) == (444, 333, "jpeg")
+    assert parse_image_dims(_pgm(7, 5, [0] * 35)) == (7, 5, "pnm")
+    assert parse_image_dims(b"not an image") is None
+
+
+def test_decode_images_real_dims_via_spark(spark):
+    df = spark.createDataFrame(
+        [(1, _pgm(4, 3, range(12))), (2, b"opaque")],
+        "item_id bigint, payload binary")
+    rows = {r.item_id: r for r in
+            decode_images(df, "payload", "item_id").collect()}
+    assert (rows[1].width, rows[1].height, rows[1].format) == (4, 3, "pnm")
+    assert rows[2].format == "unknown"     # fake-dims fallback
+
+
+def test_decode_pixel_stats_matches_numpy(spark):
+    import numpy as np
+    from spork_spark.operators import decode_pixel_stats
+    px = [17, 0, 255, 4, 9, 200]
+    df = spark.createDataFrame(
+        [(1, _pgm(3, 2, px)), (2, b"junk")],
+        "item_id bigint, payload binary")
+    rows = {r.item_id: r for r in
+            decode_pixel_stats(df, "payload", "item_id").collect()}
+    a = np.array(px)
+    assert rows[1].n_pixels == 6
+    assert rows[1].mean_px == pytest.approx(a.mean())
+    assert (rows[1].min_px, rows[1].max_px) == (0, 255)
+    assert rows[2].n_pixels is None        # bad file → nulls, job survives
+
+
+def test_decode_audio_wav_pcm(spark):
+    import numpy as np
+    from spork_spark.operators import decode_audio
+    samples = [0, 1000, -1000, 2000]
+    df = spark.createDataFrame(
+        [(1, _wav(8000, 1, samples)), (2, b"not audio")],
+        "item_id bigint, payload binary")
+    rows = {r.item_id: r for r in
+            decode_audio(df, "payload", "item_id").collect()}
+    r1 = rows[1]
+    assert (r1.sample_rate, r1.channels, r1.n_frames) == (8000, 1, 4)
+    assert r1.duration_s == pytest.approx(4 / 8000)
+    assert r1.rms == pytest.approx(
+        float(np.sqrt(np.mean(np.array(samples, dtype=float) ** 2))))
+    assert rows[2].sample_rate is None
 
 
 def test_extract_features_dim_and_range(blobs):
