@@ -798,6 +798,39 @@ def q_dedup_minhash(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_connected_components(spark, sf):
+    """Distributed connected components (min-label propagation + pointer
+    jumping, O(log diameter) rounds of two key-shuffles — operators/
+    graph.py): deterministic edge set over documents (short chains via
+    doc_id%10<4 successor edges, long-range merges via doc_id→2*doc_id
+    doubling edges). Oracle: DuckDB recursive-CTE transitive closure with
+    MIN per node — exact component labels."""
+    from spork_spark.operators import connected_components
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df().select("doc_id")
+    e1 = docs.filter(F.col("doc_id") % 10 < 4) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 1).alias("dst"))
+    e2 = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") * 2).alias("dst"))
+    return connected_components(e1.union(e2)).orderBy("node")
+
+
+def q_dedup_near_full(spark, sf):
+    """END-TO-END near-dedup: LSH pairs (md5 mode, same parameters as
+    dedup_minhash) → connected components → keep min doc_id per duplicate
+    cluster. Unlike pair-level output, this closes transitivity (A≈B≈C
+    drops both B and C). Oracle replays the identical LSH SQL plus a
+    recursive-CTE component step."""
+    from spork_spark.operators import near_dedup
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return near_dedup(docs, "doc_id", "text", shingle_n=5, num_hashes=64,
+                      bands=16, threshold=0.6, hash_fn="md5") \
+        .select("doc_id").orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     """64-bit SimHash signatures, hash_fn='md5' (bits = md5 hex nibbles,
     signature = 16-hex-char string) so every signature bit is reproducible
@@ -1946,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "connected_components": q_connected_components,
+        "dedup_near_full": q_dedup_near_full,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -2561,6 +2596,66 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh sb ON sb.doc_id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
             FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
+        """,
+        "connected_components": """
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+              WHERE doc_id % 10 < 4
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents
+              WHERE doc_id % 7 = 0 AND doc_id > 0),
+            sym AS (
+              SELECT src AS a, dst AS b FROM base WHERE src != dst
+              UNION
+              SELECT dst, src FROM base WHERE src != dst),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node)
+            SELECT node, MIN(comp) AS comp FROM walk
+            GROUP BY node ORDER BY node
+        """,
+        "dedup_near_full": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 4, 1))]) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            sig AS (
+              SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || sg)) AS mh
+              FROM ex CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j),
+            band AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 4),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6),
+            sym AS (
+              SELECT id_a AS a, id_b AS b FROM v
+              UNION SELECT id_b, id_a FROM v),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT node FROM (SELECT node, MIN(comp) AS comp FROM walk
+                                GROUP BY node) c
+              WHERE node != comp)
+            ORDER BY doc_id
         """,
         "ngram_jaccard": """
             WITH sh AS (

@@ -2,7 +2,9 @@
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
 from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
-                    minhash_signature, ngram_jaccard_pairs, shingles, simhash)
+                    minhash_signature, near_dedup, ngram_jaccard_pairs,
+                    shingles, simhash)
+from .graph import connected_components
 from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
 from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, detect_language, fingerprint,
@@ -17,6 +19,7 @@ from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 
 __all__ = [
+    "connected_components", "near_dedup",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",

@@ -318,3 +318,28 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
             .withColumn("__cos", _dot(F.col("__va"), F.col("__vb")))
             .filter(F.col("__cos") >= F.lit(float(threshold)))
             .select("id_a", "id_b"))
+
+
+def near_dedup(df: DataFrame, id_col: str, text_col: str,
+               shingle_n: int = 5, num_hashes: int = 64, bands: int = 16,
+               threshold: float = 0.7, seed: int = 42,
+               hash_fn: str = "xxhash64") -> DataFrame:
+    """END-TO-END near-duplicate removal: LSH candidate pairs →
+    connected components (duplicate clusters) → keep the minimum-id doc
+    per cluster, drop the rest.
+
+    Pair-level dedup alone is wrong for clusters (A≈B, B≈C must drop both
+    B and C even if A≉C directly); the component step closes that
+    transitivity. All stages are shuffle-bounded: LSH banding (linear),
+    O(log diameter) component iterations (two key-shuffles each), one
+    anti-join to drop losers. Returns df minus non-canonical duplicates,
+    original schema."""
+    from .graph import connected_components
+    pairs = minhash_lsh_pairs(df, id_col, text_col, shingle_n=shingle_n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold, seed=seed,
+                              hash_fn=hash_fn)
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+                 .select(F.col("node").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,73 @@
+"""Distributed connected components — the cluster-assignment stage a
+near-duplicate pipeline needs between "similar pairs" and "one survivor
+per duplicate cluster" (extension beyond the reference surface;
+BASELINE.json north star).
+
+Algorithm: iterative min-label propagation with pointer jumping
+(Shiloach–Vishkin style, the same family as the large-star/small-star
+MapReduce formulation in Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14):
+
+  1. propagate: label(v) ← min(label(v), min over neighbors label(u))
+  2. jump:      label(v) ← label(label(v))   (path doubling)
+
+The jump step halves the distance to the component minimum each round, so
+convergence is O(log diameter) iterations — a 500-node chain converges in
+~9 rounds where plain label propagation needs 500. Each iteration is two
+key-shuffles (join + min-aggregate, then a self-join); labels are
+localCheckpoint()ed per round to truncate the lineage, which otherwise
+grows exponentially and overwhelms the Catalyst optimizer at scale.
+
+Convergence is detected with sum(label): labels only ever decrease, so an
+unchanged sum means a fixpoint — one cheap aggregate instead of an
+expensive old-vs-new anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 30) -> DataFrame:
+    """(src, dst) undirected edges → (node, component), component = the
+    smallest node id reachable from the node. Isolated endpoints appear
+    with themselves; nodes absent from `edges` are absent from the output
+    (union the full node set afterwards if needed)."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .union(edges.select(F.col(dst).alias("a"),
+                                    F.col(src).alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node"))
+                 .distinct()
+                 .withColumn("comp", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1. min neighbor label
+        nbr_min = (sym.join(labels.withColumnRenamed("node", "b"), on="b")
+                      .groupBy(F.col("a").alias("node"))
+                      .agg(F.min("comp").alias("nmin")))
+        stepped = (labels.join(nbr_min, on="node", how="left")
+                         .select("node",
+                                 F.least("comp", F.coalesce("nmin", "comp"))
+                                  .alias("comp")))
+        # 2. pointer jump: comp ← comp(comp)
+        parent = stepped.select(F.col("node").alias("comp"),
+                                F.col("comp").alias("gcomp"))
+        jumped = (stepped.join(parent, on="comp", how="left")
+                         .select("node",
+                                 F.least("comp", F.coalesce("gcomp", "comp"))
+                                  .alias("comp")))
+        jumped = jumped.localCheckpoint(eager=True)
+        s = jumped.agg(F.sum("comp")).collect()[0][0]
+        old = labels
+        labels = jumped
+        old.unpersist()
+        if s == prev_sum:        # labels are non-increasing ⇒ fixpoint
+            break
+        prev_sum = s
+    return labels

@@ -1,0 +1,69 @@
+"""Connected components + end-to-end near-dedup (the cluster-assignment
+stage between "similar pairs" and "one survivor per cluster")."""
+
+import random
+
+import pytest
+
+from spork_spark.operators import connected_components, near_dedup
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    """500-node chain: plain min-propagation needs 500 rounds; pointer
+    jumping must converge inside max_iter=15 (O(log n))."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(499)],
+                                  "src long, dst long")
+    out = connected_components(edges, max_iter=15)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.comp == 0 for r in rows)
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(sdf).collect()}
+    want = _uf_components(n, edges)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {v: want[v] for v in touched}
+
+
+def test_near_dedup_closes_transitivity(spark, eng):
+    """A≈B and B≈C but A≉C directly: the component step must still drop
+    both B and C, keeping only A (pair-level dedup alone can't)."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(0, base + "alpha beta gamma delta"),
+         (1, base + "alpha beta gamma DELTA x"),       # ≈ 0
+         (2, base + "alpha beta GAMMA DELTA x y"),     # ≈ 1, farther from 0
+         (3, "completely different content about spark engines and ions"),
+         (4, base + "alpha beta gamma delta")],        # exact dup of 0
+        "doc_id long, text string")
+    kept = near_dedup(docs, "doc_id", "text", threshold=0.6)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 3 in ids and 0 in ids
+    assert 4 not in ids                  # exact dup dropped
+    assert ids == [0, 3]                 # 1 and 2 pulled in transitively
