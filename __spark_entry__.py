@@ -954,6 +954,31 @@ def q_events_session_window(spark, sf):
                 .orderBy("user_id", "session_start"))
 
 
+def q_events_interval_join(spark, sf):
+    """Stream-stream interval join semantics in batch (the enrichment
+    pattern: purchases matched to same-user clicks within the preceding
+    5 minutes). The identical interval_join definition runs on two
+    watermarked readStreams — the time bound is what lets streaming
+    expire join state; here the bounded input makes it oracle-checkable
+    as a SQL range join."""
+    from spork_spark.streaming import interval_join
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select(F.col("user_id").alias("c_user"),
+                       F.col("ts").alias("c_ts"))
+    j = interval_join(purchases, clicks.withColumnRenamed("c_user",
+                                                          "user_id"),
+                      "user_id", "p_ts", "c_ts",
+                      lower="interval 5 minutes",
+                      upper="interval 0 seconds")
+    return (j.groupBy(F.col("l.user_id").alias("user_id"))
+             .agg(F.count("*").alias("n_pairs"))
+             .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # remaining relational surface: TOP, RANK BY, SAMPLE, ASSERT, STREAM
 # ---------------------------------------------------------------------------
@@ -1991,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
+        "events_interval_join": q_events_interval_join,
         "top_n": q_top_n,
         "rank_by": q_rank_by,
         "rank_dense": q_rank_dense,
@@ -2788,6 +2814,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total
             FROM s GROUP BY user_id, sess_id
             ORDER BY user_id, session_start
+        """,
+        "events_interval_join": """
+            SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+            GROUP BY p.user_id ORDER BY user_id
         """,
         "top_n": """
             SELECT custkey, FLOOR(s*100 + 0.5)/100 AS top3_total FROM (

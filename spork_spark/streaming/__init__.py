@@ -113,6 +113,31 @@ def stateful_running_agg(df: DataFrame, key_cols: list[str], value_col: str,
                                       "update", timeout))
 
 
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  lower: str = "interval 0 seconds",
+                  upper: str = "interval 5 minutes",
+                  how: str = "inner") -> DataFrame:
+    """Stream-stream (or batch) event-time interval join: match rows with
+    equal `key` where right_ts ∈ [left_ts - lower…, left_ts + upper]
+    — the enrichment join (clicks↔impressions) pattern.
+
+    Same definition serves batch (oracle-checkable vs a SQL range join)
+    and streaming: in streaming mode BOTH inputs need watermarks, and the
+    time-range condition is what lets Spark expire join state — without
+    it, stream-stream join state grows forever. State per side is bounded
+    by (watermark delay + interval width) of buffered rows per key
+    partition. Outer variants emit null-extended rows only after the
+    watermark passes (correctness over latency)."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{right_ts}")
+               >= F.expr(f"l.{left_ts} - {lower}"))
+            & (F.col(f"r.{right_ts}")
+               <= F.expr(f"l.{left_ts} + {upper}")))
+    return l.join(r, on=cond, how=how)
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str,
                   output_mode: str = "complete") -> "StreamingQuery":
     """Execute a streaming aggregation into the in-memory sink with the

@@ -153,3 +153,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
            for r in spark.read.parquet(out).collect()
            if r.window_start.hour == 10}
     assert got.get(0) == 2           # straggler never counted
+
+
+def test_interval_join_batch_stream_parity(spark, events, tmp_path):
+    """Stream-stream interval join: identical definition run (a) on
+    bounded DataFrames and (b) on two watermarked file streams through
+    availableNow — same matched pairs. The time bound is what lets
+    streaming expire join state."""
+    from spork_spark.streaming import interval_join
+
+    left = events.filter(F.col("value") % 2 == 0) \
+                 .select("user_id", F.col("ts").alias("l_ts"))
+    right = events.filter(F.col("value") % 2 == 1) \
+                  .select("user_id", F.col("ts").alias("r_ts"))
+    batch = interval_join(left, right, "user_id", "l_ts", "r_ts",
+                          lower="interval 0 seconds",
+                          upper="interval 10 minutes")
+    want = sorted((r[0], r[1], r[3]) for r in batch.collect())
+    assert want                                  # non-trivial match set
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    ls = read_stream(spark, lp, "user_id bigint, l_ts timestamp") \
+        .withWatermark("l_ts", "1 minute")
+    rs = read_stream(spark, rp, "user_id bigint, r_ts timestamp") \
+        .withWatermark("r_ts", "1 minute")
+    j = interval_join(ls, rs, "user_id", "l_ts", "r_ts",
+                      lower="interval 0 seconds",
+                      upper="interval 10 minutes")
+    q = run_to_memory(j, "ij_test", output_mode="append")
+    got = sorted((r[0], r[1], r[3]) for r in
+                 spark.sql("SELECT * FROM ij_test").collect())
+    assert got == want
