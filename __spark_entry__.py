@@ -515,6 +515,29 @@ def q_flatten_wordcount(spark, sf):
              .limit(100)).df()
 
 
+def q_flatten_join(spark, sf):
+    """FLATTEN-then-JOIN through the parser: tokens of o_orderpriority
+    exploded, then joined to customer on o_custkey. The compiler's
+    PushDownForEachFlatten rewrite (compiler/plan.py _try_defer_flatten)
+    runs the join BEFORE the explode — the shuffle moves un-amplified
+    order rows with the token array as one column — while the result is
+    identical to the eager explode the oracle computes."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    rels = run_script(eng, f"""
+        o = LOAD '{sf}/orders.parquet';
+        c = LOAD '{sf}/customer.parquet';
+        fe = FOREACH o GENERATE o_custkey, o_orderkey,
+                                FLATTEN(TOKENIZE(o_orderpriority)) AS tok;
+        j = JOIN fe BY o_custkey, c BY c_custkey;
+        g = GROUP j BY (c_mktsegment, tok);
+        agg = FOREACH g GENERATE FLATTEN(group) AS (seg, tok),
+                                 COUNT_STAR(j) AS cnt;
+        srt = ORDER agg BY seg, tok;
+    """)
+    return rels["srt"].df()
+
+
 # ---------------------------------------------------------------------------
 # builtin function coverage (SURVEY.md §2.4–2.5)
 # ---------------------------------------------------------------------------
@@ -1989,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_proj": q_range_proj,
         "rollup": q_rollup,
         "flatten_wordcount": q_flatten_wordcount,
+        "flatten_join": q_flatten_join,
         "string_funcs": q_string_funcs,
         "math_funcs": q_math_funcs,
         "datetime_funcs": q_datetime_funcs,
@@ -2814,6 +2838,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total
             FROM s GROUP BY user_id, sess_id
             ORDER BY user_id, session_start
+        """,
+        "flatten_join": """
+            WITH fe AS (
+              SELECT o_custkey, unnest(list_filter(
+                         string_split_regex(o_orderpriority, '[ \t\n",()*]+'),
+                         t -> t <> '')) AS tok
+              FROM orders)
+            SELECT c.c_mktsegment AS seg, fe.tok AS tok,
+                   COUNT(*) AS cnt
+            FROM fe JOIN customer c ON fe.o_custkey = c.c_custkey
+            GROUP BY seg, tok ORDER BY seg, tok
         """,
         "events_interval_join": """
             SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
