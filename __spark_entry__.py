@@ -909,6 +909,20 @@ def q_text_quality(spark, sf):
         "stopword_ratio").orderBy("doc_id")
 
 
+def q_gopher_filter(spark, sf):
+    """Gopher quality rules (word count, mean word length, alpha-word
+    ratio, stopword floor) as pure Column expressions; keep flag + first
+    failing rule per doc. Thresholds tuned to the fixture's word-salad
+    documents so both branches are exercised."""
+    from spork_spark.operators import gopher_filter
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (gopher_filter(docs, min_words=40, max_words=120,
+                          min_avg_word_len=3.0, max_avg_word_len=10.0,
+                          min_alpha_word_ratio=0.8, min_stopwords=1)
+            .select("doc_id", "keep", "drop_reason").orderBy("doc_id"))
+
+
 def q_lang_id(spark, sf):
     """Stopword-vote language ID; oracle replicates the argmax +
     lexicographic tiebreak with DuckDB struct sorting."""
@@ -2035,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce": q_similarity_bruteforce,
         "similarity_lsh": q_similarity_lsh,
         "text_quality": q_text_quality,
+        "gopher_filter": q_gopher_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
@@ -2740,6 +2755,43 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "gopher_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS DOUBLE) AS n,
+                     list_sum(list_transform(toks, x -> length(x)))
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS avg_len,
+                     CAST(len(list_filter(toks,
+                              x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+                         AS alpha_ratio,
+                     len(list_filter(toks, x -> list_contains(
+                         ['the','and','of','to','is','in','that','it','with'],
+                         lower(x)))) AS n_stop
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN n < 40 THEN 'too_few_words'
+                        WHEN n > 120 THEN 'too_many_words'
+                        WHEN avg_len < 3.0 THEN 'avg_word_too_short'
+                        WHEN avg_len > 10.0 THEN 'avg_word_too_long'
+                        WHEN alpha_ratio < 0.8 THEN 'non_alpha_words'
+                        WHEN n_stop < 1 THEN 'too_few_stopwords'
+                   END AS drop_reason,
+                   CASE WHEN n < 40 THEN 'too_few_words'
+                        WHEN n > 120 THEN 'too_many_words'
+                        WHEN avg_len < 3.0 THEN 'avg_word_too_short'
+                        WHEN avg_len > 10.0 THEN 'avg_word_too_long'
+                        WHEN alpha_ratio < 0.8 THEN 'non_alpha_words'
+                        WHEN n_stop < 1 THEN 'too_few_stopwords'
+                   END IS NULL AS keep
+            FROM m ORDER BY doc_id
         """,
         "text_quality": """
             WITH t AS (

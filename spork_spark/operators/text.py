@@ -336,3 +336,42 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     thresh = thresh.otherwise(F.lit(bucket_cap(default_rate))) \
         if thresh is not None else F.lit(bucket_cap(default_rate))
     return df.filter(bucket < thresh)
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_avg_word_len: float = 3.0,
+                  max_avg_word_len: float = 10.0,
+                  min_alpha_word_ratio: float = 0.8,
+                  min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", appendix A1 — the public rule set most training-data
+    pipelines start from), as pure Column expressions:
+
+      1. word count within [min_words, max_words]
+      2. mean word length within [min_avg_word_len, max_avg_word_len]
+      3. fraction of words containing an alphabetic character
+         >= min_alpha_word_ratio
+      4. at least min_stopwords stopwords present (gibberish screen)
+
+    Adds `keep` (boolean) and `drop_reason` (first failed rule, null when
+    kept) so pipelines can audit removal rates per rule — every rule is a
+    linear scan expression, no shuffle, no Python."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    avg_len = (F.aggregate(toks, F.lit(0.0),
+                           lambda acc, t: acc + F.length(t))
+               / F.greatest(n, F.lit(1.0)))
+    alpha_ratio = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+                   / F.greatest(n, F.lit(1.0)))
+    sw = F.array([F.lit(w) for w in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(
+        sw, F.lower(t))))
+    reason = (F.when(n < min_words, "too_few_words")
+               .when(n > max_words, "too_many_words")
+               .when(avg_len < min_avg_word_len, "avg_word_too_short")
+               .when(avg_len > max_avg_word_len, "avg_word_too_long")
+               .when(alpha_ratio < min_alpha_word_ratio, "non_alpha_words")
+               .when(n_stop < min_stopwords, "too_few_stopwords"))
+    return df.withColumn("drop_reason", reason) \
+             .withColumn("keep", reason.isNull())

@@ -552,3 +552,27 @@ def test_word_ngrams_short_text_empty(spark):
     bench = spark.createDataFrame([(99, "")], "doc_id long, text string")
     out = decontaminate(docs, bench, n=3, mode="flag")
     assert all(not r.contaminated for r in out.collect())
+
+
+def test_gopher_filter_rule_matrix(spark):
+    from spork_spark.operators import gopher_filter
+    rows = [
+        (1, "the brown cats sleep near the warm fire tonight " * 6),  # keep
+        (2, "short text"),                                    # too few words
+        (3, "the " + "supercalifragilistic " * 60),           # avg too long
+        (4, ("111 222 333 444 555 666 777 888 999 000 " * 6) + "the"),
+        # ^ avg len fine, but words are digits → non-alpha rule
+        (5, "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo " * 6),
+        # ^ well-formed words but zero stopwords
+        (6, None),                                            # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           gopher_filter(df, min_words=20, max_words=500,
+                         min_stopwords=1).collect()}
+    assert out[1].keep and out[1].drop_reason is None
+    assert out[2].drop_reason == "too_few_words"
+    assert out[3].drop_reason == "avg_word_too_long"
+    assert out[4].drop_reason == "non_alpha_words"
+    assert out[5].drop_reason == "too_few_stopwords"
+    assert out[6].drop_reason == "too_few_words"   # null → 0 tokens
