@@ -30,6 +30,10 @@ _SEMANTIC_CONF = {
     "spark.sql.ansi.enabled": "false",
     # Session timezone: Pig datetimes are instant-based (Joda ms + TZ).
     "spark.sql.session.timeZone": "UTC",
+    # Nanosecond-precision parquet timestamps read as long (sources.read
+    # downcasts ns→µs TIMESTAMP_NTZ itself); set here once rather than
+    # mutated per-read — it is a session-global knob.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 _SCALE_CONF = {

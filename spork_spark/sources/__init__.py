@@ -111,7 +111,11 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     nano_cols = _nano_ts_fields(path) if fmt == "parquet" and \
         (schema is None or positional_as) else []
     if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # belt-and-braces for externally built sessions; the engine's own
+        # session factory already sets this (session._SEMANTIC_CONF)
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                          "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = reader.options(**options).format(fmt).load(path)
     if nano_cols:
         # ns→µs is lossless here; TIMESTAMP_NTZ matches Spark's own reading

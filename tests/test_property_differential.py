@@ -835,3 +835,37 @@ def test_script_cogroup_inner_cross_matches_duckdb(eng, spark, da, db):
                COALESCE(ga.n, 0) AS na, COALESCE(gb.n, 0) AS nb
         FROM ga FULL JOIN gb ON ga.k IS NOT DISTINCT FROM gb.k""").fetchall())
     assert got == want
+
+
+arrtab = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+              st.integers(-5, 5),
+              st.one_of(st.none(),
+                        st.lists(st.sampled_from(["x", "y", "zz", ""]),
+                                 max_size=4))),
+    min_size=1, max_size=10)
+
+
+@given(da=arrtab, db=kv, how=st.sampled_from(["inner", "left"]))
+@SLOW
+def test_flatten_then_join_matches_duckdb(eng, spark, da, db, how):
+    """FLATTEN-then-JOIN under fuzz: the join-before-explode deferral
+    (inner joins) and the eager path (outer joins) must both equal
+    DuckDB's unnest-then-join on arbitrary data incl. null keys, empty
+    and null bags."""
+    from spork_spark import flatten
+    a = spark.createDataFrame(da, "k int, p int, bag array<string>")
+    b = spark.createDataFrame(db, "k int, w double")
+    con = duckdb.connect()
+    con.register("a", pd.DataFrame(da, columns=["k", "p", "bag"]))
+    con.register("b", pd.DataFrame(db, columns=["k", "w"]))
+    fe = eng.from_df(a, alias="fa").foreach(
+        col("k"), col("p"), flatten(col("bag")).alias("tok"))
+    r = fe.join([col("k")], eng.from_df(b, alias="fb"), [col("k")], how=how)
+    got = norm(tuple(x) for x in r.collect())
+    want = norm(con.sql(f"""
+        WITH fe AS (SELECT k, p, unnest(bag) AS tok FROM a)
+        SELECT fe.k, p, tok, b.k, w
+        FROM fe {'LEFT' if how == 'left' else 'INNER'} JOIN b
+          ON fe.k = b.k""").fetchall())
+    assert got == want
