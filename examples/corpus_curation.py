@@ -1,7 +1,8 @@
 """End-to-end training-corpus curation pipeline on the spork_spark engine —
 the composition a 100 TB curation job runs, on the sf0.001 fixtures:
 
-  quality filter → exact dedup → near-dup removal (MinHash LSH) →
+  Gopher quality rules → exact dedup → near-dup removal (MinHash LSH →
+  connected components → one survivor per duplicate CLUSTER) →
   benchmark decontamination → deterministic stratified sampling →
   cross-document sequence packing → parquet out
 
@@ -20,26 +21,26 @@ from pyspark.sql import functions as F
 
 from spork_spark import get_spark
 from spork_spark.operators import (decontaminate, exact_dedup,
-                                   minhash_lsh_pairs, pack_sequences,
-                                   quality_score, stratified_sample)
+                                   gopher_filter, near_dedup,
+                                   pack_sequences, stratified_sample)
 
 
 def curate(spark, sf_dir: str, out_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # 1. quality floor: enough tokens, mostly alphabetic
-    scored = quality_score(docs)
-    good = scored.filter((F.col("n_tokens") >= 10) &
-                         (F.col("alpha_ratio") >= 0.5))
+    # 1. quality floor: Gopher rules (word count, word length, alpha
+    #    ratio, stopword floor), audit column kept for removal-rate stats
+    good = gopher_filter(docs, min_words=10, min_stopwords=0) \
+        .filter(F.col("keep")).drop("keep", "drop_reason")
 
     # 2. exact dedup (survivor = min doc_id per text)
     deduped = exact_dedup(good, ["text"], keep="min", tiebreak="doc_id")
 
-    # 3. near-dup removal: drop the higher id of every LSH pair
-    pairs = minhash_lsh_pairs(deduped, "doc_id", "text", shingle_n=5,
-                              num_hashes=64, bands=16, threshold=0.8)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    uniq = deduped.join(losers, on="doc_id", how="left_anti")
+    # 3. near-dup removal, transitivity-closed: LSH pairs → connected
+    #    components → keep min doc_id per duplicate cluster (A≈B≈C drops
+    #    both B and C even when A and C aren't directly similar)
+    uniq = near_dedup(deduped, "doc_id", "text", shingle_n=5,
+                      num_hashes=64, bands=16, threshold=0.8)
 
     # 4. decontamination against a held-out benchmark slice
     bench = docs.filter(F.col("doc_id") % 97 == 0)
