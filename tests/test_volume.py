@@ -58,3 +58,28 @@ def test_escaping_bag_inner_sort_at_volume(eng, li):
     a = {r[0]: r[1] for r in got.collect()}
     b = {r[0]: r[1] for r in exp.collect()}
     assert a == b
+
+
+def test_connected_components_at_volume(eng, li):
+    """CC over a real bipartite graph: 60k lineitem edges at sf0.01
+    (orderkey ↔ partkey+OFFSET). Pins that per-round localCheckpoint
+    keeps the iteration count and lineage bounded at real edge counts,
+    and that labels are consistent: every edge's two endpoints land in
+    the same component."""
+    from pyspark.sql import functions as F
+
+    from spork_spark.operators import connected_components
+    edges = (eng.spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+             .select(F.col("l_orderkey").alias("src"),
+                     (F.col("l_partkey") + 10_000_000).alias("dst")))
+    comp = connected_components(edges, max_iter=25)
+    labels = comp.withColumnRenamed("node", "src") \
+                 .withColumnRenamed("comp", "c_src")
+    rlabels = comp.withColumnRenamed("node", "dst") \
+                  .withColumnRenamed("comp", "c_dst")
+    bad = (edges.join(labels, on="src").join(rlabels, on="dst")
+                .filter(F.col("c_src") != F.col("c_dst")).count())
+    assert bad == 0
+    n_nodes = comp.count()
+    n_comps = comp.select("comp").distinct().count()
+    assert n_comps < n_nodes          # bipartite graph actually merged
