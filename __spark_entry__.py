@@ -2543,7 +2543,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id,
                      CAST(json_extract_string(props, '$.k') AS INT) AS k
               FROM events WHERE event_type = 'click')
-            SELECT user_id, SUM(k) AS sum_k, COUNT(k) AS n
+            SELECT user_id, SUM(k) AS sum_k, COUNT(user_id) AS n
             FROM p GROUP BY user_id ORDER BY user_id
         """,
         "pigmix_fanout_join": """
@@ -2759,7 +2759,10 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
+                     -- COALESCE: engine treats NULL text as zero tokens
+                     -- (too_few_words), not as a NULL that escapes rules
+                     list_filter(string_split_regex(
+                                     coalesce(trim(text), ''), '\\s+'),
                                  x -> x <> '') AS toks
               FROM documents),
             m AS (

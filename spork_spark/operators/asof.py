@@ -103,6 +103,12 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
         raise ValueError(
             f"range_join: left/right share column names {sorted(overlap)}; "
             f"rename one side first")
+    reserved = {"__bin", "__rid"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"range_join: input columns collide with internal names "
+            f"{sorted(clash)}; rename them first")
     bw = float(bin_width)
     lbin = F.floor(F.col(point_col) / bw).cast("long")
     rlo = F.floor(F.col(lo_col) / bw).cast("long")
@@ -116,7 +122,14 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
                         .filter(contains).drop("__bin"))
     if how != "left":
         raise ValueError("range_join supports how='inner'|'left'")
-    l_id = left.withColumn("__rid", F.monotonically_increasing_id())
+    # localCheckpoint pins the nondeterministic row ids: the matched and
+    # anti-join branches both read l_id, and without materialization each
+    # would recompute monotonically_increasing_id independently — a
+    # nondeterministic upstream (sample, round-robin repartition) could
+    # then assign different ids per branch, dropping or double-emitting
+    # left rows.
+    l_id = left.withColumn("__rid", F.monotonically_increasing_id()) \
+               .localCheckpoint(eager=False)
     l_binned = l_id.withColumn("__bin", lbin)
     matched = (l_binned.join(r_binned, on="__bin", how="inner")
                        .filter(contains).drop("__bin"))

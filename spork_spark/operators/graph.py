@@ -18,9 +18,11 @@ key-shuffles (join + min-aggregate, then a self-join); labels are
 localCheckpoint()ed per round to truncate the lineage, which otherwise
 grows exponentially and overwhelms the Catalyst optimizer at scale.
 
-Convergence is detected with sum(label): labels only ever decrease, so an
-unchanged sum means a fixpoint — one cheap aggregate instead of an
-expensive old-vs-new anti-join.
+Convergence is detected with a label-hash sum: labels only ever decrease
+(by F.least, which orders strings as well as numbers), so an unchanged
+sum of xxhash64(label) means a fixpoint — one cheap aggregate instead of
+an expensive old-vs-new anti-join, and it works for non-numeric node ids
+where a plain sum(label) would be NULL every round.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .distinct()
                  .withColumn("comp", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = None
+    prev_sum: object = object()          # sentinel: never equals a sum
     for _ in range(max_iter):
         # 1. min neighbor label
         nbr_min = (sym.join(labels.withColumnRenamed("node", "b"), on="b")
@@ -63,7 +65,8 @@ def connected_components(edges: DataFrame, src: str = "src",
                                  F.least("comp", F.coalesce("gcomp", "comp"))
                                   .alias("comp")))
         jumped = jumped.localCheckpoint(eager=True)
-        s = jumped.agg(F.sum("comp")).collect()[0][0]
+        s = jumped.agg(F.sum(F.xxhash64(
+            F.col("comp").cast("string")))).collect()[0][0]
         old = labels
         labels = jumped
         old.unpersist()

@@ -188,8 +188,13 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         for pdf in batches:
             dims = []
             for p in pdf[bin_col]:
-                payload = bytes(p)
-                parsed = parse_image_dims(payload)
+                # bad files are data: NULL payloads and parser crashes
+                # must not kill a 100 TB job
+                payload = bytes(p) if p is not None else b""
+                try:
+                    parsed = parse_image_dims(payload)
+                except Exception:
+                    parsed = None
                 if parsed is None:
                     w, h = _fake_decode(payload)
                     dims.append((w, h, "unknown"))
@@ -200,7 +205,8 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                 "width": pd.Series([d[0] for d in dims], dtype="int32"),
                 "height": pd.Series([d[1] for d in dims], dtype="int32"),
                 "format": [d[2] for d in dims],
-                "n_bytes": pdf[bin_col].map(len).astype("int64"),
+                "n_bytes": pdf[bin_col].map(
+                    lambda p: len(p) if p is not None else 0).astype("int64"),
             })
 
     return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)
@@ -229,7 +235,7 @@ def decode_pixel_stats(df: DataFrame, bin_col: str = "payload",
                     rows.append((int(i), int(arr.size),
                                  float(arr.mean()), int(arr.min()),
                                  int(arr.max())))
-                except ValueError:
+                except Exception:       # NULL payload, truncated, not PNM
                     rows.append((int(i), None, None, None, None))
             yield pd.DataFrame(rows, columns=["item_id", "n_pixels",
                                               "mean_px", "min_px", "max_px"])

@@ -576,3 +576,21 @@ def test_gopher_filter_rule_matrix(spark):
     assert out[4].drop_reason == "non_alpha_words"
     assert out[5].drop_reason == "too_few_stopwords"
     assert out[6].drop_reason == "too_few_words"   # null → 0 tokens
+
+
+def test_decode_survives_null_payloads(spark):
+    """NULL binary payloads are data, not job-killers: every decode
+    kernel must emit a row (fake dims / nulls) instead of raising."""
+    from spork_spark.operators import decode_audio, decode_pixel_stats
+    df = spark.createDataFrame(
+        [(1, _pgm(2, 2, [0, 1, 2, 3])), (2, None)],
+        "item_id bigint, payload binary")
+    imgs = {r.item_id: r for r in
+            decode_images(df, "payload", "item_id").collect()}
+    assert imgs[2].format == "unknown" and imgs[2].n_bytes == 0
+    px = {r.item_id: r for r in
+          decode_pixel_stats(df, "payload", "item_id").collect()}
+    assert px[1].n_pixels == 4 and px[2].n_pixels is None
+    au = {r.item_id: r for r in
+          decode_audio(df, "payload", "item_id").collect()}
+    assert au[2].sample_rate is None

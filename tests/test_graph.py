@@ -67,3 +67,15 @@ def test_near_dedup_closes_transitivity(spark, eng):
     assert 3 in ids and 0 in ids
     assert 4 not in ids                  # exact dup dropped
     assert ids == [0, 3]                 # 1 and 2 pulled in transitively
+
+
+def test_cc_string_node_ids(spark):
+    """Non-numeric node ids: the convergence detector must not bail after
+    one round (a plain sum(label) is NULL for strings). 6-hop chain of
+    doc-name nodes must fully converge."""
+    names = [f"doc_{c}" for c in "abcdefg"]
+    edges = spark.createDataFrame(
+        [(names[i], names[i + 1]) for i in range(6)], "src string, dst string")
+    out = {r.node: r.comp for r in
+           connected_components(edges, max_iter=10).collect()}
+    assert set(out.values()) == {"doc_a"}

@@ -281,3 +281,24 @@ def test_cube_bag_escape_keeps_grouping_sets(eng, spark):
     # grouping sets: (a)=2 rows, (b)=1, and the grand-total set = 3
     assert got == [("", 3), ("a", 2), ("b", 1)] or \
         got == [(None, 3), ("a", 2), ("b", 1)]
+
+
+def test_range_join_left_stable_under_nondeterministic_input(spark):
+    """how='left' computes unmatched rows via a surrogate row id; the id
+    assignment must be pinned (localCheckpoint) so a nondeterministic
+    upstream (round-robin repartition) cannot diverge between the
+    matched and anti-join branches — no drops, no duplicates."""
+    from spork_spark.operators import range_join
+    left = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(500)],
+        "lid int, point double").repartition(7)
+    right = spark.createDataFrame(
+        [(100, 2.0, 5.0), (200, 10.0, 12.0)],
+        "rid int, lo double, hi double")
+    out = range_join(left, right, "point", "lo", "hi",
+                     bin_width=4.0, how="left")
+    rows = out.collect()
+    assert len(rows) == 500                      # exactly once per left row
+    matched = [r for r in rows if r.rid is not None]
+    assert {r.point for r in matched} == {2.0, 3.0, 4.0, 5.0, 10.0, 11.0,
+                                          12.0}

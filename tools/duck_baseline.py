@@ -22,14 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-HEADLINE = {
-    "agg_q1": "agg_q1",
-    "join_3way": "join_3way",
-    "orderby_limit": "orderby_limit",
-    "distinct": "distinct",
-    "window_rank": "rank_window",
-    "events_session": "events_session",
-}
+from bench import HEADLINE  # single source of truth for the query set
 
 
 def main() -> None:
