@@ -923,6 +923,25 @@ def q_gopher_filter(spark, sf):
             .select("doc_id", "keep", "drop_reason").orderBy("doc_id"))
 
 
+def q_dedup_lines(spark, sf):
+    """Corpus-level repeated-line removal (CCNet/RefinedWeb boilerplate
+    stage): synthetic multi-line docs — a banner line prepended to every
+    doc (occurs 500×, removed), a footer on every 10th (occurs 50×,
+    removed), the original text as the middle line (removed only for the
+    fixture's exact-duplicate texts). Oracle derives the expected
+    remainder from the per-text duplicate count."""
+    from spork_spark.operators import dedup_lines
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    built = docs.select(
+        "doc_id",
+        F.concat(F.lit("BOILER\n"), F.col("text"),
+                 F.when(F.col("doc_id") % 10 == 0, F.lit("\nFOOTER"))
+                  .otherwise(F.lit(""))).alias("text"))
+    return (dedup_lines(built, "doc_id", "text", max_occurrences=1)
+            .select("doc_id", "text").orderBy("doc_id"))
+
+
 def q_lang_id(spark, sf):
     """Stopword-vote language ID; oracle replicates the argmax +
     lexicographic tiebreak with DuckDB struct sorting."""
@@ -2050,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh": q_similarity_lsh,
         "text_quality": q_text_quality,
         "gopher_filter": q_gopher_filter,
+        "dedup_lines": q_dedup_lines,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
@@ -2755,6 +2775,14 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "dedup_lines": """
+            WITH c AS (SELECT text, COUNT(DISTINCT doc_id) AS n
+                       FROM documents GROUP BY text)
+            SELECT d.doc_id,
+                   CASE WHEN c.n > 1 THEN '' ELSE d.text END AS text
+            FROM documents d JOIN c USING (text)
+            ORDER BY d.doc_id
         """,
         "gopher_filter": """
             WITH t AS (

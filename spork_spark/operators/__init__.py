@@ -7,7 +7,8 @@ from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
 from .graph import connected_components
 from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
 from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
-                   decontaminate, detect_language, fingerprint, gopher_filter,
+                   decontaminate, dedup_lines, detect_language, fingerprint,
+                   gopher_filter,
                    pack_sequences, quality_score, repetition_ratio,
                    stratified_sample, tf_idf, token_count, tokens,
                    word_ngrams)
@@ -24,7 +25,8 @@ __all__ = [
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",
     "bpe_ish_token_count", "char_entropy", "chunk_documents",
-    "decontaminate", "detect_language", "gopher_filter", "pack_sequences",
+    "decontaminate", "dedup_lines", "detect_language", "gopher_filter",
+    "pack_sequences",
     "repetition_ratio", "stratified_sample",
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",

@@ -375,3 +375,52 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
                .when(n_stop < min_stopwords, "too_few_stopwords"))
     return df.withColumn("drop_reason", reason) \
              .withColumn("keep", reason.isNull())
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", sep: str = "\n",
+                max_occurrences: int = 1, min_line_chars: int = 1,
+                broadcast: bool = True) -> DataFrame:
+    """Corpus-level repeated-line removal (the CCNet/RefinedWeb
+    boilerplate stage): a line that occurs in more than `max_occurrences`
+    distinct documents (navbars, cookie banners, license footers) is
+    dropped from EVERY document; lines shorter than `min_line_chars` are
+    never counted as boilerplate (kept as-is).
+
+    All shuffle-bounded native ops: posexplode lines → md5-hash count
+    across the corpus (two-phase partial agg) → anti-join of frequent
+    hashes back → per-doc reassembly via collect_list + array_sort.
+    The boilerplate hash set is usually tiny relative to the corpus, so
+    it broadcasts by default; pass broadcast=False for a shuffled
+    anti-join when it isn't. Documents whose lines were all boilerplate
+    come back with empty text (filter afterwards if desired); original
+    non-text columns are preserved."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"))
+    frequent = (lines
+                .filter(F.length("__line") >= min_line_chars)
+                .groupBy(F.md5(F.col("__line")).alias("__h"))
+                .agg(F.count_distinct(id_col).alias("__n"))
+                .filter(F.col("__n") > max_occurrences)
+                .select("__h"))
+    if broadcast:
+        frequent = F.broadcast(frequent)
+    kept = lines.join(frequent,
+                      on=F.md5(F.col("__line")) == F.col("__h"),
+                      how="left_anti")
+    rebuilt = (kept
+               .groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"]),
+                   sep).alias(text_col)))
+    # left-join from the input so all-boilerplate docs survive (empty
+    # text) and non-text columns come along
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return (df.drop(text_col).join(rebuilt, on=id_col, how="left")
+              .select(id_col,
+                      F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                      *others))

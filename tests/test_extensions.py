@@ -594,3 +594,28 @@ def test_decode_survives_null_payloads(spark):
     au = {r.item_id: r for r in
           decode_audio(df, "payload", "item_id").collect()}
     assert au[2].sample_rate is None
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    from spork_spark.operators import dedup_lines
+    banner = "accept our cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique first doc line\nanother line", "a"),
+        (2, f"{banner}\nsecond doc content", "b"),
+        (3, f"{banner}\nthird doc content\n{banner}", "c"),
+        (4, banner, "d"),                       # all-boilerplate doc
+        (5, "no boilerplate here at all", "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r.doc_id: r for r in
+           dedup_lines(df, max_occurrences=2).collect()}
+    assert out[1].text == "unique first doc line\nanother line"
+    assert out[2].text == "second doc content"
+    assert out[3].text == "third doc content"   # both copies removed
+    assert out[4].text == "" and out[4].src == "d"   # survives, empty
+    assert out[5].text == "no boilerplate here at all"
+    # below threshold: a line in exactly 2 docs stays
+    out2 = {r.doc_id: r.text for r in
+            dedup_lines(df.filter("doc_id <= 2"),
+                        max_occurrences=2).collect()}
+    assert out2[1].startswith(banner)
