@@ -923,6 +923,21 @@ def q_gopher_filter(spark, sf):
             .select("doc_id", "keep", "drop_reason").orderBy("doc_id"))
 
 
+def q_resample_mixture(spark, sf):
+    """Deterministic mixture resampling (training-data mixing weights):
+    'en' docs weighted 2.75 (two full copies + a stable md5-bucket 75%
+    getting a third), everything else 1.25. Rerunnable, no rand();
+    map-side explode. Oracle replays the bucket arithmetic with
+    generate-range fan-out."""
+    from spork_spark.operators import resample_mixture
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (resample_mixture(docs, "lang", {"en": 2.75},
+                             key_col="doc_id", default_weight=1.25)
+            .select("doc_id", "lang", "copy_idx")
+            .orderBy("doc_id", "copy_idx"))
+
+
 def q_dedup_lines(spark, sf):
     """Corpus-level repeated-line removal (CCNet/RefinedWeb boilerplate
     stage): synthetic multi-line docs — a banner line prepended to every
@@ -2070,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_filter": q_gopher_filter,
         "dedup_lines": q_dedup_lines,
+        "resample_mixture": q_resample_mixture,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
@@ -2775,6 +2791,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "resample_mixture": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang = 'en' THEN 2 ELSE 1 END
+                     + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                                 < (CASE WHEN lang = 'en'
+                                         THEN 'c000' ELSE '4000' END)
+                            THEN 1 ELSE 0 END AS nc
+              FROM documents)
+            SELECT doc_id, lang,
+                   CAST(unnest(range(nc)) AS INT) AS copy_idx
+            FROM base ORDER BY doc_id, copy_idx
         """,
         "dedup_lines": """
             WITH c AS (SELECT text, COUNT(DISTINCT doc_id) AS n

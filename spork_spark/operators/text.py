@@ -424,3 +424,40 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
               .select(id_col,
                       F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
                       *others))
+
+
+def resample_mixture(df: DataFrame, strata_col: str, weights: dict,
+                     key_col: str = "doc_id",
+                     default_weight: float = 1.0) -> DataFrame:
+    """Deterministic mixture resampling for training-data mixing: each
+    stratum's rows are repeated according to its weight — floor(w) full
+    copies plus one extra copy for the deterministic md5-bucket fraction
+    of rows (same hash discipline as stratified_sample, so w<=1 degrades
+    to exactly that downsampling and w=2.5 means every row twice plus a
+    stable half of rows a third time). Output adds `copy_idx` (0-based)
+    so downstream shuffles can decorrelate the repeats.
+
+    Rerunnable and cluster-order-independent (no rand()); map-side
+    explode of a per-row sequence — no shuffle, output size is
+    sum(stratum_size * weight) exactly as the mixing recipe specifies."""
+    def bucket_cap(w: float) -> int:
+        frac = w - int(w)
+        return max(0, min(int(round(frac * 65536)), 65536))
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    bucket = F.conv(prefix, 16, 10).cast("int")
+    n_full, cap = None, None
+    for stratum, w in weights.items():
+        cond = F.col(strata_col) == stratum
+        nf, c = F.lit(int(w)), F.lit(bucket_cap(w))
+        n_full = F.when(cond, nf) if n_full is None else n_full.when(cond, nf)
+        cap = F.when(cond, c) if cap is None else cap.when(cond, c)
+    dn, dc = F.lit(int(default_weight)), F.lit(bucket_cap(default_weight))
+    n_full = n_full.otherwise(dn) if n_full is not None else dn
+    cap = cap.otherwise(dc) if cap is not None else dc
+    n_copies = n_full + F.when(bucket < cap, 1).otherwise(0)
+    # guard n_copies=0: sequence(0, -1) would auto-step DOWN to [0, -1]
+    # instead of being empty — emit an explicit empty array so explode
+    # drops the row
+    seq = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(seq))

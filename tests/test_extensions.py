@@ -619,3 +619,23 @@ def test_dedup_lines_removes_corpus_boilerplate(spark):
             dedup_lines(df.filter("doc_id <= 2"),
                         max_occurrences=2).collect()}
     assert out2[1].startswith(banner)
+
+
+def test_resample_mixture_counts(spark):
+    from spork_spark.operators import resample_mixture
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = resample_mixture(df, "lang", {"en": 3.0, "fr": 0.5},
+                           key_col="doc_id")
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per["en"] == 300                    # integer weight: exact 3x
+    assert 20 <= per["fr"] <= 80               # ~half of 100, hash-stable
+    # determinism: same output both runs
+    again = resample_mixture(df, "lang", {"en": 3.0, "fr": 0.5},
+                             key_col="doc_id")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # copy_idx enumerates 0..n-1 per row
+    en0 = [r.copy_idx for r in out.filter("doc_id = 0").collect()]
+    assert sorted(en0) == [0, 1, 2]
