@@ -287,3 +287,26 @@ def test_flatten_stays_eager_on_outer_join(eng, spark):
     assert got == [(1, "a"), (1, "b"), (3, "c"), (5, None)]
     plan = optimized_of(r)
     assert plan.index("Join") < plan.index("Generate")
+
+
+def test_dedup_lines_is_broadcast_anti(spark):
+    """The boilerplate hash set joins back as a BROADCAST anti-join — the
+    corpus side never shuffles for the removal step."""
+    from spork_spark.operators import dedup_lines
+    df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")],
+                               "doc_id long, text string")
+    p = _raw_plan(dedup_lines(df).df() if hasattr(dedup_lines(df), "df")
+                  else dedup_lines(df))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_resample_mixture_is_map_side(spark):
+    """Mixture resampling is a pure map-side explode: no Exchange in the
+    plan (the weights predicate + sequence generate stay in the scan
+    stage)."""
+    from spork_spark.operators import resample_mixture
+    df = spark.createDataFrame([(1, "en"), (2, "fr")],
+                               "doc_id long, lang string")
+    out = resample_mixture(df, "lang", {"en": 2.0}, key_col="doc_id")
+    p = _raw_plan(out)
+    assert "Exchange" not in p and "Generate" in p
