@@ -295,8 +295,7 @@ def test_dedup_lines_is_broadcast_anti(spark):
     from spork_spark.operators import dedup_lines
     df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")],
                                "doc_id long, text string")
-    p = _raw_plan(dedup_lines(df).df() if hasattr(dedup_lines(df), "df")
-                  else dedup_lines(df))
+    p = _raw_plan(dedup_lines(df))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
