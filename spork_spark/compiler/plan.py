@@ -22,6 +22,7 @@ because they are about plan generation (SURVEY.md §4.1 conclusion):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -834,7 +835,6 @@ class PlanCompiler:
     @staticmethod
     def _expr_col_refs(e: E.Expr) -> list[str]:
         """All column names referenced anywhere in an expression tree."""
-        import dataclasses
         out: list[str] = []
 
         def walk(x):

@@ -309,6 +309,15 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         F.array_join("__all", " ").alias("seq_text"))
 
 
+def _md5_bucket(key_col: str) -> "F.Column":
+    """Deterministic 16-bit hash bucket (0..65535) of a key column — the
+    shared rerunnable-sampling primitive for stratified_sample and
+    resample_mixture (md5 is engine-portable, so DuckDB oracles replay
+    the same buckets)."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    return F.conv(prefix, 16, 10).cast("int")
+
+
 def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
                       key_col: str = "doc_id",
                       default_rate: float = 0.0) -> DataFrame:
@@ -326,8 +335,7 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
     drop ~94% of such a stratum)."""
     def bucket_cap(rate: float) -> int:
         return max(0, min(int(round(rate * 65536)), 65536))
-    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
-    bucket = F.conv(prefix, 16, 10).cast("int")
+    bucket = _md5_bucket(key_col)
     thresh = None
     for stratum, rate in rates.items():
         cond = F.col(strata_col) == stratum
@@ -443,8 +451,7 @@ def resample_mixture(df: DataFrame, strata_col: str, weights: dict,
     def bucket_cap(w: float) -> int:
         frac = w - int(w)
         return max(0, min(int(round(frac * 65536)), 65536))
-    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
-    bucket = F.conv(prefix, 16, 10).cast("int")
+    bucket = _md5_bucket(key_col)
     n_full, cap = None, None
     for stratum, w in weights.items():
         cond = F.col(strata_col) == stratum
