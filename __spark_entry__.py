@@ -877,6 +877,19 @@ def q_ngram_jaccard(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_quantize_embeddings(spark, sf):
+    """Symmetric int8 scalar quantization of the embeddings table (the
+    4× storage reduction for 100 TB embedding columns): per-vector scale
+    max|v|/127, half-up rounding, clamp to ±127 — all Column HOFs. The
+    oracle replays the identical double arithmetic on the same float32
+    inputs, so codes and scales hash-match exactly."""
+    from spork_spark.operators import quantize_embeddings
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return (quantize_embeddings(emb)
+            .select("vec_id", "q_vec", "q_scale").orderBy("vec_id"))
+
+
 def q_similarity_bruteforce(spark, sf):
     """Exact cosine top-5 for the first 3 vectors against the corpus."""
     from spork_spark.operators import brute_force_topk
@@ -2081,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
+        "quantize_embeddings": q_quantize_embeddings,
         "similarity_lsh": q_similarity_lsh,
         "text_quality": q_text_quality,
         "gopher_filter": q_gopher_filter,
@@ -2791,6 +2805,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, score, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "quantize_embeddings": """
+            WITH q AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(
+                         embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+              FROM embeddings)
+            SELECT vec_id,
+                   CASE WHEN s > 0 THEN
+                        list_transform(embedding, x ->
+                            CAST(greatest(-127, least(127,
+                                 CAST(floor(CAST(x AS DOUBLE) / s + 0.5)
+                                      AS INT))) AS TINYINT))
+                   ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+                   END AS q_vec,
+                   s AS q_scale
+            FROM q ORDER BY vec_id
         """,
         "resample_mixture": """
             WITH base AS (

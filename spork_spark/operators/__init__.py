@@ -5,7 +5,8 @@ from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
                     minhash_signature, near_dedup, ngram_jaccard_pairs,
                     shingles, simhash)
 from .graph import connected_components
-from .similarity import brute_force_topk, cosine, ivf_topk, lsh_topk
+from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
+                         ivf_topk, lsh_topk, quantize_embeddings)
 from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    gopher_filter,
@@ -24,7 +25,8 @@ __all__ = [
     "connected_components", "near_dedup",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
-    "brute_force_topk", "cosine", "ivf_topk", "lsh_topk",
+    "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",
+    "lsh_topk", "quantize_embeddings",
     "bpe_ish_token_count", "char_entropy", "chunk_documents",
     "decontaminate", "dedup_lines", "detect_language", "gopher_filter",
     "pack_sequences",

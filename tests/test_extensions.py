@@ -639,3 +639,23 @@ def test_resample_mixture_counts(spark):
     # copy_idx enumerates 0..n-1 per row
     en0 = [r.copy_idx for r in out.filter("doc_id = 0").collect()]
     assert sorted(en0) == [0, 1, 2]
+
+
+def test_quantize_roundtrip_bounds(spark):
+    from spork_spark.operators import (dequantize_embeddings,
+                                       quantize_embeddings)
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [100.0, -50.0, 1.0, 0.003])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df)
+    out = {r.vec_id: r for r in q.collect()}
+    assert out[1].q_vec == [64, -127, 32, 0]       # s = 1/127
+    assert out[2].q_vec == [0, 0, 0, 0] and out[2].q_scale == 0.0
+    assert max(abs(c) for c in out[3].q_vec) == 127
+    # reconstruction error bounded by s/2 per element
+    deq = dequantize_embeddings(q, out_col="recon")
+    for r in deq.collect():
+        s = r.q_scale
+        for orig, rec in zip(r.embedding, r.recon):
+            assert abs(orig - rec) <= s / 2 + 1e-6
