@@ -2840,8 +2840,10 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT text, COUNT(DISTINCT doc_id) AS n
                        FROM documents GROUP BY text)
             SELECT d.doc_id,
-                   CASE WHEN c.n > 1 THEN '' ELSE d.text END AS text
-            FROM documents d JOIN c USING (text)
+                   CASE WHEN d.text IS NULL OR c.n > 1 THEN ''
+                        ELSE d.text END AS text
+            FROM documents d LEFT JOIN c
+              ON d.text IS NOT DISTINCT FROM c.text
             ORDER BY d.doc_id
         """,
         "gopher_filter": """

@@ -122,14 +122,16 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
                         .filter(contains).drop("__bin"))
     if how != "left":
         raise ValueError("range_join supports how='inner'|'left'")
-    # localCheckpoint pins the nondeterministic row ids: the matched and
-    # anti-join branches both read l_id, and without materialization each
-    # would recompute monotonically_increasing_id independently — a
-    # nondeterministic upstream (sample, round-robin repartition) could
-    # then assign different ids per branch, dropping or double-emitting
-    # left rows.
+    # EAGER localCheckpoint pins the nondeterministic row ids before the
+    # plan branches: the matched and anti-join branches both read l_id,
+    # and without materialization each would recompute
+    # monotonically_increasing_id independently — a nondeterministic
+    # upstream (sample, round-robin repartition) could then assign
+    # different ids per branch, dropping or double-emitting left rows.
+    # (eager=False is not enough: concurrent stages can compute a
+    # partition twice before its first caching.)
     l_id = left.withColumn("__rid", F.monotonically_increasing_id()) \
-               .localCheckpoint(eager=False)
+               .localCheckpoint(eager=True)
     l_binned = l_id.withColumn("__bin", lbin)
     matched = (l_binned.join(r_binned, on="__bin", how="inner")
                        .filter(contains).drop("__bin"))

@@ -65,8 +65,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                                  F.least("comp", F.coalesce("gcomp", "comp"))
                                   .alias("comp")))
         jumped = jumped.localCheckpoint(eager=True)
-        s = jumped.agg(F.sum(F.xxhash64(
-            F.col("comp").cast("string")))).collect()[0][0]
+        # decimal(38,0) sum cannot overflow (n*2^63 << 10^38), so the
+        # detector is safe under ANSI mode too (external sessions)
+        s = jumped.agg(F.sum(F.xxhash64(F.col("comp").cast("string"))
+                             .cast("decimal(38,0)"))).collect()[0][0]
         old = labels
         labels = jumped
         old.unpersist()

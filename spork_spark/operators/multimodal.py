@@ -290,7 +290,8 @@ def extract_features(df: DataFrame, bin_col: str = "payload",
         for pdf in batches:
             feats = []
             for p in pdf[bin_col]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                arr = np.frombuffer(bytes(p) if p is not None else b"",
+                                    dtype=np.uint8)
                 if arr.size == 0:
                     feats.append(np.zeros(dim, dtype=np.float32))
                     continue
@@ -321,7 +322,7 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
-                payload = bytes(p)
+                payload = bytes(p) if p is not None else b""
                 n_frames = max(len(payload) // 4096, 1)
                 for fi in range(0, n_frames, every_n):
                     ids.append(int(i)); idxs.append(fi)

@@ -403,9 +403,14 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
     anti-join when it isn't. Documents whose lines were all boilerplate
     come back with empty text (filter afterwards if desired); original
     non-text columns are preserved."""
+    # F.split takes a Java regex; \Q…\E quotes the separator so
+    # metacharacter seps ('|', '.', '+') split literally — array_join
+    # below rejoins with the same literal string
+    sep_re = "\\Q" + sep + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"))
+        F.posexplode(F.split(F.col(text_col), sep_re))
+         .alias("__pos", "__line"))
     frequent = (lines
                 .filter(F.length("__line") >= min_line_chars)
                 .groupBy(F.md5(F.col("__line")).alias("__h"))
