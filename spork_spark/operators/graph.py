@@ -75,4 +75,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         if s == prev_sum:        # labels are non-increasing ⇒ fixpoint
             break
         prev_sum = s
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations; labels are an upper bound (some components may "
+            f"still be split). Raise max_iter — convergence needs "
+            f"~log2(graph diameter) rounds.", RuntimeWarning, stacklevel=2)
     return labels

@@ -659,3 +659,15 @@ def test_quantize_roundtrip_bounds(spark):
         s = r.q_scale
         for orig, rec in zip(r.embedding, r.recon):
             assert abs(orig - rec) <= s / 2 + 1e-6
+
+
+def test_dedup_lines_metachar_separator(spark):
+    """Separators containing regex metacharacters must split literally
+    (F.split takes a regex; the operator quotes it)."""
+    from spork_spark.operators import dedup_lines
+    df = spark.createDataFrame(
+        [(1, "keep me|ad banner"), (2, "other text|ad banner")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           dedup_lines(df, sep="|", max_occurrences=1).collect()}
+    assert out[1] == "keep me" and out[2] == "other text"
