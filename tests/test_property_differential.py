@@ -869,3 +869,33 @@ def test_flatten_then_join_matches_duckdb(eng, spark, da, db, how):
         FROM fe {'LEFT' if how == 'left' else 'INNER'} JOIN b
           ON fe.k = b.k""").fetchall())
     assert got == want
+
+
+@given(docs=st.lists(
+           st.lists(st.sampled_from(["banner", "footer", "alpha beta",
+                                     "unique", "x", ""]),
+                    min_size=1, max_size=5),
+           min_size=1, max_size=8),
+       max_occ=st.integers(1, 3))
+@SLOW
+def test_dedup_lines_matches_reference(eng, spark, docs, max_occ):
+    """dedup_lines vs a pure-Python reference: line dropped iff it occurs
+    in more than max_occ DISTINCT docs; surviving lines keep order; docs
+    losing all lines come back empty."""
+    from spork_spark.operators import dedup_lines
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           dedup_lines(sdf, max_occurrences=max_occ).collect()}
+
+    from collections import defaultdict
+    in_docs = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            in_docs[ln].add(i)
+    # min_line_chars=1 (default): empty lines are never counted as
+    # boilerplate, hence never removed
+    want = {i: "\n".join(ln for ln in t.split("\n")
+                         if len(ln) < 1 or len(in_docs[ln]) <= max_occ)
+            for i, t in rows}
+    assert got == want
