@@ -951,6 +951,27 @@ def q_resample_mixture(spark, sf):
             .orderBy("doc_id", "copy_idx"))
 
 
+def q_scrub_pii(spark, sf):
+    """PII scrubbing (email/IPv4/phone/SSN-shaped → typed placeholders)
+    with a per-doc replacement count for audit sampling. PII is injected
+    deterministically into the fixture text; the oracle replays the same
+    regex chain in the same order (RE2 and Java agree on these
+    patterns)."""
+    from spork_spark.operators import scrub_pii
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    built = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact u"), F.col("doc_id"), F.lit("@ex.org"),
+                 F.lit(" from 10.1.2.3"),
+                 F.when(F.col("doc_id") % 5 == 0,
+                        F.lit(" id 123-45-6789")).otherwise(F.lit("")))
+         .alias("text"))
+    return (scrub_pii(built).select("doc_id", "text", "pii_count")
+            .orderBy("doc_id"))
+
+
 def q_dedup_lines(spark, sf):
     """Corpus-level repeated-line removal (CCNet/RefinedWeb boilerplate
     stage): synthetic multi-line docs — a banner line prepended to every
@@ -2099,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "gopher_filter": q_gopher_filter,
         "dedup_lines": q_dedup_lines,
+        "scrub_pii": q_scrub_pii,
         "resample_mixture": q_resample_mixture,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -2835,6 +2857,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CAST(unnest(range(nc)) AS INT) AS copy_idx
             FROM base ORDER BY doc_id, copy_idx
+        """,
+        "scrub_pii": """
+            WITH built AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@ex.org'
+                          || ' from 10.1.2.3'
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN ' id 123-45-6789' ELSE '' END AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                         AS n1,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+                   FROM built),
+            s2 AS (SELECT doc_id, n1,
+                     len(regexp_extract_all(t1,
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n2,
+                     regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                                    '<IP>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n1, n2,
+                     len(regexp_extract_all(t2,
+                         '\\b(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b'))
+                         AS n3,
+                     regexp_replace(t2,
+                         '\\b(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b',
+                         '<PHONE>', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT doc_id, n1, n2, n3,
+                     len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                         AS n4,
+                     regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                                    '<ID>', 'g') AS t4
+                   FROM s3)
+            SELECT doc_id, t4 AS text,
+                   CAST(n1 + n2 + n3 + n4 AS BIGINT) AS pii_count
+            FROM s4 ORDER BY doc_id
         """,
         "dedup_lines": """
             WITH c AS (SELECT text, COUNT(DISTINCT doc_id) AS n

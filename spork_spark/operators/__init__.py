@@ -11,7 +11,7 @@ from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    gopher_filter,
                    pack_sequences, quality_score, repetition_ratio,
-                   resample_mixture,
+                   resample_mixture, scrub_pii,
                    stratified_sample, tf_idf, token_count, tokens,
                    word_ngrams)
 from .multimodal import (attach_binary_meta, decode_audio,
@@ -30,7 +30,7 @@ __all__ = [
     "bpe_ish_token_count", "char_entropy", "chunk_documents",
     "decontaminate", "dedup_lines", "detect_language", "gopher_filter",
     "pack_sequences",
-    "repetition_ratio", "resample_mixture", "stratified_sample",
+    "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
     "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join",

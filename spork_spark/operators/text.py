@@ -473,3 +473,45 @@ def resample_mixture(df: DataFrame, strata_col: str, weights: dict,
     seq = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)) \
            .otherwise(F.array().cast("array<int>"))
     return df.withColumn("copy_idx", F.explode(seq))
+
+
+# PII patterns: conservative, precision-leaning regexes (a production
+# deployment swaps in its own). Order matters: emails before bare domains.
+_PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\b(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b",
+              "<PHONE>"),
+    "ssn_like": (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              kinds: list[str] | None = None,
+              count_col: str | None = "pii_count") -> DataFrame:
+    """Replace common PII patterns (email, IPv4, phone, SSN-shaped ids)
+    with typed placeholders — the standard scrubbing stage before
+    training-data release. Chained native regexp_replace calls (one
+    linear scan per pattern, whole-stage codegen, no Python); with
+    `count_col` set, also counts total replacements per document for
+    audit sampling.
+
+    Precision-leaning patterns by design: at 100 TB a false positive
+    destroys good text silently, while a recall miss is caught by the
+    audit count + sampling downstream."""
+    kinds = kinds or list(_PII_PATTERNS)
+    c = F.col(text_col)
+    scrubbed = c
+    n = F.lit(0).cast("long")
+    for k in kinds:
+        pat, repl = _PII_PATTERNS[k]
+        n = n + F.coalesce(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)),
+            F.lit(0)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    # count BEFORE replacing text_col — the count expression references
+    # the original column and must not resolve against the scrubbed one
+    if count_col:
+        df = df.withColumn(count_col, n)
+    return df.withColumn(text_col, scrubbed)

@@ -671,3 +671,20 @@ def test_dedup_lines_metachar_separator(spark):
     out = {r.doc_id: r.text for r in
            dedup_lines(df, sep="|", max_occurrences=1).collect()}
     assert out[1] == "keep me" and out[2] == "other text"
+
+
+def test_scrub_pii_patterns(spark):
+    from spork_spark.operators import scrub_pii
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call 555-123-4567 now"),
+        (2, "server at 192.168.10.1 logged ssn 123-45-6789"),
+        (3, "clean text with no pii at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[1].text == "contact <EMAIL> or call <PHONE> now"
+    assert out[2].text == "server at <IP> logged ssn <ID>"
+    assert out[1].pii_count == 2 and out[2].pii_count == 2
+    assert out[3].text == rows[2][1] and out[3].pii_count == 0
+    assert out[4].text is None            # null text passes through
