@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from spork_spark import get_spark
 from spork_spark.operators import (decontaminate, exact_dedup,
                                    gopher_filter, near_dedup,
-                                   pack_sequences, stratified_sample)
+                                   pack_sequences, scrub_pii,
+                                   stratified_sample)
 
 
 def curate(spark, sf_dir: str, out_dir: str):
@@ -46,6 +47,9 @@ def curate(spark, sf_dir: str, out_dir: str):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     clean = decontaminate(uniq.filter(F.col("doc_id") % 97 != 0), bench,
                           n=8, mode="remove")
+
+    # 4b. PII scrubbing before release (typed placeholders, audit count)
+    clean = scrub_pii(clean)
 
     # 5. per-language downsampling (deterministic, rerunnable)
     sampled = stratified_sample(clean, "lang", {"en": 0.9}, "doc_id",
