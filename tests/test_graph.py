@@ -79,3 +79,17 @@ def test_cc_string_node_ids(spark):
     out = {r.node: r.comp for r in
            connected_components(edges, max_iter=10).collect()}
     assert set(out.values()) == {"doc_a"}
+
+
+def test_near_dedup_clean_corpus_no_pairs(spark):
+    """A corpus with no near-duplicates produces an empty pair set; the
+    component stage must handle zero edges and return every doc."""
+    docs = spark.createDataFrame(
+        [(1, "completely unique first document about engines"),
+         (2, "a second text concerning very different gardening topics")],
+        "doc_id long, text string")
+    kept = near_dedup(docs, "doc_id", "text", threshold=0.9)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    # connected_components on an explicitly empty edge set
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0

@@ -309,3 +309,17 @@ def test_resample_mixture_is_map_side(spark):
     out = resample_mixture(df, "lang", {"en": 2.0}, key_col="doc_id")
     p = _raw_plan(out)
     assert "Exchange" not in p and "Generate" in p
+
+
+def test_interval_join_no_nested_loop(spark):
+    """interval_join must plan as an equi-join (hash/merge) with the time
+    range as a post-join filter — never a BroadcastNestedLoopJoin."""
+    from spork_spark.streaming import interval_join
+    l = spark.createDataFrame([(1, "2024-01-01 00:00:00")],
+                              "k long, l_ts string") \
+        .selectExpr("k", "CAST(l_ts AS TIMESTAMP) l_ts")
+    r = spark.createDataFrame([(1, "2024-01-01 00:01:00")],
+                              "k long, r_ts string") \
+        .selectExpr("k", "CAST(r_ts AS TIMESTAMP) r_ts")
+    j = interval_join(l, r, "k", "l_ts", "r_ts")
+    assert "NestedLoop" not in _raw_plan(j)
