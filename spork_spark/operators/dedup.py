@@ -323,10 +323,12 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
 def near_dedup(df: DataFrame, id_col: str, text_col: str,
                shingle_n: int = 5, num_hashes: int = 64, bands: int = 16,
                threshold: float = 0.7, seed: int = 42,
-               hash_fn: str = "xxhash64") -> DataFrame:
+               hash_fn: str = "xxhash64", keep: str = "min_id") -> DataFrame:
     """END-TO-END near-duplicate removal: LSH candidate pairs →
-    connected components (duplicate clusters) → keep the minimum-id doc
-    per cluster, drop the rest.
+    connected components (duplicate clusters) → keep ONE doc per cluster,
+    drop the rest. keep='min_id' (default, deterministic and
+    oracle-friendly) or keep='longest' (prefer the most complete copy —
+    the usual production choice; ties break on min id).
 
     Pair-level dedup alone is wrong for clusters (A≈B, B≈C must drop both
     B and C even if A≉C directly); the component step closes that
@@ -335,11 +337,26 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
     anti-join to drop losers. Returns df minus non-canonical duplicates,
     original schema."""
     from .graph import connected_components
+    if keep not in ("min_id", "longest"):
+        raise ValueError("near_dedup supports keep='min_id'|'longest'")
     pairs = minhash_lsh_pairs(df, id_col, text_col, shingle_n=shingle_n,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, seed=seed,
                               hash_fn=hash_fn)
     comp = connected_components(pairs, "id_a", "id_b")
-    losers = comp.filter(F.col("node") != F.col("comp")) \
-                 .select(F.col("node").alias(id_col))
+    if keep == "min_id":
+        losers = comp.filter(F.col("node") != F.col("comp")) \
+                     .select(F.col("node").alias(id_col))
+        return df.join(losers, on=id_col, how="left_anti")
+    # keep='longest': per component, the longest text wins (min id on
+    # ties). One keyed window over cluster members only — the clustered
+    # subset is tiny relative to the corpus, so the extra shuffle is
+    # bounded by the duplicate volume.
+    from pyspark.sql.window import Window
+    members = df.join(comp.withColumnRenamed("node", id_col), on=id_col)
+    w = Window.partitionBy("comp").orderBy(
+        F.length(F.col(text_col)).desc(), F.col(id_col))
+    losers = (members.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") > 1)
+                     .select(F.col(id_col)))
     return df.join(losers, on=id_col, how="left_anti")

@@ -93,3 +93,16 @@ def test_near_dedup_clean_corpus_no_pairs(spark):
     # connected_components on an explicitly empty edge set
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
+
+
+def test_near_dedup_keep_longest(spark):
+    """keep='longest': the most complete copy survives, not the min id."""
+    base = "shared content that is clearly near duplicated " * 4
+    docs = spark.createDataFrame(
+        [(0, base),                      # shorter copy, min id
+         (1, base + "plus an ending"),
+         (2, "a different document entirely about other things")],
+        "doc_id long, text string")
+    kept = near_dedup(docs, "doc_id", "text", threshold=0.6,
+                      keep="longest")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
