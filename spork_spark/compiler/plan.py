@@ -274,7 +274,16 @@ class PlanCompiler:
         only dereference the bag. Anything else (FLATTEN of the bag, the
         bag itself, non-algebraic fns) falls back to materialization.
         """
-        child_df = self._compile(group.child)
+        child_df = None
+        if isinstance(group.child, L.Join) and group.mode == "by" and \
+                self._consumers.get(group.child._id, 0) <= 1 and \
+                self._conf("spark.spork.optimizer.eagerAgg",
+                           "true") == "true":
+            eager = self._try_eager_agg(group, gens)
+            if eager is not None:
+                child_df, gens = eager
+        if child_df is None:
+            child_df = self._compile(group.child)
         ctx = self._ctx(child_df)
         keys = self._expand_star_keys(child_df, group.keys)
         agg_cols, out_cols, saw_agg = [], [], False
@@ -312,6 +321,170 @@ class PlanCompiler:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))
         return agg_df.select(*final)
+
+    _EAGER_AGGS = {"SUM", "COUNT", "COUNT_STAR", "MIN", "MAX"}
+    _EAGER_FINAL = {"SUM": "SUM", "COUNT": "SUM", "COUNT_STAR": "SUM",
+                    "MIN": "MIN", "MAX": "MAX"}
+
+    def _try_eager_agg(self, group: L.Group, gens: list[E.Expr]):
+        """Eager aggregation (Yan & Larson, VLDB'95) — an optimization
+        Catalyst does NOT perform: for FOREACH (GROUP (JOIN …) BY k)
+        GENERATE … AGG(fact.field) …, pre-aggregate the fact side by its
+        join key BEFORE the join, then finalize after. The exchange then
+        carries one partial row per join key instead of every fact row —
+        the reference's combiner idea extended through the join
+        (pig:…/mapReduceLayer/CombinerOptimizer.java is the per-group
+        analogue). Legal for SUM/COUNT/COUNT_STAR/MIN/MAX under INNER
+        joins: join multiplicity scales partial sums exactly as it scales
+        raw rows, and min/max are multiplicity-invariant.
+
+        Returns (joined-with-partials DataFrame, rewritten generators) or
+        None when the shape doesn't apply (the normal fusion path runs).
+        """
+        # -- collect the aggregates and their field references ------------
+        aggs: list[tuple[E.Func, str, str | None]] = []   # (node, fn, field)
+
+        def walk(e):
+            if isinstance(e, E.Func):
+                name = e.name.upper()
+                if name in ALGEBRAIC_AGGS or name in self.udafs:
+                    if name not in self._EAGER_AGGS:
+                        return False          # AVG/VAR/UDAF…: not eager
+                    if name == "COUNT_STAR" and len(e.args) == 0:
+                        aggs.append((e, name, None))
+                        return True
+                    if len(e.args) == 1 and isinstance(e.args[0], E.Deref) \
+                            and isinstance(e.args[0].field, str):
+                        aggs.append((e, name, e.args[0].field))
+                        return True
+                    return False              # COUNT(bag)/odd shapes: bail
+            for v in vars(e).values():
+                if isinstance(v, E.Expr) and not walk(v):
+                    return False
+                if isinstance(v, list) and not all(
+                        walk(x) for x in v if isinstance(x, E.Expr)):
+                    return False
+            return True
+
+        for g in gens:
+            if not walk(g.child if isinstance(g, E.Aliased) else g):
+                return None
+        fields = {f for _, _, f in aggs if f is not None}
+        if not fields:
+            return None                       # nothing pins a fact side
+        key_refs = set()
+        for k in group.keys:
+            key_refs.update(self._expr_col_refs(k))
+
+        # -- locate the fact input on the inner-join spine ----------------
+        def cols_of(node):
+            return set(self._compile(node).columns)
+
+        def find(node, above_sibling_cols):
+            """Descend binary inner joins; returns (ancestors, target,
+            target_keys) — ancestors = [(join_node, side_of_target)] from
+            this level down."""
+            if not isinstance(node, L.Join) or len(node.inputs) != 2 or \
+                    node.how != "inner" or \
+                    self._consumers.get(node._id, 0) > 1:
+                return None
+            a, b = node.inputs
+            acols, bcols = cols_of(a), cols_of(b)
+            if acols & bcols:
+                return None                   # collision renames: keep simple
+            for side, tgt, tcols, sib in ((1, b, bcols, acols),
+                                          (0, a, acols, bcols)):
+                if not fields <= tcols:
+                    continue
+                if key_refs & tcols:
+                    return None               # group key needs fact columns
+                if above_sibling_cols & tcols:
+                    return None               # upper join keys touch fact
+                tkeys = node.keys[side]
+                if not all(isinstance(k, E.Col) for k in tkeys):
+                    return None
+                # sibling-side keys at this level must avoid fact columns
+                sib_refs = set()
+                for k in node.keys[1 - side]:
+                    sib_refs.update(self._expr_col_refs(k))
+                if sib_refs & tcols:
+                    return None
+                if side == 0 and isinstance(tgt, L.Join):
+                    deeper = find(tgt, above_sibling_cols | {
+                        r for k in node.keys[0]
+                        for r in self._expr_col_refs(k)})
+                    if deeper is not None:
+                        anc, t, tk = deeper
+                        return ([(node, 0)] + anc, t, tk)
+                return ([(node, side)], tgt, tkeys)
+            return None
+
+        found = find(group.child, set())
+        if found is None:
+            return None
+        ancestors, target, tkeys = found
+
+        # -- pre-aggregate the fact side by its join key ------------------
+        tdf = self._compile(target)
+        key_names = [k.name for k in tkeys]
+        if not set(key_names) <= set(tdf.columns):
+            return None
+        partial_of: dict[tuple, str] = {}
+        partials = []
+        for _, fname, field in aggs:
+            sig = (fname, field)
+            if sig in partial_of:
+                continue
+            pname = f"__ea_{len(partial_of)}"
+            partial_of[sig] = pname
+            if fname == "SUM":
+                partials.append(F.sum(field).alias(pname))
+            elif fname == "COUNT":
+                partials.append(F.count(field).alias(pname))
+            elif fname == "COUNT_STAR":
+                partials.append(F.count(F.lit(1)).alias(pname))
+            elif fname == "MIN":
+                partials.append(F.min(field).alias(pname))
+            else:
+                partials.append(F.max(field).alias(pname))
+        pre = tdf.groupBy(*[F.col(k) for k in key_names]).agg(*partials)
+
+        # -- rebuild the join chain with the fact side swapped ------------
+        new_node = L.InMemory(pre)
+        new_node.alias = getattr(target, "alias", None)
+        for node, side in reversed(ancestors):
+            inputs = list(node.inputs)
+            inputs[side] = new_node
+            nj = L.Join(inputs, [list(ks) for ks in node.keys],
+                        node.how, node.strategy, node.parallel)
+            nj.alias = getattr(node, "alias", None)
+            new_node = nj
+
+        # -- rewrite generators onto the partial columns ------------------
+        def rewrite(e):
+            if isinstance(e, E.Func):
+                name = e.name.upper()
+                sig = None
+                if name == "COUNT_STAR" and len(e.args) == 0:
+                    sig = (name, None)
+                elif name in self._EAGER_AGGS and len(e.args) == 1 and \
+                        isinstance(e.args[0], E.Deref) and \
+                        isinstance(e.args[0].field, str):
+                    sig = (name, e.args[0].field)
+                if sig is not None and sig in partial_of:
+                    return E.Func(self._EAGER_FINAL[name],
+                                  [E.Col(partial_of[sig])])
+                return E.Func(e.name, [rewrite(a) if isinstance(a, E.Expr)
+                                       else a for a in e.args])
+            if isinstance(e, E.Aliased):
+                return E.Aliased(rewrite(e.child), e.name)
+            if isinstance(e, E.BinOp):
+                return E.BinOp(e.op, rewrite(e.left), rewrite(e.right))
+            if isinstance(e, E.Cast):
+                return E.Cast(e.pig_type, rewrite(e.child))
+            return e
+
+        return self._compile(new_node), [rewrite(g) for g in gens]
 
     def _grouped_agg(self, group: L.Group, child_df: DataFrame,
                      ctx: ExprCompiler, keys: list[E.Expr],

@@ -323,3 +323,53 @@ def test_interval_join_no_nested_loop(spark):
         .selectExpr("k", "CAST(r_ts AS TIMESTAMP) r_ts")
     j = interval_join(l, r, "k", "l_ts", "r_ts")
     assert "NestedLoop" not in _raw_plan(j)
+
+
+# -- eager aggregation (partial agg below inner joins) ----------------------
+
+def test_eager_agg_pushes_partial_below_join(eng):
+    """FOREACH (GROUP (JOIN …) BY dim_attr) GENERATE AGG(fact.field):
+    the fact side pre-aggregates by its join key BEFORE the join (eager
+    aggregation — a rewrite Catalyst lacks), so the exchange carries one
+    partial row per key instead of every fact row."""
+    orders = eng.load(f"{SF}/orders.parquet", alias="eao")
+    cust = eng.load(f"{SF}/customer.parquet", alias="eac")
+    j = cust.join([col("c_custkey")], orders, [col("o_custkey")])
+    g = j.group_by(col("c_mktsegment"))
+    r = g.foreach(col("group").alias("seg"),
+                  fn("SUM", col(j.alias).get("o_totalprice")).alias("total"),
+                  fn("COUNT_STAR").alias("n"))
+    p = plan_of(r)
+    assert "__ea_" in p                      # partials present
+    # four aggregate operators: pre partial+final below the join, outer
+    # partial+final above it (the non-eager plan has only two)
+    assert p.count("HashAggregate") >= 4
+    import duckdb
+    exp = {row[0]: (row[1], row[2]) for row in duckdb.sql(f"""
+        SELECT c_mktsegment, SUM(o_totalprice), COUNT(*)
+        FROM '{SF}/customer.parquet' c JOIN '{SF}/orders.parquet' o
+          ON c_custkey = o_custkey GROUP BY 1""").fetchall()}
+    got = {row.seg: (row.total, row.n) for row in r.df().collect()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k][0] - exp[k][0]) < 1e-4 and got[k][1] == exp[k][1]
+
+
+def test_eager_agg_skips_outer_join(eng):
+    """LEFT joins null-extend the fact side — eager aggregation is
+    illegal there and must not fire."""
+    orders = eng.load(f"{SF}/orders.parquet", alias="eao2")
+    cust = eng.load(f"{SF}/customer.parquet", alias="eac2")
+    j = cust.join([col("c_custkey")], orders, [col("o_custkey")],
+                  how="left")
+    g = j.group_by(col("c_mktsegment"))
+    r = g.foreach(col("group").alias("seg"),
+                  fn("COUNT_STAR").alias("n"))
+    assert "__ea_" not in plan_of(r)
+    import duckdb
+    exp = {row[0]: row[1] for row in duckdb.sql(f"""
+        SELECT c_mktsegment, COUNT(*)
+        FROM '{SF}/customer.parquet' c LEFT JOIN '{SF}/orders.parquet' o
+          ON c_custkey = o_custkey GROUP BY 1""").fetchall()}
+    got = {row.seg: row.n for row in r.df().collect()}
+    assert got == exp

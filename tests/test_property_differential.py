@@ -899,3 +899,43 @@ def test_dedup_lines_matches_reference(eng, spark, docs, max_occ):
                          if len(ln) < 1 or len(in_docs[ln]) <= max_occ)
             for i, t in rows}
     assert got == want
+
+
+fact_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+              st.one_of(st.none(), st.integers(-9, 9).map(float))),
+    min_size=1, max_size=15)
+dim_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+              st.sampled_from(["g1", "g2", "g3"])),
+    min_size=1, max_size=8)
+
+
+@given(fact=fact_rows, dim=dim_rows)
+@SLOW
+def test_eager_agg_matches_duckdb(eng, spark, fact, dim):
+    """Eager aggregation under fuzz: duplicate join keys on BOTH sides
+    (multiplicity must scale partials exactly), null keys (never match),
+    null fact values (skipped by SUM/COUNT, counted by COUNT_STAR)."""
+    f = spark.createDataFrame(fact, "fk int, v double")
+    d = spark.createDataFrame(dim, "dk int, grp string")
+    con = duckdb.connect()
+    con.register("f", pd.DataFrame(fact, columns=["fk", "v"]))
+    con.register("d", pd.DataFrame(dim, columns=["dk", "grp"]))
+    j = eng.from_df(d, alias="fd").join([col("dk")],
+                                        eng.from_df(f, alias="ff"),
+                                        [col("fk")])
+    g = j.group_by(col("grp"))
+    r = g.foreach(col("group").alias("grp"),
+                  fn("SUM", col(j.alias).get("v")).alias("sv"),
+                  fn("COUNT", col(j.alias).get("v")).alias("cv"),
+                  fn("MIN", col(j.alias).get("v")).alias("mn"),
+                  fn("MAX", col(j.alias).get("v")).alias("mx"),
+                  fn("COUNT_STAR").alias("n"))
+    assert "__ea_" in r.df()._jdf.queryExecution().optimizedPlan().toString()
+    got = norm(tuple(x) for x in r.collect())
+    want = norm(con.sql("""
+        SELECT grp, SUM(v) AS sv, COUNT(v) AS cv, MIN(v) AS mn,
+               MAX(v) AS mx, COUNT(*) AS n
+        FROM d JOIN f ON dk = fk GROUP BY grp""").fetchall())
+    assert got == want
