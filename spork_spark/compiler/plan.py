@@ -322,7 +322,7 @@ class PlanCompiler:
                                                      agg_df))
         return agg_df.select(*final)
 
-    _EAGER_AGGS = {"SUM", "COUNT", "COUNT_STAR", "MIN", "MAX"}
+    _EAGER_AGGS = {"SUM", "COUNT", "COUNT_STAR", "MIN", "MAX", "AVG"}
     _EAGER_FINAL = {"SUM": "SUM", "COUNT": "SUM", "COUNT_STAR": "SUM",
                     "MIN": "MIN", "MAX": "MAX"}
 
@@ -431,22 +431,28 @@ class PlanCompiler:
             return None
         partial_of: dict[tuple, str] = {}
         partials = []
+
+        def partial(sig, make):
+            if sig not in partial_of:
+                pname = f"__ea_{len(partial_of)}"
+                partial_of[sig] = pname
+                partials.append(make().alias(pname))
+            return partial_of[sig]
+
         for _, fname, field in aggs:
-            sig = (fname, field)
-            if sig in partial_of:
-                continue
-            pname = f"__ea_{len(partial_of)}"
-            partial_of[sig] = pname
             if fname == "SUM":
-                partials.append(F.sum(field).alias(pname))
+                partial((fname, field), lambda: F.sum(field))
             elif fname == "COUNT":
-                partials.append(F.count(field).alias(pname))
+                partial((fname, field), lambda: F.count(field))
             elif fname == "COUNT_STAR":
-                partials.append(F.count(F.lit(1)).alias(pname))
+                partial((fname, field), lambda: F.count(F.lit(1)))
             elif fname == "MIN":
-                partials.append(F.min(field).alias(pname))
-            else:
-                partials.append(F.max(field).alias(pname))
+                partial((fname, field), lambda: F.min(field))
+            elif fname == "MAX":
+                partial((fname, field), lambda: F.max(field))
+            else:   # AVG decomposes to sum+count partials
+                partial(("SUM", field), lambda: F.sum(field))
+                partial(("COUNT", field), lambda: F.count(field))
         pre = tdf.groupBy(*[F.col(k) for k in key_names]).agg(*partials)
 
         # -- rebuild the join chain with the fact side swapped ------------
@@ -471,9 +477,20 @@ class PlanCompiler:
                         isinstance(e.args[0], E.Deref) and \
                         isinstance(e.args[0].field, str):
                     sig = (name, e.args[0].field)
-                if sig is not None and sig in partial_of:
-                    return E.Func(self._EAGER_FINAL[name],
-                                  [E.Col(partial_of[sig])])
+                if sig is not None:
+                    if name == "AVG":
+                        # AVG = SUM(partial sums) / SUM(partial counts);
+                        # the double cast defeats Pig's truncating integer
+                        # '/' when the field is integral (AVG returns
+                        # double for int/long inputs — SURVEY.md §2.4)
+                        ssum = E.Cast("double", E.Func(
+                            "SUM", [E.Col(partial_of[("SUM", sig[1])])]))
+                        scnt = E.Func(
+                            "SUM", [E.Col(partial_of[("COUNT", sig[1])])])
+                        return E.BinOp("/", ssum, scnt)
+                    if sig in partial_of:
+                        return E.Func(self._EAGER_FINAL[name],
+                                      [E.Col(partial_of[sig])])
                 return E.Func(e.name, [rewrite(a) if isinstance(a, E.Expr)
                                        else a for a in e.args])
             if isinstance(e, E.Aliased):

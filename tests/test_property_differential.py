@@ -567,7 +567,9 @@ def test_cube_rollup_matches_duckdb(eng, spark, data):
     assert got == want
     rolled = (eng.from_df(sdf, alias="x").rollup(col("k"))
                  .foreach(col("group").alias("k"),
-                          fn("COUNT_STAR").alias("n"))
+                          fn("COUNT_STAR").alias("n"),
+                  fn("AVG", col(j.alias).get("v")).alias("av"),
+                  fn("AVG", col(j.alias).get("w")).alias("aw"))
                  .df().collect())
     got_r = norm(tuple(r) for r in rolled)
     want_r = norm(con.sql(
@@ -903,7 +905,8 @@ def test_dedup_lines_matches_reference(eng, spark, docs, max_occ):
 
 fact_rows = st.lists(
     st.tuples(st.one_of(st.none(), st.integers(0, 4)),
-              st.one_of(st.none(), st.integers(-9, 9).map(float))),
+              st.one_of(st.none(), st.integers(-9, 9).map(float)),
+              st.one_of(st.none(), st.integers(-20, 20))),
     min_size=1, max_size=15)
 dim_rows = st.lists(
     st.tuples(st.one_of(st.none(), st.integers(0, 4)),
@@ -917,10 +920,10 @@ def test_eager_agg_matches_duckdb(eng, spark, fact, dim):
     """Eager aggregation under fuzz: duplicate join keys on BOTH sides
     (multiplicity must scale partials exactly), null keys (never match),
     null fact values (skipped by SUM/COUNT, counted by COUNT_STAR)."""
-    f = spark.createDataFrame(fact, "fk int, v double")
+    f = spark.createDataFrame(fact, "fk int, v double, w int")
     d = spark.createDataFrame(dim, "dk int, grp string")
     con = duckdb.connect()
-    con.register("f", pd.DataFrame(fact, columns=["fk", "v"]))
+    con.register("f", pd.DataFrame(fact, columns=["fk", "v", "w"]))
     con.register("d", pd.DataFrame(dim, columns=["dk", "grp"]))
     j = eng.from_df(d, alias="fd").join([col("dk")],
                                         eng.from_df(f, alias="ff"),
@@ -931,11 +934,14 @@ def test_eager_agg_matches_duckdb(eng, spark, fact, dim):
                   fn("COUNT", col(j.alias).get("v")).alias("cv"),
                   fn("MIN", col(j.alias).get("v")).alias("mn"),
                   fn("MAX", col(j.alias).get("v")).alias("mx"),
-                  fn("COUNT_STAR").alias("n"))
+                  fn("COUNT_STAR").alias("n"),
+                  fn("AVG", col(j.alias).get("v")).alias("av"),
+                  fn("AVG", col(j.alias).get("w")).alias("aw"))
     assert "__ea_" in r.df()._jdf.queryExecution().optimizedPlan().toString()
     got = norm(tuple(x) for x in r.collect())
     want = norm(con.sql("""
         SELECT grp, SUM(v) AS sv, COUNT(v) AS cv, MIN(v) AS mn,
-               MAX(v) AS mx, COUNT(*) AS n
+               MAX(v) AS mx, COUNT(*) AS n, AVG(v) AS av,
+               AVG(CAST(w AS DOUBLE)) AS aw
         FROM d JOIN f ON dk = fk GROUP BY grp""").fetchall())
     assert got == want
