@@ -567,9 +567,7 @@ def test_cube_rollup_matches_duckdb(eng, spark, data):
     assert got == want
     rolled = (eng.from_df(sdf, alias="x").rollup(col("k"))
                  .foreach(col("group").alias("k"),
-                          fn("COUNT_STAR").alias("n"),
-                  fn("AVG", col(j.alias).get("v")).alias("av"),
-                  fn("AVG", col(j.alias).get("w")).alias("aw"))
+                          fn("COUNT_STAR").alias("n"))
                  .df().collect())
     got_r = norm(tuple(r) for r in rolled)
     want_r = norm(con.sql(
