@@ -57,6 +57,15 @@ _SCALE_CONF = {
     # local[32] default; a real deployment sizes this to cluster cores and
     # lets AQE coalesce down.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Long-lived driver hygiene: the status store retains per-execution /
+    # per-job/stage metadata forever at the defaults (1000 executions,
+    # 1000 jobs); a driver serving tens of thousands of queries (a soak
+    # run here; a resident service at 100 TB) accumulates heap until it
+    # OOMs. Bound the retention — the UI only needs recent history.
+    "spark.sql.ui.retainedExecutions": "100",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "2000",
 }
 
 

@@ -7,7 +7,11 @@ from spork_spark import Engine, get_spark
 def spark():
     s = get_spark(app_name="spork-tests", master="local[4]",
                   extra_conf={"spark.sql.shuffle.partitions": "4",
-                              "spark.ui.enabled": "false"})
+                              "spark.ui.enabled": "false",
+                              # long fuzz soaks run tens of thousands of
+                              # stages in one JVM; headroom over the 1g
+                              # default keeps the session alive
+                              "spark.driver.memory": "4g"})
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
