@@ -1228,15 +1228,43 @@ def q_multimodal_meta(spark, sf):
 
 def q_multimodal_decode(spark, sf):
     """Arrow-batched mapInPandas decode of binary payloads → (id, width,
-    height, format, n_bytes). Dimensions are REAL for png/gif/bmp/jpeg/pnm
-    payloads (pure header parsers — no codec library needed); payloads in
-    no known format fall back to deterministic fake dims (SURVEY.md §2.11).
-    These synthetic payloads are magic-bytes-only → rows-only check; the
-    real-codec path gets an exact oracle in multimodal_decode_pnm."""
+    height, format, n_bytes), EXACT-oracle: payloads carry genuine
+    headers for all four header-parsed container formats, synthesized in
+    pure SQL expressions by doc_id % 4 — PNG (IHDR big-endian dims),
+    GIF (logical screen descriptor little-endian), BMP
+    (BITMAPINFOHEADER little-endian), PNM (ASCII header). The engine's
+    real header parsers (operators/multimodal.py parse_image_dims) read
+    the dims back; the oracle recomputes width/height/format/n_bytes
+    from the same doc arithmetic, so a hash match proves each branch of
+    the multi-format decoder. Dims stay <256 so little-endian low bytes
+    suffice (hi bytes are 00)."""
     from spork_spark.operators import decode_images
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    payloads = _doc_payloads(docs).withColumnRenamed("doc_id", "item_id")
+    # w in 1..31, h in 1..7 — small, positive, format-independent
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.expr("""
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN concat(unhex('89504E470D0A1A0A'),  -- PNG magic
+                               unhex('0000000D49484452'),  -- len + 'IHDR'
+                               unhex(lpad(hex(length(text) % 31 + 1), 8, '0')),
+                               unhex(lpad(hex(doc_id % 7 + 1), 8, '0')))
+            WHEN 1 THEN concat(unhex('474946383961'),      -- 'GIF89a', LE dims
+                               unhex(lpad(hex(length(text) % 31 + 1), 2, '0')),
+                               unhex('00'),
+                               unhex(lpad(hex(doc_id % 7 + 1), 2, '0')),
+                               unhex('00'))
+            WHEN 2 THEN concat(unhex('424D'),              -- 'BM'; dims LE
+                               unhex(repeat('00', 16)),    --   at offset 18
+                               unhex(lpad(hex(length(text) % 31 + 1), 2, '0')),
+                               unhex('000000'),
+                               unhex(lpad(hex(doc_id % 7 + 1), 2, '0')),
+                               unhex('000000'))
+            ELSE encode(concat('P5\n', length(text) % 31 + 1, ' ',
+                               doc_id % 7 + 1, '\n255\n'), 'UTF-8')
+          END
+        """).alias("payload"))
     return decode_images(payloads, "payload", "item_id").orderBy("item_id")
 
 
@@ -1396,6 +1424,28 @@ def q_join_merge(spark, sf):
              .order_by(col("o_orderpriority"))).df()
 
 
+def q_join_merge_sparse(spark, sf):
+    """JOIN USING 'merge-sparse' (POMergeCogroup sparse path): the sorted
+    right side is read via its sparse index so only blocks whose keys
+    occur on the few-keyed left are touched. Spark-first compilation:
+    broadcast-semi-prune the right input on the left's distinct keys
+    below the SMJ's exchange+sort, then sort-merge the pruned remainder
+    (compiler/plan.py `merge_sparse`). Semantics identical to inner
+    join — which is what the oracle checks."""
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem")
+    part = _t(eng, sf, "part")
+    sparse = part.filter(col("p_retailprice") > lit(995.0))
+    j = sparse.join([col("p_partkey")], li, [col("l_partkey")],
+                    strategy="merge_sparse")
+    g = j.group_by(col("p_partkey"))
+    return (g.foreach(col("group").alias("p_partkey"),
+                      fn("SUM", col(j.alias).get("l_quantity"))
+                      .alias("sum_qty"),
+                      fn("COUNT_STAR").alias("cnt"))
+             .order_by(col("p_partkey"))).df()
+
+
 def q_join_skewed(spark, sf):
     """JOIN USING 'skewed' → AQE skew-join handles hot keys at runtime
     (replaces SkewedPartitioner/PoissonSampleLoader, SURVEY.md §2.1 #12);
@@ -1473,19 +1523,28 @@ def q_multimodal_frames(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal feature pipeline: binary payloads → fake-kernel feature
-    vectors (mapInPandas, Arrow-batched) → brute-force cosine top-3 of the
-    first 5 items against the corpus — the decode→embed→ANN composition a
-    multimodal training pipeline runs. Deterministic kernel; rows-only
-    check (float32 kernel arithmetic is not SQL-reproducible)."""
-    from spork_spark.operators import brute_force_topk, extract_features
+    """Multimodal feature extraction, EXACT-oracle: payloads are built
+    64-byte-periodic (md5(text)||md5(doc_id), repeated doc_id%3+1 times),
+    so the kernel's window-mean over dim=64 reproduces the first period's
+    byte values exactly (identical rows → exact float32 mean). The query
+    runs the REAL extract_features kernel (mapInPandas, Arrow-batched),
+    then inverts the /255 normalization (round(x*255) — float32 error
+    ~1e-7 relative, far below the 0.5 rounding margin) back to exact
+    integers the oracle recomputes with ascii() arithmetic. A hash match
+    proves the kernel's windowing, normalization, and batch plumbing."""
+    from spork_spark.operators import extract_features
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    feats = extract_features(_doc_payloads(docs), "payload", "doc_id")
-    queries_df = feats.filter(F.col("item_id") < 5)
-    return (brute_force_topk(feats, queries_df, k=3, id_col="item_id",
-                             vec_col="embedding")
-            .orderBy("query_id", "rank"))
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.expr("encode(repeat(md5(text) || md5(CAST(doc_id AS STRING)), "
+               "CAST(doc_id % 3 + 1 AS INT)), 'UTF-8')").alias("payload"))
+    feats = extract_features(payloads, "payload", "item_id", dim=64)
+    return feats.select(
+        "item_id",
+        F.size("embedding").alias("n_dims"),
+        F.expr("transform(embedding, x -> CAST(round(x * 255) AS INT))")
+         .alias("emb_bytes")).orderBy("item_id")
 
 
 def _r6(e):
@@ -2147,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_python": q_udf_python,
         "events_sliding": q_events_sliding,
         "join_merge": q_join_merge,
+        "join_merge_sparse": q_join_merge_sparse,
         "join_skewed": q_join_skewed,
         "pluck": q_pluck,
         "pigstorage_roundtrip": q_pigstorage_roundtrip,
@@ -2615,7 +2675,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id,
                      CAST(json_extract_string(props, '$.k') AS INT) AS k
               FROM events WHERE event_type = 'click')
-            SELECT user_id, SUM(k) AS sum_k, COUNT(user_id) AS n
+            SELECT user_id, CAST(SUM(k) AS BIGINT) AS sum_k,
+                   COUNT(user_id) AS n
             FROM p GROUP BY user_id ORDER BY user_id
         """,
         "pigmix_fanout_join": """
@@ -3092,7 +3153,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_orderkey
         """,
         "stream_through": """
-            SELECT n_nationkey, UPPER(n_name) AS n_name
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   UPPER(n_name) AS n_name
             FROM nation ORDER BY n_nationkey
         """,
         "token_count": r"""
@@ -3126,6 +3188,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
         """,
+        "multimodal_decode": """
+            WITH p AS (SELECT doc_id,
+                              length(text) % 31 + 1 AS w,
+                              doc_id % 7 + 1 AS h,
+                              doc_id % 4 AS m
+                       FROM documents)
+            SELECT doc_id AS item_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                          WHEN 2 THEN 'bmp' ELSE 'pnm' END AS format,
+                   CAST(CASE m WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+                        ELSE 9 + length(CAST(w AS VARCHAR))
+                               + length(CAST(h AS VARCHAR))
+                        END AS BIGINT) AS n_bytes
+            FROM p ORDER BY item_id
+        """,
         "multimodal_decode_pnm": """
             WITH p AS (SELECT doc_id,
                               length(text) % 31 + 1 AS w,
@@ -3148,8 +3227,20 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id % 5 + 1) * 100)
                        / CAST(8000 + doc_id % 3 * 4000 AS DOUBLE)
                        AS duration_s,
-                   0.0 AS rms
+                   CAST(0.0 AS DOUBLE) AS rms
             FROM documents ORDER BY item_id
+        """,
+        "multimodal_features": """
+            WITH s AS (SELECT doc_id,
+                              md5(text) || md5(CAST(doc_id AS VARCHAR))
+                                  AS s64
+                       FROM documents)
+            SELECT doc_id AS item_id,
+                   CAST(64 AS INT) AS n_dims,
+                   CAST(list_transform(range(1, 65),
+                        j -> ascii(substring(s64, CAST(j AS INT), 1)))
+                        AS INTEGER[]) AS emb_bytes
+            FROM s ORDER BY item_id
         """,
         "bloom_join": """
             SELECT l_suppkey, COUNT(*) AS n_items
@@ -3199,6 +3290,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "join_merge_sparse": """
+            SELECT p_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_retailprice > 995.0
+            GROUP BY p_partkey ORDER BY p_partkey
         """,
         "join_skewed": """
             SELECT o_orderstatus, COUNT(*) AS cnt
@@ -3310,7 +3407,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "json_roundtrip": """
-            SELECT n_nationkey, n_name, n_regionkey
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation ORDER BY n_nationkey
         """,
         "orc_roundtrip": """
@@ -3318,7 +3416,8 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier ORDER BY s_suppkey
         """,
         "text_loader": """
-            SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation ORDER BY n_nationkey
         """,
         "stats_agg": """
             SELECT l_returnflag,
@@ -3528,7 +3627,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(props->>'$.k' AS INT) % 10 AS kmod,
                    COUNT(*) AS n,
-                   SUM(CAST(props->>'$.k' AS INT)) AS sum_k
+                   CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
             FROM events
             GROUP BY 1, 2 ORDER BY event_type, kmod
         """,

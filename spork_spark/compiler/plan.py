@@ -919,6 +919,31 @@ class PlanCompiler:
                 right = F.broadcast(right)
             elif node.strategy == "merge":
                 right = right.hint("merge")
+            elif node.strategy == "merge_sparse":
+                # USING 'merge-sparse' (pig:…/POMergeCogroup.java sparse
+                # path): Pig seeks the sorted right side via its sparse
+                # index, touching only blocks whose keys occur on the
+                # (few-keyed) left. Spark-first equivalent: broadcast-
+                # semi-prune the right input on the left's distinct keys
+                # — the sparse premise is exactly "left keys are few", so
+                # the distinct-key set broadcasts — then sort-merge the
+                # pruned remainder. The prune happens below the SMJ's
+                # exchange+sort, so non-matching right rows never shuffle
+                # or sort. Inner-join only (Pig's own restriction); other
+                # hows fall back to the plain merge hint.
+                if node.how == "inner":
+                    probe = left.select(
+                        *[k.alias(f"__msk{j}")
+                          for j, k in enumerate(lkeys)]).distinct()
+                    rk = [self._ctx(dfs[i]).compile(k)
+                          for k in node.keys[i]]
+                    pcond = None
+                    for j, r in enumerate(rk):
+                        c = r == F.col(f"__msk{j}")
+                        pcond = c if pcond is None else pcond & c
+                    right = right.join(F.broadcast(probe), on=pcond,
+                                       how="left_semi")
+                right = right.hint("merge")
             elif node.strategy == "default":
                 # Pig's default JOIN is a shuffled HASH join (JoinPackager
                 # over the rearrange pipeline, SURVEY.md §2.1 #9). Spark's
@@ -1134,25 +1159,29 @@ class PlanCompiler:
         parts = staged.groupBy(pid).agg(
             F.sum("__cnt").alias("rows"),
             F.count(F.lit(1)).alias("keys")).collect()
-        row_off, key_off, racc, kacc = {}, {}, 0, 0
-        for p in sorted(r[0] for r in parts):
-            prow = next(r for r in parts if r[0] == p)
-            row_off[p], key_off[p] = racc, kacc
+        offs, racc, kacc = [], 0, 0
+        for prow in sorted(parts, key=lambda r: r[0]):
+            offs.append((prow[0], racc, kacc))
             racc += prow["rows"]
             kacc += prow["keys"]
-        def off_expr(m):
-            return F.element_at(
-                F.create_map(*[F.lit(x) for kv in m.items() for x in kv]),
-                F.col(pid)) if m else F.lit(0)
+        # Prefix-sum offsets travel as a tiny broadcast-joined DataFrame
+        # keyed on the partition id — O(1) expression tree at any partition
+        # count (a create_map literal here is a megabyte-scale expression
+        # at ~1e5 shuffle partitions).
+        offdf = staged.sparkSession.createDataFrame(
+            offs or [(0, 0, 0)], f"{pid} int, __rowoff long, __keyoff long")
+        staged_off = staged.join(F.broadcast(offdf), on=pid, how="left")
         w = Window.partitionBy(pid).orderBy(*order) \
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         running = F.sum("__cnt").over(w)
         wrow = Window.partitionBy(pid).orderBy(*order)
-        ranked_keys = staged.select(
+        ranked_keys = staged_off.select(
             *key_names,
-            (off_expr(row_off) + running - F.col("__cnt") + 1)
+            (F.coalesce(F.col("__rowoff"), F.lit(0))
+             + running - F.col("__cnt") + 1)
             .cast("long").alias("__rank"),
-            (off_expr(key_off) + F.row_number().over(wrow))
+            (F.coalesce(F.col("__keyoff"), F.lit(0))
+             + F.row_number().over(wrow))
             .cast("long").alias("__dense"))
 
         out_rank = F.col("__dense") if node.dense else F.col("__rank")
@@ -1176,16 +1205,19 @@ class PlanCompiler:
         staged = staged.persist()
         counts = {r[0]: r[1] for r in
                   staged.groupBy(pid).count().collect()}
-        offsets, acc = {}, 0
+        offs, acc = [], 0
         for p in sorted(counts):
-            offsets[p] = acc
+            offs.append((p, acc))
             acc += counts[p]
-        off_expr = F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col(pid)) if offsets else F.lit(0)
+        # Offsets as a broadcast-joined DataFrame on the partition id, not a
+        # create_map literal: O(1) expression tree at any partition count.
+        offdf = staged.sparkSession.createDataFrame(
+            offs or [(0, 0)], f"{pid} int, __off long")
+        staged_off = staged.join(F.broadcast(offdf), on=pid, how="left")
         w = Window.partitionBy(pid).orderBy(mid)
-        out = staged.withColumn(
-            out_name, (F.row_number().over(w) + off_expr).cast("long"))
+        out = staged_off.withColumn(
+            out_name, (F.row_number().over(w)
+                       + F.coalesce(F.col("__off"), F.lit(0))).cast("long"))
         return out.select(out_name, *df.columns)
 
     # ---------------------------------------------------------------- set ops

@@ -686,7 +686,8 @@ class PigParser:
             strategy = self._string().strip("'")
             strategy = {"replicated": "replicated", "repl": "replicated",
                         "skewed": "skewed", "merge": "merge",
-                        "merge-sparse": "merge"}.get(strategy, "default")
+                        "merge-sparse": "merge_sparse"}.get(strategy,
+                                                            "default")
         parallel = self._parallel()
         out = left
         keys = lkeys

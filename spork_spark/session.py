@@ -69,12 +69,64 @@ _SCALE_CONF = {
 }
 
 
+def _input_bytes(data_dir: str) -> int:
+    """Bytes of the largest table under ``data_dir`` (file or directory
+    table) — the number that sizes the biggest scan/shuffle."""
+    best = 0
+    try:
+        for name in os.listdir(data_dir):
+            p = os.path.join(data_dir, name)
+            if os.path.isdir(p):
+                sz = sum(os.path.getsize(os.path.join(p, f))
+                         for f in os.listdir(p) if not f.startswith("_"))
+            else:
+                sz = os.path.getsize(p)
+            best = max(best, sz)
+    except OSError:
+        return 0
+    return best
+
+
+def autosize_conf(input_bytes: int, cores: int | None = None) -> dict:
+    """Derive data-dependent session sizing from the largest input's bytes
+    (SCALE_r03.json finding 5: the sf0.1 profile applied 10x data left
+    `distinct` at 1.70 s; input-derived sizing brought it to 0.86 s).
+
+    - ``shuffle.partitions``: an UPPER bound of ~3 MB of scan input per
+      shuffle partition, floored at the core count and capped at 2048.
+      AQE (on by default) coalesces DOWN at runtime using exact shuffle
+      bytes, so oversizing is safe both ways; static undersizing is the
+      failure mode this prevents.
+    - ``files.maxPartitionBytes``: split scans so the map side has >=2
+      tasks per core (the sf1 fixture is 16 x 11 MB files; the default
+      128 MB splits would cap the scan at 16 of 32 cores).
+    At 100 TB the same rule lands near the cap and AQE takes over.
+    """
+    cores = cores or os.cpu_count() or 8
+    if input_bytes <= 0:
+        return {}
+    parts = max(cores, min(2048, input_bytes // (3 * 1024 * 1024) or 1))
+    split = max(4 * 1024 * 1024,
+                min(128 * 1024 * 1024, input_bytes // (2 * cores) or 1))
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(split),
+    }
+
+
 def get_spark(app_name: str = "spork-spark", master: str | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              data_dir: str | None = None) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     Master resolution: explicit arg > $SPARK_GRAFT_CPUS (local[N]) >
     existing session > local[*].
+
+    Session sizing follows the data by default: if ``data_dir`` (or
+    $SPARK_GRAFT_SF_DIR) names the input directory, shuffle-partition
+    upper bound and scan split size are derived from the largest table's
+    bytes (see ``autosize_conf``); explicit ``extra_conf`` and
+    $SPARK_GRAFT_SHUFFLE always win.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
@@ -83,7 +135,14 @@ def get_spark(app_name: str = "spork-spark", master: str | None = None,
             master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    for k, v in {**_SEMANTIC_CONF, **_SCALE_CONF, **(extra_conf or {})}.items():
+    cores = None
+    if master and master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    sized = dict(_SCALE_CONF)
+    data_dir = data_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    if data_dir and "SPARK_GRAFT_SHUFFLE" not in os.environ:
+        sized.update(autosize_conf(_input_bytes(data_dir), cores))
+    for k, v in {**_SEMANTIC_CONF, **sized, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Semantic confs are runtime-settable; enforce them even on a session we
@@ -93,6 +152,17 @@ def get_spark(app_name: str = "spork-spark", master: str | None = None,
             spark.conf.set(k, v)
         except Exception:
             pass
+    # Sizing confs are runtime-settable too; re-apply on a reused session so
+    # a long-lived driver pointed at new data resizes without restart.
+    # Explicit extra_conf keys stay authoritative.
+    if data_dir and "SPARK_GRAFT_SHUFFLE" not in os.environ:
+        for k, v in autosize_conf(_input_bytes(data_dir), cores).items():
+            if extra_conf and k in extra_conf:
+                continue
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
     return spark
 
 

@@ -373,3 +373,43 @@ def test_eager_agg_skips_outer_join(eng):
           ON c_custkey = o_custkey GROUP BY 1""").fetchall()}
     got = {row.seg: row.n for row in r.df().collect()}
     assert got == exp
+
+
+def test_rank_offsets_broadcast_not_literal(eng, spark):
+    """RANK prefix-sum offsets join as a broadcast DataFrame keyed on
+    __pid — O(1) expression tree at any partition count (the alternative,
+    a create_map literal with one entry per partition, is a megabyte-scale
+    expression at ~1e5 shuffle partitions)."""
+    df = spark.createDataFrame(
+        [(i % 7, float(i % 5)) for i in range(200)], "k int, v double")
+    # bare RANK (row_number path)
+    bare = eng.from_df(df).rank()
+    p = plan_of(bare)
+    assert "BroadcastHashJoin [__pid" in p or "BroadcastHashJoin [cast(__pid" in p
+    assert "keys: [" not in p  # no create_map literal in the plan
+    # RANK BY (distinct-key path)
+    by = eng.from_df(df).rank((col("v"), True))
+    p2 = plan_of(by)
+    assert "BroadcastHashJoin" in p2
+    assert "map(" not in p2
+
+
+def test_merge_sparse_prunes_below_smj(eng, spark):
+    """USING 'merge-sparse': the right input is broadcast-semi-pruned on
+    the left's distinct keys BELOW the sort-merge join's exchange+sort —
+    non-matching right rows never shuffle or sort (the Spark-first analog
+    of POMergeCogroup's sparse-index seeks)."""
+    part = eng.load(f"{SF}/part.parquet", alias="part")
+    li = eng.load(f"{SF}/lineitem.parquet", alias="lineitem")
+    sparse = part.filter(col("p_retailprice") > lit(1900.0))
+    j = sparse.join([col("p_partkey")], li, [col("l_partkey")],
+                    strategy="merge_sparse")
+    p = plan_of(j)
+    assert "SortMergeJoin" in p
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    # the semi prune is below the SMJ's sort of the right side
+    assert p.index("BroadcastHashJoin") > p.index("SortMergeJoin")
+    # equivalence to the plain inner join
+    plain = sparse.join([col("p_partkey")], li, [col("l_partkey")])
+    assert sorted(map(tuple, j.df().collect())) == \
+        sorted(map(tuple, plain.df().collect()))

@@ -35,6 +35,11 @@ SLOW = settings(max_examples=int(_os.environ.get("SPORK_FUZZ_EXAMPLES", "12")),
 def mk(spark, rows):
     sdf = spark.createDataFrame(rows, "k int, v double, s string")
     pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    # pin dtypes: an all-None column otherwise registers as object and
+    # DuckDB infers an integer type — SUM then widens to HUGEINT and the
+    # typed comparison (rightly) flags the seam
+    pdf["k"] = pdf["k"].astype("Int32")
+    pdf["v"] = pdf["v"].astype("float64")
     con = duckdb.connect()
     con.register("t", pdf)
     return sdf, con
@@ -943,3 +948,51 @@ def test_eager_agg_matches_duckdb(eng, spark, fact, dim):
                AVG(CAST(w AS DOUBLE)) AS aw
         FROM d JOIN f ON dk = fk GROUP BY grp""").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------- type seam
+
+AGG_FORMS = [
+    # (engine fn, engine arg, oracle SQL written with the repo's casting
+    #  discipline — DuckDB SUM/COUNT over ints widen to HUGEINT, so a
+    #  correct oracle casts to BIGINT; r03's one red row was this seam)
+    ("COUNT", "v", "CAST(COUNT(v) AS BIGINT)"),
+    ("SUM", "v", "SUM(v)"),
+    ("SUM", "k", "CAST(SUM(k) AS BIGINT)"),
+    ("AVG", "v", "AVG(v)"),
+    ("AVG", "k", "AVG(k)"),
+    ("MIN", "s", "MIN(s)"),
+    ("MAX", "v", "MAX(v)"),
+    ("COUNT_STAR", None, "CAST(COUNT(*) AS BIGINT)"),
+]
+
+
+@given(data=tables,
+       picks=st.lists(st.sampled_from(range(len(AGG_FORMS))),
+                      min_size=1, max_size=4, unique=True))
+@SLOW
+def test_aggregate_types_match_duckdb(eng, spark, data, picks):
+    """Typed (Arrow-schema) agreement on generated aggregate queries —
+    the driver's value-hash is type-sensitive, so new oracles must not
+    reintroduce the HUGEINT class of bug (VERDICT r03 #1/#6). Uses the
+    same canonical labels as tools/check_oracle.py."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.check_oracle import type_mismatches
+    sdf, con = mk(spark, data)
+    gens = [col("group").alias("k")]
+    sqls = []
+    for i, idx in enumerate(picks):
+        fname, arg, dsql = AGG_FORMS[idx]
+        alias = f"a{i}"
+        if arg is None:
+            gens.append(fn("COUNT_STAR").alias(alias))
+        else:
+            gens.append(fn(fname, col("x").get(arg)).alias(alias))
+        sqls.append(f"{dsql} AS {alias}")
+    rel = eng.from_df(sdf, alias="x").group_by(col("k")).foreach(*gens)
+    arrow_schema = con.sql(
+        "SELECT k, " + ", ".join(sqls) + " FROM t GROUP BY k").arrow().schema
+    assert type_mismatches(rel.df().schema, arrow_schema) == []

@@ -1,6 +1,10 @@
 """Local stand-in for the driver's t2 correctness gate: run every
 queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.01,
-compare row count, column names, and order-insensitive values.
+compare row count, column names, order-insensitive values, AND result
+types (Arrow-level), so the local gate is strictly stronger than the
+driver's typed value-hash (r03 lesson: DuckDB SUM(INT) -> HUGEINT ->
+decimal128(38,0) vs Spark bigint hashed differently despite equal
+values).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -16,6 +20,93 @@ sys.path.insert(0, ".")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def arrow_type_label(t):
+    """Canonical label for a pyarrow DataType; widths preserved so
+    int32-vs-int64 or decimal-vs-double divergence is caught."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{arrow_type_label(t.value_type)}>"
+    if pa.types.is_map(t):
+        return (f"map<{arrow_type_label(t.key_type)},"
+                f"{arrow_type_label(t.item_type)}>")
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_type_label(f.type)}"
+                         for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def spark_type_label(dt):
+    """Canonical label for a pyspark DataType, matching arrow_type_label."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"array<{spark_type_label(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (f"map<{spark_type_label(dt.keyType)},"
+                f"{spark_type_label(dt.valueType)}>")
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{spark_type_label(f.dataType)}"
+                         for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return dt.simpleString()
+
+
+def type_mismatches(spark_schema, arrow_schema):
+    """Per-column-name canonical-type diffs between a Spark schema and a
+    DuckDB Arrow schema. 'null' (all-NULL oracle column) matches anything."""
+    s = {f.name: spark_type_label(f.dataType) for f in spark_schema.fields}
+    d = {f.name: arrow_type_label(f.type) for f in arrow_schema}
+    out = []
+    for name in sorted(set(s) & set(d)):
+        if s[name] != d[name] and "null" not in (s[name], d[name]):
+            out.append(f"{name}: spark={s[name]} duck={d[name]}")
+    return out
 
 
 def norm_cell(v):
@@ -75,6 +166,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = rel.columns
+            arrow_schema = con.sql(oracles[name]).arrow().schema
             duck_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {exc}")
@@ -85,6 +177,9 @@ def main():
             problems.append(f"rows {len(spark_rows)} vs {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        tdiff = type_mismatches(df.schema, arrow_schema)
+        if tdiff:
+            problems.append(f"types {tdiff}")
         if not problems:
             s, d = norm_rows(spark_rows, spark_cols), norm_rows(duck_rows, duck_cols)
             if s != d:
