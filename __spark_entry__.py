@@ -2116,6 +2116,79 @@ def q_join_full(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation extensions, round 4 (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_per_source_cap(spark, sf):
+    """Per-domain document cap (Common-Crawl-pipeline guard): keep ≤5 docs
+    per source, preferring longest then smallest id. WindowGroupLimit
+    pushes the cap below the shuffle (plan pinned in test_curation.py)."""
+    from spork_spark.operators import per_source_cap
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (per_source_cap(docs, cap=5, priority_col="n_chars")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+def q_blocklist_filter(spark, sf):
+    """Blocklist filtering: drop blocked sources via a broadcast anti-join
+    — the corpus side never shuffles (plan pinned in test_curation.py)."""
+    from spork_spark.operators import blocklist_filter
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (blocklist_filter(docs, ["src0", "src3", "src11"])
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"))
+
+
+def q_classifier_score(spark, sf):
+    """fastText-shaped hashed-bigram linear quality classifier: tokenize →
+    bigrams (with multiplicity) → 16-bit md5 hashing trick → INTEGER
+    weight per bucket (bucket % 997 - 498) → exact BIGINT score. Pure
+    HOFs, no shuffle, no Python; integer weights make the score exactly
+    SQL-reproducible (float weights would drift by summation order)."""
+    from spork_spark.operators import classifier_score
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return classifier_score(docs).orderBy("doc_id")
+
+
+def q_corpus_stats(spark, sf):
+    """Per-(lang, source) dataset-card report: doc count, total/avg chars,
+    total tokens, short-doc count — one partial+final HashAggregate."""
+    from spork_spark.operators import corpus_stats
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return corpus_stats(docs).orderBy("lang", "source")
+
+
+def q_kmeans(spark, sf):
+    """Deterministic integer-quantized Lloyd's k-means (k=4, 2 rounds,
+    seeds = vectors of the 4 smallest ids): assignment is a narrow map
+    against the broadcast centroid literal; the update shuffles k·dim
+    partial sums, not the corpus. Exact integer arithmetic end-to-end —
+    the oracle replays both rounds in SQL and must match bit-for-bit."""
+    from spork_spark.operators import kmeans_quantized
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return kmeans_quantized(emb, k=4, n_iter=2).orderBy("vec_id")
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (cluster → intra-cluster cosine prune): drop any vector
+    whose cosine to an earlier same-cluster vector ≥ 0.45. The pair
+    space is quadratic only within a cluster; the cosine test is exact
+    integer arithmetic on quantized codes (dot² ≥ τ²·|a|²·|b|² in
+    decimal128), so survivors are deterministic and SQL-checkable."""
+    from spork_spark.operators import semantic_dedup
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return (semantic_dedup(emb, threshold=0.45, k=4, n_iter=2)
+            .select("vec_id", "label").orderBy("vec_id"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2211,6 +2284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pluck": q_pluck,
         "pigstorage_roundtrip": q_pigstorage_roundtrip,
         "corpus_pipeline": q_corpus_pipeline,
+        "per_source_cap": q_per_source_cap,
+        "blocklist_filter": q_blocklist_filter,
+        "classifier_score": q_classifier_score,
+        "corpus_stats": q_corpus_stats,
+        "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "regex_funcs": q_regex_funcs,
@@ -3308,6 +3387,179 @@ def oracle_sql() -> dict[str, str]:
         "pigstorage_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey
             FROM nation ORDER BY n_nationkey
+        """,
+        "per_source_cap": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY n_chars DESC, doc_id ASC) <= 5
+            ORDER BY doc_id
+        """,
+        "blocklist_filter": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE source NOT IN ('src0', 'src3', 'src11')
+            ORDER BY doc_id
+        """,
+        "classifier_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)),
+                                i -> ws[CAST(i AS INT)] || ' '
+                                     || ws[CAST(i AS INT) + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t),
+            w AS (
+              SELECT doc_id, grams,
+                     list_transform(grams, g2 ->
+                       CAST(list_sum(list_transform([1, 2, 3, 4], i ->
+                         (ascii(substring(md5(g2), CAST(i AS INT), 1))
+                          - CASE WHEN ascii(substring(md5(g2),
+                                            CAST(i AS INT), 1)) < 58
+                                 THEN 48 ELSE 87 END)
+                         * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256
+                                  WHEN 3 THEN 16 ELSE 1 END))
+                        AS BIGINT) % 997 - 498) AS wts
+              FROM g)
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_grams,
+                   CAST(COALESCE(list_sum(wts), 0) AS BIGINT) AS score_int,
+                   COALESCE(list_sum(wts), 0) > 0 AS keep
+            FROM w ORDER BY doc_id
+        """,
+        "corpus_stats": r"""
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(FLOOR(AVG(length(text)) * 100 + 0.5) AS BIGINT)
+                       AS avg_chars_x100,
+                   CAST(SUM(len(list_filter(
+                        regexp_split_to_array(trim(text), '\s+'),
+                        x -> x != ''))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_short
+            FROM documents GROUP BY lang, source
+            ORDER BY lang, source
+        """,
+        "kmeans": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS cid, qv AS cv
+              FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+            a0 AS (
+              SELECT vec_id, cl FROM (
+                SELECT q.vec_id, c0.cid AS cl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (q.qv[CAST(i AS INT)]
+                                 - c0.cv[CAST(i AS INT)])
+                                * (q.qv[CAST(i AS INT)]
+                                   - c0.cv[CAST(i AS INT)]))),
+                           c0.cid) AS rn
+                FROM q CROSS JOIN c0) WHERE rn = 1),
+            e0 AS (
+              SELECT a0.cl, d.i, q.qv[CAST(d.i AS INT)] AS v
+              FROM a0 JOIN q USING (vec_id)
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+            c1 AS (
+              SELECT cid, list(cv ORDER BY i) AS cv FROM (
+                SELECT cl AS cid, i,
+                       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                            AS BIGINT) AS cv
+                FROM e0 GROUP BY cl, i)
+              GROUP BY cid),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT q.vec_id, c1.cid AS cl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (q.qv[CAST(i AS INT)]
+                                 - c1.cv[CAST(i AS INT)])
+                                * (q.qv[CAST(i AS INT)]
+                                   - c1.cv[CAST(i AS INT)]))),
+                           c1.cid) AS rn
+                FROM q CROSS JOIN c1) WHERE rn = 1)
+            SELECT vec_id, cl AS cluster FROM a1 ORDER BY vec_id
+        """,
+        "semantic_dedup": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS cid, qv AS cv
+              FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+            a0 AS (
+              SELECT vec_id, cl FROM (
+                SELECT q.vec_id, c0.cid AS cl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (q.qv[CAST(i AS INT)]
+                                 - c0.cv[CAST(i AS INT)])
+                                * (q.qv[CAST(i AS INT)]
+                                   - c0.cv[CAST(i AS INT)]))),
+                           c0.cid) AS rn
+                FROM q CROSS JOIN c0) WHERE rn = 1),
+            e0 AS (
+              SELECT a0.cl, d.i, q.qv[CAST(d.i AS INT)] AS v
+              FROM a0 JOIN q USING (vec_id)
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+            c1 AS (
+              SELECT cid, list(cv ORDER BY i) AS cv FROM (
+                SELECT cl AS cid, i,
+                       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                            AS BIGINT) AS cv
+                FROM e0 GROUP BY cl, i)
+              GROUP BY cid),
+            a1 AS (
+              SELECT vec_id, cl FROM (
+                SELECT q.vec_id, c1.cid AS cl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (q.qv[CAST(i AS INT)]
+                                 - c1.cv[CAST(i AS INT)])
+                                * (q.qv[CAST(i AS INT)]
+                                   - c1.cv[CAST(i AS INT)]))),
+                           c1.cid) AS rn
+                FROM q CROSS JOIN c1) WHERE rn = 1),
+            dup AS (
+              SELECT DISTINCT ab.vec_id
+              FROM a1 aa JOIN a1 ab
+                ON aa.cl = ab.cl AND aa.vec_id < ab.vec_id
+              JOIN q qa ON qa.vec_id = aa.vec_id
+              JOIN q qb ON qb.vec_id = ab.vec_id
+              WHERE list_sum(list_transform(range(1, 65), i ->
+                      qa.qv[CAST(i AS INT)] * qb.qv[CAST(i AS INT)])) > 0
+                AND list_sum(list_transform(range(1, 65), i ->
+                      qa.qv[CAST(i AS INT)] * qb.qv[CAST(i AS INT)]))
+                    * list_sum(list_transform(range(1, 65), i ->
+                      qa.qv[CAST(i AS INT)] * qb.qv[CAST(i AS INT)]))
+                    * 1000000
+                    >= 202500
+                       * list_sum(list_transform(range(1, 65), i ->
+                           qa.qv[CAST(i AS INT)] * qa.qv[CAST(i AS INT)]))
+                       * list_sum(list_transform(range(1, 65), i ->
+                           qb.qv[CAST(i AS INT)] * qb.qv[CAST(i AS INT)]))
+            )
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM dup)
+            ORDER BY e.vec_id
         """,
         "corpus_pipeline": r"""
             SELECT lang, source, COUNT(*) AS n_docs,

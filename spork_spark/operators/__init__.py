@@ -17,6 +17,8 @@ from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
 from .multimodal import (attach_binary_meta, decode_audio,
                          decode_images, decode_pixel_stats, extract_features,
                          sample_frames)
+from .curation import (blocklist_filter, classifier_score, corpus_stats,
+                       kmeans_quantized, per_source_cap, semantic_dedup)
 from .skew import salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
@@ -37,6 +39,8 @@ __all__ = [
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",
     "sample_frames",
+    "blocklist_filter", "classifier_score", "corpus_stats",
+    "kmeans_quantized", "per_source_cap", "semantic_dedup",
     "salted_join", "skew_histogram",
     "bloom_filter", "bloom_pruned_semi_join", "build_bloom",
 ]

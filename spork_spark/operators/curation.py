@@ -1,0 +1,240 @@
+"""Corpus-curation operators for web-scale training-data pipelines,
+beyond the reference surface (SURVEY.md §2.11 extension mandate): domain
+caps, blocklist filtering, a hashed-n-gram linear quality classifier,
+corpus statistics, deterministic k-means clustering, and SemDeDup-style
+semantic deduplication.
+
+Design rules shared by every operator here:
+- native Column expressions / single-key shuffles only — no Python, no
+  collect of data rows (k-means collects k centroid rows per round, the
+  same bounded pattern as IVF's seed collect);
+- engine-portable determinism: hashes are md5-prefix arithmetic, weights
+  and distances are INTEGER (quantized) so a DuckDB oracle reproduces
+  results exactly — no cross-engine float-summation drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens, word_ngrams
+
+
+# ------------------------------------------------------------- domain ops
+
+def per_source_cap(df: DataFrame, source_col: str = "source",
+                   cap: int = 100, id_col: str = "doc_id",
+                   priority_col: str | None = None) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl-pipeline guard against a
+    single site flooding the corpus): keep at most ``cap`` documents per
+    source, preferring larger ``priority_col`` (ties and default order:
+    smallest id — deterministic, rerunnable).
+
+    Scale shape: one hash shuffle on the source key; Spark compiles the
+    rank-filter to WindowGroupLimit, which drops rows past the cap
+    BEFORE the shuffle's sort buffer grows (partial top-k per map task),
+    so a mega-domain costs O(cap) memory per task, not O(domain size).
+    """
+    order = [F.col(priority_col).desc(), F.col(id_col).asc()] \
+        if priority_col else [F.col(id_col).asc()]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= cap).drop("__rn"))
+
+
+def blocklist_filter(df: DataFrame, blocklist: DataFrame | list,
+                     source_col: str = "source") -> DataFrame:
+    """Drop documents whose source appears on a blocklist. A list argument
+    becomes a one-column DataFrame; either way the blocklist side is
+    broadcast and the filter is a BroadcastHashJoin LeftAnti — the corpus
+    never shuffles (blocklists are thousands of rows; corpora are
+    billions)."""
+    if isinstance(blocklist, (list, tuple)):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(s,) for s in blocklist], f"{source_col} string")
+    bl = F.broadcast(blocklist.select(source_col).distinct())
+    return df.join(bl, on=source_col, how="left_anti")
+
+
+# ------------------------------------- hashed-n-gram linear quality scorer
+
+def _md5_bucket16(col: "F.Column") -> "F.Column":
+    """First 16 bits of md5 as an integer — engine-portable (DuckDB
+    oracles rebuild it from the hex prefix with ascii arithmetic)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2,
+                     modulus: int = 997) -> DataFrame:
+    """fastText-shaped linear quality classifier over hashed word
+    n-grams: every (non-distinct) n-gram hashes to a 16-bit bucket whose
+    weight is the INTEGER ``bucket % modulus - modulus//2`` — i.e. the
+    weight table is derived from the hash itself. A trained model swaps
+    in a real weight array without changing the plan; what this pins is
+    the production shape: tokenizer → n-grams → hashing trick → linear
+    sum, entirely in native HOFs with NO shuffle and NO Python (the
+    standard quality-classifier pass over a 100 TB corpus is embarrassingly
+    parallel and this compiles to exactly that).
+
+    Integer weights make the score an exact BIGINT — deterministic under
+    any execution order and reproducible by a SQL oracle (float weight
+    sums would drift by summation order across engines).
+
+    Output: id, n_grams, score_int, keep (score_int > 0).
+    """
+    grams = word_ngrams(text_col, n, distinct=False)
+    weights = F.transform(
+        grams, lambda g: _md5_bucket16(g) % modulus - modulus // 2)
+    score = F.aggregate(weights, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        score.alias("score_int"),
+        (score > 0).alias("keep"))
+
+
+# ------------------------------------------------------------ corpus stats
+
+def corpus_stats(df: DataFrame, strata: tuple = ("lang", "source"),
+                 text_col: str = "text") -> DataFrame:
+    """One-pass per-stratum corpus report — the dataset-card numbers every
+    training-data release publishes: document count, total/average
+    characters, total whitespace tokens, and the short-document fraction.
+    Single partial+final HashAggregate (map-side combine); no second pass,
+    no Python."""
+    ln = F.length(F.col(text_col))
+    nt = F.size(tokens(text_col))
+    return (df.groupBy(*strata)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(ln.cast("long")).alias("total_chars"),
+                   F.floor(F.avg(ln) * 100 + F.lit(0.5)).cast("long")
+                    .alias("avg_chars_x100"),
+                   F.sum(nt.cast("long")).alias("total_tokens"),
+                   F.sum(F.when(ln < 100, 1).otherwise(0)).cast("long")
+                    .alias("n_short")))
+
+
+# ------------------------------------- deterministic k-means + SemDeDup
+
+def _quantize_vec(vec_col, scale: int) -> "F.Column":
+    """float vector → integer vector via portable half-up rounding
+    (floor(x*scale + 0.5) — same idiom as quantize_embeddings)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"))
+
+
+def _sq_dist(a, b) -> "F.Column":
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     scale: int = 1000) -> DataFrame:
+    """Deterministic Lloyd's k-means over integer-quantized vectors →
+    (id, cluster). Seeds are the vectors of the ``k`` smallest ids;
+    distances are exact integer squared-L2 over floor(x*scale+0.5)
+    codes; centroid updates are per-dimension floor(sum/count). Every
+    step is integer arithmetic → bit-identical results on any cluster
+    size, any execution order, and in a SQL oracle. Empty clusters drop
+    out (standard Lloyd's degeneracy — deterministic here).
+
+    Scale shape per round: one narrow map for assignment against the
+    BROADCAST centroid literal (k·dim ints — kilobytes), one hash
+    shuffle for the centroid update's partial aggregation, one k-row
+    driver collect (bounded, like IVF's seed collect). n_iter rounds →
+    n_iter shuffles of k·dim partial sums, NOT of the corpus. The
+    corpus-sized quantized projection is persisted across rounds to
+    avoid re-scanning the source."""
+    q = df.select(F.col(id_col),
+                  _quantize_vec(vec_col, scale).alias("__q")).persist()
+    seeds = q.orderBy(id_col).limit(k).collect()
+    cents = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
+    dim = len(cents[0][1]) if cents else 0
+
+    def assign(cent_list):
+        scored = F.array(*[
+            F.struct(
+                _sq_dist(F.col("__q"),
+                         F.array([F.lit(v) for v in cvec])).alias("d"),
+                F.lit(cid).cast("long").alias("cid"))
+            for cid, cvec in cent_list])
+        # struct ordering = (distance, cid): deterministic tie-break
+        return F.array_sort(scored)[0]["cid"]
+
+    assigned = None
+    for _ in range(max(n_iter, 1)):
+        assigned = q.withColumn("__c", assign(cents))
+        upd = (assigned.groupBy("__c")
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    *[F.sum(F.col("__q")[i]).alias(f"__s{i}")
+                      for i in range(dim)])
+               .collect())
+        # Python // is floor division, matching the oracle's
+        # FLOOR(CAST(sum AS DOUBLE)/n) for these magnitudes (< 2^40,
+        # exact in double).
+        cents = sorted(
+            (int(r["__c"]),
+             [int(r[f"__s{i}"]) // int(r["__n"]) for i in range(dim)])
+            for r in upd)
+    out = assigned.select(F.col(id_col), F.col("__c").alias("cluster"))
+    q.unpersist()
+    return out
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.7, k: int = 8,
+                   n_iter: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   scale: int = 1000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop any item whose cosine similarity to an EARLIER item (smaller
+    id) in the same cluster meets the threshold — keeping one
+    representative per semantic duplicate group without an all-pairs
+    corpus join.
+
+    The pair space is quadratic only WITHIN a cluster (the whole point
+    of clustering first); the intra-cluster self-join is an equi-join on
+    the cluster id. The cosine test is exact integer arithmetic on
+    quantized codes: cos(a,b) ≥ τ  ⟺  dot > 0 ∧ dot² ≥ τ²·|a|²·|b|²
+    (compared as integers scaled by 1e6), so results are deterministic
+    and SQL-oracle-reproducible. Returns the surviving rows of ``df``.
+    """
+    clusters = kmeans_quantized(df, k=k, n_iter=n_iter, id_col=id_col,
+                                vec_col=vec_col, scale=scale)
+    q = df.select(F.col(id_col),
+                  _quantize_vec(vec_col, scale).alias("__q")) \
+          .join(clusters, on=id_col)
+    a = q.select(F.col(id_col).alias("__ida"), F.col("__q").alias("__qa"),
+                 "cluster")
+    b = q.select(F.col(id_col).alias("__idb"), F.col("__q").alias("__qb"),
+                 "cluster")
+    dot = F.aggregate(F.zip_with("__qa", "__qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform("__qa", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform("__qb", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    t2 = int(round(threshold * threshold * 10 ** 6))
+
+    # dot² · 1e6 can exceed int64 (dot ≤ dim·scale² ≈ 6.4e7 at 64 dims
+    # → dot² ≈ 4e15 → ·1e6 ≈ 4e21): compare in decimal(38,0) — still
+    # exact integer arithmetic (DuckDB's side runs in HUGEINT).
+    def d128(c):
+        return c.cast("decimal(38,0)")
+
+    dup_ids = (a.join(b, on="cluster")
+                .filter(F.col("__ida") < F.col("__idb"))
+                .withColumn("__dot", dot)
+                .withColumn("__na", na).withColumn("__nb", nb)
+                .filter((F.col("__dot") > 0) &
+                        (d128(F.col("__dot")) * d128(F.col("__dot"))
+                         * F.lit(10 ** 6).cast("decimal(38,0)")
+                         >= F.lit(t2).cast("decimal(38,0)")
+                         * d128(F.col("__na")) * d128(F.col("__nb"))))
+                .select(F.col("__idb").alias(id_col)).distinct())
+    return df.join(dup_ids, on=id_col, how="left_anti")

@@ -131,15 +131,19 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str = "text",
               .select(id_col, "token", "tf", "df", "tfidf"))
 
 
-def word_ngrams(text_col, n: int) -> "F.Column":
-    """Distinct lowercased word n-grams of a text column, as joined
-    strings — the decontamination/overlap unit. Native HOFs: split →
-    sliding slice → concat; linear per row, no Python."""
+def word_ngrams(text_col, n: int, distinct: bool = True) -> "F.Column":
+    """Lowercased word n-grams of a text column, as joined strings — the
+    decontamination/overlap unit (distinct=True, the default) or the
+    classifier feature stream (distinct=False keeps multiplicity).
+    Native HOFs: split → sliding slice → concat; linear per row, no
+    Python."""
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    grams = F.array_distinct(F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0),
                    F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    if distinct:
+        grams = F.array_distinct(grams)
     # Texts shorter than n tokens have no full n-gram: emit an empty array
     # rather than one truncated gram (a truncated/empty gram would make
     # every short doc "overlap" every short benchmark line downstream).

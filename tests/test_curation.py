@@ -1,0 +1,130 @@
+"""Curation-operator tests (operators/curation.py): plan shapes for the
+scale claims, behavioral edges, and determinism of the integer k-means /
+SemDeDup path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spork_spark.operators import (blocklist_filter, classifier_score,
+                                   corpus_stats, kmeans_quantized,
+                                   per_source_cap, semantic_dedup)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_per_source_cap_limits_and_pushes_down(docs):
+    out = per_source_cap(docs, cap=3, priority_col="n_chars")
+    counts = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # the cap runs as a partial top-k BELOW the shuffle (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan_of(out)
+    # deterministic priority: the kept docs per source are the longest
+    one = out.filter(F.col("source") == "src0") \
+             .orderBy(F.desc("n_chars")).collect()
+    top = docs.filter(F.col("source") == "src0") \
+              .orderBy(F.desc("n_chars"), F.asc("doc_id")).take(3)
+    assert sorted(r["doc_id"] for r in one) == sorted(r["doc_id"]
+                                                      for r in top)
+
+
+def test_blocklist_filter_is_broadcast_anti(docs):
+    out = blocklist_filter(docs, ["src0", "src1"])
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert out.filter(F.col("source").isin("src0", "src1")).count() == 0
+    kept = out.count()
+    blocked = docs.filter(F.col("source").isin("src0", "src1")).count()
+    assert kept == docs.count() - blocked
+
+
+def test_classifier_score_is_shuffle_free(spark, docs):
+    out = classifier_score(docs)
+    assert "Exchange" not in plan_of(out)   # pure map — no shuffle
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # short/empty text: no bigram, score 0, not kept
+    tiny = spark.createDataFrame([(1, "word"), (2, "")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r for r in classifier_score(tiny).collect()}
+    assert got[1]["n_grams"] == 0 and got[1]["score_int"] == 0
+    assert got[2]["n_grams"] == 0 and not got[2]["keep"]
+
+
+def test_classifier_score_counts_multiplicity(spark):
+    # "a b a b" has bigrams [a b, b a, a b] — multiplicity preserved
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    assert classifier_score(df).collect()[0]["n_grams"] == 3
+
+
+def test_corpus_stats_shape(docs):
+    out = corpus_stats(docs)
+    r = {(x["lang"], x["source"]): x for x in out.collect()}
+    total = sum(x["n_docs"] for x in r.values())
+    assert total == docs.count()
+    any_row = next(iter(r.values()))
+    assert any_row["total_chars"] > 0 and any_row["avg_chars_x100"] > 0
+
+
+def test_kmeans_assigns_nearest_and_is_deterministic(emb):
+    a = kmeans_quantized(emb, k=4, n_iter=2).collect()
+    b = kmeans_quantized(emb, k=4, n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["cluster"] for r in a} <= {0, 1, 2, 3}
+    assert len(a) == emb.count()
+
+
+def test_kmeans_final_assignment_is_argmin(emb):
+    """Re-derive round-2 centroids in Python from the round-1 assignment
+    and verify every point sits with its nearest centroid."""
+    import math
+    rows = emb.select("vec_id", "embedding").collect()
+    # same floor(x*1000+0.5) quantization rule as the operator
+    q = {r["vec_id"]: [int(math.floor(float(x) * 1000 + 0.5))
+                       for x in r["embedding"]] for r in rows}
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ids = sorted(q)
+    cents = {i: q[ids[i]] for i in range(4)}
+    for _ in range(2):
+        assign = {v: min(cents, key=lambda c: (dist(q[v], cents[c]), c))
+                  for v in q}
+        new = {}
+        for c in set(assign.values()):
+            members = [q[v] for v in q if assign[v] == c]
+            n = len(members)
+            new[c] = [math.floor(sum(col) / n)
+                      for col in zip(*members)]
+        cents = new
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_quantized(emb, k=4, n_iter=2).collect()}
+    assert got == assign
+
+
+def test_semantic_dedup_drops_exact_duplicate(spark):
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),     # duplicate of 0 → dropped
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0])]    # anti-parallel: dot<0 → kept
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, threshold=0.9, k=2, n_iter=1)
+                  .collect())
+    assert 2 not in kept
+    assert set(kept) >= {0, 1, 3, 4}
