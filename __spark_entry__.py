@@ -2188,6 +2188,32 @@ def q_semantic_dedup(spark, sf):
             .select("vec_id", "label").orderBy("vec_id"))
 
 
+def q_ngram_logcount(spark, sf):
+    """Corpus-LM statistical scorer (KenLM-filter shape, integer-exact):
+    corpus bigram counts → per-doc Σ floor(log2(count)). Three shuffles
+    (gram count, gram join, doc agg), all key-partitioned; docs with no
+    bigram have no score row (inner join) — the oracle filters the
+    same way."""
+    from spork_spark.operators import ngram_logcount_score
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return ngram_logcount_score(docs).orderBy("doc_id")
+
+
+def q_streaming_dedup(spark, sf):
+    """streaming_dedup (ingest replay guard): batch path here (exact
+    oracle = DISTINCT over the key projection — keys-only projection
+    makes the kept row deterministic); the streaming path
+    (dropDuplicatesWithinWatermark, bounded state) is pinned by the
+    batch/stream parity test in test_streaming.py."""
+    from spork_spark.streaming import streaming_dedup
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df().select("user_id", "event_type", "ts")
+    return (streaming_dedup(ev, ["user_id", "event_type"], "ts")
+            .select("user_id", "event_type")
+            .orderBy("user_id", "event_type"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2290,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
+        "stream_dedup": q_streaming_dedup,
+        "ngram_logcount": q_ngram_logcount,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "regex_funcs": q_regex_funcs,
@@ -3493,6 +3521,31 @@ def oracle_sql() -> dict[str, str]:
                            c1.cid) AS rn
                 FROM q CROSS JOIN c1) WHERE rn = 1)
             SELECT vec_id, cl AS cluster FROM a1 ORDER BY vec_id
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
+        """,
+        "ngram_logcount": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                       i -> ws[CAST(i AS INT)] || ' '
+                            || ws[CAST(i AS INT) + 1])) AS gram
+              FROM t WHERE len(ws) >= 2),
+            c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_grams,
+                   CAST(SUM(CAST(FLOOR(log2(c.cnt)) AS BIGINT))
+                        AS BIGINT) AS logcount_sum
+            FROM g JOIN c USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "semantic_dedup": """
             WITH q AS (

@@ -18,7 +18,8 @@ from .multimodal import (attach_binary_meta, decode_audio,
                          decode_images, decode_pixel_stats, extract_features,
                          sample_frames)
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
-                       kmeans_quantized, per_source_cap, semantic_dedup)
+                       kmeans_quantized, ngram_logcount_score,
+                       per_source_cap, semantic_dedup)
 from .skew import salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
@@ -40,7 +41,8 @@ __all__ = [
     "decode_pixel_stats", "extract_features",
     "sample_frames",
     "blocklist_filter", "classifier_score", "corpus_stats",
-    "kmeans_quantized", "per_source_cap", "semantic_dedup",
+    "kmeans_quantized", "ngram_logcount_score", "per_source_cap",
+    "semantic_dedup",
     "salted_join", "skew_histogram",
     "bloom_filter", "bloom_pruned_semi_join", "build_bloom",
 ]

@@ -97,6 +97,45 @@ def classifier_score(df: DataFrame, text_col: str = "text",
         (score > 0).alias("keep"))
 
 
+def ngram_logcount_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 2,
+                         broadcast_counts: bool = False) -> DataFrame:
+    """Corpus-LM statistical quality signal — the KenLM-perplexity-filter
+    shape without a float LM: build the corpus n-gram count table, then
+    score each document by Σ floor(log2(corpus_count(g))) over its
+    n-grams (with multiplicity). Documents made of common n-grams score
+    high; gibberish and noise built from rare n-grams score low.
+    floor(log2) of an integer count is exact in IEEE double on both
+    engines, so the score is a deterministic BIGINT (a float log-prob
+    LM would drift by summation order; a trained KenLM swaps in as a
+    real count/backoff table without changing the plan).
+
+    Scale shape: explode to (doc, gram) — map-side fan-out; one shuffle
+    to count grams (partial agg collapses each map task to its local
+    vocab first); one equi-join of doc-grams to the count table (the
+    hot-key skew of very common grams sits on the PROBE side of a hash
+    join whose build side has one row per gram — AQE skew-join covers
+    the exchange; pass broadcast_counts=True when the vocab fits, e.g.
+    char-level or capped vocabs, and the join needs no shuffle at all);
+    one final per-doc aggregation.
+
+    Output: id, n_grams, logcount_sum (both exact BIGINTs).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, distinct=False))
+         .alias("__gram"))
+    counts = grams.groupBy("__gram").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    scored = grams.join(counts, on="__gram")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_grams"),
+                 F.sum(F.floor(F.log2("__cnt")).cast("long"))
+                  .alias("logcount_sum")))
+
+
 # ------------------------------------------------------------ corpus stats
 
 def corpus_stats(df: DataFrame, strata: tuple = ("lang", "source"),

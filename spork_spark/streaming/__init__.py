@@ -138,6 +138,27 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     return l.join(r, on=cond, how=how)
 
 
+def streaming_dedup(df: DataFrame, id_cols: list[str], ts_col: str,
+                    delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication — the ingest-side guard against
+    at-least-once sources replaying events. On a stream this uses
+    dropDuplicatesWithinWatermark: duplicate keys arriving within the
+    watermark horizon are dropped, and the key state is EXPIRED once the
+    watermark passes — bounded state, unlike plain dropDuplicates on a
+    stream, whose key set grows forever (the state-leak that kills
+    long-running 100 TB/day ingest jobs). On a bounded DataFrame the
+    same call degrades to dropDuplicates (batch parity oracle).
+
+    Contract: keys recurring farther apart than `delay` are NOT deduped
+    in streaming mode (they are in batch) — that is the deliberate
+    state/completeness trade every streaming dedup makes; size `delay`
+    to the source's replay window."""
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, delay)
+                  .dropDuplicatesWithinWatermark(id_cols))
+    return df.dropDuplicates(id_cols)
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str,
                   output_mode: str = "complete") -> "StreamingQuery":
     """Execute a streaming aggregation into the in-memory sink with the

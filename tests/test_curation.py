@@ -128,3 +128,23 @@ def test_semantic_dedup_drops_exact_duplicate(spark):
                   .collect())
     assert 2 not in kept
     assert set(kept) >= {0, 1, 3, 4}
+
+
+def test_ngram_logcount_score_values(spark):
+    """Hand-checked: 'a b a b' ×2 docs → bigrams 'a b'(×4 total), 'b a'(×2).
+    floor(log2(4))=2, floor(log2(2))=1 → each doc: 2+1+2 = 5."""
+    from spork_spark.operators import ngram_logcount_score
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b a b"), (3, "x")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["logcount_sum"])
+           for r in ngram_logcount_score(df).collect()}
+    assert got == {1: (3, 5), 2: (3, 5)}   # doc 3 has no bigram → no row
+
+
+def test_ngram_logcount_broadcast_variant(spark, docs):
+    from spork_spark.operators import ngram_logcount_score
+    a = ngram_logcount_score(docs).collect()
+    b = ngram_logcount_score(docs, broadcast_counts=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    p = plan_of(ngram_logcount_score(docs, broadcast_counts=True))
+    assert "BroadcastHashJoin" in p

@@ -186,3 +186,30 @@ def test_interval_join_batch_stream_parity(spark, events, tmp_path):
     got = sorted((r[0], r[1], r[3]) for r in
                  spark.sql("SELECT * FROM ij_test").collect())
     assert got == want
+
+
+def test_streaming_dedup_batch_stream_parity(spark, tmp_path):
+    """streaming_dedup: duplicates arriving within the watermark horizon
+    are dropped on both paths; the streaming run uses
+    dropDuplicatesWithinWatermark (bounded state), batch uses
+    dropDuplicates."""
+    from spork_spark.streaming import streaming_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(1, t0, 1.0),
+            (1, t0 + datetime.timedelta(seconds=30), 9.0),   # dup of key 1
+            (2, t0 + datetime.timedelta(minutes=1), 2.0),
+            (3, t0 + datetime.timedelta(minutes=2), 3.0),
+            (2, t0 + datetime.timedelta(minutes=3), 8.0)]    # dup of key 2
+    df = spark.createDataFrame(rows, SCHEMA)
+    batch = streaming_dedup(df, ["user_id"], "ts")
+    assert sorted(r.user_id for r in batch.collect()) == [1, 2, 3]
+
+    path = str(tmp_path / "dedup_in")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = read_stream(spark, path, SCHEMA)
+    out = streaming_dedup(stream, ["user_id"], "ts", delay="10 minutes")
+    assert out.isStreaming
+    run_to_memory(out, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT user_id FROM dedup_test").collect()
+    assert sorted(r.user_id for r in got) == [1, 2, 3]
