@@ -20,19 +20,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from spork_spark import get_spark
-from spork_spark.operators import (decontaminate, exact_dedup,
+from spork_spark.operators import (blocklist_filter, classifier_score,
+                                   corpus_stats, decontaminate, exact_dedup,
                                    gopher_filter, near_dedup,
-                                   pack_sequences, scrub_pii,
-                                   stratified_sample)
+                                   pack_sequences, per_source_cap,
+                                   scrub_pii, stratified_sample)
 
 
 def curate(spark, sf_dir: str, out_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # 0. source hygiene: blocklisted domains out (broadcast anti-join),
+    #    then cap any single domain's share (WindowGroupLimit top-k)
+    docs = blocklist_filter(docs, ["src13"])
+    docs = per_source_cap(docs, cap=200, priority_col="n_chars")
+
     # 1. quality floor: Gopher rules (word count, word length, alpha
     #    ratio, stopword floor), audit column kept for removal-rate stats
     good = gopher_filter(docs, min_words=10, min_stopwords=0) \
         .filter(F.col("keep")).drop("keep", "drop_reason")
+
+    # 1b. model-shaped quality gate: hashed-bigram linear classifier
+    #     (shuffle-free; swap in trained weights without a plan change)
+    scores = classifier_score(good).select("doc_id", "keep")
+    good = good.join(scores.filter(F.col("keep")).drop("keep"),
+                     on="doc_id", how="left_semi")
 
     # 2. exact dedup (survivor = min doc_id per text)
     deduped = exact_dedup(good, ["text"], keep="min", tiebreak="doc_id")
@@ -59,6 +71,9 @@ def curate(spark, sf_dir: str, out_dir: str):
     packed = pack_sequences(sampled, seq_len=128, n_streams=8)
 
     packed.write.mode("overwrite").parquet(out_dir)
+
+    # 7. dataset-card report on what survived (one HashAggregate)
+    corpus_stats(sampled).orderBy("lang", "source").show(10)
     return packed
 
 

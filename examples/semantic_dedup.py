@@ -54,8 +54,16 @@ if __name__ == "__main__":
     spark = get_spark(app_name="semantic-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     survivors, probe = semantic_dedup(spark, sf)
-    n_in = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_in = emb.count()
     n_out = survivors.count()
-    print(f"semantic dedup: {n_in} vectors -> {n_out} survivors "
+    print(f"semantic dedup (LSH+CC): {n_in} vectors -> {n_out} survivors "
           f"({n_in - n_out} near-duplicates removed)")
     probe.show(truncate=False)
+
+    # Alternative path: SemDeDup (k-means clusters, intra-cluster prune) —
+    # deterministic integer arithmetic, pair space bounded per cluster;
+    # compare the two strategies' removal counts at the same threshold.
+    from spork_spark.operators import semantic_dedup as semdedup_op
+    n_sd = semdedup_op(emb, threshold=0.45, k=8, n_iter=2).count()
+    print(f"SemDeDup (k-means, same threshold): {n_in} -> {n_sd} survivors")

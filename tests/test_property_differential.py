@@ -996,3 +996,56 @@ def test_aggregate_types_match_duckdb(eng, spark, data, picks):
     arrow_schema = con.sql(
         "SELECT k, " + ", ".join(sqls) + " FROM t GROUP BY k").arrow().schema
     assert type_mismatches(rel.df().schema, arrow_schema) == []
+
+
+# ------------------------------------------------- classifier hash seam
+
+words = st.lists(st.sampled_from(["a", "b", "ab", "The", "x9", "Zz", "!"]),
+                 min_size=0, max_size=12)
+
+
+@given(texts=st.lists(words, min_size=1, max_size=8))
+@SLOW
+def test_classifier_score_matches_duckdb(eng, spark, texts):
+    """classifier_score (hashed-bigram integer-weight scorer) vs the same
+    pipeline in DuckDB SQL — guards the md5-bucket arithmetic seam
+    (hex-prefix → int) and the n-gram multiplicity contract on random
+    short texts including empties and punctuation."""
+    from spork_spark.operators import classifier_score
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["score_int"], r["keep"])
+           for r in classifier_score(sdf).collect()}
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x != '') AS ws
+          FROM d),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)),
+                            i -> ws[CAST(i AS INT)] || ' '
+                                 || ws[CAST(i AS INT) + 1])
+                      ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM t),
+        w AS (
+          SELECT doc_id, grams,
+                 list_transform(grams, g2 ->
+                   CAST(list_sum(list_transform([1, 2, 3, 4], i ->
+                     (ascii(substring(md5(g2), CAST(i AS INT), 1))
+                      - CASE WHEN ascii(substring(md5(g2),
+                                        CAST(i AS INT), 1)) < 58
+                             THEN 48 ELSE 87 END)
+                     * CASE i WHEN 1 THEN 4096 WHEN 2 THEN 256
+                              WHEN 3 THEN 16 ELSE 1 END))
+                    AS BIGINT) % 997 - 498) AS wts
+          FROM g)
+        SELECT doc_id, CAST(len(grams) AS INT),
+               CAST(COALESCE(list_sum(wts), 0) AS BIGINT),
+               COALESCE(list_sum(wts), 0) > 0
+        FROM w""").fetchall()}
+    assert got == want

@@ -83,3 +83,27 @@ def test_connected_components_at_volume(eng, li):
     n_nodes = comp.count()
     n_comps = comp.select("comp").distinct().count()
     assert n_comps < n_nodes          # bipartite graph actually merged
+
+
+def test_curation_ops_at_volume(spark):
+    """Round-4 curation ops over the sf0.1 fixtures (5k docs / 2k vecs on
+    the shared 4-core session): k-means stays deterministic at 10× the
+    oracle fixture size, SemDeDup completes with bounded intra-cluster
+    pair work, and the shuffle-free classifier scores every doc."""
+    from spork_spark.operators import (classifier_score, kmeans_quantized,
+                                       ngram_logcount_score, semantic_dedup)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    assert classifier_score(docs).count() == docs.count()
+
+    scored = ngram_logcount_score(docs)
+    assert scored.count() > 0.9 * docs.count()   # only gram-less docs drop
+
+    a = kmeans_quantized(emb, k=8, n_iter=2).collect()
+    b = kmeans_quantized(emb, k=8, n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == emb.count()
+
+    kept = semantic_dedup(emb, threshold=0.45, k=8, n_iter=2).count()
+    assert 0 < kept <= emb.count()
