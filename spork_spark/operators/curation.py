@@ -174,7 +174,8 @@ def _sq_dist(a, b) -> "F.Column":
 
 def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     scale: int = 1000) -> DataFrame:
+                     scale: int = 1000,
+                     assignment: str = "auto") -> DataFrame:
     """Deterministic Lloyd's k-means over integer-quantized vectors →
     (id, cluster). Seeds are the vectors of the ``k`` smallest ids;
     distances are exact integer squared-L2 over floor(x*scale+0.5)
@@ -183,20 +184,34 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
     size, any execution order, and in a SQL oracle. Empty clusters drop
     out (standard Lloyd's degeneracy — deterministic here).
 
-    Scale shape per round: one narrow map for assignment against the
-    BROADCAST centroid literal (k·dim ints — kilobytes), one hash
-    shuffle for the centroid update's partial aggregation, one k-row
-    driver collect (bounded, like IVF's seed collect). n_iter rounds →
-    n_iter shuffles of k·dim partial sums, NOT of the corpus. The
-    corpus-sized quantized projection is persisted across rounds to
-    avoid re-scanning the source."""
+    Assignment (both exact, same results — pinned by test):
+    - 'expr': codegen'd Column expression with the centroids inlined as
+      literals. No Python, but the expression tree is O(k·dim) — right
+      for small codebooks (the RANK create_map lesson: literal trees
+      don't scale past ~10⁵ entries).
+    - 'pandas': Arrow-batched mapInPandas kernel against a BROADCAST
+      numpy centroid matrix — one vectorized (batch × k × dim) int64
+      argmin per batch. The scale path for large k·dim (k=1000·d=1024
+      is a 1M-entry literal tree for 'expr' but one 8 MB broadcast
+      here).
+    - 'auto': 'expr' when k·dim ≤ 16384 else 'pandas'.
+
+    Scale shape per round: assignment is a narrow map either way; one
+    hash shuffle for the centroid update's partial aggregation (k·dim
+    partial sums, NOT the corpus — map-side combine collapses each
+    partition to ≤k rows); one bounded k-row driver collect (the IVF
+    seed-collect pattern). The corpus-sized quantized projection is
+    persisted across rounds."""
     q = df.select(F.col(id_col),
                   _quantize_vec(vec_col, scale).alias("__q")).persist()
     seeds = q.orderBy(id_col).limit(k).collect()
     cents = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
     dim = len(cents[0][1]) if cents else 0
+    mode = assignment
+    if mode == "auto":
+        mode = "expr" if k * dim <= 16384 else "pandas"
 
-    def assign(cent_list):
+    def assign_expr(df_q, cent_list):
         scored = F.array(*[
             F.struct(
                 _sq_dist(F.col("__q"),
@@ -204,11 +219,39 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
                 F.lit(cid).cast("long").alias("cid"))
             for cid, cvec in cent_list])
         # struct ordering = (distance, cid): deterministic tie-break
-        return F.array_sort(scored)[0]["cid"]
+        return df_q.withColumn("__c", F.array_sort(scored)[0]["cid"])
 
+    def assign_pandas(df_q, cent_list):
+        from pyspark.sql import types as T
+        sc = df_q.sparkSession.sparkContext
+        bc = sc.broadcast((
+            [cid for cid, _ in cent_list],
+            [cvec for _, cvec in cent_list]))
+        out_schema = T.StructType(df_q.schema.fields
+                                  + [T.StructField("__c", T.LongType())])
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+            cids, cmat = bc.value
+            cids = np.asarray(cids, dtype=np.int64)
+            cmat = np.asarray(cmat, dtype=np.int64)       # (k, dim)
+            for pdf in batches:
+                x = np.asarray(pdf["__q"].tolist(),
+                               dtype=np.int64)            # (b, dim)
+                # (b, k) exact int64 squared-L2; ties break to the
+                # SMALLEST cid because cent_list is cid-sorted
+                d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                pdf = pdf.copy()
+                pdf["__c"] = cids[np.argmin(d, axis=1)]
+                yield pdf
+
+        return df_q.mapInPandas(kernel, out_schema)
+
+    assign = assign_expr if mode == "expr" else assign_pandas
     assigned = None
     for _ in range(max(n_iter, 1)):
-        assigned = q.withColumn("__c", assign(cents))
+        assigned = assign(q, cents)
         upd = (assigned.groupBy("__c")
                .agg(F.count(F.lit(1)).alias("__n"),
                     *[F.sum(F.col("__q")[i]).alias(f"__s{i}")

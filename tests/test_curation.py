@@ -148,3 +148,23 @@ def test_ngram_logcount_broadcast_variant(spark, docs):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     p = plan_of(ngram_logcount_score(docs, broadcast_counts=True))
     assert "BroadcastHashJoin" in p
+
+
+def test_semantic_dedup_is_equi_join_on_cluster(emb):
+    """The intra-cluster pair join must be an equi-join on the cluster id
+    (SMJ/SHJ) with the integer-cosine test as a predicate — never a
+    nested-loop/cartesian over the corpus."""
+    out = semantic_dedup(emb, threshold=0.45, k=4, n_iter=2)
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin [cluster" in p or "ShuffledHashJoin [cluster" in p
+
+
+def test_kmeans_pandas_assignment_matches_expr(emb):
+    """The Arrow-batched kernel (scale path for large k·dim) and the
+    literal-expression assignment are the same exact integer argmin —
+    identical clusters, including ties (both break to smallest cid)."""
+    a = kmeans_quantized(emb, k=4, n_iter=2, assignment="expr").collect()
+    b = kmeans_quantized(emb, k=4, n_iter=2, assignment="pandas").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
