@@ -206,7 +206,11 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
                   _quantize_vec(vec_col, scale).alias("__q")).persist()
     seeds = q.orderBy(id_col).limit(k).collect()
     cents = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
-    dim = len(cents[0][1]) if cents else 0
+    if not cents:                       # empty input → empty assignment
+        q.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster long")
+    dim = len(cents[0][1])
     mode = assignment
     if mode == "auto":
         mode = "expr" if k * dim <= 16384 else "pandas"

@@ -168,3 +168,18 @@ def test_kmeans_pandas_assignment_matches_expr(emb):
     a = kmeans_quantized(emb, k=4, n_iter=2, assignment="expr").collect()
     b = kmeans_quantized(emb, k=4, n_iter=2, assignment="pandas").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curation_ops_edge_inputs(spark):
+    """Null text scores (0, 0, false); empty corpora don't crash k-means
+    or SemDeDup (bad/empty inputs are data at 100 TB)."""
+    from spork_spark.operators import ngram_logcount_score
+    df = spark.createDataFrame([(1, None), (2, "a b c")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["score_int"], r["keep"])
+           for r in classifier_score(df).collect()}
+    assert got[1] == (0, 0, False)
+    assert ngram_logcount_score(df).count() == 1    # null-text doc drops
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_quantized(empty, k=2, n_iter=1).count() == 0
+    assert semantic_dedup(empty, k=2, n_iter=1).count() == 0
