@@ -1295,6 +1295,36 @@ def q_multimodal_decode_pnm(spark, sf):
                 .orderBy("item_id"))
 
 
+def q_multimodal_resize(spark, sf):
+    """REAL image resize, exact-oracle: SQL-built PGM payloads (the
+    multimodal_decode_pnm fixtures) → full numpy decode → nearest-
+    neighbor ÷2 downsample → re-encode as binary PNM → re-decode through
+    the header parser AND the raster decoder. The oracle recomputes the
+    output dims (ceil(w/2) × ceil(h/2)) and the EXACT sampled-pixel sum
+    from the md5-raster arithmetic — a hash match proves decode, stride
+    sampling, re-encode, and re-decode all round-trip."""
+    from spork_spark.operators import (decode_images, decode_pixel_stats,
+                                       resize_images)
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    need = "CAST((length(text) % 31 + 1) * (doc_id % 7 + 1) AS INT)"
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.expr(
+            f"concat('P5\\n', length(text) % 31 + 1, ' ', doc_id % 7 + 1, "
+            f"'\\n255\\n', substring(rpad(md5(text), {need}, md5(text)), "
+            f"1, {need}))"), "UTF-8").alias("payload"))
+    small = resize_images(payloads, "payload", "item_id", factor=2) \
+        .select("item_id", "payload")
+    dims = decode_images(small, "payload", "item_id") \
+        .select("item_id", "width", "height")
+    px = decode_pixel_stats(small, "payload", "item_id") \
+        .select("item_id", "n_pixels",
+                F.floor(F.col("mean_px") * F.col("n_pixels") + F.lit(0.5))
+                 .cast("long").alias("px_sum"))
+    return dims.join(px, on="item_id").orderBy("item_id")
+
+
 def q_multimodal_audio(spark, sf):
     """REAL audio decode, exact-oracle: synthesize valid 16-bit PCM WAV
     files (stdlib wave writer) with per-doc sample rate and frame count,
@@ -2299,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_pnm": q_multimodal_decode_pnm,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_resize": q_multimodal_resize,
         "bloom_join": q_bloom_join,
         "map_funcs": q_map_funcs,
         "diff_bags": q_diff_bags,
@@ -3325,6 +3356,26 @@ def oracle_sql() -> dict[str, str]:
                           + 5 + w * h AS BIGINT) AS n_bytes,
                    CAST(w * h AS BIGINT) AS n_pixels
             FROM p ORDER BY item_id
+        """,
+        "multimodal_resize": """
+            WITH p AS (SELECT doc_id,
+                              length(text) % 31 + 1 AS w,
+                              doc_id % 7 + 1 AS h,
+                              md5(text) AS m
+                       FROM documents),
+            d AS (SELECT doc_id, w, h, m,
+                         CAST((w + 1) // 2 AS BIGINT) AS ow,
+                         CAST((h + 1) // 2 AS BIGINT) AS oh
+                  FROM p)
+            SELECT doc_id AS item_id,
+                   CAST(ow AS INT) AS width,
+                   CAST(oh AS INT) AS height,
+                   CAST(ow * oh AS BIGINT) AS n_pixels,
+                   CAST(list_sum(list_transform(range(0, ow * oh), q ->
+                        ascii(substring(m,
+                          CAST(((q // ow) * 2 * w + (q % ow) * 2) % 32
+                               + 1 AS INT), 1)))) AS BIGINT) AS px_sum
+            FROM d ORDER BY item_id
         """,
         "multimodal_audio": """
             SELECT doc_id AS item_id,

@@ -16,7 +16,7 @@ from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    word_ngrams)
 from .multimodal import (attach_binary_meta, decode_audio,
                          decode_images, decode_pixel_stats, extract_features,
-                         sample_frames)
+                         resize_images, sample_frames)
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
                        kmeans_quantized, ngram_logcount_score,
                        per_source_cap, semantic_dedup)
@@ -39,7 +39,7 @@ __all__ = [
     "asof_join", "range_join",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",
-    "sample_frames",
+    "resize_images", "sample_frames",
     "blocklist_filter", "classifier_score", "corpus_stats",
     "kmeans_quantized", "ngram_logcount_score", "per_source_cap",
     "semantic_dedup",

@@ -274,6 +274,46 @@ def decode_audio(df: DataFrame, bin_col: str = "payload",
     return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)
 
 
+def resize_images(df: DataFrame, bin_col: str = "payload",
+                  id_col: str = "item_id", factor: int = 2) -> DataFrame:
+    """REAL nearest-neighbor downsample for PNM payloads: numpy stride
+    slicing (out[i,j] = in[i*f, j*f], so out dims are ceil(in/f)),
+    re-encoded as a valid binary PNM the decoders can read back —
+    the resize stage of an image-training pipeline. Arrow-batched
+    mapInPandas; non-PNM/broken payloads yield null output columns
+    (bad files are data). Output: (id, payload, width, height)."""
+    out_schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    arr = decode_pnm(bytes(p))
+                    if arr.dtype.itemsize != 1:
+                        raise ValueError("16-bit PNM resize unsupported")
+                    small = arr[::factor, ::factor]
+                    h, w = small.shape[:2]
+                    magic = b"P6" if small.ndim == 3 else b"P5"
+                    payload = (magic + b"\n" + str(w).encode() + b" "
+                               + str(h).encode() + b"\n255\n"
+                               + np.ascontiguousarray(small).tobytes())
+                    rows.append((int(i), payload, w, h))
+                except Exception:
+                    rows.append((int(i), None, None, None))
+            yield pd.DataFrame(rows, columns=["item_id", "payload",
+                                              "width", "height"])
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)
+
+
 def extract_features(df: DataFrame, bin_col: str = "payload",
                      id_col: str = "item_id", dim: int = 64) -> DataFrame:
     """Binary → feature vector (array<float>), Arrow-batched. The kernel

@@ -688,3 +688,25 @@ def test_scrub_pii_patterns(spark):
     assert out[1].pii_count == 2 and out[2].pii_count == 2
     assert out[3].text == rows[2][1] and out[3].pii_count == 0
     assert out[4].text is None            # null text passes through
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """REAL resize round trip: decode → stride-2 sample → re-encode →
+    the output is itself a valid PNM the decoder reads back; broken and
+    16-bit payloads yield nulls instead of failing the job."""
+    import numpy as np
+    from spork_spark.operators import resize_images
+    from spork_spark.operators.multimodal import decode_pnm
+    px = list(range(20))                      # 5x4 gradient
+    good = _pgm(5, 4, px)
+    bad16 = b"P5\n2 2\n65535\n" + bytes(8)    # 16-bit: unsupported
+    rows = [(1, bytearray(good)), (2, bytearray(b"nope")),
+            (3, bytearray(bad16))]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in
+           resize_images(df, factor=2).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (3, 2)   # ceil(5/2),ceil(4/2)
+    arr = decode_pnm(bytes(got[1]["payload"]))
+    expect = np.array(px, dtype=np.uint8).reshape(4, 5)[::2, ::2]
+    assert np.array_equal(arr, expect)
+    assert got[2]["payload"] is None and got[3]["payload"] is None
