@@ -10,7 +10,13 @@ Implementation notes:
   lowers onto — so the driver exercises the engine, not raw pyspark.
 - Double-typed aggregates are rounded to 2 decimals ON BOTH SIDES: Spark
   and DuckDB may sum floats in different orders, and the driver's
-  value-hash comparison needs bit-stable values.
+  value-hash comparison needs bit-stable values. Rounding leaves a
+  residual hazard: a sum can land exactly on a floor(x*100+0.5) boundary
+  with engine-dependent last ulps (an sf0.1 sweep caught `nested_cross`
+  doing so). Where that bites, the fix is to make the sum EXACT on both
+  engines: fold in DECIMAL, entering via the double's shortest decimal
+  repr on both sides (Spark's native double→decimal cast semantics;
+  DuckDB mirrors it with CAST(CAST(x AS VARCHAR) AS DECIMAL)).
 - Oracle SQL mirrors Pig semantics where they diverge from ANSI defaults
   (truncating integer division via trunc(), Pig ROUND = floor(x+0.5), …).
 """
@@ -766,16 +772,20 @@ def q_nested_cross(spark, sf):
                          lv0 = FOREACH o GENERATE o_totalprice AS lv;
                          lo = FILTER lv0 BY lv < 2000.0;
                          c = CROSS hi, lo;
-                         d = FOREACH c GENERATE hv - lv AS spread;
+                         d = FOREACH c GENERATE (bigdecimal)(hv - lv) AS spread;
                          GENERATE group AS pri, COUNT_STAR(c) AS n_pairs,
                                   SUM(d.spread) AS spread_total; }};
         srt = ORDER x BY pri;
     """)
+    # Sum in DECIMAL, not double: exact order-independent addition on
+    # both engines (an sf0.1 sweep caught a double-sum landing exactly on
+    # a floor(x*100+0.5) boundary with engine-dependent last ulps). The
+    # identical exact sum then converts to double and rounds identically.
     from pyspark.sql import functions as F
     df = rels["srt"].df()
     return df.withColumn(
         "spread_total",
-        F.floor(F.col("spread_total") * 100.0 + 0.5) / 100.0)
+        F.floor(F.col("spread_total").cast("double") * 100.0 + 0.5) / 100.0)
 
 
 def q_scalar_of_relation(spark, sf):
@@ -2788,7 +2798,9 @@ def oracle_sql() -> dict[str, str]:
                  lo AS (SELECT o_orderpriority AS pri, o_totalprice AS lv
                         FROM orders WHERE o_totalprice < 2000.0)
             SELECT hi.pri AS pri, COUNT(*) AS n_pairs,
-                   FLOOR((SUM(hi.hv - lo.lv))*100 + 0.5)/100 AS spread_total
+                   FLOOR(CAST(SUM(CAST(CAST(hi.hv - lo.lv AS VARCHAR)
+                                       AS DECIMAL(38,18)))
+                              AS DOUBLE)*100 + 0.5)/100 AS spread_total
             FROM hi JOIN lo ON hi.pri = lo.pri
             GROUP BY hi.pri ORDER BY pri
         """,

@@ -536,8 +536,25 @@ class ExprCompiler:
             return F.size(nn).cast("long")
         if name == "COUNT_STAR":
             return F.size(c).cast("long")
-        s = F.aggregate(nn, F.lit(0.0),
-                        lambda acc, v: acc + v.cast("double"))
+        vt = elem.fields[0].dataType if isinstance(elem, T.StructType) \
+            else elem
+        if isinstance(vt, T.DecimalType):
+            # decimal bags fold in decimal: EXACT, order-independent
+            # addition (a double fold would reintroduce the
+            # summation-order nondeterminism decimals exist to avoid).
+            # Fold at precision ≤37: (37,s)+(37,s) → (38,s) with NO
+            # precision-loss scale shave (38+38 would round to scale-1
+            # at every step, making the fold order-dependent again);
+            # the cast back to (37,s) is lossless while |sum| < 10^(37-s).
+            acc_t = T.DecimalType(min(vt.precision, 37), vt.scale) \
+                .simpleString()
+            zero = F.lit(0).cast(acc_t)
+            s = F.aggregate(
+                nn, zero,
+                lambda acc, v: (acc + v.cast(acc_t)).cast(acc_t))
+        else:
+            s = F.aggregate(nn, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double"))
         n = F.size(nn)
         nonempty = n > 0
         if name == "SUM":

@@ -172,3 +172,30 @@ def test_inner_foreach_projection_and_agg(eng):
     got = {r["flag"]: (r["n"], r["qty"]) for r in rels["y"].df().collect()}
     for k, (n, qty) in exp.items():
         assert got[k][0] == n and abs(got[k][1] - qty) < 1e-6
+
+
+def test_decimal_bag_sum_is_exact(eng, spark, tmp_path):
+    """SUM over a bag of decimals folds in DECIMAL, not double — exact,
+    order-independent addition (an sf0.1 sweep caught a double fold
+    landing on a floor(x*100+0.5) rounding boundary with
+    engine-dependent last ulps). (37,s)+(37,s) → (38,s) keeps every
+    fold step exact."""
+    from decimal import Decimal
+
+    from spork_spark.parser import run_script
+    rows = [(1, 0.1), (1, 0.2), (1, 0.3), (2, 1e-3)] * 5
+    df = spark.createDataFrame(rows, "k int, v double")
+    p = str(tmp_path / "dec_in")
+    df.write.parquet(p)
+    rels = run_script(eng, f"""
+        t = LOAD '{p}';
+        g = GROUP t BY k;
+        s = FOREACH g {{ d = FOREACH t GENERATE (bigdecimal)v AS dv;
+                         GENERATE group AS k, SUM(d.dv) AS total; }};
+    """)
+    out = {r["k"]: r["total"] for r in rels["s"].df().collect()}
+    # Spark double→decimal casts via the SHORTEST decimal repr
+    # (BigDecimal.valueOf semantics): 0.1 → 0.1 exactly, not the
+    # binary expansion 0.1000…0555…
+    assert out[1] == sum(Decimal(str(x)) for x in (0.1, 0.2, 0.3)) * 5
+    assert out[2] == Decimal(str(1e-3)) * 5
