@@ -213,3 +213,24 @@ def test_streaming_dedup_batch_stream_parity(spark, tmp_path):
     run_to_memory(out, "dedup_test", output_mode="append")
     got = spark.sql("SELECT user_id FROM dedup_test").collect()
     assert sorted(r.user_id for r in got) == [1, 2, 3]
+
+
+def test_stateless_curation_ops_stream(spark, tmp_path):
+    """The stateless curation stages (pure Column expressions — classifier
+    scoring here) run unchanged on a readStream input: one definition
+    serves batch and streaming, so a curation pipeline can score at
+    ingest time without a rewrite."""
+    from spork_spark.operators import classifier_score
+
+    rows = [(1, "the quick brown fox"), (2, "xq zv9 !!"), (3, "a b a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cls_in")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    want = sorted(map(tuple, classifier_score(df).collect()))
+    stream = read_stream(spark, path, "doc_id long, text string")
+    out = classifier_score(stream)
+    assert out.isStreaming
+    run_to_memory(out, "cls_test", output_mode="append")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cls_test").collect()))
+    assert got == want
