@@ -538,16 +538,20 @@ class ExprCompiler:
             return F.size(c).cast("long")
         vt = elem.fields[0].dataType if isinstance(elem, T.StructType) \
             else elem
-        if isinstance(vt, T.DecimalType):
+        if isinstance(vt, T.DecimalType) and vt.scale <= 37:
             # decimal bags fold in decimal: EXACT, order-independent
             # addition (a double fold would reintroduce the
             # summation-order nondeterminism decimals exist to avoid).
-            # Fold at precision ≤37: (37,s)+(37,s) → (38,s) with NO
+            # Fold at precision 37: (37,s)+(37,s) → (38,s) with NO
             # precision-loss scale shave (38+38 would round to scale-1
             # at every step, making the fold order-dependent again);
-            # the cast back to (37,s) is lossless while |sum| < 10^(37-s).
-            acc_t = T.DecimalType(min(vt.precision, 37), vt.scale) \
-                .simpleString()
+            # the widening element cast is lossless for p ≤ 37, and the
+            # fold stays exact while |sum| < 10^(37-s). Values past that
+            # boundary NULL the sum — the same null-on-overflow contract
+            # as Spark's native decimal SUM aggregate under ANSI-off.
+            # Only scale=38 (decimal(38,38)) cannot form a valid (37,38)
+            # accumulator; that one falls through to the double fold.
+            acc_t = T.DecimalType(37, vt.scale).simpleString()
             zero = F.lit(0).cast(acc_t)
             s = F.aggregate(
                 nn, zero,

@@ -146,7 +146,11 @@ def corpus_stats(df: DataFrame, strata: tuple = ("lang", "source"),
     Single partial+final HashAggregate (map-side combine); no second pass,
     no Python."""
     ln = F.length(F.col(text_col))
-    nt = F.size(tokens(text_col))
+    # Null text must contribute NULL (SUM-skipped), not the -1 that
+    # F.size(null) returns under the engine's non-ANSI legacy-sizeOfNull
+    # conf — the oracle's SUM(len(...)) NULL-skips.
+    nt = F.when(F.col(text_col).isNull(), F.lit(None).cast("int")) \
+          .otherwise(F.size(tokens(text_col)))
     return (df.groupBy(*strata)
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum(ln.cast("long")).alias("total_chars"),
@@ -253,9 +257,15 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
         return df_q.mapInPandas(kernel, out_schema)
 
     assign = assign_expr if mode == "expr" else assign_pandas
+    rounds = max(n_iter, 1)
     assigned = None
-    for _ in range(max(n_iter, 1)):
+    for it in range(rounds):
         assigned = assign(q, cents)
+        if it == rounds - 1:
+            # The output is the LAST assignment; a final centroid update
+            # would be discarded — skipping it saves one corpus-wide
+            # groupBy shuffle + k-row collect per call.
+            break
         upd = (assigned.groupBy("__c")
                .agg(F.count(F.lit(1)).alias("__n"),
                     *[F.sum(F.col("__q")[i]).alias(f"__s{i}")
@@ -268,7 +278,14 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
             (int(r["__c"]),
              [int(r[f"__s{i}"]) // int(r["__n"]) for i in range(dim)])
             for r in upd)
-    out = assigned.select(F.col(id_col), F.col("__c").alias("cluster"))
+    # Materialize the (id, cluster) result BEFORE unpersisting q — the
+    # returned DataFrame is lazy, so an eager localCheckpoint is what
+    # makes the persist actually pay off for callers (semantic_dedup
+    # references the assignment three times; without this the whole
+    # assign pipeline would recompute per reference against an
+    # unpersisted q). Also truncates the n_iter-deep lineage.
+    out = (assigned.select(F.col(id_col), F.col("__c").alias("cluster"))
+           .localCheckpoint(eager=True))
     q.unpersist()
     return out
 

@@ -296,14 +296,20 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
             rows = []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    arr = decode_pnm(bytes(p))
+                    raw = bytes(p)
+                    arr = decode_pnm(raw)
                     if arr.dtype.itemsize != 1:
                         raise ValueError("16-bit PNM resize unsupported")
+                    # Preserve the SOURCE maxval: re-declaring 255 would
+                    # silently rescale any maxval<255 image for
+                    # standards-conformant readers that normalize by it.
+                    maxval = parse_pnm_header(raw)[3]
                     small = arr[::factor, ::factor]
                     h, w = small.shape[:2]
                     magic = b"P6" if small.ndim == 3 else b"P5"
                     payload = (magic + b"\n" + str(w).encode() + b" "
-                               + str(h).encode() + b"\n255\n"
+                               + str(h).encode() + b"\n"
+                               + str(maxval).encode() + b"\n"
                                + np.ascontiguousarray(small).tobytes())
                     rows.append((int(i), payload, w, h))
                 except Exception:

@@ -77,8 +77,15 @@ def _input_bytes(data_dir: str) -> int:
         for name in os.listdir(data_dir):
             p = os.path.join(data_dir, name)
             if os.path.isdir(p):
-                sz = sum(os.path.getsize(os.path.join(p, f))
-                         for f in os.listdir(p) if not f.startswith("_"))
+                # Recurse: a Hive-partitioned table is table/part=x/file;
+                # counting only the top-level entries would measure a few
+                # KB of directory inodes and silently undersize the
+                # session — the exact failure mode autosizing prevents.
+                sz = 0
+                for root, dirs, files in os.walk(p):
+                    dirs[:] = [d for d in dirs if not d.startswith("_")]
+                    sz += sum(os.path.getsize(os.path.join(root, f))
+                              for f in files if not f.startswith("_"))
             else:
                 sz = os.path.getsize(p)
             best = max(best, sz)
@@ -140,8 +147,10 @@ def get_spark(app_name: str = "spork-spark", master: str | None = None,
         cores = int(master[6:-1])
     sized = dict(_SCALE_CONF)
     data_dir = data_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
+    auto = {}
     if data_dir and "SPARK_GRAFT_SHUFFLE" not in os.environ:
-        sized.update(autosize_conf(_input_bytes(data_dir), cores))
+        auto = autosize_conf(_input_bytes(data_dir), cores)
+        sized.update(auto)
     for k, v in {**_SEMANTIC_CONF, **sized, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -155,14 +164,13 @@ def get_spark(app_name: str = "spork-spark", master: str | None = None,
     # Sizing confs are runtime-settable too; re-apply on a reused session so
     # a long-lived driver pointed at new data resizes without restart.
     # Explicit extra_conf keys stay authoritative.
-    if data_dir and "SPARK_GRAFT_SHUFFLE" not in os.environ:
-        for k, v in autosize_conf(_input_bytes(data_dir), cores).items():
-            if extra_conf and k in extra_conf:
-                continue
-            try:
-                spark.conf.set(k, v)
-            except Exception:
-                pass
+    for k, v in auto.items():
+        if extra_conf and k in extra_conf:
+            continue
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
 
 

@@ -183,3 +183,35 @@ def test_curation_ops_edge_inputs(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_quantized(empty, k=2, n_iter=1).count() == 0
     assert semantic_dedup(empty, k=2, n_iter=1).count() == 0
+
+
+def test_corpus_stats_null_text_is_sum_skipped(spark):
+    """Null text must contribute NULL (SUM-skipped) to total_tokens, not
+    the -1 that F.size(null) yields under the engine's legacy-sizeOfNull
+    conf — the DuckDB oracle NULL-skips (round-4 review finding)."""
+    df = spark.createDataFrame(
+        [(1, None, "en", "s"), (2, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string")
+    r = corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["total_tokens"] == 3          # was 2 (3 + (-1)) pre-fix
+    assert r["total_chars"] == 5
+
+
+def test_kmeans_skips_discarded_final_update(emb, monkeypatch):
+    """The centroid update after the LAST assignment is discarded — the
+    implementation must not pay its corpus-wide aggregation (one fewer
+    Spark job per call). Detect via collect-call counting."""
+    cls = type(emb)            # the CLASSIC DataFrame subclass --
+    calls = {"n": 0}           # patching the pyspark.sql base would
+    orig = cls.collect         # miss its override
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    kmeans_quantized(emb, k=3, n_iter=2).count()
+    # seeds collect (1) + one update collect for round 0 only (1);
+    # round 1's update is skipped.
+    assert calls["n"] == 2

@@ -710,3 +710,16 @@ def test_resize_images_nearest_neighbor(spark):
     expect = np.array(px, dtype=np.uint8).reshape(4, 5)[::2, ::2]
     assert np.array_equal(arr, expect)
     assert got[2]["payload"] is None and got[3]["payload"] is None
+
+
+def test_resize_preserves_source_maxval(spark):
+    """Re-encoding must keep the source's declared maxval: claiming 255
+    for a maxval-100 image silently darkens it ~40% for any reader that
+    normalizes by maxval (round-4 review finding)."""
+    from spork_spark.operators import resize_images
+    from spork_spark.operators.multimodal import parse_pnm_header
+    payload = b"P5\n4 4\n100\n" + bytes(range(16))
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "item_id long, payload binary")
+    out = resize_images(df, factor=2).collect()[0]
+    assert parse_pnm_header(bytes(out["payload"]))[3] == 100

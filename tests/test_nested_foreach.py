@@ -199,3 +199,27 @@ def test_decimal_bag_sum_is_exact(eng, spark, tmp_path):
     # binary expansion 0.1000…0555…
     assert out[1] == sum(Decimal(str(x)) for x in (0.1, 0.2, 0.3)) * 5
     assert out[2] == Decimal(str(1e-3)) * 5
+
+
+def test_decimal38_scale38_bag_sum_does_not_crash(eng, spark, tmp_path):
+    """decimal(38,38) elements cannot form a valid (37,38) accumulator;
+    the fold must fall back to double instead of raising
+    'scale cannot be greater than precision' (round-4 review finding).
+    Elements with 38 significant digits NULL the exact fold — the same
+    null-on-overflow contract as Spark's native decimal SUM."""
+    from decimal import Decimal
+
+    from spork_spark.parser import run_script
+    df = spark.createDataFrame(
+        [(1, Decimal("0.1")), (1, Decimal("0.25"))],
+        "k int, v decimal(38,38)")
+    p = str(tmp_path / "dec38_in")
+    df.write.parquet(p)
+    rels = run_script(eng, f"""
+        t = LOAD '{p}';
+        g = GROUP t BY k;
+        s = FOREACH g {{ d = FILTER t BY v IS NOT NULL;
+                         GENERATE group AS k, SUM(d.v) AS total; }};
+    """)
+    out = rels["s"].df().collect()     # pre-fix: ParseException here
+    assert abs(float(out[0]["total"]) - 0.35) < 1e-12

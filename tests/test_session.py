@@ -67,3 +67,18 @@ def test_get_spark_applies_autosize_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_input_bytes_recurses_into_partitioned_tables(tmp_path):
+    """A Hive-partitioned table (table/part=x/file) must be measured by
+    its FILE bytes, not its directory inodes — otherwise autosizing
+    reproduces the static-undersizing failure it exists to prevent
+    (round-4 review finding)."""
+    t = tmp_path / "events.parquet"
+    for part in ("day=1", "day=2"):
+        d = t / part
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x" * 10_000)
+        (d / "_metadata").write_bytes(b"y" * 5_000)     # excluded
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    assert _input_bytes(str(tmp_path)) == 20_000

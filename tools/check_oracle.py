@@ -164,10 +164,15 @@ def main():
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            duck_cols = rel.columns
-            arrow_schema = con.sql(oracles[name]).arrow().schema
-            duck_rows = rel.fetchall()
+            # ONE execution: the Arrow table supplies schema AND rows
+            # (a separate fetchall would re-run the whole query — the
+            # quadratic oracle replays make that expensive at sf0.1).
+            tbl = con.sql(oracles[name]).arrow()
+            duck_cols = list(tbl.schema.names)
+            arrow_schema = tbl.schema
+            cols_data = [tbl.column(i).to_pylist()
+                         for i in range(tbl.num_columns)]
+            duck_rows = list(zip(*cols_data)) if cols_data else []
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {exc}")
             failures += 1
