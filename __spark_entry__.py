@@ -2059,6 +2059,28 @@ def q_stratified_sample(spark, sf):
                 .orderBy("lang"))
 
 
+def q_partition_by_custom(spark, sf):
+    """GROUP … PARTITION BY <class> (SURVEY.md §2.1 clause table): a
+    REGISTERED Python placement function (Engine.register_partitioner, the
+    Hadoop Partitioner.getPartition contract) decides which partition each
+    group lands in via rdd.partitionBy — the one documented RDD escape.
+    Results are placement-invariant, so the oracle is the plain GROUP BY;
+    tests/test_partitioner.py pins that spark_partition_id() == fn(key)%n."""
+    from spork_spark.parser import run_script
+    eng = _eng(spark)
+    eng.register_partitioner("com.example.ModPartitioner",
+                             lambda k: int(k) % 7)
+    rels = run_script(eng, f"""
+        o = LOAD '{sf}/orders.parquet';
+        g = GROUP o BY o_custkey PARTITION BY com.example.ModPartitioner
+            PARALLEL 8;
+        agg = FOREACH g GENERATE group AS custkey, COUNT_STAR(o) AS n,
+                                 MAX(o.o_totalprice) AS max_price;
+        srt = ORDER agg BY custkey;
+    """)
+    return rels["srt"].df()
+
+
 def q_collected_group(spark, sf):
     """GROUP … USING 'collected' (map-side group when the loader
     guarantees collocation — perf-only variant, SURVEY.md §2.1 clause
@@ -2388,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_struct": q_events_json_struct,
         "stratified_sample": q_stratified_sample,
         "collected_group": q_collected_group,
+        "partition_by_custom": q_partition_by_custom,
         "schema_merge": q_schema_merge,
         "cogroup_3way": q_cogroup_3way,
         "join_right": q_join_right,
@@ -4010,6 +4033,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linenumber, COUNT(*) AS cnt,
                    SUM(l_quantity) AS qty
             FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+        """,
+        "partition_by_custom": """
+            SELECT o_custkey AS custkey, COUNT(*) AS n,
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_custkey ORDER BY custkey
         """,
         "schema_merge": """
             SELECT n_nationkey, n_name,

@@ -40,10 +40,12 @@ GROUP_COL = "group"
 
 class PlanCompiler:
     def __init__(self, spark: SparkSession, udfs: dict[str, Any] | None = None,
-                 udafs: dict[str, Any] | None = None):
+                 udafs: dict[str, Any] | None = None,
+                 partitioners: dict[str, Any] | None = None):
         self.spark = spark
         self.udfs = udfs if udfs is not None else {}
         self.udafs = udafs if udafs is not None else {}
+        self.partitioners = partitioners if partitioners is not None else {}
         self._cache: dict[int, DataFrame] = {}
         self._consumers: dict[int, int] = {}
 
@@ -320,7 +322,21 @@ class PlanCompiler:
             else:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))
-        return agg_df.select(*final)
+        result = agg_df.select(*final)
+        if getattr(group, "partitioner", None):
+            gidx = [i for i, (k, _, _) in enumerate(out_cols)
+                    if k == "group"]
+            if gidx:
+                placed = self._apply_partitioner(
+                    group, result, [result.columns[i] for i in gidx])
+                if placed is not None:
+                    result = placed
+            else:
+                import warnings
+                warnings.warn(
+                    "PARTITION BY: the group key is not projected by the "
+                    "FOREACH generators; custom placement skipped")
+        return result
 
     _EAGER_AGGS = {"SUM", "COUNT", "COUNT_STAR", "MIN", "MAX", "AVG"}
     _EAGER_FINAL = {"SUM": "SUM", "COUNT": "SUM", "COUNT_STAR": "SUM",
@@ -823,9 +839,36 @@ class PlanCompiler:
         else:
             group_col = F.struct(*[F.col(n) for n in key_names]).alias(GROUP_COL)
         out = grouped.select(group_col, F.col(bag_alias))
+        placed = self._apply_partitioner(node, out, [GROUP_COL])
+        if placed is not None:
+            return placed
         if node.parallel:
             out = out.repartition(node.parallel, GROUP_COL)
         return out
+
+    def _apply_partitioner(self, node, df: DataFrame,
+                           key_cols: list[str]) -> DataFrame | None:
+        """Honor PARTITION BY <class> when a placement function is
+        registered under that name (Engine.register_partitioner) — the
+        group OUTPUT is placed by fn(key) % n, Pig's observable effect
+        (which part-file each group lands in under STORE). Unregistered
+        names keep the accepted-and-ignored behavior (Catalyst placement),
+        with a warning. Returns None when not applied."""
+        name = getattr(node, "partitioner", None)
+        if not name:
+            return None
+        fn = self.partitioners.get(name)
+        if fn is None:
+            import warnings
+            warnings.warn(
+                f"PARTITION BY {name}: no placement function registered "
+                "under this name (Engine.register_partitioner); using "
+                "Spark's hash placement")
+            return None
+        from ..operators.partitioner import custom_partition
+        n = node.parallel or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return custom_partition(df, key_cols, n, fn)
 
     @staticmethod
     def _key_name(k: E.Expr, i: int) -> str:
@@ -883,7 +926,8 @@ class PlanCompiler:
         for (_, bag_name, _), is_inner in zip(sides, inner):
             if is_inner:
                 out = out.filter(F.size(F.col(bag_name)) > 0)
-        return out
+        placed = self._apply_partitioner(node, out, [GROUP_COL])
+        return placed if placed is not None else out
 
     def _c_groupapply(self, node: L.GroupApply) -> DataFrame:
         df = self._compile(node.child)

@@ -648,19 +648,29 @@ class PigParser:
             if not inner[-1]:
                 self.accept("kw", "outer")
         # USING 'collected' (map-side group when loader guarantees
-        # collocation) is a perf-only variant → plain groupBy; PARTITION BY
-        # custom partitioner classes are accepted and ignored (Catalyst
-        # owns partitioning — SURVEY.md §2.1 clause notes)
+        # collocation) is a perf-only variant → plain groupBy. PARTITION BY
+        # names a placement function: honored when registered via
+        # Engine.register_partitioner, else accepted-and-ignored with a
+        # warning (Catalyst owns placement — SURVEY.md §2.1 clause notes).
         if self.accept("kw", "using"):
             self._string()
+        partitioner = None
         if self.peek().kind == "ident" and \
                 self.peek().text.lower() == "partition":
             self.next()
             self.expect("kw", "by")
-            self.next()                      # partitioner class name
+            parts = [self.next().text]       # dotted class name
+            while self.accept("op", "."):
+                parts.append(self.next().text)
+            partitioner = ".".join(parts)
         if others:
-            return src.cogroup(keys, *others, inner=inner)
-        return src.group_by(*keys, parallel=self._parallel())
+            cg = src.cogroup(keys, *others, inner=inner)
+            cg.node.parallel = self._parallel()
+            if partitioner:
+                cg.node.partitioner = partitioner
+            return cg
+        return src.group_by(*keys, parallel=self._parallel(),
+                            partitioner=partitioner)
 
     op_cogroup = op_group
     op_cube = op_group  # CUBE rel BY CUBE(...) parses via group path

@@ -82,6 +82,7 @@ class Group(LogicalOp):
     keys: list[Expr]                # empty ⇒ GROUP ALL
     mode: str = "by"                # by | all | cube | rollup (LOCube sugar)
     parallel: int | None = None     # PARALLEL n clause
+    partitioner: str | None = None  # PARTITION BY <class> (placement fn name)
 
 
 @dataclass(eq=False)

@@ -37,7 +37,9 @@ class Engine:
         self.spark = spark or get_spark()
         self.udfs: dict[str, Any] = {}
         self.udafs: dict[str, Any] = {}
-        self._compiler = PlanCompiler(self.spark, self.udfs, self.udafs)
+        self.partitioners: dict[str, Any] = {}
+        self._compiler = PlanCompiler(self.spark, self.udfs, self.udafs,
+                                      self.partitioners)
 
     # -- sources -----------------------------------------------------------
     def load(self, path: str, fmt: str = "parquet", schema=None,
@@ -87,6 +89,15 @@ class Engine:
         _grouped.__name__ = getattr(func, "__name__", name)
         self.udafs[name.upper()] = F.pandas_udf(_grouped, returns)
 
+    def register_partitioner(self, name: str, func: Callable) -> None:
+        """Custom placement function for ``PARTITION BY <name>`` on GROUP/
+        COGROUP (SURVEY.md §2.1 clause notes; Pig's Hadoop Partitioner
+        class). ``func(key) -> int`` is the getPartition contract (Spark
+        applies the modulo); ``key`` is the group key value — a scalar for
+        a single key, a tuple/Row for compound keys. Must be picklable
+        (it ships to executors via rdd.partitionBy)."""
+        self.partitioners[name] = func
+
     def compile(self, node: L.LogicalOp) -> DataFrame:
         return self._compiler.compile(node)
 
@@ -110,8 +121,9 @@ class Relation:
     def foreach(self, *generators: Expr) -> "Relation":
         return self._wrap(L.ForEach(self.node, list(generators)))
 
-    def group_by(self, *keys: Expr, parallel: int | None = None) -> "Relation":
-        g = L.Group(self.node, list(keys), "by", parallel)
+    def group_by(self, *keys: Expr, parallel: int | None = None,
+                 partitioner: str | None = None) -> "Relation":
+        g = L.Group(self.node, list(keys), "by", parallel, partitioner)
         g.bag_alias = self.alias      # Pig names the bag after the relation
         return self._wrap(g)
 
