@@ -1028,6 +1028,32 @@ def q_tfidf(spark, sf):
             .orderBy("doc_id", "token").limit(1000))
 
 
+def q_time_rollup(spark, sf):
+    """Hypertable-style multi-grain time-bucket rollup (operators/
+    rollup.py): hour + day aggregates from ONE raw shuffle — the day grain
+    re-aggregates the hourly result (TimescaleDB continuous-aggregate
+    cascade), with the sum carried in decimal(38,2) so the cascaded and
+    direct paths are bit-identical. test_rollup.py pins the single-scan
+    plan shape."""
+    from spork_spark.operators import time_rollup
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return (time_rollup(ev, ts_col="ts", dims=("event_type",),
+                        value_col="value", grains=("hour", "day"))
+            .orderBy("grain", "bucket", "event_type"))
+
+
+def q_inverted_index(spark, sf):
+    """Postings-list construction (operators/text.py inverted_index):
+    (token, doc_id, tf, corpus doc_freq), min_df-pruned. Map-side-combined
+    tf shuffle, then a token-keyed exchange of the aggregated tf rows."""
+    from spork_spark.operators import inverted_index
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (inverted_index(docs, min_df=3)
+            .orderBy("token", "doc_id").limit(2000))
+
+
 # ---------------------------------------------------------------------------
 # event-time windows in batch (SURVEY.md §2.8 extension)
 # ---------------------------------------------------------------------------
@@ -2345,6 +2371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
+        "time_rollup": q_time_rollup,
+        "inverted_index": q_inverted_index,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
         "events_interval_join": q_events_interval_join,
@@ -3235,6 +3263,38 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(text) AS content_fp
             FROM documents ORDER BY doc_id
+        """,
+        "time_rollup": """
+            WITH base AS (
+              SELECT date_trunc('hour', ts) AS bucket, event_type,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS sum_value,
+                     MIN(value) AS min_value, MAX(value) AS max_value
+              FROM events GROUP BY 1, 2),
+            h AS (SELECT 'hour' AS grain, * FROM base),
+            d AS (SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket,
+                         event_type, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                         CAST(SUM(sum_value) AS DECIMAL(38,2)) AS sum_value,
+                         MIN(min_value) AS min_value,
+                         MAX(max_value) AS max_value
+                  FROM base GROUP BY 2, 3)
+            SELECT * FROM h UNION ALL SELECT * FROM d
+            ORDER BY grain, bucket, event_type
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x != '')) AS token
+              FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT token, doc_id, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            o AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS doc_freq
+                  FROM tf)
+            SELECT token, doc_id, tf, doc_freq FROM o
+            WHERE doc_freq >= 3 ORDER BY token, doc_id LIMIT 2000
         """,
         "tfidf": """
             WITH toks AS (

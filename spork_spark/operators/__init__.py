@@ -7,8 +7,10 @@ from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
 from .graph import connected_components
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, lsh_topk, quantize_embeddings)
+from .rollup import time_rollup
 from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
+                   inverted_index,
                    gopher_filter,
                    pack_sequences, quality_score, repetition_ratio,
                    resample_mixture, scrub_pii,
@@ -34,7 +36,8 @@ __all__ = [
     "decontaminate", "dedup_lines", "detect_language", "gopher_filter",
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
-    "fingerprint", "quality_score", "tf_idf", "token_count", "tokens",
+    "fingerprint", "inverted_index", "quality_score", "tf_idf",
+    "time_rollup", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join",
     "attach_binary_meta", "decode_audio", "decode_images",

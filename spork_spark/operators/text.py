@@ -519,3 +519,32 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     if count_col:
         df = df.withColumn(count_col, n)
     return df.withColumn(text_col, scrubbed)
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   lowercase: bool = True) -> DataFrame:
+    """Postings-list construction (token -> document), the index every
+    retrieval/decontamination pipeline builds over a corpus: one row per
+    (token, doc) with the term frequency, plus the token's corpus-wide
+    document frequency; tokens in fewer than ``min_df`` docs drop.
+
+    Scale shape: explode is map-side (no shuffle); tf is a hash shuffle
+    on (token, doc) with map-side combine (duplicate tokens in a doc
+    compress before the exchange); doc_freq is a second exchange on
+    token but of the already-aggregated tf rows, not raw postings.
+    Everything is native Columns — no Python in the path."""
+    from pyspark.sql.window import Window
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(c)).alias("token"))
+             .groupBy("token", id_col)
+             .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("token")
+    out = tok.withColumn("doc_freq",
+                         F.count(F.lit(1)).over(w).cast("long"))
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out
