@@ -1028,6 +1028,36 @@ def q_tfidf(spark, sf):
             .orderBy("doc_id", "token").limit(1000))
 
 
+def q_bm25(spark, sf):
+    """Okapi BM25 retrieval scores (operators/text.py bm25_scores) for a
+    fixed query over the documents table. dl/avgdl enters as the exact
+    integer ratio dl*N/total_dl (no aggregation-order ulps); scores round
+    to 6 decimals on both engines."""
+    from spork_spark.operators import bm25_scores
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (bm25_scores(docs, ["data", "model", "training"])
+            .orderBy("doc_id"))
+
+
+def q_sketch_distinct(spark, sf):
+    """Sketch surface (HLL approx_count_distinct) with an EXACT oracle:
+    output the exact per-type distinct-user count plus a boolean that the
+    sketch landed within 5% relative error (HLL's default rsd is 5%, so
+    the bound holds deterministically for these cardinalities; the oracle
+    asserts the same exact count and literal TRUE)."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    from pyspark.sql import functions as F
+    g = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("n_exact"),
+                F.approx_count_distinct("user_id").alias("n_approx")))
+    return (g.select("event_type", "n_exact",
+                     (F.abs(F.col("n_approx") - F.col("n_exact"))
+                      <= 0.05 * F.col("n_exact") + 1).alias("within_5pct"))
+             .orderBy("event_type"))
+
+
 def q_time_rollup(spark, sf):
     """Hypertable-style multi-grain time-bucket rollup (operators/
     rollup.py): hour + day aggregates from ONE raw shuffle — the day grain
@@ -2372,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
         "time_rollup": q_time_rollup,
+        "bm25": q_bm25,
+        "sketch_distinct": q_sketch_distinct,
         "inverted_index": q_inverted_index,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
@@ -3263,6 +3295,43 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(text) AS content_fp
             FROM documents ORDER BY doc_id
+        """,
+        "bm25": """
+            WITH dl AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text),
+                         '\\s+'), x -> x != '')) AS dl
+              FROM documents),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM dl),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                        lower(trim(text)), '\\s+'), x -> x != '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                   WHERE token IN ('data', 'model', 'training')
+                   GROUP BY 1, 2),
+            dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df_t
+                    FROM tf GROUP BY 1),
+            part AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (CAST(n AS DOUBLE) - df_t + 0.5)
+                              / (df_t + 0.5))
+                     * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * (dl.dl * n) / CAST(total_dl AS DOUBLE)))
+                        AS p
+              FROM tf JOIN dfq USING (token)
+                      JOIN dl ON tf.doc_id = dl.doc_id, stats)
+            SELECT doc_id, ROUND(SUM(p), 6) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM part GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sketch_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "time_rollup": """
             WITH base AS (

@@ -8,7 +8,7 @@ from .graph import connected_components
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, lsh_topk, quantize_embeddings)
 from .rollup import time_rollup
-from .text import (bpe_ish_token_count, char_entropy, chunk_documents,
+from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
                    gopher_filter,
@@ -32,7 +32,7 @@ __all__ = [
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",
     "lsh_topk", "quantize_embeddings",
-    "bpe_ish_token_count", "char_entropy", "chunk_documents",
+    "bm25_scores", "bpe_ish_token_count", "char_entropy", "chunk_documents",
     "decontaminate", "dedup_lines", "detect_language", "gopher_filter",
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",

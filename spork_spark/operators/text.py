@@ -548,3 +548,50 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
     if min_df > 1:
         out = out.filter(F.col("doc_freq") >= min_df)
     return out
+
+
+def bm25_scores(df: DataFrame, query_tokens: list, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed token list
+    (Robertson & Zaragoza 2009) — the retrieval scorer over the
+    inverted-index shape: per doc,
+      score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Scale shape: corpus stats (N, avgdl) are two scalar aggregates; the
+    per-(doc, token) tf aggregation shuffles only rows matching the
+    query tokens (filter BEFORE the explode-shuffle), and per-token df
+    is broadcast back. Scores are rounded to 6 decimals for stable
+    cross-engine comparison."""
+    qt = [t.lower() for t in query_tokens]
+    dl = df.select(F.col(id_col),
+                   token_count(text_col).alias("dl"))
+    # dl/avgdl enters as the EXACT integer ratio dl·N/Σdl — an avgdl
+    # double would carry aggregation-order ulps across engines (the
+    # r3-sweep hazard class); integer numerator/denominator make the
+    # double division itself deterministic.
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("total_dl")).first()
+    n_docs, total_dl = stats["n"], int(stats["total_dl"] or 1)
+    toks = (df.select(F.col(id_col),
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("token"))
+              .filter(F.col("token").isin(qt)))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    scored = (tf.join(F.broadcast(dfreq), on="token")
+                .join(dl, on=id_col)
+                .withColumn(
+                    "part",
+                    idf * F.col("tf") * (F.lit(k1) + 1.0)
+                    / (F.col("tf") + F.lit(k1)
+                       * (1.0 - F.lit(b)
+                          + F.lit(b) * (F.col("dl") * F.lit(n_docs))
+                          / F.lit(total_dl)))))
+    return (scored.groupBy(id_col)
+                  .agg(F.round(F.sum("part"), 6).alias("bm25"),
+                       F.count(F.lit(1)).cast("long").alias("n_terms")))

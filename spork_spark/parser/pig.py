@@ -33,7 +33,9 @@ is null, bincond ?:, CASE WHEN, casts (type), function calls, FLATTEN, *.
 
 from __future__ import annotations
 
+import os
 import re
+import sys
 from dataclasses import dataclass
 
 from ..plans import expressions as E
@@ -245,6 +247,85 @@ _PIG_TYPES = {"int", "long", "float", "double", "chararray", "bytearray",
               "bag", "map"}
 
 
+_GRUNT_CMDS = {"fs", "sh", "rmf", "cat", "mkdir", "rm", "cp", "mv", "ls"}
+
+
+def _strip_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
+
+
+def run_grunt(cmdline: str) -> None:
+    """Execute one Grunt command against the LOCAL filesystem (the
+    engine's storage layer; no HDFS in the target env — SURVEY.md §2.7).
+    `fs -cmd args` unwraps to the bare command; `sh …` runs a shell
+    line; rm/rmf are recursive, rmf force-ignores missing paths (the
+    pre-STORE idiom). Listings/cat print to stdout (console sugar, like
+    DUMP)."""
+    import glob as _glob
+    import shutil
+    import subprocess
+    parts = cmdline.split()
+    cmd, args = parts[0].lower(), parts[1:]
+    if cmd == "sh":
+        subprocess.run(cmdline.split(None, 1)[1], shell=True, check=False)
+        return
+    if cmd == "fs":
+        if not args or not args[0].startswith("-"):
+            raise PigSyntaxError(f"fs needs a -command: {cmdline!r}")
+        cmd, args = args[0].lstrip("-").lower(), args[1:]
+        cmd = {"rmr": "rmf", "copy": "cp"}.get(cmd, cmd)
+    # option flags (-r/-R/-p/-skipTrash…) are implied by the local
+    # implementations (rm is recursive, mkdir -p); -f upgrades rm→rmf
+    if cmd == "rm" and any(a in ("-f", "-force") for a in args):
+        cmd = "rmf"
+    args = [_strip_scheme(a.strip("'\""))
+            for a in args if not a.startswith("-")]
+    if cmd == "ls":
+        for pat in args or ["."]:
+            for p in sorted(_glob.glob(pat)) or [pat]:
+                print(p)
+    elif cmd == "cat":
+        for pat in args:
+            for p in sorted(_glob.glob(pat)):
+                with open(p, "r", errors="replace") as fh:
+                    sys.stdout.write(fh.read())
+    elif cmd == "mkdir":
+        for p in args:
+            os.makedirs(p, exist_ok=True)
+    elif cmd in ("rm", "rmf"):
+        force = cmd == "rmf"
+        for pat in args:
+            hits = _glob.glob(pat)
+            if not hits and not force:
+                raise FileNotFoundError(pat)
+            for p in hits:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=force)
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        if not force:
+                            raise
+    elif cmd == "cp":
+        *srcs, dst = args
+        for s in srcs:
+            for p in _glob.glob(s):
+                if os.path.isdir(p):
+                    shutil.copytree(
+                        p, os.path.join(dst, os.path.basename(p))
+                        if os.path.isdir(dst) else dst)
+                else:
+                    shutil.copy(p, dst)
+    elif cmd == "mv":
+        *srcs, dst = args
+        for s in srcs:
+            for p in _glob.glob(s):
+                shutil.move(p, dst)
+    else:
+        raise PigSyntaxError(f"unsupported grunt command {cmd!r}")
+
+
 class PigParser:
     """One script → executed statements against an Engine."""
 
@@ -286,6 +367,7 @@ class PigParser:
     # -- entry ----------------------------------------------------------------
     def run(self, src: str, params: dict | None = None) -> dict[str, Relation]:
         src = expand_macros(substitute_params(src, params))
+        self.src = src
         self.toks, self.i = tokenize(src), 0
         while self.peek().kind != "eof":
             self.statement()
@@ -323,6 +405,10 @@ class PigParser:
             return
         if t.kind == "ident" and t.text.lower() == "assert":
             self.st_assert()
+            return
+        if t.kind == "ident" and t.text.lower() in _GRUNT_CMDS and \
+                not (self.peek(1).kind == "op" and self.peek(1).text == "="):
+            self.st_grunt()
             return
         # alias = <operator …>;
         alias = self.expect("ident").text
@@ -463,6 +549,23 @@ class PigParser:
                     and v.__code__.co_filename == path:
                 full = f"{ns}.{name}" if ns else name
                 self.engine.register_udf(full, v)
+
+    def st_grunt(self) -> None:
+        """Grunt shell commands inside scripts (SURVEY.md §2.1 #33:
+        pig:src/org/apache/pig/tools/grunt/GruntParser.java): fs/sh plus
+        the bare aliases rmf/cat/mkdir/rm/cp/mv/ls. The command line is
+        consumed RAW to the next ';' (paths and flags don't tokenize as
+        Pig expressions) and executed immediately, in statement order —
+        the idiomatic `rmf out; STORE x INTO 'out';` works."""
+        start = self.peek().pos
+        end = self.src.find(";", start)
+        if end < 0:
+            raise PigSyntaxError(
+                f"unterminated grunt command at {start}")
+        raw = self.src[start:end].strip()
+        while self.peek().kind != "eof" and self.peek().pos <= end:
+            self.next()
+        run_grunt(raw)
 
     def st_set(self) -> None:
         self.expect("kw", "set")

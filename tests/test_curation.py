@@ -215,3 +215,25 @@ def test_kmeans_skips_discarded_final_update(emb, monkeypatch):
     # seeds collect (1) + one update collect for round 0 only (1);
     # round 1's update is skipped.
     assert calls["n"] == 2
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Hand-computed Okapi BM25 on a 3-doc corpus (k1=1.2, b=0.75)."""
+    import math
+    from spork_spark.operators import bm25_scores
+    df = spark.createDataFrame(
+        [(1, "data data model"), (2, "model"), (3, "other words here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["bm25"], r["n_terms"])
+           for r in bm25_scores(df, ["data", "model"]).collect()}
+    n, total_dl = 3, 7
+
+    def score(tf, df_t, dl):
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / total_dl))
+
+    exp1 = round(score(2, 1, 3) + score(1, 2, 3), 6)
+    exp2 = round(score(1, 2, 1), 6)
+    assert got[1] == (exp1, 2)
+    assert got[2] == (exp2, 1)
+    assert 3 not in got                      # no query terms -> no row

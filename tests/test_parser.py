@@ -401,3 +401,45 @@ def test_flatten_aliases_and_position(eng):
     assert rels["s"].df().count() == 25          # inline, no fan-out
     assert rels["g"].df().columns == ["group", "nm"]
     assert rels["g"].df().count() == 25          # bag fan-out preserved
+
+
+def test_grunt_commands_execute_in_statement_order(eng, tmp_path):
+    """SURVEY §2.1 #33: fs/sh + bare rmf/cat/mkdir/cp/mv/ls run against
+    the local filesystem at parse time, in statement order — the
+    `rmf out; STORE … INTO 'out'` idiom twice in a row must work."""
+    import os
+    from spork_spark.parser import run_script
+    d = str(tmp_path)
+    run_script(eng, f"""
+        mkdir {d}/sub;
+        sh echo hello > {d}/sub/x.txt;
+        o = LOAD '/root/testdata/sf0.001/region.parquet';
+        rmf {d}/out;
+        STORE o INTO '{d}/out' USING parquet;
+        rmf {d}/out;
+        STORE o INTO '{d}/out' USING parquet;
+        cp {d}/sub/x.txt {d}/y.txt;
+        mv {d}/y.txt {d}/z.txt;
+        fs -rm -r {d}/sub;
+    """)
+    assert os.path.isdir(f"{d}/out")
+    assert open(f"{d}/z.txt").read().strip() == "hello"
+    assert not os.path.exists(f"{d}/sub")
+
+
+def test_grunt_words_still_usable_as_aliases(eng):
+    """`ls = LOAD …` must stay a relation assignment, not a listing."""
+    from spork_spark.parser import run_script
+    rels = run_script(eng, """
+        ls = LOAD '/root/testdata/sf0.001/region.parquet';
+        x = FILTER ls BY r_regionkey >= 0;
+    """)
+    assert rels["x"].df().count() == 5
+
+
+def test_grunt_rm_without_force_raises(eng, tmp_path):
+    import pytest
+    from spork_spark.parser import run_script
+    with pytest.raises(FileNotFoundError):
+        run_script(eng, f"rm {tmp_path}/nope;")
+    run_script(eng, f"rmf {tmp_path}/nope;")     # force: no error
