@@ -1043,15 +1043,17 @@ def q_bm25(spark, sf):
 def q_sketch_distinct(spark, sf):
     """Sketch surface (HLL approx_count_distinct) with an EXACT oracle:
     output the exact per-type distinct-user count plus a boolean that the
-    sketch landed within 5% relative error (HLL's default rsd is 5%, so
-    the bound holds deterministically for these cardinalities; the oracle
-    asserts the same exact count and literal TRUE)."""
+    sketch landed within 5% relative error. The sketch runs at rsd=0.01,
+    putting the 5% bound at ~5 sigma — and HLL is deterministic for a
+    given dataset, so the boolean is stable (verified TRUE at sf0.001
+    through sf1); the oracle asserts the exact count and literal TRUE."""
     eng = _eng(spark)
     ev = _t(eng, sf, "events").df()
     from pyspark.sql import functions as F
     g = (ev.groupBy("event_type")
            .agg(F.countDistinct("user_id").alias("n_exact"),
-                F.approx_count_distinct("user_id").alias("n_approx")))
+                F.approx_count_distinct("user_id", rsd=0.01)
+                 .alias("n_approx")))
     return (g.select("event_type", "n_exact",
                      (F.abs(F.col("n_approx") - F.col("n_exact"))
                       <= 0.05 * F.col("n_exact") + 1).alias("within_5pct"))
