@@ -1049,3 +1049,48 @@ def test_classifier_score_matches_duckdb(eng, spark, texts):
                COALESCE(list_sum(wts), 0) > 0
         FROM w""").fetchall()}
     assert got == want
+
+
+# -------------------------------------------------- time_rollup cascade
+
+_ts_rows = st.lists(
+    st.tuples(st.integers(0, 3 * 86400 * 1000),          # ms within 3 days
+              st.sampled_from(["a", "b"]),
+              st.floats(-1000, 1000, allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=60)
+
+
+@given(rows=_ts_rows)
+@SLOW
+def test_time_rollup_matches_duckdb(spark, rows):
+    """Random event sets: the hour→day cascade must equal DuckDB's direct
+    per-grain aggregation (exact decimal sums; count/min/max)."""
+    import datetime as dt
+    from spork_spark.operators import time_rollup
+    base = dt.datetime(2024, 1, 1)
+    data = [(base + dt.timedelta(milliseconds=ms), et,
+             round(v, 2)) for ms, et, v in rows]
+    sdf = spark.createDataFrame(data, "ts timestamp_ntz, et string, v double")
+    got = norm(tuple(r) for r in
+               time_rollup(sdf, ts_col="ts", dims=("et",), value_col="v",
+                           grains=("hour", "day")).collect())
+    pdf = pd.DataFrame(data, columns=["ts", "et", "v"])
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = norm(con.sql("""
+        WITH base AS (
+          SELECT date_trunc('hour', ts) AS bucket, et,
+                 COUNT(*) AS cnt,
+                 CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                     AS sum_value,
+                 MIN(v) AS min_value, MAX(v) AS max_value
+          FROM ev GROUP BY 1, 2)
+        SELECT 'hour' AS grain, * FROM base
+        UNION ALL
+        SELECT 'day', date_trunc('day', bucket), et,
+               CAST(SUM(cnt) AS BIGINT),
+               CAST(SUM(sum_value) AS DECIMAL(38,2)),
+               MIN(min_value), MAX(max_value)
+        FROM base GROUP BY 2, 3
+    """).fetchall())
+    assert got == want

@@ -234,3 +234,31 @@ def test_stateless_curation_ops_stream(spark, tmp_path):
     run_to_memory(out, "cls_test", output_mode="append")
     got = sorted(map(tuple, spark.sql("SELECT * FROM cls_test").collect()))
     assert got == want
+
+
+def test_single_grain_rollup_batch_stream_parity(spark, tmp_path):
+    """A single-grain time_rollup is a plain (bucket, dims) aggregation —
+    the SAME operator definition runs on a readStream input (complete
+    mode), so a continuous hourly rollup needs no rewrite; the coarser
+    cascade grains then run as periodic batch over the hourly sink (the
+    continuous-aggregate architecture)."""
+    import datetime
+    from spork_spark.operators import time_rollup
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i % 3, t0 + datetime.timedelta(minutes=17 * i),
+             float(i) + 0.25) for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    path = str(tmp_path / "roll_in")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    want = sorted(map(tuple,
+                      time_rollup(df, ts_col="ts", dims=("user_id",),
+                                  grains=("hour",)).collect()))
+    stream = read_stream(spark, path, SCHEMA)
+    out = time_rollup(stream, ts_col="ts", dims=("user_id",),
+                      grains=("hour",))
+    assert out.isStreaming
+    run_to_memory(out, "roll_test", output_mode="complete")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM roll_test").collect()))
+    assert got == want
