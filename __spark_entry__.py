@@ -1060,6 +1060,28 @@ def q_sketch_distinct(spark, sf):
              .orderBy("event_type"))
 
 
+def q_sketch_quantiles(spark, sf):
+    """Quantile-sketch surface (percentile_approx, the GK/KLL-family
+    sketch) with an EXACT oracle, same pattern as sketch_distinct: exact
+    interpolated quartiles of value per event_type, plus booleans that
+    the sketch quantiles land within 1% of the exact ones (accuracy
+    10000 ⇒ rank error ≤ 0.01%; deterministic per dataset, verified at
+    sf0.001–sf1). Oracle: exact quartiles + literal TRUEs."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    from pyspark.sql import functions as F
+    ex = [F.expr(f"percentile(value, {q})") for q in (0.25, 0.5, 0.75)]
+    ap = [F.percentile_approx("value", q, 10000) for q in (0.25, 0.5, 0.75)]
+    tol = [F.greatest(F.abs(e) * 0.01, F.lit(0.5)) for e in ex]
+    g = (ev.groupBy("event_type")
+           .agg(*[F.round(e, 6).alias(f"q{i}")
+                  for i, e in enumerate(ex, 1)],
+                *[(F.abs(a - e) <= t).alias(f"ok{i}")
+                  for i, (a, e, t) in enumerate(zip(ap, ex, tol), 1)]))
+    return g.select("event_type", "q1", "q2", "q3",
+                    "ok1", "ok2", "ok3").orderBy("event_type")
+
+
 def q_time_rollup(spark, sf):
     """Hypertable-style multi-grain time-bucket rollup (operators/
     rollup.py): hour + day aggregates from ONE raw shuffle — the day grain
@@ -2406,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "bm25": q_bm25,
         "sketch_distinct": q_sketch_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
         "inverted_index": q_inverted_index,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
@@ -3328,6 +3351,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(SUM(p), 6) AS bm25,
                    CAST(COUNT(*) AS BIGINT) AS n_terms
             FROM part GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sketch_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS q1,
+                   ROUND(quantile_cont(value, 0.50), 6) AS q2,
+                   ROUND(quantile_cont(value, 0.75), 6) AS q3,
+                   TRUE AS ok1, TRUE AS ok2, TRUE AS ok3
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sketch_distinct": """
             SELECT event_type,
