@@ -51,9 +51,11 @@ def run(spark, sf_dir: str, out_dir: str):
                    F.approx_count_distinct("user_id", rsd=0.01)
                     .alias("n_approx")))
 
-    n_idx = index.count()
-    n_top = top.count()
-    n_roll = rollup.count()
+    # count the WRITTEN parquet, not the lazy pipelines — re-counting the
+    # un-persisted DataFrames would re-run every shuffle a second time
+    n_idx = spark.read.parquet(f"{out_dir}/index").count()
+    n_top = spark.read.parquet(f"{out_dir}/top_hits").count()
+    n_roll = spark.read.parquet(f"{out_dir}/rollup").count()
     drift = sketch.agg(F.max(F.abs(F.col("n_approx") - F.col("n_exact"))
                              / F.col("n_exact"))).first()[0]
     print(f"index postings: {n_idx}; top hits: {n_top}; "

@@ -324,19 +324,42 @@ class PlanCompiler:
                                                      agg_df))
         result = agg_df.select(*final)
         if getattr(group, "partitioner", None):
-            gidx = [i for i, (k, _, _) in enumerate(out_cols)
-                    if k == "group"]
-            if gidx:
-                placed = self._apply_partitioner(
-                    group, result, [result.columns[i] for i in gidx])
+            key_cols = self._partitioner_key_cols(out_cols, keys,
+                                                  result.columns)
+            if key_cols is not None:
+                placed = self._apply_partitioner(group, result, key_cols)
                 if placed is not None:
                     result = placed
             else:
                 import warnings
                 warnings.warn(
-                    "PARTITION BY: the group key is not projected by the "
-                    "FOREACH generators; custom placement skipped")
+                    "PARTITION BY: the full group key is not projected by "
+                    "the FOREACH generators; custom placement skipped")
         return result
+
+    def _partitioner_key_cols(self, out_cols, keys,
+                              result_columns) -> list[str] | None:
+        """Output columns carrying the group key for custom placement, in
+        DECLARED key order (the getPartition contract — projection order
+        must not leak into the key shape). A whole-`group` projection is
+        the key itself (struct fields already in declared order); per-
+        field derefs qualify only when together they cover every declared
+        key. Returns None when the key cannot be reconstructed."""
+        field_pos: dict[int, int] = {}        # declared key idx → out idx
+        key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
+        for i, (kind, payload, _alias) in enumerate(out_cols):
+            if kind != "group":
+                continue
+            if isinstance(payload, E.Col):     # whole `group`
+                return [result_columns[i]]
+            fld = payload.field
+            idx = fld if isinstance(fld, int) else (
+                key_names.index(fld) if fld in key_names else None)
+            if idx is not None and idx not in field_pos:
+                field_pos[idx] = i
+        if len(field_pos) != len(keys):
+            return None
+        return [result_columns[field_pos[i]] for i in range(len(keys))]
 
     _EAGER_AGGS = {"SUM", "COUNT", "COUNT_STAR", "MIN", "MAX", "AVG"}
     _EAGER_FINAL = {"SUM": "SUM", "COUNT": "SUM", "COUNT_STAR": "SUM",
@@ -927,7 +950,11 @@ class PlanCompiler:
             if is_inner:
                 out = out.filter(F.size(F.col(bag_name)) > 0)
         placed = self._apply_partitioner(node, out, [GROUP_COL])
-        return placed if placed is not None else out
+        if placed is not None:
+            return placed
+        if getattr(node, "parallel", None):
+            out = out.repartition(node.parallel, GROUP_COL)
+        return out
 
     def _c_groupapply(self, node: L.GroupApply) -> DataFrame:
         df = self._compile(node.child)

@@ -249,6 +249,56 @@ _PIG_TYPES = {"int", "long", "float", "double", "chararray", "bytearray",
 
 _GRUNT_CMDS = {"fs", "sh", "rmf", "cat", "mkdir", "rm", "cp", "mv", "ls"}
 
+_GRUNT_HEAD = re.compile(r"^\s*([A-Za-z_]\w*)\b")
+
+
+def _extract_grunt_statements(src: str) -> tuple[str, list[str]]:
+    """Pull grunt-command statements OUT of the script text before
+    tokenization, replacing each with a `__grunt__ N;` marker. Grunt
+    lines carry shell metacharacters, quotes, and paths that the Pig
+    tokenizer rightly rejects — and a ';' inside a quoted sh argument
+    must not end the statement. The scan tracks '…'/"…" strings, `--`
+    line comments, `/* */` block comments, and {} nesting (a nested
+    FOREACH body's inner ';' is not a statement boundary)."""
+    out, cmds = [], []
+    i, start, depth = 0, 0, 0
+    n = len(src)
+    while i < n:
+        ch = src[i]
+        if ch in "'\"":
+            q = ch
+            i += 1
+            while i < n and src[i] != q:
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+            continue
+        if ch == "-" and src.startswith("--", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "/" and src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        elif ch == ";" and depth == 0:
+            stmt = src[start:i]
+            m = _GRUNT_HEAD.match(stmt)
+            rest = stmt[m.end():].lstrip() if m else ""
+            if m and m.group(1).lower() in _GRUNT_CMDS \
+                    and not rest.startswith("="):
+                cmds.append(stmt.strip())
+                out.append(f" __grunt__ {len(cmds) - 1};")
+            else:
+                out.append(src[start:i + 1])
+            start = i + 1
+        i += 1
+    out.append(src[start:])
+    return "".join(out), cmds
+
 
 def _strip_scheme(p: str) -> str:
     return p[5:] if p.startswith("file:") else p
@@ -267,6 +317,8 @@ def run_grunt(cmdline: str) -> None:
     parts = cmdline.split()
     cmd, args = parts[0].lower(), parts[1:]
     if cmd == "sh":
+        if len(parts) < 2:
+            raise PigSyntaxError("sh needs a command line")
         subprocess.run(cmdline.split(None, 1)[1], shell=True, check=False)
         return
     if cmd == "fs":
@@ -308,6 +360,8 @@ def run_grunt(cmdline: str) -> None:
                         if not force:
                             raise
     elif cmd == "cp":
+        if len(args) < 2:
+            raise PigSyntaxError(f"cp needs SRC... DST: {cmdline!r}")
         *srcs, dst = args
         for s in srcs:
             for p in _glob.glob(s):
@@ -318,6 +372,8 @@ def run_grunt(cmdline: str) -> None:
                 else:
                     shutil.copy(p, dst)
     elif cmd == "mv":
+        if len(args) < 2:
+            raise PigSyntaxError(f"mv needs SRC... DST: {cmdline!r}")
         *srcs, dst = args
         for s in srcs:
             for p in _glob.glob(s):
@@ -367,6 +423,7 @@ class PigParser:
     # -- entry ----------------------------------------------------------------
     def run(self, src: str, params: dict | None = None) -> dict[str, Relation]:
         src = expand_macros(substitute_params(src, params))
+        src, self._grunt = _extract_grunt_statements(src)
         self.src = src
         self.toks, self.i = tokenize(src), 0
         while self.peek().kind != "eof":
@@ -406,8 +463,7 @@ class PigParser:
         if t.kind == "ident" and t.text.lower() == "assert":
             self.st_assert()
             return
-        if t.kind == "ident" and t.text.lower() in _GRUNT_CMDS and \
-                not (self.peek(1).kind == "op" and self.peek(1).text == "="):
+        if t.kind == "ident" and t.text == "__grunt__":
             self.st_grunt()
             return
         # alias = <operator …>;
@@ -553,19 +609,15 @@ class PigParser:
     def st_grunt(self) -> None:
         """Grunt shell commands inside scripts (SURVEY.md §2.1 #33:
         pig:src/org/apache/pig/tools/grunt/GruntParser.java): fs/sh plus
-        the bare aliases rmf/cat/mkdir/rm/cp/mv/ls. The command line is
-        consumed RAW to the next ';' (paths and flags don't tokenize as
-        Pig expressions) and executed immediately, in statement order —
-        the idiomatic `rmf out; STORE x INTO 'out';` works."""
-        start = self.peek().pos
-        end = self.src.find(";", start)
-        if end < 0:
-            raise PigSyntaxError(
-                f"unterminated grunt command at {start}")
-        raw = self.src[start:end].strip()
-        while self.peek().kind != "eof" and self.peek().pos <= end:
-            self.next()
-        run_grunt(raw)
+        the bare aliases rmf/cat/mkdir/rm/cp/mv/ls. The raw command text
+        was extracted BEFORE tokenization (_extract_grunt_statements —
+        shell metacharacters and quoted ';' never reach the Pig lexer)
+        and executes here, in statement order — the idiomatic
+        `rmf out; STORE x INTO 'out';` works."""
+        self.next()                            # __grunt__ marker
+        idx = int(self.next().text)
+        self.expect("op", ";")
+        run_grunt(self._grunt[idx])
 
     def st_set(self) -> None:
         self.expect("kw", "set")
@@ -762,10 +814,15 @@ class PigParser:
                 self.peek().text.lower() == "partition":
             self.next()
             self.expect("kw", "by")
-            parts = [self.next().text]       # dotted class name
-            while self.accept("op", "."):
-                parts.append(self.next().text)
-            partitioner = ".".join(parts)
+            if self.peek().kind == "string":
+                # quoted form for names the lexer can't carry as dotted
+                # idents (Hadoop inner classes: 'com.x.Outer$Inner')
+                partitioner = self._string()
+            else:
+                parts = [self.next().text]   # dotted class name
+                while self.accept("op", "."):
+                    parts.append(self.next().text)
+                partitioner = ".".join(parts)
         if others:
             cg = src.cogroup(keys, *others, inner=inner)
             cg.node.parallel = self._parallel()

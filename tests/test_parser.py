@@ -443,3 +443,39 @@ def test_grunt_rm_without_force_raises(eng, tmp_path):
     with pytest.raises(FileNotFoundError):
         run_script(eng, f"rm {tmp_path}/nope;")
     run_script(eng, f"rmf {tmp_path}/nope;")     # force: no error
+
+
+def test_grunt_sh_with_metachars_and_quoted_semicolon(eng, tmp_path):
+    """Shell pipes/quotes and a ';' INSIDE a quoted argument must work —
+    grunt statements are extracted before the Pig lexer runs (round-4
+    review findings)."""
+    import os
+    from spork_spark.parser import run_script
+    d = str(tmp_path)
+    run_script(eng, f"""
+        sh echo "a;b" | tr ';' '-' > {d}/piped.txt;
+        sh touch '{d}/x;y';
+        o = LOAD '/root/testdata/sf0.001/region.parquet';
+    """)
+    assert open(f"{d}/piped.txt").read().strip() == "a-b"
+    assert os.path.exists(f"{d}/x;y")
+
+
+def test_grunt_degenerate_commands_raise_syntax_errors(eng):
+    from spork_spark.parser import run_script
+    for bad in ("sh;", "cp onlyone;", "mv onlyone;"):
+        with pytest.raises(PigSyntaxError):
+            run_script(eng, bad)
+
+
+def test_grunt_marker_not_spoofable_inside_foreach(eng):
+    """Inner ';' in a nested FOREACH body must not be treated as a
+    statement boundary by the grunt extractor."""
+    from spork_spark.parser import run_script
+    rels = run_script(eng, """
+        o = LOAD '/root/testdata/sf0.001/orders.parquet';
+        g = GROUP o BY o_custkey;
+        s = FOREACH g { t = FILTER o BY o_totalprice > 0.0;
+                        GENERATE group AS k, COUNT_STAR(t) AS n; };
+    """)
+    assert rels["s"].df().count() > 0

@@ -112,3 +112,38 @@ def test_compound_key_partitioner_receives_tuple(eng):
     assert len(rows) == 6
     for r in rows:
         assert r["pid"] == (len(r["rf"]) + len(r["ls"])) % 3
+
+
+def test_reordered_key_projection_keeps_declared_order(eng):
+    """FOREACH projecting the key fields in a DIFFERENT order than the
+    GROUP BY declaration must still hand fn the key in DECLARED order
+    (round-4 review finding: projection order must not leak into the
+    getPartition contract)."""
+    eng.register_partitioner("my.pkg.TuplePart",
+                             lambda k: len(str(k[0])))   # k[0] = returnflag
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY (l_returnflag, l_linestatus)
+            PARTITION BY my.pkg.TuplePart PARALLEL 3;
+        s = FOREACH g GENERATE group.l_linestatus AS ls,
+                               group.l_returnflag AS rf,
+                               COUNT_STAR(li) AS n;
+    """)
+    df = rels["s"].df().withColumn("pid", F.spark_partition_id())
+    for r in df.collect():
+        assert r["pid"] == len(r["rf"]) % 3      # rf, not ls
+
+
+def test_partial_key_projection_warns_and_skips(eng):
+    eng.register_partitioner("my.pkg.TuplePart", lambda k: 0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rels = run_script(eng, f"""
+            li = LOAD '{SF}/lineitem.parquet';
+            g = GROUP li BY (l_returnflag, l_linestatus)
+                PARTITION BY my.pkg.TuplePart;
+            s = FOREACH g GENERATE group.l_returnflag AS rf,
+                                   COUNT_STAR(li) AS n;
+        """)
+        assert rels["s"].df().count() > 0
+    assert any("full group key" in str(x.message) for x in w)

@@ -91,3 +91,39 @@ def test_inverted_index_is_all_native(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     p = plan_of(inverted_index(df))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rollup_week_does_not_tile_months(spark):
+    """Weeks straddle month boundaries: ('week','month') must NOT cascade
+    month from week buckets (round-4 review finding). Events in early
+    February whose week starts in January must land in February's month
+    row; week and month both derive from the day-bucketed base pass."""
+    import datetime
+    rows = [(datetime.datetime(2024, 1, 29, 5), "a", 1.0),   # Mon, wk of Jan 29
+            (datetime.datetime(2024, 2, 1, 6), "a", 2.0),    # same ISO week!
+            (datetime.datetime(2024, 2, 7, 7), "a", 4.0)]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, v double")
+    out = time_rollup(df, value_col="v", grains=("week", "month"))
+    months = {(r["bucket"].month, float(r["sum_value"]))
+              for r in out.filter(F.col("grain") == "month").collect()}
+    assert months == {(1, 1.0), (2, 6.0)}     # pre-fix: {(1, 3.0), (2, 4.0)}
+    weeks = {(r["bucket"].isoformat()[:10], float(r["sum_value"]))
+             for r in out.filter(F.col("grain") == "week").collect()}
+    assert weeks == {("2024-01-29", 3.0), ("2024-02-05", 4.0)}
+    # no 'day' rows leak out of the synthetic base
+    assert out.filter(F.col("grain") == "day").count() == 0
+
+
+def test_rollup_day_week_month_sources_correctly(spark):
+    """('day','week','month'): week cascades from day, month from day
+    (skipping week), and all three reconcile to the raw totals."""
+    import datetime
+    rows = [(datetime.datetime(2024, 1, 28, 3)
+             + datetime.timedelta(days=i % 5), "a", 1.0)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, v double")
+    out = time_rollup(df, value_col="v", grains=("day", "week", "month")).persist()
+    totals = {r["grain"]: r["t"] for r in
+              out.groupBy("grain").agg(F.sum("cnt").alias("t")).collect()}
+    assert totals == {"day": 10, "week": 10, "month": 10}
+    out.unpersist()
