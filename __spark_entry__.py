@@ -2049,6 +2049,29 @@ def q_group_apply(spark, sf):
               .order_by(col("l_returnflag"))).df()
 
 
+def q_window_ranks(spark, sf):
+    """Ranking-window breadth (SURVEY.md §2.6): percent_rank, cume_dist,
+    row_number per customer over the order timeline — the remaining SQL
+    ranking family beyond rank/dense_rank/ntile. Deterministic total
+    order via the unique orderkey tiebreak."""
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders")
+    ob = [(col("o_orderdate"), True), (col("o_orderkey"), True)]
+    pr = E.WindowFunc("percent_rank", [], [col("o_custkey")], ob)
+    cd = E.WindowFunc("cume_dist", [], [col("o_custkey")], ob)
+    rn = E.WindowFunc("row_number", [], [col("o_custkey")], ob)
+    from pyspark.sql import functions as F
+    df = (orders.foreach(col("o_custkey").alias("o_custkey"),
+                         col("o_orderkey").alias("o_orderkey"),
+                         E.Aliased(pr, "pr"), E.Aliased(cd, "cd"),
+                         E.Aliased(rn, "rn"))
+                .order_by(col("o_custkey"), col("o_orderkey"))).df()
+    return df.select("o_custkey", "o_orderkey",
+                     F.round("pr", 6).alias("pr"),
+                     F.round("cd", 6).alias("cd"),
+                     F.col("rn").cast("long").alias("rn"))
+
+
 def q_window_frames(spark, sf):
     """Window frames (SURVEY.md §2.6 extension surface): per-customer
     running total (unbounded preceding) and 3-row moving average over the
@@ -2490,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "group_apply": q_group_apply,
         "window_frames": q_window_frames,
+        "window_ranks": q_window_ranks,
         "cube_grouping": q_cube_grouping,
         "bucketed_join": q_bucketed_join,
         "events_json_struct": q_events_json_struct,
@@ -4149,6 +4173,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_extendedprice * l_quantity)
                          / SUM(l_quantity) * 100 + 0.5)/100 AS wavg
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "window_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(percent_rank() OVER w, 6) AS pr,
+                   ROUND(cume_dist() OVER w, 6) AS cd,
+                   CAST(row_number() OVER w AS BIGINT) AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
         """,
         "window_frames": """
             SELECT o_custkey, o_orderkey,
