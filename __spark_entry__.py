@@ -1385,6 +1385,29 @@ def q_multimodal_decode_pnm(spark, sf):
                 .orderBy("item_id"))
 
 
+def q_multimodal_phash(spark, sf):
+    """Perceptual average-hash, exact-oracle: the SQL-built PGM fixtures
+    (multimodal_decode_pnm arithmetic) through the REAL decode →
+    integer-grayscale → 8×8 nearest-neighbor sample → mean-threshold →
+    64-bit hash pipeline (operators/multimodal.py ahash_images). Every
+    step is integer arithmetic, so the oracle recomputes the identical
+    hash halves from md5-raster indexing in pure SQL — the image-side
+    near-dedup signature, proven bit-exact."""
+    from spork_spark.operators import ahash_images
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    need = "CAST((length(text) % 31 + 1) * (doc_id % 7 + 1) AS INT)"
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.expr(
+            f"concat('P5\\n', length(text) % 31 + 1, ' ', doc_id % 7 + 1, "
+            f"'\\n255\\n', substring(rpad(md5(text), {need}, md5(text)), "
+            f"1, {need}))"), "UTF-8").alias("payload"))
+    return (ahash_images(payloads)
+            .select("item_id", "width", "height", "hash_hi", "hash_lo")
+            .orderBy("item_id"))
+
+
 def q_multimodal_resize(spark, sf):
     """REAL image resize, exact-oracle: SQL-built PGM payloads (the
     multimodal_decode_pnm fixtures) → full numpy decode → nearest-
@@ -2470,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_pnm": q_multimodal_decode_pnm,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_phash": q_multimodal_phash,
         "bloom_join": q_bloom_join,
         "map_funcs": q_map_funcs,
         "diff_bags": q_diff_bags,
@@ -3577,6 +3601,30 @@ def oracle_sql() -> dict[str, str]:
                           + 5 + w * h AS BIGINT) AS n_bytes,
                    CAST(w * h AS BIGINT) AS n_pixels
             FROM p ORDER BY item_id
+        """,
+        "multimodal_phash": """
+            WITH p AS (SELECT doc_id, length(text) % 31 + 1 AS w,
+                              doc_id % 7 + 1 AS h, md5(text) AS m
+                       FROM documents),
+            v AS (SELECT doc_id, w, h,
+                    list_transform(range(0, 64), q ->
+                      ascii(substring(m, CAST(
+                        (((q // 8) * h // 8) * w + ((q % 8) * w // 8))
+                        % 32 + 1 AS INT), 1))) AS vals
+                  FROM p),
+            mh AS (SELECT doc_id, w, h, vals,
+                          list_sum(vals) // 64 AS mean FROM v)
+            SELECT doc_id AS item_id,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(list_sum(list_transform(range(0, 32), q ->
+                     CASE WHEN vals[CAST(q + 1 AS INT)] > mean
+                          THEN (CAST(1 AS BIGINT) << CAST(31 - q AS INT))
+                          ELSE 0 END)) AS BIGINT) AS hash_hi,
+                   CAST(list_sum(list_transform(range(0, 32), q ->
+                     CASE WHEN vals[CAST(q + 33 AS INT)] > mean
+                          THEN (CAST(1 AS BIGINT) << CAST(31 - q AS INT))
+                          ELSE 0 END)) AS BIGINT) AS hash_lo
+            FROM mh ORDER BY item_id
         """,
         "multimodal_resize": """
             WITH p AS (SELECT doc_id,

@@ -16,7 +16,8 @@ from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documen
                    resample_mixture, scrub_pii,
                    stratified_sample, tf_idf, token_count, tokens,
                    word_ngrams)
-from .multimodal import (attach_binary_meta, decode_audio,
+from .multimodal import (ahash_images, ahash_pairs,
+                         attach_binary_meta, decode_audio,
                          decode_images, decode_pixel_stats, extract_features,
                          resize_images, sample_frames)
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
@@ -40,6 +41,7 @@ __all__ = [
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join",
+    "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",
     "resize_images", "sample_frames",

@@ -378,3 +378,97 @@ def sample_frames(df: DataFrame, bin_col: str = "payload",
                                 "frame_bytes": blobs})
 
     return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)
+
+
+def ahash_images(df: DataFrame, bin_col: str = "payload",
+                 id_col: str = "item_id", hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash over PNM payloads — the image-side near-
+    dedup signature (aHash; same family as pHash/dHash): decode → integer
+    grayscale → hash_size² nearest-neighbor samples → threshold at the
+    integer mean → one bit per cell. EVERY step is integer arithmetic
+    (channel mean (r+g+b)//3, grid index (r·h)//hs, mean sum//n), so the
+    hash is bit-identical across platforms and reproducible in a SQL
+    oracle over synthesized rasters. The 64-bit hash ships as two
+    non-negative 32-bit halves (hash_hi, hash_lo) so neither engine's
+    BIGINT arithmetic can overflow.
+
+    Scale shape: one Arrow-batched pass over the payload column; the
+    blob never survives past the kernel. Near-dup candidates then come
+    from band equality (ahash_pairs), not an all-pairs scan."""
+    import pyspark.sql.types as T
+    hs = hash_size
+    out_schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    arr = decode_pnm(bytes(p))
+                    if arr.dtype.itemsize != 1:
+                        raise ValueError("16-bit PNM unsupported")
+                    a = arr.astype(np.int64)
+                    if a.ndim == 3:
+                        a = (a[:, :, 0] + a[:, :, 1] + a[:, :, 2]) // 3
+                    h, w = a.shape
+                    ys = (np.arange(hs) * h) // hs
+                    xs = (np.arange(hs) * w) // hs
+                    grid = a[np.ix_(ys, xs)].ravel()
+                    mean = int(grid.sum()) // (hs * hs)
+                    bits = (grid > mean).astype(np.int64)
+                    half = (hs * hs) // 2
+                    hi = int(sum(int(b) << (half - 1 - q)
+                                 for q, b in enumerate(bits[:half])))
+                    lo = int(sum(int(b) << (half - 1 - q)
+                                 for q, b in enumerate(bits[half:])))
+                    rows.append((int(i), w, h, hi, lo))
+                except Exception:
+                    rows.append((int(i), None, None, None, None))
+            yield pd.DataFrame(rows, columns=["item_id", "width", "height",
+                                              "hash_hi", "hash_lo"])
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, out_schema)
+
+
+def ahash_pairs(hashes: DataFrame, max_hamming: int = 3,
+                id_col: str = "item_id") -> DataFrame:
+    """Near-duplicate image pairs from ahash_images output: band the
+    64-bit hash into 4×16-bit keys and equi-join on band equality, then
+    verify exact hamming ≤ max_hamming via bit_count(xor). Pigeonhole
+    guarantee: a pair within hamming ≤ 3 differs in at most 3 of the 4
+    bands, so at least one band matches — banded recall is EXACT for
+    max_hamming ≤ 3 (larger thresholds need more/narrower bands). The
+    quadratic work is per-band-bucket, never all-pairs."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for "
+                         "max_hamming <= 3")
+    h = hashes.filter(F.col("hash_hi").isNotNull())
+    bands = h.select(
+        F.col(id_col), "hash_hi", "hash_lo",
+        F.explode(F.array(
+            F.concat(F.lit("0:"), F.shiftright("hash_hi", 16)),
+            F.concat(F.lit("1:"), F.col("hash_hi") % 65536),
+            F.concat(F.lit("2:"), F.shiftright("hash_lo", 16)),
+            F.concat(F.lit("3:"), F.col("hash_lo") % 65536),
+        )).alias("band"))
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col("hash_hi").alias("hi_a"),
+                     F.col("hash_lo").alias("lo_a"), "band")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     F.col("hash_hi").alias("hi_b"),
+                     F.col("hash_lo").alias("lo_b"), "band")
+    ham = (F.bit_count(F.expr("hi_a ^ hi_b"))
+           + F.bit_count(F.expr("lo_a ^ lo_b")))
+    return (a.join(b, on="band")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", ham.alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))

@@ -723,3 +723,45 @@ def test_resize_preserves_source_maxval(spark):
                                "item_id long, payload binary")
     out = resize_images(df, factor=2).collect()[0]
     assert parse_pnm_header(bytes(out["payload"]))[3] == 100
+
+
+def test_ahash_near_duplicate_images(spark):
+    """aHash: identical images hash equal; a copy with a few flipped
+    pixels lands within small hamming; an unrelated gradient is far.
+    Banded pairs (4x16-bit, pigeonhole-exact for hamming<=3) find the
+    dup pair and only it."""
+    import numpy as np
+    from spork_spark.operators import ahash_images, ahash_pairs
+
+    def pgm(px, w, h):
+        return bytearray(b"P5\n%d %d\n255\n" % (w, h) + bytes(px))
+
+    rng = list(range(0, 256, 4))[:64]         # 8x8 gradient
+    base = [(i * 37) % 251 for i in range(256)]           # 16x16 texture
+    near = list(base)
+    near[5] = 255 - near[5]                   # flip two pixels
+    near[200] = 255 - near[200]
+    rows = [(1, pgm(base, 16, 16)), (2, pgm(near, 16, 16)),
+            (3, pgm(rng, 8, 8)), (4, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    hashes = ahash_images(df)
+    got = {r["item_id"]: r for r in hashes.collect()}
+    assert got[4]["hash_hi"] is None                      # decode failure
+    assert (got[1]["hash_hi"], got[1]["hash_lo"]) != \
+           (got[3]["hash_hi"], got[3]["hash_lo"])
+    ham12 = (bin(got[1]["hash_hi"] ^ got[2]["hash_hi"]).count("1")
+             + bin(got[1]["hash_lo"] ^ got[2]["hash_lo"]).count("1"))
+    assert ham12 <= 3                          # two flipped pixels
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in ahash_pairs(hashes, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_ahash_pairs_rejects_unsound_threshold(spark):
+    import pytest
+    from spork_spark.operators import ahash_images, ahash_pairs
+    df = spark.createDataFrame([(1, bytearray(b"P5\n2 2\n255\nabcd"))],
+                               "item_id long, payload binary")
+    with pytest.raises(ValueError, match="max_hamming"):
+        ahash_pairs(ahash_images(df), max_hamming=5)
