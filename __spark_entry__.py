@@ -1060,6 +1060,24 @@ def q_sketch_distinct(spark, sf):
              .orderBy("event_type"))
 
 
+def q_trending(spark, sf):
+    """Trending items — top-2 event types per day by event count (the
+    time-bucket × top-k-per-group composition every analytics pipeline
+    runs). The per-day limit runs as WindowGroupLimit BELOW the rank
+    shuffle (the per_source_cap plan shape); deterministic event_type
+    tiebreak."""
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    day = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (day.withColumn("rk", F.row_number().over(w).cast("long"))
+               .filter(F.col("rk") <= 2)
+               .orderBy("day", "rk"))
+
+
 def q_sketch_quantiles(spark, sf):
     """Quantile-sketch surface (percentile_approx, the GK/KLL-family
     sketch) with an EXACT oracle, same pattern as sketch_distinct: exact
@@ -2475,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
+        "trending": q_trending,
         "inverted_index": q_inverted_index,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
@@ -3399,6 +3418,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(SUM(p), 6) AS bm25,
                    CAST(COUNT(*) AS BIGINT) AS n_terms
             FROM part GROUP BY doc_id ORDER BY doc_id
+        """,
+        "trending": """
+            WITH day AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                     COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+                     ORDER BY cnt DESC, event_type) AS BIGINT) AS rk
+                   FROM day)
+            SELECT day, event_type, cnt, rk FROM rk
+            WHERE rk <= 2 ORDER BY day, rk
         """,
         "sketch_quantiles": """
             SELECT event_type,
