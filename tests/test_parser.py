@@ -479,3 +479,26 @@ def test_grunt_marker_not_spoofable_inside_foreach(eng):
                         GENERATE group AS k, COUNT_STAR(t) AS n; };
     """)
     assert rels["s"].df().count() > 0
+
+
+def test_grunt_extractor_is_identity_without_grunt_statements():
+    """Scripts with no grunt commands must pass through BYTE-IDENTICAL
+    (token positions feed error messages), including ';' inside strings,
+    comments, and nested FOREACH braces."""
+    from spork_spark.parser.pig import _extract_grunt_statements
+    script = """-- a comment; with a semicolon
+        a = LOAD 'p.parquet';  /* block; comment */
+        b = FILTER a BY s == 'x;y';
+        c = FOREACH (GROUP a BY k) { t = FILTER a BY v > 0; GENERATE group, COUNT_STAR(t); };
+    """
+    out, cmds = _extract_grunt_statements(script)
+    assert out == script and cmds == []
+
+
+def test_grunt_extractor_pulls_only_top_level_commands():
+    from spork_spark.parser.pig import _extract_grunt_statements
+    script = "mkdir /tmp/x;\na = LOAD 'p';\nsh echo 'a;b' ;\n"
+    out, cmds = _extract_grunt_statements(script)
+    assert cmds == ["mkdir /tmp/x", "sh echo 'a;b'"]
+    assert "__grunt__ 0;" in out and "__grunt__ 1;" in out
+    assert "a = LOAD 'p';" in out
