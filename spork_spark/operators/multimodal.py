@@ -397,6 +397,13 @@ def ahash_images(df: DataFrame, bin_col: str = "payload",
     from band equality (ahash_pairs), not an all-pairs scan."""
     import pyspark.sql.types as T
     hs = hash_size
+    # Even sizes only (the two halves must split the grid evenly) and
+    # ≤10 (half = hs²/2 must fit a non-negative 63-bit shift range);
+    # validating up-front keeps parameter errors OUT of the kernel's
+    # decode-failure except, which would silently NULL every hash.
+    if hs % 2 != 0 or not 2 <= hs <= 10:
+        raise ValueError(f"hash_size must be even and in [2, 10], "
+                         f"got {hs}")
     out_schema = T.StructType([
         T.StructField("item_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -439,25 +446,33 @@ def ahash_images(df: DataFrame, bin_col: str = "payload",
 
 
 def ahash_pairs(hashes: DataFrame, max_hamming: int = 3,
-                id_col: str = "item_id") -> DataFrame:
-    """Near-duplicate image pairs from ahash_images output: band the
-    64-bit hash into 4×16-bit keys and equi-join on band equality, then
-    verify exact hamming ≤ max_hamming via bit_count(xor). Pigeonhole
+                id_col: str = "item_id", hash_size: int = 8) -> DataFrame:
+    """Near-duplicate image pairs from ahash_images output: band each
+    hash half into two equal keys (4 bands total — 16 bits each at the
+    default hash_size=8) and equi-join on band equality, then verify
+    exact hamming ≤ max_hamming via bit_count(xor). Pigeonhole
     guarantee: a pair within hamming ≤ 3 differs in at most 3 of the 4
     bands, so at least one band matches — banded recall is EXACT for
-    max_hamming ≤ 3 (larger thresholds need more/narrower bands). The
-    quadratic work is per-band-bucket, never all-pairs."""
+    max_hamming ≤ 3 (larger thresholds need more/narrower bands). Pass
+    the SAME hash_size as ahash_images: band boundaries derive from it,
+    and a mismatch would either lose recall or degenerate buckets to
+    all-pairs. The quadratic work is per-band-bucket, never all-pairs."""
     if max_hamming > 3:
-        raise ValueError("4x16-bit banding is exact only for "
+        raise ValueError("4-band banding is exact only for "
                          "max_hamming <= 3")
+    if hash_size % 2 != 0 or not 2 <= hash_size <= 10:
+        raise ValueError(f"hash_size must be even and in [2, 10], "
+                         f"got {hash_size}")
+    half = (hash_size * hash_size) // 2
+    shift, mod = half - half // 2, 1 << (half - half // 2)
     h = hashes.filter(F.col("hash_hi").isNotNull())
     bands = h.select(
         F.col(id_col), "hash_hi", "hash_lo",
         F.explode(F.array(
-            F.concat(F.lit("0:"), F.shiftright("hash_hi", 16)),
-            F.concat(F.lit("1:"), F.col("hash_hi") % 65536),
-            F.concat(F.lit("2:"), F.shiftright("hash_lo", 16)),
-            F.concat(F.lit("3:"), F.col("hash_lo") % 65536),
+            F.concat(F.lit("0:"), F.shiftright("hash_hi", shift)),
+            F.concat(F.lit("1:"), F.col("hash_hi") % mod),
+            F.concat(F.lit("2:"), F.shiftright("hash_lo", shift)),
+            F.concat(F.lit("3:"), F.col("hash_lo") % mod),
         )).alias("band"))
     a = bands.select(F.col(id_col).alias("id_a"),
                      F.col("hash_hi").alias("hi_a"),

@@ -739,8 +739,8 @@ def test_ahash_near_duplicate_images(spark):
     rng = list(range(0, 256, 4))[:64]         # 8x8 gradient
     base = [(i * 37) % 251 for i in range(256)]           # 16x16 texture
     near = list(base)
-    near[5] = 255 - near[5]                   # flip two pixels
-    near[200] = 255 - near[200]
+    near[4] = 255 - near[4]                   # flip two SAMPLED pixels
+    near[202] = 255 - near[202]               # (grid hits even rows/cols)
     rows = [(1, pgm(base, 16, 16)), (2, pgm(near, 16, 16)),
             (3, pgm(rng, 8, 8)), (4, bytearray(b"junk"))]
     df = spark.createDataFrame(rows, "item_id long, payload binary")
@@ -765,3 +765,38 @@ def test_ahash_pairs_rejects_unsound_threshold(spark):
                                "item_id long, payload binary")
     with pytest.raises(ValueError, match="max_hamming"):
         ahash_pairs(ahash_images(df), max_hamming=5)
+
+
+def test_ahash_rejects_unusable_hash_sizes(spark):
+    """Odd sizes can't split into halves; >10 overflows the 63-bit shift
+    range — both must fail loudly, not NULL every hash through the
+    decode except (round-4 review finding)."""
+    import pytest
+    from spork_spark.operators import ahash_images, ahash_pairs
+    df = spark.createDataFrame([(1, bytearray(b"P5\n2 2\n255\nabcd"))],
+                               "item_id long, payload binary")
+    for bad in (9, 12, 0):
+        with pytest.raises(ValueError, match="hash_size"):
+            ahash_images(df, hash_size=bad)
+    with pytest.raises(ValueError, match="hash_size"):
+        ahash_pairs(ahash_images(df), hash_size=7)
+
+
+def test_ahash_pairs_small_hash_size_bands_properly(spark):
+    """hash_size=4 (8-bit halves): bands derive from the size, so
+    buckets stay discriminative instead of degenerating to '0' for
+    every row (round-4 review finding)."""
+    from spork_spark.operators import ahash_images, ahash_pairs
+
+    def pgm(px, w, h):
+        return bytearray(b"P5\n%d %d\n255\n" % (w, h) + bytes(px))
+
+    base = [(i * 37) % 251 for i in range(64)]
+    rows = [(1, pgm(base, 8, 8)), (2, pgm(base, 8, 8)),
+            (3, pgm(list(range(64)), 8, 8))]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    hashes = ahash_images(df, hash_size=4)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in ahash_pairs(hashes, max_hamming=0,
+                                  hash_size=4).collect()}
+    assert pairs == {(1, 2): 0}
