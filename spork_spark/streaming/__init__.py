@@ -172,3 +172,28 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str,
+                         checkpoint: str, output_mode: str = "append",
+                         partition_by: tuple = (),
+                         available_now: bool = True) -> "StreamingQuery":
+    """Streaming STORE: parquet sink with a checkpoint location — the
+    production counterpart of run_to_memory. availableNow=True (default)
+    processes everything currently available then stops (backfill /
+    test semantics); False leaves a continuously-running query for the
+    caller to manage. Exactly-once via the checkpoint + parquet sink's
+    transactional file manifest; append mode requires a watermark
+    upstream for aggregations (Spark enforces it)."""
+    w = (stream_df.writeStream
+         .format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

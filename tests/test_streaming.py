@@ -262,3 +262,41 @@ def test_single_grain_rollup_batch_stream_parity(spark, tmp_path):
     run_to_memory(out, "roll_test", output_mode="complete")
     got = sorted(map(tuple, spark.sql("SELECT * FROM roll_test").collect()))
     assert got == want
+
+
+def test_write_stream_parquet_roundtrip(spark, tmp_path):
+    """Streaming STORE: readStream → windowed agg → parquet sink with
+    checkpoint; the written files re-read to exactly the batch result,
+    and a second availableNow run adds nothing (exactly-once via the
+    checkpoint)."""
+    import datetime
+    from spork_spark.streaming import write_stream_parquet
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i % 3, t0 + datetime.timedelta(minutes=11 * i), float(i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def agg(d):
+        return tumbling(with_watermark(d, "ts", "1 hour"), "ts",
+                        "30 minutes", keys=["user_id"],
+                        aggs={"cnt": F.count(F.lit(1))})
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_stream(spark, src, SCHEMA)
+    write_stream_parquet(agg(stream), out, ckpt)
+    got = spark.read.parquet(out)
+    # append mode emits a window only once the watermark passes its end:
+    # the comparable set is the batch result restricted to CLOSED windows
+    # (end <= max event time - watermark delay); the open tail stays in
+    # state, by design.
+    cutoff = t0 + datetime.timedelta(minutes=11 * 29 - 60)
+    want = agg(df).filter(F.col("window_end") <= cutoff)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert want.count() > 0
+    # replay with the same checkpoint: no new input -> no new rows
+    write_stream_parquet(agg(read_stream(spark, src, SCHEMA)), out, ckpt)
+    assert spark.read.parquet(out).count() == want.count()
