@@ -864,6 +864,24 @@ def q_dedup_near_full(spark, sf):
         .select("doc_id").orderBy("doc_id")
 
 
+def q_dedup_spans(spark, sf):
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021) via
+    content-defined anchoring (winnowing family): anchor positions are
+    chosen by the text itself (first md5 nibble of the 8-gram at p =
+    '0', P=1/16), so two docs sharing a verbatim >=50-char region pick
+    the same anchors inside it — no suffix array, no stride phase
+    problem. One span-hash shuffle counts distinct docs per span; per
+    doc we report sampled spans, duplicated spans, and an exact integer
+    keep test (dup share <= 20%). operators/dedup.py duplicate_spans.
+    Oracle replays the identical anchor rule and span hashes in SQL."""
+    from spork_spark.operators.dedup import duplicate_spans
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return duplicate_spans(docs, "doc_id", "text", span_len=50,
+                           anchor_gram=8, threshold_pct=20) \
+        .orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     """64-bit SimHash signatures, hash_fn='md5' (bits = md5 hex nibbles,
     signature = 16-hex-char string) so every signature bit is reproducible
@@ -2474,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_of_relation": q_scalar_of_relation,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_spans": q_dedup_spans,
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
         "dedup_simhash": q_dedup_simhash,
@@ -3089,6 +3108,34 @@ def oracle_sql() -> dict[str, str]:
                                         (nv + 1)::BIGINT, 1),
                               '' ORDER BY p) AS simhash
             FROM nib GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_spans": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       list_filter(
+                         generate_series(1, greatest(length(text) - 49, 0)),
+                         p -> substring(md5(substring(text, CAST(p AS INT),
+                                                      8)), 1, 1) = '0'),
+                       p -> md5(substring(text, CAST(p AS INT), 50))))) AS h
+              FROM documents WHERE text IS NOT NULL),
+            dup AS (
+              SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) nd FROM ex GROUP BY h)
+              WHERE nd > 1),
+            ns AS (SELECT doc_id, COUNT(*) n_spans FROM ex GROUP BY doc_id),
+            nd2 AS (
+              SELECT ex.doc_id, COUNT(*) n_dup FROM ex
+              JOIN dup USING (h) GROUP BY ex.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(nd2.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   COALESCE(nd2.n_dup, 0) * 100
+                     <= 20 * COALESCE(ns.n_spans, 0) AS keep
+            FROM documents d
+            LEFT JOIN ns USING (doc_id)
+            LEFT JOIN nd2 ON d.doc_id = nd2.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_minhash": """
             WITH sh AS (

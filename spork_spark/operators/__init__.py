@@ -1,9 +1,9 @@
 """Extension operators beyond the reference surface (SURVEY.md §2.11 /
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
-from .dedup import (embedding_dedup_pairs, exact_dedup, minhash_lsh_pairs,
-                    minhash_signature, near_dedup, ngram_jaccard_pairs,
-                    shingles, simhash)
+from .dedup import (duplicate_spans, embedding_dedup_pairs, exact_dedup,
+                    minhash_lsh_pairs, minhash_signature, near_dedup,
+                    ngram_jaccard_pairs, shingles, simhash)
 from .graph import connected_components
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, lsh_topk, quantize_embeddings)
@@ -28,7 +28,7 @@ from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 
 __all__ = [
-    "connected_components", "near_dedup",
+    "connected_components", "near_dedup", "duplicate_spans",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",

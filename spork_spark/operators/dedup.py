@@ -320,6 +320,73 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b"))
 
 
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", span_len: int = 50,
+                    anchor_gram: int = 8, threshold_pct: int = 20
+                    ) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" pass),
+    re-expressed for Spark via content-defined anchoring (winnowing/MOSS
+    family) instead of a suffix array:
+
+    - Candidate positions are CONTENT-DEFINED: p is an anchor iff the
+      first md5 nibble of the `anchor_gram`-char gram at p is '0'
+      (P=1/16, so anchors land every ~16 chars in expectation). Because
+      the rule depends only on the characters, two documents sharing a
+      long verbatim region pick the SAME anchors inside it — no stride
+      phase alignment problem, unlike fixed-stride sampling.
+    - Each anchor emits the md5 of the `span_len`-char span starting
+      there (spans that would run past the end are skipped); per-doc
+      spans are deduplicated before the explode.
+    - One shuffle on span hash counts distinct docs per span; spans seen
+      in >1 doc are duplicated spans. Per doc: n_spans (anchored spans
+      sampled), n_dup_spans (of those, shared with another doc), and
+      keep iff n_dup_spans*100 <= threshold_pct*n_spans (exact integer
+      test; docs too short to anchor any span are kept).
+
+    100 TB posture: the suffix-array original is a single-node
+    construction; this formulation is linear — per-row native md5/HOF
+    expressions (whole-stage codegen), explode amplification bounded by
+    len/16 rows of 32-byte hashes (not text), and the only exchanges are
+    the span-hash groupBy plus two map-side-combined per-doc aggs. The
+    long tail of unique spans never leaves its mapper un-combined.
+    """
+    c = F.col(text_col)
+    n_pos = F.length(c) - F.lit(span_len - 1)
+    pos = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)) \
+           .otherwise(F.array().cast("array<int>"))
+    anchors = F.filter(pos, lambda p: F.substring(
+        F.md5(c.substr(p, F.lit(anchor_gram)).cast("binary")), 1, 1)
+        == F.lit("0"))
+    spans = F.array_distinct(F.transform(
+        anchors, lambda p: F.md5(c.substr(p, F.lit(span_len))
+                                 .cast("binary"))))
+    from pyspark.sql.window import Window
+    ex = (df.where(c.isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(spans).alias("__h")))
+    # spans are distinct per doc, so count(*) per span hash = #docs holding
+    # it; the window shares the one span-hash exchange with nothing else and
+    # keeps the whole operator to a SINGLE pass over text (the anchor md5
+    # scan is the expensive part — don't recompute it per output column)
+    per = ex.withColumn(
+        "__nd", F.count("*").over(Window.partitionBy("__h")))
+    stats = (per.groupBy("__id")
+                .agg(F.count("*").alias("n_spans"),
+                     F.sum(F.when(F.col("__nd") > 1, 1)
+                            .otherwise(0)).alias("n_dup_spans"))
+                .withColumnRenamed("__id", id_col))
+    out = (df.select(F.col(id_col))
+             .join(stats, on=id_col, how="left")
+             .na.fill({"n_spans": 0, "n_dup_spans": 0}))
+    return out.select(
+        F.col(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        (F.col("n_dup_spans") * 100
+         <= F.lit(int(threshold_pct)) * F.col("n_spans")).alias("keep"))
+
+
 def near_dedup(df: DataFrame, id_col: str, text_col: str,
                shingle_n: int = 5, num_hashes: int = 64, bands: int = 16,
                threshold: float = 0.7, seed: int = 42,

@@ -55,6 +55,48 @@ def test_simhash_near_dups_close(docs):
     assert ham_near < ham_far
 
 
+def test_duplicate_spans_matches_python_replay(spark):
+    """duplicate_spans (ExactSubstr via content-defined anchoring) must
+    agree with a literal Python replay of the same anchor rule, and the
+    copied-paragraph doc must be flagged while unique docs are kept."""
+    import hashlib
+    from spork_spark.operators.dedup import duplicate_spans
+    para = ("spark shuffles hash partitions across the cluster while "
+            "catalyst prunes columns and pushes filters into the scan "
+            "so the exchange carries only what the query needs to run")
+    rows = [
+        (0, para + " alpha variant with its own unique closing words"),
+        (1, para + " beta variant that also shares the long region"),
+        (2, "entirely unrelated short text with no long overlap at all "
+            "spanning some other topic entirely on its own terms here"),
+        (3, "tiny"),                         # shorter than span_len
+        (4, None),                           # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.keep)
+           for r in duplicate_spans(df, "doc_id", "text", span_len=50,
+                                    anchor_gram=8).collect()}
+
+    def spans(text):
+        out = set()
+        for p in range(len(text) - 49):
+            gram = text[p:p + 8]
+            if hashlib.md5(gram.encode()).hexdigest()[0] == "0":
+                out.add(hashlib.md5(text[p:p + 50].encode()).hexdigest())
+        return out
+
+    all_spans = {i: spans(t) if t else set() for i, t in rows}
+    for i, sp in all_spans.items():
+        dup = {h for h in sp
+               if any(h in o for j, o in all_spans.items() if j != i)}
+        assert got[i] == (len(sp), len(dup),
+                          len(dup) * 100 <= 20 * len(sp)), i
+    # the shared >=50-char region must actually anchor and be caught
+    assert got[0][1] > 0 and got[1][1] > 0
+    assert got[2] == (got[2][0], 0, True)
+    assert got[3] == (0, 0, True) and got[4] == (0, 0, True)
+
+
 def test_brute_force_topk_self_similarity(spark):
     import random
     rnd = random.Random(7)
