@@ -1935,6 +1935,26 @@ def q_skew_salted(spark, sf):
              .orderBy("o_orderpriority"))
 
 
+def q_heavy_hitters(spark, sf):
+    """Exact frequent-items via candidate-then-verify (operators/skew.py
+    heavy_hitters): per-partition Misra-Gries candidates (mapInPandas,
+    bounded memory, no shuffle) then exact counting of candidates only —
+    at scale the long tail of rare keys never enters an exchange. Values
+    of l_returnflag||l_linestatus above 10% of rows (integer-ppm
+    threshold test, no float boundary). Key = floor(l_quantity/10):
+    buckets 0-4 each hold ~18-20% of rows and pass; bucket 5 (quantity
+    exactly 50) holds ~2% and is correctly excluded — the threshold
+    discriminates, with ~8pp margin at every sf. Oracle: plain GROUP BY
+    ... HAVING with the same integer arithmetic."""
+    from spork_spark.operators.skew import heavy_hitters
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df()
+    d = li.select(F.floor(F.col("l_quantity") / 10).cast("long")
+                   .alias("qty_bucket"))
+    return heavy_hitters(d, "qty_bucket", min_frac=0.10) \
+        .orderBy("qty_bucket")
+
+
 def q_partitioned_pruning(spark, sf):
     """Partitioned STORE + partition-pruned LOAD (LoadMetadata
     getPartitionKeys / PartitionFilterOptimizer, SURVEY.md §2.7+§4.1):
@@ -2564,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_loader": q_text_loader,
         "stats_agg": q_stats_agg,
         "skew_salted": q_skew_salted,
+        "heavy_hitters": q_heavy_hitters,
         "partitioned_pruning": q_partitioned_pruning,
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
@@ -4135,6 +4156,17 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_quantity)*100 + 0.5) AS qty_x100
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "heavy_hitters": """
+            WITH t AS (
+              SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket
+              FROM lineitem WHERE l_quantity IS NOT NULL),
+            n AS (SELECT COUNT(*) AS n FROM t)
+            SELECT qty_bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t CROSS JOIN n
+            GROUP BY qty_bucket, n.n
+            HAVING COUNT(*) * 1000000 >= 100000 * n.n
+            ORDER BY qty_bucket
         """,
         "partitioned_pruning": """
             SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS cnt

@@ -23,7 +23,7 @@ from .multimodal import (ahash_images, ahash_pairs,
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
                        kmeans_quantized, ngram_logcount_score,
                        per_source_cap, semantic_dedup)
-from .skew import salted_join, skew_histogram
+from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 
@@ -48,6 +48,6 @@ __all__ = [
     "blocklist_filter", "classifier_score", "corpus_stats",
     "kmeans_quantized", "ngram_logcount_score", "per_source_cap",
     "semantic_dedup",
-    "salted_join", "skew_histogram",
+    "heavy_hitters", "salted_join", "skew_histogram",
     "bloom_filter", "bloom_pruned_semi_join", "build_bloom",
 ]

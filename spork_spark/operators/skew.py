@@ -56,3 +56,64 @@ def skew_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     (run on a sample at scale: df.sample(0.01) first)."""
     return (df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
               .orderBy(F.col("cnt").desc()).limit(top))
+
+
+def heavy_hitters(df: DataFrame, key: str,
+                  min_frac: float = 0.01) -> DataFrame:
+    """EXACT frequent-items: every non-null value of `key` whose global
+    frequency is >= min_frac of the row count, with its exact count —
+    via candidate-then-verify, so the long tail of rare keys never
+    enters an exchange:
+
+    1. Candidates: per-partition Misra-Gries with k = ceil(1/min_frac)
+       counters (mapInPandas, Arrow batches; per batch a vectorized
+       value_counts merge, then the summaries are reduced back to k
+       counters by subtracting the (k+1)-th largest — the mergeable-
+       summaries reduction of Agarwal et al. 2012, which preserves the
+       MG undercount bound n_p/(k+1)). Bounded memory, NO shuffle,
+       output <= k rows per partition. Pigeonhole: a value with global
+       count >= min_frac*n has local count >= min_frac*n_p in some
+       partition, and min_frac > 1/(k+1), so candidates ⊇ answers.
+    2. Verify: exact counts of the candidate values only — broadcast
+       semi-join filter on the scan, then a groupBy whose key set is
+       <= k * num_partitions, and a broadcast of the 1-row total for
+       the threshold test (integer ppm arithmetic: exact on any
+       engine, no float-boundary flake; min_frac quantized to 1e-6).
+
+    A plain groupBy-HAVING shuffles every distinct key; at 100 TB with
+    a ~billion-key long tail this shape shuffles only candidates. The
+    trade: one extra scan and a Python hop for stage 1 — worth it
+    exactly when the tail dominates; for low-cardinality keys use
+    skew_histogram.
+    """
+    import math
+    import pandas as pd
+
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    k = int(math.ceil(1.0 / min_frac))
+    ppm = int(round(min_frac * 1_000_000))
+    dtype = df.schema[key].dataType.simpleString()
+
+    def mg_candidates(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items()
+                            if c > cut}
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    nn = df.where(F.col(key).isNotNull())
+    cand = (nn.select(F.col(key))
+              .mapInPandas(mg_candidates, schema=f"`{key}` {dtype}")
+              .dropDuplicates([key]))
+    # denominator = non-null rows, matching the numerator's universe
+    total = nn.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (nn.join(F.broadcast(cand), on=key, how="left_semi")
+              .groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+              .crossJoin(F.broadcast(total))
+              .where(F.col("cnt") * 1_000_000 >= F.lit(ppm) * F.col("__n"))
+              .select(F.col(key), F.col("cnt").cast("long").alias("cnt")))

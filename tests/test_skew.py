@@ -32,3 +32,33 @@ def test_skew_histogram(spark):
     df = spark.createDataFrame([(1,)] * 9 + [(2,)], "k int")
     top = skew_histogram(df, "k", top=1).collect()
     assert top[0].k == 1 and top[0].cnt == 9
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """heavy_hitters must return exactly the values a plain
+    GROUP BY ... HAVING returns — same counts — on a Zipf-ish key set
+    spread over many partitions (so the Misra-Gries candidate stage
+    and the cross-partition merge both matter)."""
+    from spork_spark.operators.skew import heavy_hitters
+    rows = []
+    for v in range(1, 40):               # value v appears ~1000//v times
+        rows += [(v,)] * (1000 // v)
+    rows += [(None,)] * 17               # nulls excluded from both sides
+    df = spark.createDataFrame(rows, "k int").repartition(13)
+    got = sorted((r.k, r.cnt) for r in
+                 heavy_hitters(df, "k", min_frac=0.05).collect())
+    n = sum(1 for (v,) in rows if v is not None)
+    from collections import Counter
+    exact = Counter(v for (v,) in rows if v is not None)
+    want = sorted((v, c) for v, c in exact.items()
+                  if c * 1_000_000 >= 50_000 * n)
+    assert got == want
+    assert len(want) >= 3               # the threshold actually selects
+
+
+def test_heavy_hitters_rejects_bad_frac(spark):
+    import pytest as _pytest
+    from spork_spark.operators.skew import heavy_hitters
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_frac=0.0)
