@@ -1955,6 +1955,40 @@ def q_heavy_hitters(spark, sf):
         .orderBy("qty_bucket")
 
 
+def q_merge_upsert(spark, sf):
+    """MERGE-style upsert (operators/upsert.py): refresh the orders
+    snapshot with a deterministic change batch — keys %7 (and not %13)
+    updated twice with versions 1 and 2 (version resolution must apply
+    only v2 = price*3), keys %13 deleted, keys %31 re-inserted under
+    key+100000000. The snapshot side sees ONE broadcast anti-join and
+    never shuffles (plan pinned in test_upsert.py). Oracle replays the
+    same change batch in SQL set algebra."""
+    from spork_spark.operators.upsert import merge_upsert
+    eng = _eng(spark)
+    base = _t(eng, sf, "orders").df() \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    u1 = base.where((k % 7 == 0) & (k % 13 != 0)).select(
+        k.alias("o_orderkey"), F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(1).alias("v"), F.lit(False).alias("is_delete"))
+    u2 = base.where((k % 7 == 0) & (k % 13 != 0)).select(
+        k.alias("o_orderkey"), F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        F.lit(2).alias("v"), F.lit(False).alias("is_delete"))
+    dels = base.where(k % 13 == 0).select(
+        k.alias("o_orderkey"), F.lit("X").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit(1).alias("v"), F.lit(True).alias("is_delete"))
+    ins = base.where(k % 31 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"), F.col("o_totalprice"),
+        F.lit(1).alias("v"), F.lit(False).alias("is_delete"))
+    upd = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    return merge_upsert(base, upd, ["o_orderkey"], version_col="v",
+                        delete_col="is_delete").orderBy("o_orderkey")
+
+
 def q_partitioned_pruning(spark, sf):
     """Partitioned STORE + partition-pruned LOAD (LoadMetadata
     getPartitionKeys / PartitionFilterOptimizer, SURVEY.md §2.7+§4.1):
@@ -2585,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": q_stats_agg,
         "skew_salted": q_skew_salted,
         "heavy_hitters": q_heavy_hitters,
+        "merge_upsert": q_merge_upsert,
         "partitioned_pruning": q_partitioned_pruning,
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
@@ -4156,6 +4191,29 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_quantity)*100 + 0.5) AS qty_x100
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+            changed AS (
+              SELECT o_orderkey FROM base
+              WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+              UNION
+              SELECT o_orderkey + 100000000 FROM base
+              WHERE o_orderkey % 31 = 0),
+            applied AS (
+              SELECT o_orderkey, 'U' AS o_orderstatus,
+                     o_totalprice * 3 AS o_totalprice
+              FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'N', o_totalprice
+              FROM base WHERE o_orderkey % 31 = 0)
+            SELECT * FROM (
+              SELECT * FROM base
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+              UNION ALL
+              SELECT * FROM applied) m
+            ORDER BY o_orderkey
         """,
         "heavy_hitters": """
             WITH t AS (
