@@ -1955,6 +1955,32 @@ def q_heavy_hitters(spark, sf):
         .orderBy("qty_bucket")
 
 
+def q_funnel(spark, sf):
+    """Ordered conversion funnel view→click→purchase over events
+    (operators/behavior.py funnel): step k counts users whose first
+    step-k event is strictly after their step-(k-1) completion. One
+    filtered aggregation per step; per-user state is one row. Oracle:
+    the same chained MIN/JOIN algebra in SQL."""
+    from spork_spark.operators.behavior import funnel
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"]).orderBy("step_idx")
+
+
+def q_scd2(spark, sf):
+    """SCD2 history from a change log (operators/behavior.py
+    scd2_from_log): each user's event_type runs become
+    [valid_from, valid_to) intervals — change detection via lag(),
+    interval close via lead(), one key shuffle, deterministic tie
+    order. Oracle: identical window algebra with IS DISTINCT FROM."""
+    from spork_spark.operators.behavior import scd2_from_log
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df().select("user_id", "ts", "event_type")
+    return scd2_from_log(ev, "user_id", "ts", ["event_type"]) \
+        .orderBy("user_id", "valid_from", "event_type")
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2620,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted": q_skew_salted,
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
+        "funnel": q_funnel,
+        "scd2": q_scd2,
         "partitioned_pruning": q_partitioned_pruning,
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
@@ -4191,6 +4219,46 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_quantity)*100 + 0.5) AS qty_x100
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.u
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.u
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT 1 AS step_idx, 'view' AS step,
+                     CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+              UNION ALL
+              SELECT 3, 'purchase',
+                     CAST((SELECT COUNT(*) FROM s3) AS BIGINT)) f
+            ORDER BY step_idx
+        """,
+        "scd2": """
+            WITH o AS (
+              SELECT user_id, ts, event_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_type) AS pe
+              FROM events),
+            runs AS (
+              SELECT user_id, event_type, ts AS valid_from
+              FROM o WHERE pe IS DISTINCT FROM event_type)
+            SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER (
+                     PARTITION BY user_id
+                     ORDER BY valid_from, event_type) AS valid_to
+            FROM runs ORDER BY user_id, valid_from, event_type
         """,
         "merge_upsert": """
             WITH base AS (

@@ -27,6 +27,7 @@ from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 from .upsert import merge_upsert
+from .behavior import funnel, scd2_from_log
 
 __all__ = [
     "connected_components", "near_dedup", "duplicate_spans",
@@ -41,7 +42,7 @@ __all__ = [
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
-    "asof_join", "range_join", "merge_upsert",
+    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -1,0 +1,95 @@
+"""Behavioral / temporal analytics over event logs: ordered-funnel
+conversion and SCD2 history construction. Both are single-key-shuffle
+designs that hold at 100 TB event volumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered funnel: how many users completed step k strictly AFTER
+    completing step k-1 (classic conversion funnel; each user counts at
+    the deepest prefix they reached, timestamps must strictly increase
+    step-over-step).
+
+    Shape: ONE aggregation per step over only that step's events
+    (filter pushed to the scan), chained through per-user first-
+    completion times. Every stage shuffles at most one row per
+    qualifying user, and the event table itself is scanned once per
+    step with a pushed type filter — there is no per-user sort and no
+    Python. Conversion tables are tiny (one row per user), so at scale
+    the step joins are AQE-broadcastable; the big table never holds
+    state.
+
+    Output: step_idx (1-based), step, n_users — n_users monotonically
+    non-increasing down the funnel.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = None       # per-user first completion time of current step
+    out_rows = []
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == F.lit(step)) \
+               .select(F.col(user_col).alias("__u"),
+                       F.col(ts_col).alias("__ts"))
+        if reached is None:
+            reached = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            reached = (ev.join(reached, on="__u")
+                         .where(F.col("__ts") > F.col("__t"))
+                         .groupBy("__u")
+                         .agg(F.min("__ts").alias("__t")))
+        # each per-user table feeds BOTH its own count and the next
+        # step's join; persist so the chain is computed once, not
+        # re-derived per union branch (tables are one row per user —
+        # small — and spill-safe)
+        reached = reached.persist()
+        out_rows.append(
+            reached.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+                   .select(F.lit(i + 1).alias("step_idx"),
+                           F.lit(step).alias("step"),
+                           F.col("n_users").cast("long").alias("n_users")))
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def scd2_from_log(df: DataFrame, key_col: str, ts_col: str,
+                  attr_cols: list[str]) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: one row per (key, run of identical attribute values), with
+    valid_from = first ts of the run and valid_to = start of the next
+    run (null while current). Consecutive rows with unchanged
+    attributes collapse into one interval.
+
+    Shape: one keyed window (single shuffle on the key) does change
+    detection via lag(), a second pass closes intervals via lead() over
+    the surviving change rows — both windows share the same
+    partitioning, so Spark plans ONE exchange. No Python, no self-join.
+
+    Ties on (key, ts) are broken by the attribute tuple to keep the
+    history deterministic under concurrent same-timestamp changes.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_from_log needs at least one attribute")
+    order = [F.col(ts_col)] + [F.col(a) for a in attr_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = None
+    for a in attr_cols:
+        neq = ~(F.col(a).eqNullSafe(F.lag(F.col(a)).over(w)))
+        changed = neq if changed is None else (changed | neq)
+    first = F.lag(F.col(ts_col)).over(w).isNull()
+    runs = (df.withColumn("__chg", first | changed)
+              .where(F.col("__chg"))
+              .select(F.col(key_col), *[F.col(a) for a in attr_cols],
+                      F.col(ts_col).alias("valid_from")))
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col("valid_from"), *[F.col(a) for a in attr_cols])
+    return runs.withColumn("valid_to",
+                           F.lead(F.col("valid_from")).over(w2))

@@ -1,0 +1,85 @@
+"""Funnel + SCD2 (operators/behavior.py): ordering semantics, run
+collapse, interval close."""
+
+import datetime as dt
+
+import pytest
+
+from spork_spark.operators.behavior import funnel, scd2_from_log
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1 converts fully, in order
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 clicks BEFORE viewing — the click must not count
+        (2, _ts(1), "click"), (2, _ts(2), "view"),
+        # u3 stalls after view
+        (3, _ts(1), "view"),
+        # u4 purchase without click — does not reach step 3
+        (4, _ts(1), "view"), (4, _ts(2), "purchase"),
+        # u5 never views — not even step 1
+        (5, _ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, ts timestamp, t string")
+    got = {r.step_idx: (r.step, r.n_users) for r in
+           funnel(df, "u", "ts", "t",
+                  ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_funnel_same_timestamp_not_after(spark):
+    # strictly-after: a click at the exact view instant does not convert
+    rows = [(1, _ts(1), "view"), (1, _ts(1), "click")]
+    df = spark.createDataFrame(rows, "u bigint, ts timestamp, t string")
+    got = {r.step_idx: r.n_users
+           for r in funnel(df, "u", "ts", "t", ["view", "click"]).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_funnel_empty_steps_raises(spark):
+    df = spark.createDataFrame([(1, _ts(1), "view")],
+                               "u bigint, ts timestamp, t string")
+    with pytest.raises(ValueError):
+        funnel(df, "u", "ts", "t", [])
+
+
+def test_scd2_runs_collapse_and_close(spark):
+    rows = [
+        (1, _ts(1), "a"), (1, _ts(2), "a"),      # unchanged → collapses
+        (1, _ts(3), "b"),                        # change → closes 'a'
+        (1, _ts(4), "a"),                        # back to 'a' → NEW run
+        (2, _ts(5), "x"),                        # other key independent
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v string")
+    got = sorted((r.k, r.v, r.valid_from, r.valid_to) for r in
+                 scd2_from_log(df, "k", "ts", ["v"]).collect())
+    assert got == [
+        (1, "a", _ts(1), _ts(3)),
+        (1, "a", _ts(4), None),
+        (1, "b", _ts(3), _ts(4)),
+        (2, "x", _ts(5), None),
+    ]
+
+
+def test_scd2_multi_attr_any_change_opens_run(spark):
+    rows = [(1, _ts(1), "a", 10), (1, _ts(2), "a", 20),  # second attr moves
+            (1, _ts(3), "a", 20)]                        # unchanged
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, "
+                                     "v string, n bigint")
+    got = sorted((r.v, r.n, r.valid_from, r.valid_to) for r in
+                 scd2_from_log(df, "k", "ts", ["v", "n"]).collect())
+    assert got == [("a", 10, _ts(1), _ts(2)), ("a", 20, _ts(2), None)]
+
+
+def test_scd2_null_attr_runs(spark):
+    # null == null (null-safe): consecutive nulls collapse into one run
+    rows = [(1, _ts(1), None), (1, _ts(2), None), (1, _ts(3), "x")]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v string")
+    got = {(r.v, r.valid_from, r.valid_to) for r in
+           scd2_from_log(df, "k", "ts", ["v"]).collect()}
+    assert got == {(None, _ts(1), _ts(3)), ("x", _ts(3), None)}
