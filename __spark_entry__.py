@@ -1981,6 +1981,69 @@ def q_scd2(spark, sf):
         .orderBy("user_id", "valid_from", "event_type")
 
 
+def q_pivot_events(spark, sf):
+    """PIVOT long→wide (operators/reshape.py pivot_table): daily counts
+    per event type as columns. Explicit value list — no distinct-values
+    pre-pass, deterministic schema; one shuffle on the row key. Null
+    cells filled 0 to a dense matrix. Oracle: CASE-based conditional
+    aggregation."""
+    from spork_spark.operators.reshape import pivot_table
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df() \
+        .select(F.to_date("ts").alias("day"), "event_type")
+    return pivot_table(ev, ["day"], "event_type",
+                       ["click", "error", "purchase", "signup", "view"],
+                       agg="count", fill=0).orderBy("day")
+
+
+def q_unpivot_events(spark, sf):
+    """UNPIVOT wide→long (reshape.py unpivot): melt the pivoted daily
+    matrix back to (day, event_type, cnt) — map-side explosion, no
+    shuffle beyond the pivot's own; null cells (no fill) drop so the
+    long table is exactly the observed combinations. Oracle: plain
+    GROUP BY day, type."""
+    from spork_spark.operators.reshape import pivot_table, unpivot
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df() \
+        .select(F.to_date("ts").alias("day"), "event_type")
+    wide = pivot_table(ev, ["day"], "event_type",
+                       ["click", "error", "purchase", "signup", "view"],
+                       agg="count")
+    return (unpivot(wide, ["day"],
+                    ["click", "error", "purchase", "signup", "view"],
+                    "event_type", "cnt")
+            .select("day", "event_type", F.col("cnt").cast("long")
+                    .alias("cnt"))
+            .orderBy("day", "event_type"))
+
+
+def q_cohort(spark, sf):
+    """Cohort retention matrix (operators/behavior.py cohort_retention):
+    first-activity-date cohorts × day offset → active users. The log
+    collapses to distinct (user, day) before anything else, so the
+    pipeline is sized by active-days, not events. Oracle: identical
+    set algebra with date_diff."""
+    from spork_spark.operators.behavior import cohort_retention
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return cohort_retention(ev, "user_id", "ts") \
+        .orderBy("cohort", "day_offset")
+
+
+def q_fuzzy_pairs(spark, sf):
+    """Edit-distance-1 pair mining via FastSS deletion-neighborhood
+    blocking (operators/dedup.py edit_distance_pairs): customer names
+    differing in a single character pair up through a variant equi-join
+    (alphabet-bounded buckets) and an exact levenshtein verify — no
+    all-pairs comparison. Oracle replays the same deletion variants and
+    levenshtein filter in SQL."""
+    from spork_spark.operators.dedup import edit_distance_pairs
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer").df().select("c_custkey", "c_name")
+    return edit_distance_pairs(cust, "c_custkey", "c_name") \
+        .orderBy("id_a", "id_b")
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2648,6 +2711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "funnel": q_funnel,
         "scd2": q_scd2,
+        "pivot_events": q_pivot_events,
+        "unpivot_events": q_unpivot_events,
+        "cohort": q_cohort,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "partitioned_pruning": q_partitioned_pruning,
         "strsplittobag": q_strsplittobag,
         "unique_id": q_unique_id,
@@ -4219,6 +4286,57 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(SUM(l_quantity)*100 + 0.5) AS qty_x100
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "pivot_events": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                        AS BIGINT) AS click,
+                   CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                        AS BIGINT) AS error,
+                   CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS BIGINT) AS purchase,
+                   CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                        AS BIGINT) AS signup,
+                   CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                        AS BIGINT) AS view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "unpivot_events": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE event_type IN ('click', 'error', 'purchase',
+                                 'signup', 'view')
+            GROUP BY day, event_type
+            ORDER BY day, event_type
+        """,
+        "cohort": """
+            WITH d AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+              FROM events),
+            f AS (SELECT u, MIN(d) AS cohort FROM d GROUP BY u)
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, d.d) AS INT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d JOIN f ON d.u = f.u
+            GROUP BY f.cohort, day_offset
+            ORDER BY f.cohort, day_offset
+        """,
+        "fuzzy_pairs": """
+            WITH ex AS (
+              SELECT c_custkey AS id, c_name AS s,
+                     unnest(list_distinct(list_prepend(c_name,
+                       [substring(c_name, 1, CAST(i AS INT) - 1)
+                        || substring(c_name, CAST(i AS INT) + 1,
+                                     length(c_name))
+                        for i in generate_series(1, length(c_name))])))
+                       AS v
+              FROM customer WHERE c_name IS NOT NULL)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM ex a JOIN ex b ON a.v = b.v AND a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= 1
+            ORDER BY id_a, id_b
         """,
         "funnel": """
             WITH s1 AS (

@@ -1,7 +1,8 @@
 """Extension operators beyond the reference surface (SURVEY.md §2.11 /
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
-from .dedup import (duplicate_spans, embedding_dedup_pairs, exact_dedup,
+from .dedup import (duplicate_spans, edit_distance_pairs,
+                    embedding_dedup_pairs, exact_dedup,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
 from .graph import connected_components
@@ -27,7 +28,8 @@ from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 from .upsert import merge_upsert
-from .behavior import funnel, scd2_from_log
+from .behavior import cohort_retention, funnel, scd2_from_log
+from .reshape import pivot_table, unpivot
 
 __all__ = [
     "connected_components", "near_dedup", "duplicate_spans",
@@ -42,7 +44,7 @@ __all__ = [
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
-    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log",
+    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "pivot_table", "unpivot", "edit_distance_pairs",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -60,6 +60,32 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     return res
 
 
+def cohort_retention(df: DataFrame, user_col: str,
+                     ts_col: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date
+    (cohort), counted on each later activity date as a day offset.
+
+    Shape: the event log first collapses to DISTINCT (user, day) —
+    activity days, a tiny fraction of raw events and the only thing
+    retention needs, so everything downstream is sized by active-days
+    not events. First-day per user is one map-side-combined MIN; the
+    join back is keyed on user (AQE-broadcastable when the user table
+    fits); counts are plain count(*) because the (user, day) dedup
+    already guarantees one row per user per cell.
+
+    Output: cohort (date), day_offset (int, 0 = cohort day), n_users.
+    """
+    d = (df.select(F.col(user_col).alias("__u"),
+                   F.to_date(F.col(ts_col)).alias("__d"))
+           .dropDuplicates(["__u", "__d"]))
+    first = d.groupBy("__u").agg(F.min("__d").alias("cohort"))
+    return (d.join(first, on="__u")
+             .groupBy(F.col("cohort"),
+                      F.datediff(F.col("__d"), F.col("cohort"))
+                       .alias("day_offset"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
 def scd2_from_log(df: DataFrame, key_col: str, ts_col: str,
                   attr_cols: list[str]) -> DataFrame:
     """Build a type-2 slowly-changing-dimension history from a change

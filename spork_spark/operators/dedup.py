@@ -387,6 +387,48 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
          <= F.lit(int(threshold_pct)) * F.col("n_spans")).alias("keep"))
 
 
+def edit_distance_pairs(df: DataFrame, id_col: str,
+                        str_col: str) -> DataFrame:
+    """All row pairs whose strings are within Levenshtein distance 1,
+    via FastSS deletion-neighborhood blocking (Bocek et al. 2007):
+
+    Each string emits itself plus every single-character deletion
+    (native sequence→transform HOFs — ~len+1 variants per row). Two
+    strings at edit distance <=1 ALWAYS share a variant (substitution
+    at i: both delete position i; insertion/deletion: the shorter
+    string is a variant of the longer and of itself), so an equi-join
+    on the variant is a complete candidate generator — no quadratic
+    all-pairs comparison. Candidates are then verified with the exact
+    levenshtein() (JVM-side), killing false positives (two different
+    deletions can collide at distance 2).
+
+    100 TB posture: linear explode (~len variants of <=len bytes), one
+    equi-join shuffle on the variant string; bucket sizes are the
+    number of strings sharing a deletion — alphabet-bounded for ID-like
+    keys. Same blocked-join discipline as MinHash banding: quadratic
+    work only inside a bucket. Output: (id_a, id_b), id_a < id_b,
+    deduplicated.
+    """
+    s = F.col(str_col)
+    idx = F.sequence(F.lit(1), F.length(s))
+    dels = F.transform(
+        idx, lambda i: F.concat(s.substr(F.lit(1), i - 1),
+                                s.substr(i + 1, F.length(s))))
+    variants = F.array_distinct(F.concat(F.array(s), dels))
+    ex = (df.where(s.isNotNull())
+            .select(F.col(id_col).alias("__id"), s.alias("__s"),
+                    F.explode(variants).alias("__v")))
+    a = ex.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+                  "__v")
+    b = ex.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+                  "__v")
+    return (a.join(b, on="__v")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(F.levenshtein("__sa", "__sb") <= 1)
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+
+
 def near_dedup(df: DataFrame, id_col: str, text_col: str,
                shingle_n: int = 5, num_hashes: int = 64, bands: int = 16,
                threshold: float = 0.7, seed: int = 42,
