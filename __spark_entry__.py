@@ -2044,6 +2044,22 @@ def q_fuzzy_pairs(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_zorder(spark, sf):
+    """Z-order (Morton) clustering key (operators/layout.py): interleave
+    8 bits each of min-max-scaled l_suppkey and l_partkey — the layout
+    key Delta/Iceberg-style OPTIMIZE ZORDER uses so that row-group
+    min/max stats prune scans on EITHER column. Pure integer Column
+    arithmetic; the 1-row stats subquery stays in the plan as a
+    broadcast. Oracle replays the identical scaling + bit interleave in
+    SQL."""
+    from spork_spark.operators.layout import zorder_key
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df().select("l_suppkey", "l_partkey")
+    return (zorder_key(li, ["l_suppkey", "l_partkey"], bits=8,
+                       out_col="zkey")
+            .orderBy("zkey", "l_suppkey", "l_partkey"))
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2709,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted": q_skew_salted,
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
+        "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
         "pivot_events": q_pivot_events,
@@ -2855,10 +2872,39 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """Morton interleave of the two scaled columns a/b, replayed bit by
+    bit — same arithmetic as operators/layout.py zorder_key."""
+    terms = []
+    for p in range(bits):
+        terms.append(f"(((a >> {p}) & 1) << {2 * p})")
+        terms.append(f"(((b >> {p}) & 1) << {2 * p + 1})")
+    z = " | ".join(terms)
+    m = (1 << bits) - 1
+    return f"""
+        WITH s AS (
+          SELECT MIN(l_suppkey) mn1, MAX(l_suppkey) mx1,
+                 MIN(l_partkey) mn2, MAX(l_partkey) mx2
+          FROM lineitem),
+        sc AS (
+          SELECT l_suppkey, l_partkey,
+                 CASE WHEN mx1 > mn1 THEN CAST(FLOOR(
+                        (l_suppkey - mn1) * {m}.0 / (mx1 - mn1)) AS BIGINT)
+                      ELSE 0 END AS a,
+                 CASE WHEN mx2 > mn2 THEN CAST(FLOOR(
+                        (l_partkey - mn2) * {m}.0 / (mx2 - mn2)) AS BIGINT)
+                      ELSE 0 END AS b
+          FROM lineitem CROSS JOIN s)
+        SELECT l_suppkey, l_partkey, CAST({z} AS BIGINT) AS zkey
+        FROM sc ORDER BY zkey, l_suppkey, l_partkey
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_lsh": _lsh_oracle_sql(),
         "similarity_ivf": _ivf_oracle_sql(),
+        "zorder": _zorder_oracle_sql(),
         "agg_q1": """
             SELECT l_returnflag, l_linestatus,
                    FLOOR((SUM(l_quantity))*100 + 0.5)/100 AS sum_qty,

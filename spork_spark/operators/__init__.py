@@ -30,6 +30,7 @@ from .asof import asof_join, range_join
 from .upsert import merge_upsert
 from .behavior import cohort_retention, funnel, scd2_from_log
 from .reshape import pivot_table, unpivot
+from .layout import zorder_by, zorder_key
 
 __all__ = [
     "connected_components", "near_dedup", "duplicate_spans",
@@ -45,6 +46,7 @@ __all__ = [
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "pivot_table", "unpivot", "edit_distance_pairs",
+    "zorder_by", "zorder_key",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

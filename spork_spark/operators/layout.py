@@ -1,0 +1,79 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+data skipping.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet row-group min/max stats prune scans, but only if the data is
+clustered on the filter columns. A plain sort clusters ONE column;
+Z-ordering interleaves the bits of several columns so that every
+filtered column keeps locality, which is why lakehouse table formats
+(Delta OPTIMIZE ZORDER BY, Iceberg sort orders) use it for layout
+maintenance.
+
+Spark-first: the z-key is pure integer Column arithmetic (shift/and/or
+— whole-stage codegen), the per-column min/max normalization stays in
+the plan as a 1-row broadcast (no driver collect), and the rewrite is
+repartitionByRange(z) + sortWithinPartitions(z) — the exact shuffle a
+global sort pays, buying bounded z-ranges (and so bounded min/max
+boxes) per output file.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8,
+               out_col: str = "__z") -> DataFrame:
+    """Append a Morton (Z-order) key interleaving `bits` bits of each
+    column in `cols` (numeric; nulls sort first as scaled value 0).
+
+    Columns are min-max scaled to [0, 2^bits) with a 1-row stats
+    subquery broadcast into the plan — integer floor arithmetic, so
+    the key is deterministic and SQL-reproducible. Total key width
+    bits*len(cols) must fit a signed 64-bit long.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    m = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c)).alias(f"__mn_{c}"),
+                 F.max(F.col(c)).alias(f"__mx_{c}")]
+    stats = df.groupBy().agg(*aggs)
+    j = df.crossJoin(F.broadcast(stats))
+    scaled = {}
+    for c in cols:
+        lo, hi = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = (hi - lo).cast("long")
+        x = (F.coalesce(F.col(c), lo) - lo).cast("long")
+        scaled[c] = F.when(span > 0, (x * m / span).cast("long")) \
+                     .otherwise(F.lit(0))
+    parts = []
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(scaled[c], b).bitwiseAND(F.lit(1))
+            parts.append(F.shiftleft(bit, b * len(cols) + i))
+    z = reduce(lambda a, x: a.bitwiseOR(x), parts)
+    return j.withColumn(out_col, z.cast("long")) \
+            .drop(*[f"__mn_{c}" for c in cols]) \
+            .drop(*[f"__mx_{c}" for c in cols])
+
+
+def zorder_by(df: DataFrame, cols: list[str], bits: int = 8,
+              num_partitions: int | None = None) -> DataFrame:
+    """Rewrite df into Z-order: range-partition + sort on the Morton
+    key, then drop it. Write the result with STORE and every output
+    file covers a bounded z-range — bounded min/max boxes on ALL of
+    `cols`, so filters on any of them prune files. Same single shuffle
+    a global sort costs."""
+    keyed = zorder_key(df, cols, bits=bits)
+    if num_partitions:
+        keyed = keyed.repartitionByRange(num_partitions, F.col("__z"))
+    else:
+        keyed = keyed.repartitionByRange(F.col("__z"))
+    return keyed.sortWithinPartitions("__z").drop("__z")
