@@ -850,6 +850,29 @@ def q_connected_components(spark, sf):
     return connected_components(e1.union(e2)).orderBy("node")
 
 
+def q_triangles(spark, sf):
+    """Global triangle count by degree-ordered orientation (operators/
+    graph.py triangle_count — Suri & Vassilvitskii WWW'11): the
+    orientation bounds wedge fan-out by O(sqrt(m)), fixing the hub-node
+    last-reducer blowup. Deterministic edge set over documents: a path
+    d→d+1 plus chords d→d+2 on even d (one triangle per even d) plus
+    doubling edges d→2d. Oracle: direct a<b<c triple join — triangle
+    counts are orientation-independent, so the simplest exact SQL
+    checks the clever plan."""
+    from spork_spark.operators.graph import triangle_count
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df().select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 1).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 2 == 0) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 2).alias("dst"))
+    e3 = docs.filter(F.col("doc_id") > 0) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") * 2).alias("dst"))
+    return triangle_count(e1.union(e2).union(e3))
+
+
 def q_dedup_near_full(spark, sf):
     """END-TO-END near-dedup: LSH pairs (md5 mode, same parameters as
     dedup_minhash) → connected components → keep min doc_id per duplicate
@@ -2652,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_spans": q_dedup_spans,
+        "triangles": q_triangles,
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
         "dedup_simhash": q_dedup_simhash,
@@ -3305,6 +3329,23 @@ def oracle_sql() -> dict[str, str]:
                                         (nv + 1)::BIGINT, 1),
                               '' ORDER BY p) AS simhash
             FROM nib GROUP BY doc_id ORDER BY doc_id
+        """,
+        "triangles": """
+            WITH raw AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents WHERE doc_id > 0),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM raw
+              WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "dedup_spans": """
             WITH ex AS (

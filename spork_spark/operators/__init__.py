@@ -5,7 +5,7 @@ from .dedup import (duplicate_spans, edit_distance_pairs,
                     embedding_dedup_pairs, exact_dedup,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
-from .graph import connected_components
+from .graph import connected_components, triangle_count
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, lsh_topk, quantize_embeddings)
 from .rollup import time_rollup
@@ -33,7 +33,7 @@ from .reshape import pivot_table, unpivot
 from .layout import zorder_by, zorder_key
 
 __all__ = [
-    "connected_components", "near_dedup", "duplicate_spans",
+    "connected_components", "triangle_count", "near_dedup", "duplicate_spans",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",

@@ -83,3 +83,56 @@ def connected_components(edges: DataFrame, src: str = "src",
             f"still be split). Raise max_iter — convergence needs "
             f"~log2(graph diameter) rounds.", RuntimeWarning, stacklevel=2)
     return labels
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count via degree-ordered edge orientation (the
+    MapReduce-classic formulation of Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11):
+
+    1. canonicalize to undirected distinct edges (self-loops dropped);
+    2. orient every edge from its lower-(degree, id) endpoint to the
+       higher — each triangle now has exactly ONE node with two
+       outgoing oriented edges, so it is counted exactly once;
+    3. wedges: self-join oriented adjacency on the source, keeping
+       ordered pairs (v < w under the same total order);
+    4. close: equi-join wedges against the oriented edge set.
+
+    The orientation is the scale lever: a hub of degree d in the raw
+    graph would generate d² wedges, but orientation bounds every
+    node's out-degree by O(sqrt(m)) — the curse-of-the-last-reducer
+    fix. All stages are equi-join/groupBy shuffles on keys.
+
+    Output: one row, n_triangles (bigint).
+    """
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                        F.greatest(F.col(src), F.col(dst)).alias("b"))
+                .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                       & (F.col("a") != F.col("b")))
+                .dropDuplicates(["a", "b"]))
+    deg = (und.select(F.col("a").alias("n"))
+              .unionAll(und.select(F.col("b").alias("n")))
+              .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    withdeg = (und.join(deg.withColumnRenamed("n", "a")
+                           .withColumnRenamed("d", "da"), on="a")
+                  .join(deg.withColumnRenamed("n", "b")
+                           .withColumnRenamed("d", "db"), on="b"))
+    # orient low-(deg, id) → high-(deg, id); carry the dst's order key
+    low_first = F.struct(F.col("da"), F.col("a")) \
+        < F.struct(F.col("db"), F.col("b"))
+    oriented = withdeg.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    e1 = oriented.select("u", F.col("v").alias("v1"),
+                         F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"),
+                         F.col("dv").alias("d2"))
+    wedges = (e1.join(e2, on="u")
+                .where(F.struct(F.col("d1"), F.col("v1"))
+                       < F.struct(F.col("d2"), F.col("v2")))
+                .select(F.col("v1").alias("u"), F.col("v2").alias("v")))
+    closed = wedges.join(oriented.select("u", "v"), on=["u", "v"])
+    return closed.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -106,3 +106,33 @@ def test_near_dedup_keep_longest(spark):
     kept = near_dedup(docs, "doc_id", "text", threshold=0.6,
                       keep="longest")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree-ordered triangle counting == brute-force enumeration on a
+    random graph (hubs included so orientation actually matters)."""
+    from itertools import combinations
+    from spork_spark.operators.graph import triangle_count
+    rnd = random.Random(11)
+    n = 40
+    edges = {(i, j) for i in range(n) for j in range(i + 1, n)
+             if rnd.random() < 0.15}
+    edges |= {(0, j) for j in range(1, 20)}          # hub node
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = triangle_count(df).collect()[0].n_triangles
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want = sum(1 for a, b, c in combinations(range(n), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    assert got == want and want > 0
+
+
+def test_triangle_count_ignores_duplicates_loops_direction(spark):
+    from spork_spark.operators.graph import triangle_count
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "src long, dst long")
+    # one triangle {1,2,3}; reversed/duplicate edges and the self-loop
+    # must not inflate the count
+    assert triangle_count(df).collect()[0].n_triangles == 1
