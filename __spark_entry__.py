@@ -905,6 +905,22 @@ def q_dedup_spans(spark, sf):
         .orderBy("doc_id")
 
 
+def q_setsim_pairs(spark, sf):
+    """EXACT Jaccard >= 0.6 pairs via prefix filtering (operators/
+    dedup.py set_similarity_pairs — AllPairs/PPJoin): rare-first global
+    token order, per-set prefix exposure, length filter, exact verify
+    in integer ppm arithmetic. Completes the spectrum next to
+    minhash_lsh_pairs (approximate) and ngram_jaccard_pairs (blocked
+    quadratic). The oracle is the algorithm-independent quadratic
+    join — exactness means the clever plan must reproduce it verbatim
+    (quadratic-oracle path, documented like ngram_jaccard's)."""
+    from spork_spark.operators.dedup import set_similarity_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return set_similarity_pairs(docs, "doc_id", "text", shingle_n=5,
+                                threshold=0.6).orderBy("id_a", "id_b")
+
+
 def q_dedup_simhash(spark, sf):
     """64-bit SimHash signatures, hash_fn='md5' (bits = md5 hex nibbles,
     signature = 16-hex-char string) so every signature bit is reproducible
@@ -2676,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_spans": q_dedup_spans,
         "triangles": q_triangles,
+        "setsim_pairs": q_setsim_pairs,
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
         "dedup_simhash": q_dedup_simhash,
@@ -3329,6 +3346,25 @@ def oracle_sql() -> dict[str, str]:
                                         (nv + 1)::BIGINT, 1),
                               '' ORDER BY p) AS simhash
             FROM nib GROUP BY doc_id ORDER BY doc_id
+        """,
+        "setsim_pairs": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 4, 1))])
+                       AS sh
+              FROM documents WHERE text IS NOT NULL),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS u
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
+                   CAST(u AS BIGINT) AS uni
+            FROM p WHERE i * 1000000 >= 600000 * u
+            ORDER BY id_a, id_b
         """,
         "triangles": """
             WITH raw AS (

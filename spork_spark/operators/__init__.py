@@ -2,6 +2,7 @@
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
 from .dedup import (duplicate_spans, edit_distance_pairs,
+                    set_similarity_pairs,
                     embedding_dedup_pairs, exact_dedup,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
@@ -46,7 +47,7 @@ __all__ = [
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "pivot_table", "unpivot", "edit_distance_pairs",
-    "zorder_by", "zorder_key",
+    "zorder_by", "zorder_key", "set_similarity_pairs",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -387,6 +387,87 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
          <= F.lit(int(threshold_pct)) * F.col("n_spans")).alias("keep"))
 
 
+def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int = 5,
+                         threshold: float = 0.6) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): every pair with Jaccard(shingles_a, shingles_b) >=
+    threshold, with no all-pairs comparison and no approximation.
+
+    This completes the similarity-join spectrum next to
+    minhash_lsh_pairs (approximate, scalable) and ngram_jaccard_pairs
+    (exact, blocked-quadratic): exact AND sub-quadratic.
+
+    How: tokens get a global rarity order (document frequency asc, then
+    token); each set, sorted in that order, exposes only its PREFIX of
+    size |s| - ceil(t*|s|) + 1. Two sets with J >= t MUST share a
+    prefix token (if they shared none, the overlap is confined to the
+    two suffixes, too small to reach t) — so an equi-join on prefix
+    tokens is a complete candidate generator, and rare-first ordering
+    makes prefix buckets the SMALLEST ones. A length filter
+    (t*|a| <= |b|) prunes further; the exact intersection verifies.
+
+    Verification uses integer ppm arithmetic (inter*1e6 >= ppm*union) —
+    no float threshold boundary. Output: id_a < id_b, inter, uni
+    (exact set sizes, SQL-reproducible).
+
+    100 TB posture: linear explode of prefixes (the ~(1-t) rarest
+    fraction of each set), one equi-join shuffle whose buckets are
+    rare-token document lists, verification only on candidates with
+    the two set arrays joined back by id. The df-ordering pass is one
+    groupBy over tokens — map-side combined.
+    """
+    ppm = int(round(threshold * 1_000_000))
+    base = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("__id"),
+                      shingles(text_col, shingle_n).alias("__sh"))
+              .withColumn("__n", F.size("__sh")))
+    toks = base.select("__id", F.explode("__sh").alias("__t"))
+    dfreq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__dfc"))
+    ranked = (toks.join(dfreq, on="__t")
+                  .groupBy("__id")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct(F.col("__dfc"), F.col("__t"))))
+                      .alias("__arr")))
+    # prefix length: |s| - ceil(t*|s|) + 1, in exact integer arithmetic
+    pref = (ranked.join(base.select("__id", "__n"), on="__id")
+            .withColumn("__plen",
+                        F.col("__n") - F.ceil(F.col("__n")
+                                              * F.lit(threshold))
+                        .cast("int") + 1)
+            .select("__id", "__n",
+                    F.slice(F.transform("__arr", lambda s: s["__t"]),
+                            F.lit(1), F.col("__plen")).alias("__pref")))
+    cand_a = pref.select(F.col("__id").alias("id_a"),
+                         F.col("__n").alias("na"),
+                         F.explode("__pref").alias("__t"))
+    cand_b = pref.select(F.col("__id").alias("id_b"),
+                         F.col("__n").alias("nb"),
+                         F.explode("__pref").alias("__t"))
+    cand = (cand_a.join(cand_b, on="__t")
+                  .where((F.col("id_a") < F.col("id_b"))
+                         & (F.col("nb") * 1_000_000 >= ppm * F.col("na"))
+                         & (F.col("na") * 1_000_000 >= ppm * F.col("nb")))
+                  .select("id_a", "id_b")
+                  .dropDuplicates(["id_a", "id_b"]))
+    sets = base.select("__id", "__sh")
+    verified = (cand
+                .join(sets.select(F.col("__id").alias("id_a"),
+                                  F.col("__sh").alias("sa")), on="id_a")
+                .join(sets.select(F.col("__id").alias("id_b"),
+                                  F.col("__sh").alias("sb")), on="id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sa", "sb")))
+                .withColumn("uni", F.size("sa") + F.size("sb")
+                            - F.col("inter"))
+                .where(F.col("inter") * 1_000_000
+                       >= F.lit(ppm) * F.col("uni")))
+    return verified.select("id_a", "id_b",
+                           F.col("inter").cast("long").alias("inter"),
+                           F.col("uni").cast("long").alias("uni"))
+
+
 def edit_distance_pairs(df: DataFrame, id_col: str,
                         str_col: str) -> DataFrame:
     """All row pairs whose strings are within Levenshtein distance 1,

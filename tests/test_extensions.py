@@ -842,3 +842,38 @@ def test_ahash_pairs_small_hash_size_bands_properly(spark):
              for r in ahash_pairs(hashes, max_hamming=0,
                                   hash_size=4).collect()}
     assert pairs == {(1, 2): 0}
+
+
+def test_set_similarity_pairs_exact_vs_bruteforce(spark):
+    """Prefix-filtered set-similarity join must equal the brute-force
+    quadratic result exactly — including near-threshold pairs."""
+    from spork_spark.operators.dedup import set_similarity_pairs
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    rows = [
+        (0, base),
+        (1, base),                                   # identical → J=1
+        (2, base.replace("quick", "swift")),         # near dup
+        (3, "completely different content about spark engines and "
+            "large scale data processing pipelines"),
+        (4, base[:30]),                              # prefix-only overlap
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): (r.inter, r.uni) for r in
+           set_similarity_pairs(df, "doc_id", "text", shingle_n=4,
+                                threshold=0.5).collect()}
+
+    def sh(t):
+        return {t[i:i + 4] for i in range(max(len(t) - 3, 1))}
+
+    sets = {i: sh(t) for i, t in rows if t is not None}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if i * 1_000_000 >= 500_000 * u:
+                    want[(a, b)] = (i, u)
+    assert got == want
+    assert (0, 1) in got and (0, 3) not in got
