@@ -913,11 +913,14 @@ def q_setsim_pairs(spark, sf):
     minhash_lsh_pairs (approximate) and ngram_jaccard_pairs (blocked
     quadratic). The oracle is the algorithm-independent quadratic
     join — exactness means the clever plan must reproduce it verbatim
-    (quadratic-oracle path, documented like ngram_jaccard's)."""
+    (quadratic-oracle path, documented like ngram_jaccard's).
+    12-gram shingles keep tokens selective on this low-entropy corpus
+    (5-grams have median df ~291 at sf0.1 — prefix buckets blow up;
+    12-grams have median df 7)."""
     from spork_spark.operators.dedup import set_similarity_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return set_similarity_pairs(docs, "doc_id", "text", shingle_n=5,
+    return set_similarity_pairs(docs, "doc_id", "text", shingle_n=12,
                                 threshold=0.6).orderBy("id_a", "id_b")
 
 
@@ -3350,20 +3353,20 @@ def oracle_sql() -> dict[str, str]:
         "setsim_pairs": """
             WITH s AS (
               SELECT doc_id,
-                     list_distinct([substring(text, i, 5)
+                     list_distinct([substring(text, i, 12)
                                     for i in generate_series(
-                                        1, greatest(length(text) - 4, 1))])
+                                        1, greatest(length(text) - 11, 1))])
                        AS sh
               FROM documents WHERE text IS NOT NULL),
+            t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s),
             p AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     len(list_intersect(a.sh, b.sh)) AS i,
-                     len(a.sh) + len(b.sh)
-                       - len(list_intersect(a.sh, b.sh)) AS u
-              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+                     a.n AS na, b.n AS nb, COUNT(*) AS i
+              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
             SELECT id_a, id_b, CAST(i AS BIGINT) AS inter,
-                   CAST(u AS BIGINT) AS uni
-            FROM p WHERE i * 1000000 >= 600000 * u
+                   CAST(na + nb - i AS BIGINT) AS uni
+            FROM p WHERE i * 1000000 >= 600000 * (na + nb - i)
             ORDER BY id_a, id_b
         """,
         "triangles": """

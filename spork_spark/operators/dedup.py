@@ -412,11 +412,22 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     no float threshold boundary. Output: id_a < id_b, inter, uni
     (exact set sizes, SQL-reproducible).
 
+    Candidates are further pruned by the PPJoin POSITIONAL filter
+    before any array is touched: a pair first meeting at prefix
+    positions (pa, pb) can overlap at most 1 + min(na-pa-1, nb-pb-1),
+    which must reach the Jaccard-equivalent overlap floor
+    alpha = ceil(t*(na+nb)/(1+t)) — computed in exact integer
+    arithmetic, so the prune can never drop a true pair.
+
     100 TB posture: linear explode of prefixes (the ~(1-t) rarest
     fraction of each set), one equi-join shuffle whose buckets are
     rare-token document lists, verification only on candidates with
     the two set arrays joined back by id. The df-ordering pass is one
-    groupBy over tokens — map-side combined.
+    groupBy over tokens — map-side combined. CAVEAT: prefix filtering
+    presumes a selective token distribution; on low-entropy corpora
+    pick shingle_n long enough that document frequencies are small
+    (the registered query uses 12-gram shingles for exactly this
+    reason), or use minhash_lsh_pairs.
     """
     ppm = int(round(threshold * 1_000_000))
     base = (df.where(F.col(text_col).isNotNull())
@@ -441,14 +452,21 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                             F.lit(1), F.col("__plen")).alias("__pref")))
     cand_a = pref.select(F.col("__id").alias("id_a"),
                          F.col("__n").alias("na"),
-                         F.explode("__pref").alias("__t"))
+                         F.posexplode("__pref").alias("pa", "__t"))
     cand_b = pref.select(F.col("__id").alias("id_b"),
                          F.col("__n").alias("nb"),
-                         F.explode("__pref").alias("__t"))
+                         F.posexplode("__pref").alias("pb", "__t"))
+    # overlap floor for J>=t: alpha = ceil(t*(na+nb)/(1+t)), exact
+    # integer ceil via (num + den - 1) div den
+    num = F.lit(ppm) * (F.col("na") + F.col("nb")) + F.lit(1_000_000 + ppm - 1)
+    alpha = (num / F.lit(1_000_000 + ppm)).cast("long")
+    ubound = 1 + F.least(F.col("na") - F.col("pa") - 1,
+                         F.col("nb") - F.col("pb") - 1)
     cand = (cand_a.join(cand_b, on="__t")
                   .where((F.col("id_a") < F.col("id_b"))
                          & (F.col("nb") * 1_000_000 >= ppm * F.col("na"))
-                         & (F.col("na") * 1_000_000 >= ppm * F.col("nb")))
+                         & (F.col("na") * 1_000_000 >= ppm * F.col("nb"))
+                         & (ubound >= alpha))
                   .select("id_a", "id_b")
                   .dropDuplicates(["id_a", "id_b"]))
     sets = base.select("__id", "__sh")
