@@ -136,6 +136,15 @@ def get_spark(app_name: str = "spork-spark", master: str | None = None,
     $SPARK_GRAFT_SHUFFLE always win.
     """
     builder = SparkSession.builder.appName(app_name)
+    # local-mode JVMs default to a 1g heap regardless of machine size —
+    # fine at the correctness-gate scale, but 32 concurrent tasks'
+    # shuffle/join buffers overrun it at sf1+. Create-time-only conf, so
+    # it is a no-op when attaching to an existing session; explicit
+    # extra_conf / $SPARK_GRAFT_DRIVER_MEM stay authoritative.
+    if not (extra_conf and "spark.driver.memory" in extra_conf):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus:
