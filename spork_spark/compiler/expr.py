@@ -549,8 +549,17 @@ class ExprCompiler:
             # fold stays exact while |sum| < 10^(37-s). Values past that
             # boundary NULL the sum — the same null-on-overflow contract
             # as Spark's native decimal SUM aggregate under ANSI-off.
-            # Only scale=38 (decimal(38,38)) cannot form a valid (37,38)
-            # accumulator; that one falls through to the double fold.
+            # Precision-38 inputs (e.g. Pig bigdecimal → (38,18))
+            # still fold exactly as long as every VALUE fits 37 digits
+            # — the overwhelmingly common case; a value that actually
+            # needs 38 significant digits overflows the accumulator
+            # cast and nulls the sum EARLIER than native decimal SUM
+            # would (documented contract, pinned by
+            # test_decimal38_precision_boundary). The alternative — a
+            # (38,s) accumulator — shaves scale at every step and makes
+            # the fold order-dependent, which is worse. Only scale=38
+            # (decimal(38,38) cannot form a valid (37,38) accumulator)
+            # falls through to the double fold.
             acc_t = T.DecimalType(37, vt.scale).simpleString()
             zero = F.lit(0).cast(acc_t)
             s = F.aggregate(

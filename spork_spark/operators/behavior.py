@@ -32,7 +32,8 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     if not steps:
         raise ValueError("funnel needs at least one step")
     reached = None       # per-user first completion time of current step
-    out_rows = []
+    prev = None          # previous level's persisted table
+    counts: list[tuple[int, str, int]] = []
     for i, step in enumerate(steps):
         ev = df.where(F.col(type_col) == F.lit(step)) \
                .select(F.col(user_col).alias("__u"),
@@ -45,19 +46,25 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                          .groupBy("__u")
                          .agg(F.min("__ts").alias("__t")))
         # each per-user table feeds BOTH its own count and the next
-        # step's join; persist so the chain is computed once, not
-        # re-derived per union branch (tables are one row per user —
-        # small — and spill-safe)
+        # step's join; persist so the chain is computed once (tables
+        # are one row per qualifying user — small — and spill-safe).
+        # The count action below materializes THIS level's cache, after
+        # which the previous level has no remaining consumer and is
+        # unpersisted immediately — a long-lived session running many
+        # funnels leaves zero cached blocks behind.
         reached = reached.persist()
-        out_rows.append(
-            reached.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
-                   .select(F.lit(i + 1).alias("step_idx"),
-                           F.lit(step).alias("step"),
-                           F.col("n_users").cast("long").alias("n_users")))
-    res = out_rows[0]
-    for r in out_rows[1:]:
-        res = res.unionByName(r)
-    return res
+        n = reached.count()      # == n_users (one row per user)
+        if prev is not None:
+            prev.unpersist()
+        prev = reached
+        counts.append((i + 1, step, n))
+    prev.unpersist()
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("step_idx", T.IntegerType(), False),
+        T.StructField("step", T.StringType(), False),
+        T.StructField("n_users", T.LongType(), False)])
+    return df.sparkSession.createDataFrame(counts, schema)
 
 
 def cohort_retention(df: DataFrame, user_col: str,

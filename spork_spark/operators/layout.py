@@ -51,8 +51,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8,
         lo, hi = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
         span = (hi - lo).cast("long")
         x = (F.coalesce(F.col(c), lo) - lo).cast("long")
-        scaled[c] = F.when(span > 0, (x * m / span).cast("long")) \
-                     .otherwise(F.lit(0))
+        # Scale in DOUBLE: a long x*m wraps int64 once span exceeds
+        # ~2^55 (snowflake-style 64-bit IDs) and silently corrupts the
+        # Morton key; double floor matches the oracle's `* m.0 /` and
+        # stays monotonic across the full 64-bit range.
+        scaled[c] = F.when(
+            span > 0,
+            F.floor(x.cast("double") * m / span.cast("double"))
+             .cast("long")) \
+             .otherwise(F.lit(0))
     parts = []
     for b in range(bits):
         for i, c in enumerate(cols):

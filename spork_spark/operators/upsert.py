@@ -43,10 +43,18 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str],
             raise ValueError(f"merge key {k!r} missing from an input")
     upd = updates
     if version_col is not None:
-        latest = upd.groupBy(*keys).agg(
-            F.max(F.col(version_col)).alias(version_col))
-        upd = upd.join(latest, on=keys + [version_col], how="inner") \
-                 .dropDuplicates(keys)
+        # highest version per key wins; several rows AT the max version
+        # are resolved deterministically by the remaining columns
+        # (descending) — never an arbitrary dropDuplicates survivor.
+        # The window shuffles only the small change batch, not the base.
+        from pyspark.sql.window import Window
+        others = [c for c in upd.columns
+                  if c not in keys and c != version_col]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).desc_nulls_last(),
+            *[F.col(c).desc_nulls_last() for c in others])
+        upd = (upd.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
     if delete_col is not None:
         # deleted keys are removed by the anti-join below and simply
         # not re-inserted here

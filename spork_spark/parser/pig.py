@@ -247,7 +247,8 @@ _PIG_TYPES = {"int", "long", "float", "double", "chararray", "bytearray",
               "bag", "map"}
 
 
-_GRUNT_CMDS = {"fs", "sh", "rmf", "cat", "mkdir", "rm", "cp", "mv", "ls"}
+_GRUNT_CMDS = {"fs", "sh", "rmf", "cat", "mkdir", "rm", "cp", "mv", "ls",
+               "exec", "run", "kill"}
 
 _GRUNT_HEAD = re.compile(r"^\s*([A-Za-z_]\w*)\b")
 
@@ -312,9 +313,15 @@ def run_grunt(cmdline: str) -> None:
     pre-STORE idiom). Listings/cat print to stdout (console sugar, like
     DUMP)."""
     import glob as _glob
+    import shlex
     import shutil
     import subprocess
-    parts = cmdline.split()
+    # shlex keeps quoted paths-with-spaces as one token (plain
+    # str.split would fragment them and strip quotes piecewise)
+    try:
+        parts = shlex.split(cmdline)
+    except ValueError:          # unbalanced quote — degrade gracefully
+        parts = cmdline.split()
     cmd, args = parts[0].lower(), parts[1:]
     if cmd == "sh":
         if len(parts) < 2:
@@ -617,7 +624,72 @@ class PigParser:
         self.next()                            # __grunt__ marker
         idx = int(self.next().text)
         self.expect("op", ";")
-        run_grunt(self._grunt[idx])
+        cmdline = self._grunt[idx]
+        head = cmdline.split(None, 1)[0].lower()
+        if head in ("exec", "run", "kill"):
+            self._grunt_script(cmdline)
+        else:
+            run_grunt(cmdline)
+
+    def _grunt_script(self, cmdline: str) -> None:
+        """Grunt `exec` / `run` / `kill` (pig:src/org/apache/pig/tools/
+        grunt/GruntParser.java processScript/processKill semantics):
+
+        - `exec [-param k=v]* [-param_file f]* script.pig` runs the
+          nested script in an ISOLATED batch context — aliases defined
+          here are invisible inside, and nothing the script defines
+          leaks back (GruntParser calls this "batch mode").
+        - `run …` executes the script IN the current context: it shares
+          this session's alias namespace and DEFINEs, exactly as if the
+          statements had been typed inline.
+        - `kill jobid` has no job tracker to talk to in this engine
+          (Spark jobs are synchronous here); it warns and is a no-op.
+        """
+        import shlex
+        try:
+            toks = shlex.split(cmdline)
+        except ValueError:
+            toks = cmdline.split()
+        cmd, rest = toks[0].lower(), toks[1:]
+        if cmd == "kill":
+            sys.stderr.write(
+                f"grunt: kill {' '.join(rest)} ignored — no async job "
+                "tracker in this engine\n")
+            return
+        params: dict[str, str] = {}
+        script = None
+        i = 0
+        while i < len(rest):
+            a = rest[i]
+            if a in ("-param", "-p") and i + 1 < len(rest):
+                k, _, v = rest[i + 1].partition("=")
+                params[k.strip()] = v
+                i += 2
+            elif a == "-param_file" and i + 1 < len(rest):
+                with open(_strip_scheme(rest[i + 1])) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line or line.startswith("#"):
+                            continue
+                        k, _, v = line.partition("=")
+                        params[k.strip()] = v.strip().strip("'\"")
+                i += 2
+            else:
+                script = _strip_scheme(a)
+                i += 1
+        if script is None:
+            raise PigSyntaxError(f"{cmd} needs a script path: {cmdline!r}")
+        with open(script) as fh:
+            src = fh.read()
+        sub = PigParser(self.engine)
+        if cmd == "run":
+            # shared-context execution: the nested parser mutates THIS
+            # session's dicts in place, so its aliases/DEFINEs persist
+            sub.rels = self.rels
+            sub.defines = self.defines
+            sub.stored = self.stored
+            sub.dumped = self.dumped
+        sub.run(src, params=params or None)
 
     def st_set(self) -> None:
         self.expect("kw", "set")

@@ -83,3 +83,19 @@ def test_scd2_null_attr_runs(spark):
     got = {(r.v, r.valid_from, r.valid_to) for r in
            scd2_from_log(df, "k", "ts", ["v"]).collect()}
     assert got == {(None, _ts(1), _ts(3)), ("x", _ts(3), None)}
+
+
+def test_funnel_leaves_no_cached_tables(spark):
+    """funnel() must unpersist every per-step table it caches (round-4
+    advice: long-lived sessions accumulated cached blocks)."""
+    from spork_spark.operators.behavior import funnel
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "a"), (3, 1, "a"), (3, 3, "b"),
+         (3, 4, "c")],
+        "u bigint, ts bigint, t string")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = {r.step: r.n_users
+           for r in funnel(df, "u", "ts", "t", ["a", "b", "c"]).collect()}
+    assert out == {"a": 3, "b": 2, "c": 1}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before

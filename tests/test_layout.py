@@ -69,3 +69,18 @@ def test_zorder_by_plan_rangepartitions_on_key(spark):
     plan = buf.getvalue()
     assert "rangepartitioning" in plan
     assert "Sort" in plan
+
+
+def test_zorder_wide_range_no_int64_wrap(spark):
+    """Snowflake-scale 64-bit IDs: span above 2^55 used to wrap x*m in
+    int64 and corrupt the key (round-4 advice item). The double-scaled
+    key must stay monotonic in each column."""
+    big = 1 << 60
+    rows = [(i * (big // 16), 0) for i in range(17)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = [r.zk for r in
+           zorder_key(df, ["x", "y"], bits=8, out_col="zk")
+           .orderBy("x").collect()]
+    assert all(0 <= z for z in got), got
+    assert got == sorted(got), got          # monotonic in x (y const)
+    assert got[-1] > got[0]                 # spans the scaled range

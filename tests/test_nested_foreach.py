@@ -223,3 +223,41 @@ def test_decimal38_scale38_bag_sum_does_not_crash(eng, spark, tmp_path):
     """)
     out = rels["s"].df().collect()     # pre-fix: ParseException here
     assert abs(float(out[0]["total"]) - 0.35) < 1e-12
+
+
+def test_decimal38_precision_boundary(eng, spark, tmp_path):
+    """Documented contract for precision-38 bags (round-4 advice item),
+    on the true BAG-FOLD path (inner ORDER defeats the §4.3 fusion —
+    fuseable shapes like inner FILTER compile to the NATIVE decimal sum
+    and have no boundary at all): values fitting 37 digits fold
+    EXACTLY; a value that genuinely needs 38 significant digits nulls
+    the sum (earlier than native decimal SUM — the price of the
+    order-independent exact fold)."""
+    from decimal import Decimal
+
+    from spork_spark.parser import run_script
+    fits = Decimal(10) ** 36         # 37 digits — lossless (37,0) cast
+    needs38 = Decimal(10) ** 37      # 38 digits — overflows accumulator
+    df = spark.createDataFrame(
+        [(1, fits), (1, fits * 2), (2, needs38), (2, Decimal(1))],
+        "k int, v decimal(38,0)")
+    p = str(tmp_path / "dec38p_in")
+    df.write.parquet(p)
+    rels = run_script(eng, f"""
+        t = LOAD '{p}';
+        g = GROUP t BY k;
+        s = FOREACH g {{ d = ORDER t BY v;
+                         GENERATE group AS k, SUM(d.v) AS total; }};
+    """)
+    out = {r["k"]: r["total"] for r in rels["s"].df().collect()}
+    assert out[1] == fits * 3                  # exact, no double round
+    assert out[2] is None                      # documented null-early
+    # the fuseable shape (inner FILTER) takes the native sum: exact
+    rels2 = run_script(eng, f"""
+        t = LOAD '{p}';
+        g = GROUP t BY k;
+        s = FOREACH g {{ d = FILTER t BY v IS NOT NULL;
+                         GENERATE group AS k, SUM(d.v) AS total; }};
+    """)
+    out2 = {r["k"]: r["total"] for r in rels2["s"].df().collect()}
+    assert int(out2[2]) == 10 ** 37 + 1   # python Decimal ctx rounds

@@ -502,3 +502,79 @@ def test_grunt_extractor_pulls_only_top_level_commands():
     assert cmds == ["mkdir /tmp/x", "sh echo 'a;b'"]
     assert "__grunt__ 0;" in out and "__grunt__ 1;" in out
     assert "a = LOAD 'p';" in out
+
+
+def test_grunt_quoted_paths_with_spaces(eng, tmp_path):
+    """run_grunt tokenizes with shlex: a quoted path containing spaces
+    is ONE argument to cat/cp/mv/rm (round-4 advice item)."""
+    import os
+    from spork_spark.parser import run_script
+    d = str(tmp_path)
+    os.makedirs(f"{d}/my dir")
+    with open(f"{d}/my dir/a b.txt", "w") as fh:
+        fh.write("spaced\n")
+    run_script(eng, f"""
+        cp '{d}/my dir/a b.txt' '{d}/c d.txt';
+        mv '{d}/c d.txt' '{d}/e f.txt';
+        rmf '{d}/my dir';
+    """)
+    assert open(f"{d}/e f.txt").read().strip() == "spaced"
+    assert not os.path.exists(f"{d}/my dir")
+
+
+def test_grunt_exec_isolated_and_run_shared(eng, tmp_path):
+    """GruntParser semantics: `exec` runs the nested script in a batch
+    context (no alias leakage either way); `run` executes in the
+    CURRENT context (aliases shared both directions); both accept
+    -param / -param_file."""
+    import os
+    from spork_spark.parser import run_script
+    d = str(tmp_path)
+    with open(f"{d}/child.pig", "w") as fh:
+        fh.write("""
+            kid = LOAD '/root/testdata/sf0.001/region.parquet';
+            lim = LIMIT kid $N;
+            STORE lim INTO '$OUT' USING parquet;
+        """)
+    with open(f"{d}/params.txt", "w") as fh:
+        fh.write(f"# comment\nOUT={d}/out_exec\n")
+    # exec: isolated — 'kid'/'lim' must NOT appear in the par session
+    rels = run_script(eng, f"""
+        par = LOAD '/root/testdata/sf0.001/nation.parquet';
+        exec -param N=3 -param_file {d}/params.txt {d}/child.pig;
+    """)
+    assert "kid" not in rels and "lim" not in rels and "par" in rels
+    assert eng.spark.read.parquet(f"{d}/out_exec").count() == 3
+    # run: shared — child aliases persist and are usable afterwards
+    rels2 = run_script(eng, f"""
+        par = LOAD '/root/testdata/sf0.001/nation.parquet';
+        run -param N=2 -param OUT={d}/out_run {d}/child.pig;
+        back = FILTER lim BY r_regionkey >= 0;
+    """)
+    assert "lim" in rels2 and rels2["back"].df().count() == 2
+    assert os.path.isdir(f"{d}/out_run")
+
+
+def test_grunt_exec_sees_no_outer_aliases(eng, tmp_path):
+    """A child script referencing an par alias under `exec` must fail
+    (isolation), while under `run` it works."""
+    from spork_spark.parser import run_script
+    d = str(tmp_path)
+    with open(f"{d}/uses_outer.pig", "w") as fh:
+        fh.write("x = LIMIT par 1;\n")
+    with pytest.raises(PigSyntaxError):
+        run_script(eng, f"""
+            par = LOAD '/root/testdata/sf0.001/region.parquet';
+            exec {d}/uses_outer.pig;
+        """)
+    rels = run_script(eng, f"""
+        par = LOAD '/root/testdata/sf0.001/region.parquet';
+        run {d}/uses_outer.pig;
+    """)
+    assert rels["x"].df().count() == 1
+
+
+def test_grunt_kill_is_warned_noop(eng, capsys):
+    from spork_spark.parser import run_script
+    run_script(eng, "kill job_123;")
+    assert "kill" in capsys.readouterr().err

@@ -68,3 +68,20 @@ def test_upsert_base_never_shuffles(spark, base):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_upsert_max_version_tie_is_deterministic(spark, base):
+    """Several update rows AT the max version resolve by the remaining
+    columns descending — same survivor on every run (round-4 advice:
+    no arbitrary dropDuplicates survivor)."""
+    upd = spark.createDataFrame(
+        [(1, "x", 1.0, 5), (1, "z", 2.0, 5), (1, "y", 9.0, 5),
+         (2, "q", 7.0, 3)],
+        "k bigint, s string, p double, v int")
+    outs = set()
+    for _ in range(3):
+        r = merge_upsert(base, upd, ["k"], version_col="v") \
+            .where("k = 1").collect()
+        assert len(r) == 1
+        outs.add((r[0].s, r[0].p))
+    assert outs == {("z", 2.0)}     # max s wins the v-tie, then p
