@@ -77,6 +77,15 @@ LATENCY_PROFILE = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE", "64" if _BIG else "8"),
+    # single-row-group inputs scan as ONE task (parquet parallelizes at
+    # row-group granularity), so DISTINCT's pre-shuffle partial agg runs
+    # single-threaded for zero reduction; bypass it (FLOOR_r05.json:
+    # 0.46s -> 0.26s). Engine default stays off — see compiler/plan.py.
+    "spark.spork.distinct.skipPartialAgg": "true",
+    # same single-row-group rationale for windows: repartition on the
+    # window keys first so the sort + group-limit run once, post-
+    # exchange, at full parallelism (0.30s -> 0.22s; compiler/plan.py).
+    "spark.spork.window.repartitionFirst": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.spork.join.defaultStrategy": "shuffle_hash",

@@ -82,6 +82,35 @@ class PlanCompiler:
         except Exception:
             return default
 
+    def _side_broadcastable(self, left: DataFrame,
+                            right: DataFrame) -> bool:
+        """True when Catalyst's size estimate puts either join side
+        under spark.sql.autoBroadcastJoinThreshold — i.e. an unhinted
+        join would become a BroadcastHashJoin. Estimate errors are
+        Catalyst's own (file-size based); a failure to read stats
+        answers False (the caller then applies its strategy hint)."""
+        try:
+            raw = self.spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760")
+            mult = 1
+            low = raw.strip().lower()
+            for suf, m in (("kb", 1 << 10), ("mb", 1 << 20),
+                           ("gb", 1 << 30), ("k", 1 << 10),
+                           ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+                if low.endswith(suf):
+                    low, mult = low[:-len(suf)], m
+                    break
+            thr = int(low) * mult
+            if thr <= 0:
+                return False
+            size = min(
+                int(str(d._jdf.queryExecution().optimizedPlan()
+                        .stats().sizeInBytes()))
+                for d in (left, right))
+            return size <= thr
+        except Exception:
+            return False
+
     # -------------------------------------------------------------- sources
     def _c_load(self, node: L.Load) -> DataFrame:
         from ..sources import read
@@ -111,7 +140,31 @@ class PlanCompiler:
         return node.fn(self._compile(node.child))
 
     def _c_distinct(self, node: L.Distinct) -> DataFrame:
-        df = self._compile(node.child).distinct()
+        child = self._compile(node.child)
+        # Optional pre-shuffle partial-aggregate bypass. Spark's default
+        # DISTINCT plan is partial HashAggregate -> exchange -> final:
+        # the partial pass pays a full hash-dedup per MAP task, which is
+        # pure overhead when keys are mostly unique (zero reduction) or
+        # the map side is parallelism-starved (e.g. a single-row-group
+        # parquet file scans as ONE task, so the partial agg runs on one
+        # core before anything can fan out). Photon/Databricks skip the
+        # partial adaptively; OSS Spark has no such rule, so we expose
+        # it as a session conf: repartition on all columns first, then
+        # dedup — the exchange carries the same rows it would anyway
+        # (no reduction was happening), and both aggregate passes run
+        # AFTER the exchange at full shuffle parallelism. Default OFF:
+        # with heavy duplication the partial agg genuinely shrinks the
+        # shuffle and the bypass would hurt — that is a stats call the
+        # deployment makes, exactly like Spark's own partial-agg
+        # heuristics. Measured at sf0.1 (FLOOR_r05.json): 0.46s -> 0.26s
+        # on the single-row-group layout.
+        skip_partial = self._conf(
+            "spark.spork.distinct.skipPartialAgg", "false") == "true"
+        if skip_partial:
+            df = child.repartition(*[F.col(c) for c in child.columns]) \
+                      .dropDuplicates()
+        else:
+            df = child.distinct()
         if node.parallel:
             df = df.repartition(node.parallel)
         return df
@@ -126,7 +179,79 @@ class PlanCompiler:
             if fused is not None:
                 return fused
         df = self._compile(node.child)
+        df = self._maybe_repartition_for_windows(df, node.generators)
         return self._apply_generators(df, node.generators)
+
+    def _maybe_repartition_for_windows(self, df: DataFrame,
+                                       gens: list[E.Expr]) -> DataFrame:
+        """Optional window-input repartition (conf
+        `spark.spork.window.repartitionFirst`, default off): when every
+        window function in the projection shares one PARTITION BY key
+        set, repartition the input on those keys BEFORE the window.
+
+        Why: Spark's WindowGroupLimit rule plants a Partial limit below
+        the window's exchange, and that partial pass needs a FULL
+        map-side sort. On parallelism-starved inputs (a single-row-group
+        parquet file scans as ONE task) that sort runs on one core and
+        dominates the query. An explicit repartition on the window keys
+        is the SAME single exchange the window would have forced anyway
+        (EnsureRequirements sees the distribution satisfied and adds
+        none), but the sort + group-limit now run only once, after the
+        exchange, at full shuffle parallelism. Measured at sf0.1:
+        0.30s -> 0.22s on rank-top-3-per-customer (FLOOR_r05.json).
+        Default OFF: when the map side IS wide and keys repeat across
+        many input partitions, the partial group-limit genuinely prunes
+        shuffle volume — the deployment makes the call, like the
+        distinct bypass above."""
+        if self._conf("spark.spork.window.repartitionFirst",
+                      "false") != "true":
+            return df
+        keysets = []
+
+        def walk(e):
+            if isinstance(e, E.WindowFunc):
+                keysets.append(tuple(repr(p) for p in e.partition_by))
+                return
+            for f in dataclasses.fields(e) if dataclasses.is_dataclass(e) \
+                    else ():
+                v = getattr(e, f.name)
+                for x in (v if isinstance(v, (list, tuple)) else [v]):
+                    if isinstance(x, E.Expr):
+                        walk(x)
+                    elif isinstance(x, tuple):
+                        for y in x:
+                            if isinstance(y, E.Expr):
+                                walk(y)
+
+        for g in gens:
+            walk(g)
+        if not keysets or len(set(keysets)) != 1 or not keysets[0]:
+            return df
+        ctx = self._ctx(df)
+        first = next(e for e in self._iter_windowfuncs(gens))
+        try:
+            keys = [ctx.compile(p) for p in first.partition_by]
+        except Exception:
+            return df
+        return df.repartition(*keys)
+
+    def _iter_windowfuncs(self, gens):
+        def it(e):
+            if isinstance(e, E.WindowFunc):
+                yield e
+                return
+            if dataclasses.is_dataclass(e):
+                for f in dataclasses.fields(e):
+                    v = getattr(e, f.name)
+                    for x in (v if isinstance(v, (list, tuple)) else [v]):
+                        if isinstance(x, E.Expr):
+                            yield from it(x)
+                        elif isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, E.Expr):
+                                    yield from it(y)
+        for g in gens:
+            yield from it(g)
 
     def _apply_generators(self, df: DataFrame, gens: list[E.Expr]) -> DataFrame:
         """Plain projection path, incl. FLATTEN via explode/struct-expand."""
@@ -1024,7 +1149,17 @@ class PlanCompiler:
                 # faster when shuffled partitions fit in memory, which AQE
                 # guards at scale). Default 'auto' defers to Catalyst/AQE.
                 hint = self._conf("spark.spork.join.defaultStrategy", "auto")
-                if hint in ("shuffle_hash", "merge", "broadcast"):
+                if hint == "shuffle_hash" and \
+                        self._side_broadcastable(left, right):
+                    # A strategy hint OVERRIDES Catalyst's size-based
+                    # broadcast selection — hinting shuffle_hash when a
+                    # side fits under autoBroadcastJoinThreshold would
+                    # force an exchange on BOTH sides where a broadcast
+                    # join needs none. Leave the join unhinted so the
+                    # small side broadcasts (and if it somehow doesn't,
+                    # preferSortMergeJoin=false still yields SHJ).
+                    pass
+                elif hint in ("shuffle_hash", "merge", "broadcast"):
                     # Hint the LEFT side: Pig's packager materializes the
                     # earlier inputs and STREAMS the last one, so the left
                     # is the hash-build side (and in left-deep n-way joins

@@ -413,3 +413,76 @@ def test_merge_sparse_prunes_below_smj(eng, spark):
     plain = sparse.join([col("p_partkey")], li, [col("l_partkey")])
     assert sorted(map(tuple, j.df().collect())) == \
         sorted(map(tuple, plain.df().collect()))
+
+
+def test_distinct_skip_partial_agg_conf(eng, spark):
+    """spark.spork.distinct.skipPartialAgg=true compiles DISTINCT as
+    repartition-then-dedup: the exchange carries raw rows and BOTH
+    aggregate passes run post-shuffle (single-row-group inputs scan as
+    one task, so a map-side partial agg would run single-threaded for
+    zero reduction — FLOOR_r05.json). Results identical either way."""
+    from spork_spark import col
+    li = eng.load("/root/testdata/sf0.001/lineitem.parquet")
+    proj = li.foreach(col("l_orderkey").alias("k"),
+                      col("l_partkey").alias("p"))
+    spark.conf.set("spark.spork.distinct.skipPartialAgg", "true")
+    try:
+        d_on = proj.distinct().df()
+        plan_on = d_on._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.spork.distinct.skipPartialAgg", "false")
+    d_off = proj.distinct().df()
+    # bypass: exactly one exchange, and no HashAggregate BELOW it
+    below = plan_on.split("Exchange")[-1]     # deepest segment = map side
+    assert "HashAggregate" not in below
+    assert d_on.count() == d_off.count()
+
+
+def test_window_repartition_first_conf(eng, spark):
+    """spark.spork.window.repartitionFirst=true repartitions on the
+    window PARTITION BY keys before the window: same single exchange,
+    but the sort + WindowGroupLimit run once, post-shuffle, at full
+    parallelism (no map-side full sort on parallelism-starved scans)."""
+    from spork_spark import col
+    from spork_spark.plans import expressions as E
+    orders = eng.load("/root/testdata/sf0.001/orders.parquet")
+    w = E.WindowFunc("rank", [], [col("o_custkey")],
+                     [(col("o_totalprice"), False)])
+    spark.conf.set("spark.spork.window.repartitionFirst", "true")
+    try:
+        ranked = orders.foreach(col("o_custkey").alias("c"),
+                                E.Aliased(w, "rnk")).filter(col("rnk") <= 3)
+        df_on = ranked.df()
+        plan_on = df_on._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.spork.window.repartitionFirst", "false")
+    df_off = orders.foreach(col("o_custkey").alias("c"),
+                            E.Aliased(w, "rnk")).filter(col("rnk") <= 3).df()
+    assert plan_on.count("WindowGroupLimit") <= 1     # no Partial pass
+    assert df_on.count() == df_off.count()
+
+
+def test_join_hint_skipped_when_side_broadcastable(eng, spark):
+    """With spark.spork.join.defaultStrategy=shuffle_hash, a join whose
+    small side fits under autoBroadcastJoinThreshold must NOT be hinted
+    (the hint would override Catalyst's broadcast selection and force
+    exchanges on both sides)."""
+    from spork_spark import col
+    orders = eng.load("/root/testdata/sf0.001/orders.parquet")
+    cust = eng.load("/root/testdata/sf0.001/customer.parquet")
+    spark.conf.set("spark.spork.join.defaultStrategy", "shuffle_hash")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   str(10 * 1024 * 1024))
+    try:
+        j = cust.join([col("c_custkey")], orders, [col("o_custkey")]).df()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # and when nothing is broadcastable, the hint applies
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j2 = cust.join([col("c_custkey")], orders, [col("o_custkey")]).df()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan2
+    finally:
+        spark.conf.set("spark.spork.join.defaultStrategy", "auto")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
