@@ -8,7 +8,8 @@ from .dedup import (duplicate_spans, edit_distance_pairs,
                     ngram_jaccard_pairs, shingles, simhash)
 from .graph import connected_components, triangle_count
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
-                         ivf_topk, lsh_topk, quantize_embeddings)
+                         ivf_topk, ivf_topk_trained, lsh_topk,
+                         quantize_embeddings)
 from .rollup import time_rollup
 from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
@@ -23,7 +24,8 @@ from .multimodal import (ahash_images, ahash_pairs,
                          decode_images, decode_pixel_stats, extract_features,
                          resize_images, sample_frames)
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
-                       kmeans_quantized, ngram_logcount_score,
+                       kmeans_quantized, kmeans_train,
+                       ngram_logcount_score,
                        per_source_cap, semantic_dedup)
 from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
@@ -53,7 +55,8 @@ __all__ = [
     "decode_pixel_stats", "extract_features",
     "resize_images", "sample_frames",
     "blocklist_filter", "classifier_score", "corpus_stats",
-    "kmeans_quantized", "ngram_logcount_score", "per_source_cap",
+    "kmeans_quantized", "kmeans_train", "ivf_topk_trained",
+    "ngram_logcount_score", "per_source_cap",
     "semantic_dedup",
     "heavy_hitters", "salted_join", "skew_histogram",
     "bloom_filter", "bloom_pruned_semi_join", "build_bloom",

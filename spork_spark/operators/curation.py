@@ -180,8 +180,22 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      scale: int = 1000,
                      assignment: str = "auto") -> DataFrame:
+    _, out = kmeans_train(df, k=k, n_iter=n_iter, id_col=id_col,
+                          vec_col=vec_col, scale=scale,
+                          assignment=assignment)
+    return out
+
+
+def kmeans_train(df: DataFrame, k: int = 8, n_iter: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 scale: int = 1000, assignment: str = "auto"
+                 ) -> tuple[list[tuple[int, list[int]]], DataFrame]:
     """Deterministic Lloyd's k-means over integer-quantized vectors →
-    (id, cluster). Seeds are the vectors of the ``k`` smallest ids;
+    (trained centroids, (id, cluster) assignment). ``kmeans_quantized``
+    is the assignment-only view; the centroid list (cid, quantized
+    codes) is the codebook the final assignment used — e.g. the trained
+    coarse quantizer for IVF (operators/similarity.py ivf_topk_trained).
+    Seeds are the vectors of the ``k`` smallest ids;
     distances are exact integer squared-L2 over floor(x*scale+0.5)
     codes; centroid updates are per-dimension floor(sum/count). Every
     step is integer arithmetic → bit-identical results on any cluster
@@ -212,7 +226,7 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
     cents = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
     if not cents:                       # empty input → empty assignment
         q.unpersist()
-        return df.sparkSession.createDataFrame(
+        return [], df.sparkSession.createDataFrame(
             [], f"{id_col} long, cluster long")
     dim = len(cents[0][1])
     mode = assignment
@@ -287,7 +301,7 @@ def kmeans_quantized(df: DataFrame, k: int = 8, n_iter: int = 2,
     out = (assigned.select(F.col(id_col), F.col("__c").alias("cluster"))
            .localCheckpoint(eager=True))
     q.unpersist()
-    return out
+    return cents, out
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.7, k: int = 8,

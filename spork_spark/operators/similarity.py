@@ -182,6 +182,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .select("query_id", id_col, "score", "rank"))
 
 
+def ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_centroids: int = 4,
+                     nprobe: int = 2, n_iter: int = 2, scale: int = 1000,
+                     query_id_col: str | None = None,
+                     score_round: int = 6) -> DataFrame:
+    """IVF approximate top-k with a k-means-TRAINED coarse quantizer
+    (round-4 item 2: real recall depends on centroid quality, so the
+    codebook comes from operators/curation.py kmeans_train instead of
+    first-n seeding).
+
+    Design for exactness AND scale:
+    - Corpus cell assignment IS the k-means assignment (same integer
+      squared-L2 metric over quantized codes the training used — no
+      second assignment pass, no metric mismatch).
+    - Query cell ranking uses the same integer metric against the
+      trained codebook (a k-entry literal expression, k·dim bounded
+      like the IVF seed pattern), probing the `nprobe` nearest cells.
+    - Scoring is exact double cosine, rounded BEFORE ranking.
+    Everything is deterministic and SQL-replayable (the kmeans
+    recurrence itself is integer arithmetic), so recall against the
+    brute-force path is exact-oracle-checkable, not rows-only.
+
+    Scale shape: training is kmeans_train's bounded k-row collects; the
+    probe is an equi-join on cell id with broadcast queries; corpus-side
+    work after bucketing is |probed cells|, not |corpus|.
+    """
+    from .curation import _quantize_vec, _sq_dist, kmeans_train
+    qid = query_id_col or id_col
+    cents, cells = kmeans_train(corpus, k=n_centroids, n_iter=n_iter,
+                                id_col=id_col, vec_col=vec_col,
+                                scale=scale)
+    c = (corpus.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>")
+                        .alias("__cvec"))
+               .join(cells, on=id_col)
+               .withColumnRenamed("cluster", "__cell"))
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).cast("array<double>")
+                        .alias("__qvec"),
+                       _quantize_vec(vec_col, scale).alias("__qq"))
+    scored_cells = F.array(*[
+        F.struct(_sq_dist(F.col("__qq"),
+                          F.array([F.lit(v) for v in codes])).alias("d"),
+                 F.lit(cid).cast("long").alias("cid"))
+        for cid, codes in cents])
+    # struct sort = (distance, cid): deterministic tie-break to the
+    # smaller cell id, same contract as the k-means assignment
+    ranked = F.transform(F.array_sort(scored_cells), lambda s: s["cid"])
+    q = q.withColumn("__cell", F.explode(
+        F.slice(ranked, 1, min(nprobe, len(cents)))))
+    scored = (c.join(F.broadcast(q.select("query_id", "__qvec",
+                                          "__cell")), on="__cell")
+               .filter(F.col(id_col) != F.col("query_id"))
+               .withColumn("score", F.round(
+                   cosine(F.col("__cvec"), F.col("__qvec")),
+                   score_round)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", id_col, "score", "rank"))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         out_col: str = "q_vec",
                         scale_col: str = "q_scale") -> DataFrame:

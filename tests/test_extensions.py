@@ -356,6 +356,37 @@ def test_ivf_equals_bruteforce_when_probing_all(vecs):
     assert ivf == bf
 
 
+def test_ivf_trained_equals_bruteforce_when_probing_all(vecs):
+    """nprobe = n_centroids degrades the TRAINED variant to exact brute
+    force too — training only changes which cells exist, not coverage."""
+    from spork_spark.operators import brute_force_topk, ivf_topk_trained
+    q = vecs.filter(F.col("vec_id") < 2)
+    bf = {(r.query_id, r.vec_id, r.rank)
+          for r in brute_force_topk(vecs, q, k=3).collect()}
+    ivf = {(r.query_id, r.vec_id, r.rank)
+           for r in ivf_topk_trained(vecs, q, k=3, n_centroids=4,
+                                     nprobe=4, n_iter=2).collect()}
+    assert ivf == bf
+
+
+def test_ivf_trained_uses_kmeans_codebook(vecs):
+    """The coarse quantizer must be the k-means-trained codebook (not
+    the first-n seeds): corpus cells equal kmeans_quantized's
+    assignment under identical (k, n_iter, scale)."""
+    from spork_spark.operators import ivf_topk_trained, kmeans_train
+    cents, cells = kmeans_train(vecs, k=4, n_iter=2)
+    seeds = {tuple(r["embedding"]) for r in
+             vecs.orderBy("vec_id").limit(4).collect()}
+    trained = {tuple(v / 1000.0 for v in codes) for _, codes in cents}
+    assert trained != seeds          # training actually moved centroids
+    # and the per-item cell layout matches the kmeans assignment
+    from spork_spark.operators import kmeans_quantized
+    km = {(r.vec_id, r.cluster) for r in
+          kmeans_quantized(vecs, k=4, n_iter=2).collect()}
+    tr = {(r.vec_id, r.cluster) for r in cells.collect()}
+    assert km == tr
+
+
 def test_fake_decode_is_process_stable():
     # decode must not depend on salted hash(): crc32-derived dims
     import zlib
