@@ -1516,6 +1516,37 @@ def q_multimodal_phash(spark, sf):
             .orderBy("item_id"))
 
 
+def q_multimodal_near_dedup(spark, sf):
+    """END-TO-END image near-dedup (round-4 verdict item 3): the
+    SQL-built PGM fixtures through REAL decode -> aHash (bit-exact
+    integer pipeline) -> banded Hamming<=3 pairs (pigeonhole-exact, not
+    all-pairs) -> connected components -> keep the min-id survivor per
+    cluster. The image twin of dedup_near_full: pair-level dedup alone
+    is wrong for clusters (A~B, B~C must drop both B and C). Oracle
+    replays the hash from md5-raster arithmetic, takes ALL-pairs
+    Hamming<=3 (algorithm-independent: banded recall must equal it),
+    and closes components with a recursive CTE. Returns surviving
+    item_ids."""
+    from spork_spark.operators.graph import connected_components
+    from spork_spark.operators.multimodal import ahash_images, ahash_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    need = "CAST((length(text) % 31 + 1) * (doc_id % 7 + 1) AS INT)"
+    payloads = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.expr(
+            f"concat('P5\\n', length(text) % 31 + 1, ' ', doc_id % 7 + 1, "
+            f"'\\n255\\n', substring(rpad(md5(text), {need}, md5(text)), "
+            f"1, {need}))"), "UTF-8").alias("payload"))
+    pairs = ahash_pairs(ahash_images(payloads), max_hamming=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+                 .select(F.col("node").alias("item_id"))
+    return (payloads.select("item_id")
+            .join(losers, on="item_id", how="left_anti")
+            .orderBy("item_id"))
+
+
 def q_multimodal_resize(spark, sf):
     """REAL image resize, exact-oracle: SQL-built PGM payloads (the
     multimodal_decode_pnm fixtures) → full numpy decode → nearest-
@@ -2766,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_phash": q_multimodal_phash,
+        "multimodal_near_dedup": q_multimodal_near_dedup,
         "bloom_join": q_bloom_join,
         "map_funcs": q_map_funcs,
         "diff_bags": q_diff_bags,
@@ -4108,6 +4140,50 @@ def oracle_sql() -> dict[str, str]:
                           THEN (CAST(1 AS BIGINT) << CAST(31 - q AS INT))
                           ELSE 0 END)) AS BIGINT) AS hash_lo
             FROM mh ORDER BY item_id
+        """,
+        "multimodal_near_dedup": """
+            WITH RECURSIVE p AS (SELECT doc_id, length(text) % 31 + 1 AS w,
+                              doc_id % 7 + 1 AS h, md5(text) AS m
+                       FROM documents),
+            v AS (SELECT doc_id, w, h,
+                    list_transform(range(0, 64), q ->
+                      ascii(substring(m, CAST(
+                        (((q // 8) * h // 8) * w + ((q % 8) * w // 8))
+                        % 32 + 1 AS INT), 1))) AS vals
+                  FROM p),
+            mh AS (SELECT doc_id, vals, list_sum(vals) // 64 AS mean
+                   FROM v),
+            hsh AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(range(0, 32), q ->
+                       CASE WHEN vals[CAST(q + 1 AS INT)] > mean
+                            THEN (CAST(1 AS BIGINT)
+                                  << CAST(31 - q AS INT))
+                            ELSE 0 END)) AS BIGINT) AS hi,
+                     CAST(list_sum(list_transform(range(0, 32), q ->
+                       CASE WHEN vals[CAST(q + 33 AS INT)] > mean
+                            THEN (CAST(1 AS BIGINT)
+                                  << CAST(31 - q AS INT))
+                            ELSE 0 END)) AS BIGINT) AS lo
+              FROM mh),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) <= 3),
+            sym AS (
+              SELECT id_a AS a, id_b AS b FROM pr
+              UNION SELECT id_b, id_a FROM pr),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node)
+            SELECT doc_id AS item_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT node FROM (SELECT node, MIN(comp) AS comp FROM walk
+                                GROUP BY node) c
+              WHERE node != comp)
+            ORDER BY item_id
         """,
         "multimodal_resize": """
             WITH p AS (SELECT doc_id,

@@ -908,3 +908,24 @@ def test_set_similarity_pairs_exact_vs_bruteforce(spark):
                     want[(a, b)] = (i, u)
     assert got == want
     assert (0, 1) in got and (0, 3) not in got
+
+
+def test_image_near_dedup_closes_transitivity(spark):
+    """aHash pairs -> components -> min-id survivor: a chain A~B~C with
+    A and C not directly paired must still drop both B and C."""
+    from spork_spark.operators.graph import connected_components
+    from spork_spark.operators.multimodal import ahash_pairs
+
+    # hand-built hashes: 10~11 (hamming 2), 11~12 (hamming 2), 10~12
+    # would be hamming 4 (over threshold); 20 is isolated
+    rows = [(10, 0b1111, 0b0000), (11, 0b1100, 0b0000),
+            (12, 0b0000, 0b0000), (20, 0b1010101010101010, 0b101)]
+    hashes = spark.createDataFrame(
+        rows, "item_id long, hash_hi long, hash_lo long")
+    pairs = ahash_pairs(hashes, max_hamming=2, hash_size=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(10, 11), (11, 12)}
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = {r.node for r in
+              comp.filter(F.col("node") != F.col("comp")).collect()}
+    assert losers == {11, 12}
