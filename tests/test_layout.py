@@ -84,3 +84,65 @@ def test_zorder_wide_range_no_int64_wrap(spark):
     assert all(0 <= z for z in got), got
     assert got == sorted(got), got          # monotonic in x (y const)
     assert got[-1] > got[0]                 # spans the scaled range
+
+
+def _files_overlapping_box(path, s_lo, s_hi, p_lo, p_hi):
+    """Files whose (l_suppkey, l_partkey) min/max footer stats overlap
+    the box — exactly the files a stats-pruning reader must touch."""
+    import os
+
+    import pyarrow.parquet as pq
+    hit, total = 0, 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        smin = min(md.row_group(i).column(0).statistics.min
+                   for i in range(md.num_row_groups))
+        smax = max(md.row_group(i).column(0).statistics.max
+                   for i in range(md.num_row_groups))
+        pmin = min(md.row_group(i).column(1).statistics.min
+                   for i in range(md.num_row_groups))
+        pmax = max(md.row_group(i).column(1).statistics.max
+                   for i in range(md.num_row_groups))
+        if smax >= s_lo and smin <= s_hi and pmax >= p_lo and pmin <= p_hi:
+            hit += 1
+    return hit, total
+
+
+def test_zorder_data_skipping_beats_single_column_sort(spark, tmp_path):
+    """The PAYOFF, not just the key (round-4 verdict item 5): store
+    lineitem z-ordered on (l_suppkey, l_partkey) vs range-sorted on
+    l_suppkey alone, then count files whose footer min/max overlap a
+    two-column box filter. The z-order layout must touch fewer files,
+    and a partkey-only filter must prune files AT ALL (the single-sort
+    layout cannot: every file spans the full partkey range)."""
+    from pyspark.sql import functions as F
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet") \
+        .select("l_suppkey", "l_partkey")
+    n_files = 64
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "ssort")
+    zorder_by(li, ["l_suppkey", "l_partkey"], bits=8,
+              num_partitions=n_files).write.parquet(zpath)
+    li.repartitionByRange(n_files, F.col("l_suppkey")) \
+      .sortWithinPartitions("l_suppkey").write.parquet(spath)
+
+    s_lo, s_hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    p_lo, p_hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    s_q = (s_lo + (s_hi - s_lo) // 4, s_lo + (s_hi - s_lo) * 2 // 4)
+    p_q = (p_lo + (p_hi - p_lo) // 4, p_lo + (p_hi - p_lo) * 2 // 4)
+
+    z_box, z_tot = _files_overlapping_box(zpath, *s_q, *p_q)
+    s_box, s_tot = _files_overlapping_box(spath, *s_q, *p_q)
+    assert z_tot == s_tot == n_files
+    # two-column box: z-order prunes strictly harder than suppkey-sort
+    assert z_box < s_box, (z_box, s_box)
+    # partkey-only filter: z-order still prunes; single-sort reads all
+    z_p, _ = _files_overlapping_box(zpath, s_lo, s_hi, *p_q)
+    s_p, _ = _files_overlapping_box(spath, s_lo, s_hi, *p_q)
+    assert s_p == n_files          # no partkey locality at all
+    assert z_p < n_files           # bounded z-ranges bound BOTH dims
+    # correctness: same rows either way
+    assert spark.read.parquet(zpath).count() == li.count()
