@@ -873,6 +873,29 @@ def q_triangles(spark, sf):
     return triangle_count(e1.union(e2).union(e3))
 
 
+def q_pagerank(spark, sf):
+    """Fixed-iteration PageRank in EXACT integer arithmetic (operators/
+    graph.py pagerank): 3 rounds, damping 85/100, integer mass units —
+    every update is integer div/mul, so the unrolled SQL oracle
+    reproduces ranks bit-for-bit (no float fold-order dependence, the
+    reason iterative graph algorithms usually get only rows-only
+    checks). Same deterministic edge set as `triangles`. Per round: one
+    src-key join + one dst-key groupBy + a 1-row dangling broadcast."""
+    from spork_spark.operators.graph import pagerank
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df().select("doc_id")
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 1).alias("dst"))
+    e2 = docs.filter(F.col("doc_id") % 2 == 0) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") + 2).alias("dst"))
+    e3 = docs.filter(F.col("doc_id") > 0) \
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") * 2).alias("dst"))
+    return pagerank(e1.union(e2).union(e3), n_iter=3) \
+        .orderBy("node")
+
+
 def q_dedup_near_full(spark, sf):
     """END-TO-END near-dedup: LSH pairs (md5 mode, same parameters as
     dedup_minhash) → connected components → keep min doc_id per duplicate
@@ -2163,6 +2186,76 @@ def q_zorder(spark, sf):
             .orderBy("zkey", "l_suppkey", "l_partkey"))
 
 
+def q_outliers(spark, sf):
+    """Per-group z-score outliers in EXACT integer arithmetic
+    (operators/curation.py group_outliers): events whose value deviates
+    more than 3 population-sigmas from their event_type mean. The test
+    (n*v - S)^2 > z^2 * (n*Q - S^2) is all-integer over cent-quantized
+    values (decimal(38,0) squares), so the flag set is deterministic
+    and SQL-exact. Plan: one map-combined stats groupBy + broadcast
+    join back + narrow filter — no window, one shuffle of group stats
+    only."""
+    from spork_spark.operators import group_outliers
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return (group_outliers(ev, "event_type", "value", z_num=3, z_den=1)
+            .select("event_id", "event_type", "value")
+            .orderBy("event_id"))
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic Efraimidis-Spirakis weighted sampling
+    (operators/curation.py weighted_sample): pick 50 documents with
+    probability proportional to length(text). md5-seeded uniforms and
+    round-before-rank keys make the draw exact-oracle-reproducible;
+    the plan is a narrow map + TakeOrderedAndProject (no corpus
+    shuffle)."""
+    from spork_spark.operators import weighted_sample
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (weighted_sample(docs.withColumn(
+                "weight", F.length("text").cast("double")),
+                "weight", k=50, id_col="doc_id", seed=42)
+            .select("doc_id", "weight", "sample_key")
+            .orderBy(F.col("sample_key").desc(), "doc_id"))
+
+
+def q_profile_events(spark, sf):
+    """Column-level data profile of events (operators/curation.py
+    profile_columns): row/null/exact-distinct counts, numeric and
+    string/timestamp min/max, mean string length — ONE aggregate pass
+    (Catalyst Expand plan for the multi-distinct), one row per column.
+    The Deequ-style quality gate an ingest runs before training."""
+    from spork_spark.operators import profile_columns
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return profile_columns(ev).orderBy("column")
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (operators/behavior.py sessionize): a
+    new session opens after a >30 min silence per user; ONE keyed
+    window computes break flags and their running sum (single exchange,
+    single sort — both window passes share partitioning). Output: one
+    row per session with bounds/size — integer-microsecond gap
+    arithmetic, so the SQL oracle reproduces session ids exactly."""
+    from spork_spark.operators import sessionize
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tiebreak_col="event_id")
+    return (s.groupBy("user_id", "session_seq")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.min("ts").alias("start_ts"),
+                  F.max("ts").alias("end_ts"))
+             .withColumn(
+                 "duration_s",
+                 ((F.expr("unix_micros(cast(end_ts as timestamp))")
+                   - F.expr("unix_micros(cast(start_ts as timestamp))"))
+                  / F.lit(1_000_000.0)).alias("duration_s"))
+             .orderBy("user_id", "session_seq"))
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2756,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_spans": q_dedup_spans,
         "triangles": q_triangles,
+        "pagerank": q_pagerank,
         "setsim_pairs": q_setsim_pairs,
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
@@ -2832,6 +2926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted": q_skew_salted,
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
+        "profile_events": q_profile_events,
+        "weighted_sample": q_weighted_sample,
+        "outliers": q_outliers,
+        "sessionize": q_sessionize,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -4400,6 +4498,175 @@ def oracle_sql() -> dict[str, str]:
                            c1.cid) AS rn
                 FROM q CROSS JOIN c1) WHERE rn = 1)
             SELECT vec_id, cl AS cluster FROM a1 ORDER BY vec_id
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT DISTINCT u, v FROM (
+                SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM documents
+                WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, doc_id * 2 FROM documents
+                WHERE doc_id > 0)),
+            n AS (SELECT DISTINCT node FROM
+                  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+            o AS (SELECT u AS node, COUNT(*) AS od FROM e GROUP BY u),
+            b AS (SELECT n.node, COALESCE(o.od, 0) AS od
+                  FROM n LEFT JOIN o USING (node)),
+            r0 AS (SELECT node, od,
+                          (SELECT 1000000000000 // COUNT(*) FROM b) AS r
+                   FROM b),
+            d1 AS (SELECT COALESCE(SUM(r), 0) AS dang
+                   FROM r0 WHERE od = 0),
+            c1 AS (SELECT e.v AS node, SUM(r.r // r.od) AS inc
+                   FROM r0 r JOIN e ON r.node = e.u
+                   WHERE r.od > 0 GROUP BY e.v),
+            r1 AS (SELECT b.node, b.od,
+                          (15 * (SELECT 1000000000000 // COUNT(*) FROM b)
+                           + 85 * (COALESCE(c.inc, 0)
+                                   + (SELECT dang FROM d1)
+                                     // (SELECT COUNT(*) FROM b))) // 100
+                              AS r
+                   FROM b LEFT JOIN c1 c USING (node)),
+            d2 AS (SELECT COALESCE(SUM(r), 0) AS dang
+                   FROM r1 WHERE od = 0),
+            c2 AS (SELECT e.v AS node, SUM(r.r // r.od) AS inc
+                   FROM r1 r JOIN e ON r.node = e.u
+                   WHERE r.od > 0 GROUP BY e.v),
+            r2 AS (SELECT b.node, b.od,
+                          (15 * (SELECT 1000000000000 // COUNT(*) FROM b)
+                           + 85 * (COALESCE(c.inc, 0)
+                                   + (SELECT dang FROM d2)
+                                     // (SELECT COUNT(*) FROM b))) // 100
+                              AS r
+                   FROM b LEFT JOIN c2 c USING (node)),
+            d3 AS (SELECT COALESCE(SUM(r), 0) AS dang
+                   FROM r2 WHERE od = 0),
+            c3 AS (SELECT e.v AS node, SUM(r.r // r.od) AS inc
+                   FROM r2 r JOIN e ON r.node = e.u
+                   WHERE r.od > 0 GROUP BY e.v),
+            r3 AS (SELECT b.node, b.od,
+                          (15 * (SELECT 1000000000000 // COUNT(*) FROM b)
+                           + 85 * (COALESCE(c.inc, 0)
+                                   + (SELECT dang FROM d3)
+                                     // (SELECT COUNT(*) FROM b))) // 100
+                              AS r
+                   FROM b LEFT JOIN c3 c USING (node))
+            SELECT node, CAST(r AS BIGINT) AS rank_units,
+                   r / 1000000000000.0 AS rank
+            FROM r3 ORDER BY node
+        """,
+        "outliers": """
+            WITH d AS (
+              SELECT event_id, event_type, value,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            s AS (
+              SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+                     SUM(v * v) AS q
+              FROM d GROUP BY event_type)
+            SELECT event_id, d.event_type, value
+            FROM d JOIN s USING (event_type)
+            WHERE CAST((n * v - sv) AS HUGEINT)
+                  * CAST((n * v - sv) AS HUGEINT)
+                  > 9 * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+                         - CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT))
+            ORDER BY event_id
+        """,
+        "weighted_sample": """
+            WITH d AS (
+              SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS m
+              FROM documents
+              WHERE length(text) > 0),
+            kd AS (
+              SELECT doc_id, weight,
+                     ROUND(ln((((ascii(substring(m, 1, 1)) - CASE WHEN ascii(substring(m, 1, 1)) < 58 THEN 48 ELSE 87 END) * CAST(268435456 AS BIGINT) + (ascii(substring(m, 2, 1)) - CASE WHEN ascii(substring(m, 2, 1)) < 58 THEN 48 ELSE 87 END) * 16777216 + (ascii(substring(m, 3, 1)) - CASE WHEN ascii(substring(m, 3, 1)) < 58 THEN 48 ELSE 87 END) * 1048576 + (ascii(substring(m, 4, 1)) - CASE WHEN ascii(substring(m, 4, 1)) < 58 THEN 48 ELSE 87 END) * 65536 + (ascii(substring(m, 5, 1)) - CASE WHEN ascii(substring(m, 5, 1)) < 58 THEN 48 ELSE 87 END) * 4096 + (ascii(substring(m, 6, 1)) - CASE WHEN ascii(substring(m, 6, 1)) < 58 THEN 48 ELSE 87 END) * 256 + (ascii(substring(m, 7, 1)) - CASE WHEN ascii(substring(m, 7, 1)) < 58 THEN 48 ELSE 87 END) * 16 + (ascii(substring(m, 8, 1)) - CASE WHEN ascii(substring(m, 8, 1)) < 58 THEN 48 ELSE 87 END) * 1) + 1.0) / 4294967296.0)
+                           / weight, 6) AS sample_key
+              FROM d)
+            SELECT doc_id, weight, sample_key FROM kd
+            ORDER BY sample_key DESC, doc_id LIMIT 50
+        """,
+        "profile_events": """
+              SELECT 'event_id' AS "column", 'bigint' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (event_id IS NULL) AS n_nulls,
+                     COUNT(DISTINCT event_id) AS n_distinct,
+                     MIN(CAST(event_id AS DOUBLE)) AS min_num, MAX(CAST(event_id AS DOUBLE)) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+                     CAST(NULL AS DOUBLE) AS avg_len
+              FROM events
+              UNION ALL
+              SELECT 'ts' AS "column", 'timestamp_ntz' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (ts IS NULL) AS n_nulls,
+                     COUNT(DISTINCT ts) AS n_distinct,
+                     CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                     MIN(CAST(ts AS VARCHAR)) AS min_str, MAX(CAST(ts AS VARCHAR)) AS max_str,
+                     CAST(NULL AS DOUBLE) AS avg_len
+              FROM events
+              UNION ALL
+              SELECT 'user_id' AS "column", 'bigint' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (user_id IS NULL) AS n_nulls,
+                     COUNT(DISTINCT user_id) AS n_distinct,
+                     MIN(CAST(user_id AS DOUBLE)) AS min_num, MAX(CAST(user_id AS DOUBLE)) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+                     CAST(NULL AS DOUBLE) AS avg_len
+              FROM events
+              UNION ALL
+              SELECT 'event_type' AS "column", 'string' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (event_type IS NULL) AS n_nulls,
+                     COUNT(DISTINCT event_type) AS n_distinct,
+                     CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                     MIN(CAST(event_type AS VARCHAR)) AS min_str, MAX(CAST(event_type AS VARCHAR)) AS max_str,
+                     ROUND(AVG(length(event_type)), 6) AS avg_len
+              FROM events
+              UNION ALL
+              SELECT 'value' AS "column", 'double' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (value IS NULL) AS n_nulls,
+                     COUNT(DISTINCT value) AS n_distinct,
+                     MIN(CAST(value AS DOUBLE)) AS min_num, MAX(CAST(value AS DOUBLE)) AS max_num,
+                     CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+                     CAST(NULL AS DOUBLE) AS avg_len
+              FROM events
+              UNION ALL
+              SELECT 'props' AS "column", 'string' AS dtype,
+                     COUNT(*) AS n_rows,
+                     COUNT(*) FILTER (props IS NULL) AS n_nulls,
+                     COUNT(DISTINCT props) AS n_distinct,
+                     CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                     MIN(CAST(props AS VARCHAR)) AS min_str, MAX(CAST(props AS VARCHAR)) AS max_str,
+                     ROUND(AVG(length(props)), 6) AS avg_len
+              FROM events
+            ORDER BY "column"
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+                       AS duration_s
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

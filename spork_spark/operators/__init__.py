@@ -25,13 +25,16 @@ from .multimodal import (ahash_images, ahash_pairs,
                          resize_images, sample_frames)
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
                        kmeans_quantized, kmeans_train,
+                       group_outliers, profile_columns,
+                       weighted_sample,
                        ngram_logcount_score,
                        per_source_cap, semantic_dedup)
 from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 from .upsert import merge_upsert
-from .behavior import cohort_retention, funnel, scd2_from_log
+from .behavior import (cohort_retention, funnel, scd2_from_log,
+                       sessionize)
 from .reshape import pivot_table, unpivot
 from .layout import zorder_by, zorder_key
 
@@ -48,7 +51,7 @@ __all__ = [
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
     "time_rollup", "token_count", "tokens",
     "word_ngrams",
-    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "pivot_table", "unpivot", "edit_distance_pairs",
+    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "set_similarity_pairs",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
@@ -56,6 +59,7 @@ __all__ = [
     "resize_images", "sample_frames",
     "blocklist_filter", "classifier_score", "corpus_stats",
     "kmeans_quantized", "kmeans_train", "ivf_topk_trained",
+    "group_outliers", "profile_columns", "weighted_sample",
     "ngram_logcount_score", "per_source_cap",
     "semantic_dedup",
     "heavy_hitters", "salted_join", "skew_histogram",

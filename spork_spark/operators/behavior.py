@@ -93,6 +93,39 @@ def cohort_retention(df: DataFrame, user_col: str,
              .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
 
 
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_seconds: int = 1800,
+               tiebreak_col: str | None = None) -> DataFrame:
+    """Gap-based sessionization: assign each event a per-user session
+    ordinal; a new session starts when the gap since the user's
+    previous event exceeds ``gap_seconds``. The standard event-log
+    primitive behind funnels/retention when fixed time buckets are too
+    coarse.
+
+    Shape: ONE keyed window (exchange on user) computes both the
+    session-break flag (lag) and its running sum (the session ordinal)
+    — the two window passes share the same partitioning and sort, so
+    Spark plans a single exchange + a single sort. Gap arithmetic is
+    integer microseconds (exact, SQL-reproducible); ties on (user, ts)
+    break on ``tiebreak_col`` for a deterministic ordinal.
+
+    Output: input columns + ``session_seq`` (1-based per user).
+    100 TB posture: state is one row per event within the window sort —
+    spillable; no Python; session count never materializes driver-side.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull()
+                   | ((us - prev) > gap_seconds * 1_000_000), 1)              .otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq",
+                         F.sum(new_s).over(run).cast("long"))
+
+
 def scd2_from_log(df: DataFrame, key_col: str, ts_col: str,
                   attr_cols: list[str]) -> DataFrame:
     """Build a type-2 slowly-changing-dimension history from a change

@@ -163,6 +163,144 @@ def corpus_stats(df: DataFrame, strata: tuple = ("lang", "source"),
 
 # ------------------------------------- deterministic k-means + SemDeDup
 
+def group_outliers(df: DataFrame, group_col: str, value_col: str,
+                   z_num: int = 3, z_den: int = 1,
+                   scale: int = 100) -> DataFrame:
+    """Per-group z-score outliers in EXACT integer arithmetic: flag
+    rows where (x - mu)^2 > z^2 * sigma^2 against the group's
+    population stats — the distribution-based quality screen (price
+    anomalies, metric spikes) a pipeline runs per source/stratum.
+
+    Exactness: values quantize to integers v = floor(x*scale + 0.5);
+    with S = sum(v), Q = sum(v^2), n = count, the test multiplies out
+    to  z_den^2 * n_sq_dev > z_num^2 * n_var  where
+    n_sq_dev = (n*v - S)^2 and n_var = n*Q - S^2 — all integer terms
+    (decimal(38,0) guards the squares), so the flag is deterministic
+    and SQL-oracle-reproducible; z = z_num/z_den supports fractional
+    thresholds without floats.
+
+    Shape: one map-side-combined groupBy for (n, S, Q) per group, one
+    equi-join back (group count is small — broadcastable), narrow
+    filter. No window, no second shuffle of the data.
+    """
+    v = F.floor(F.col(value_col).cast("double") * scale + 0.5)          .cast("long")
+    d = df.where(F.col(value_col).isNotNull()).withColumn("__v", v)
+    stats = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"))
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    j = d.join(F.broadcast(stats), on=group_col)
+    n_sq_dev = (d38(F.col("__n") * F.col("__v") - F.col("__s"))
+                * d38(F.col("__n") * F.col("__v") - F.col("__s")))
+    n_var = d38(F.col("__n")) * d38(F.col("__q"))         - d38(F.col("__s")) * d38(F.col("__s"))
+    test = (F.lit(z_den * z_den).cast("decimal(38,0)") * n_sq_dev
+            > F.lit(z_num * z_num).cast("decimal(38,0)") * n_var)
+    return j.where(test).drop("__v", "__n", "__s", "__q")
+
+
+def weighted_sample(df: DataFrame, weight_col, k: int,
+                    id_col: str = "doc_id", seed: int = 42,
+                    key_round: int = 6) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, Inf.Proc.Lett. 2006): each row draws key =
+    ln(u)/w from a seeded uniform u and the k LARGEST keys win —
+    inclusion probability proportional to weight, one pass, no
+    replacement bookkeeping. The mixture-resampling sibling for "pick
+    k docs biased by quality/length" curation steps.
+
+    u is md5-derived from (seed, id) — reproducible across engines and
+    runs (no RNG state); keys are rounded to ``key_round`` digits
+    BEFORE ranking (libm ln differs across engines only in the last
+    ulp; rounding makes rank boundaries engine-portable), ties break on
+    id. Rows with null/non-positive weight are excluded (their
+    inclusion probability is 0).
+
+    Scale shape: narrow map to compute keys + TakeOrderedAndProject
+    (per-partition top-k, k x partitions driver merge) — no global
+    sort, no shuffle of the corpus.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    h = F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)     # (0, 1]
+    key = F.round(F.log(u) / w, key_round)
+    return (df.where(w.isNotNull() & (w > 0))
+              .withColumn("sample_key", key)
+              .orderBy(F.col("sample_key").desc(), F.col(id_col))
+              .limit(k))
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_distinct: bool = True) -> DataFrame:
+    """Column-level data profile (the Deequ/dbt-style quality gate a
+    100 TB ingest runs before training): one row per column with row /
+    null / distinct counts, numeric min/max, string/timestamp min/max,
+    and mean string length.
+
+    Shape: ONE aggregate pass over the table — every metric for every
+    column lives in a single groupBy().agg() (Catalyst compiles the
+    multi-column exact distincts into one Expand + partial-agg plan:
+    k passes over rows in one stage, not k table scans), then the
+    single result row explodes into k per-column rows. No Python, no
+    driver-side iteration. ``exact_distinct=False`` swaps in
+    approx_count_distinct (HLL) — the 100 TB default when exactness
+    isn't contractual; exact stays the oracle-checkable default here.
+
+    min_num/max_num are populated for numeric columns, min_str/max_str
+    for string and timestamp columns (cast to string), avg_len for
+    strings — one stable wide schema, nulls where a metric does not
+    apply.
+    """
+    from pyspark.sql import types as T
+    cols = cols or df.columns
+    n_distinct = (F.countDistinct if exact_distinct
+                  else F.approx_count_distinct)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    per_col = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        is_num = isinstance(dt, T.NumericType)
+        is_str = isinstance(dt, T.StringType)
+        is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                                T.DateType))
+        aggs += [
+            F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}"),
+            n_distinct(col).alias(f"__nd_{c}"),
+            (F.min(col.cast("double")) if is_num
+             else F.lit(None).cast("double")).alias(f"__mn_{c}"),
+            (F.max(col.cast("double")) if is_num
+             else F.lit(None).cast("double")).alias(f"__mx_{c}"),
+            (F.min(col.cast("string")) if (is_str or is_ts)
+             else F.lit(None).cast("string")).alias(f"__ms_{c}"),
+            (F.max(col.cast("string")) if (is_str or is_ts)
+             else F.lit(None).cast("string")).alias(f"__xs_{c}"),
+            (F.round(F.avg(F.length(col)), 6) if is_str
+             else F.lit(None).cast("double")).alias(f"__al_{c}"),
+        ]
+        per_col.append((c, dt.simpleString()))
+    one = df.groupBy().agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.lit(t).alias("dtype"),
+                 F.col("__rows").alias("n_rows"),
+                 F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                 F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                 F.col(f"__mn_{c}").alias("min_num"),
+                 F.col(f"__mx_{c}").alias("max_num"),
+                 F.col(f"__ms_{c}").alias("min_str"),
+                 F.col(f"__xs_{c}").alias("max_str"),
+                 F.col(f"__al_{c}").alias("avg_len"))
+        for c, t in per_col]
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+               .select("p.*"))
+
+
 def _quantize_vec(vec_col, scale: int) -> "F.Column":
     """float vector → integer vector via portable half-up rounding
     (floor(x*scale + 0.5) — same idiom as quantize_embeddings)."""

@@ -429,6 +429,33 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     (the registered query uses 12-gram shingles for exactly this
     reason), or use minhash_lsh_pairs.
     """
+    cand, base, ppm = set_similarity_candidates(
+        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
+    sets = base.select("__id", "__sh")
+    verified = (cand
+                .join(sets.select(F.col("__id").alias("id_a"),
+                                  F.col("__sh").alias("sa")), on="id_a")
+                .join(sets.select(F.col("__id").alias("id_b"),
+                                  F.col("__sh").alias("sb")), on="id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sa", "sb")))
+                .withColumn("uni", F.size("sa") + F.size("sb")
+                            - F.col("inter"))
+                .where(F.col("inter") * 1_000_000
+                       >= F.lit(ppm) * F.col("uni")))
+    return verified.select("id_a", "id_b",
+                           F.col("inter").cast("long").alias("inter"),
+                           F.col("uni").cast("long").alias("uni"))
+
+
+def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
+                              shingle_n: int = 5,
+                              threshold: float = 0.6):
+    """Candidate-generation stage of set_similarity_pairs (factored out
+    so scale measurements can count candidates BEFORE verification —
+    the number that proves the prefix filter stays sub-quadratic).
+    Returns (candidate pairs DF, shingled base DF, integer-ppm
+    threshold)."""
     ppm = int(round(threshold * 1_000_000))
     base = (df.where(F.col(text_col).isNotNull())
               .select(F.col(id_col).alias("__id"),
@@ -469,21 +496,7 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                          & (ubound >= alpha))
                   .select("id_a", "id_b")
                   .dropDuplicates(["id_a", "id_b"]))
-    sets = base.select("__id", "__sh")
-    verified = (cand
-                .join(sets.select(F.col("__id").alias("id_a"),
-                                  F.col("__sh").alias("sa")), on="id_a")
-                .join(sets.select(F.col("__id").alias("id_b"),
-                                  F.col("__sh").alias("sb")), on="id_b")
-                .withColumn("inter",
-                            F.size(F.array_intersect("sa", "sb")))
-                .withColumn("uni", F.size("sa") + F.size("sb")
-                            - F.col("inter"))
-                .where(F.col("inter") * 1_000_000
-                       >= F.lit(ppm) * F.col("uni")))
-    return verified.select("id_a", "id_b",
-                           F.col("inter").cast("long").alias("inter"),
-                           F.col("uni").cast("long").alias("uni"))
+    return cand, base, ppm
 
 
 def edit_distance_pairs(df: DataFrame, id_col: str,

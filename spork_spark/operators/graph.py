@@ -85,6 +85,71 @@ def connected_components(edges: DataFrame, src: str = "src",
     return labels
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 3, damping_pct: int = 85,
+             units: int = 10 ** 12) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic: ranks are
+    integer mass units (``units`` total per initial node) and every
+    update is integer division/multiplication, so the result is
+    bit-identical on any cluster size, any fold order, and in an
+    unrolled SQL oracle — the link-graph quality signal (crawl
+    frontier, domain authority) computed the deterministic way.
+
+    Update (all integer; ``div`` truncates, every term >= 0):
+        r0     = units div N
+        c[u]   = r[u] div out[u]                    (out[u] > 0)
+        dang   = sum(r[u] : out[u] = 0)
+        r'[v]  = ((100-d)*(units div N) + d*(inc[v] + dang div N)) div 100
+
+    Shape per round: one equi-join of ranks with the edge list (key
+    shuffle on src), one groupBy dst (key shuffle), one 1-row dangling
+    aggregate broadcast into the update — the CC/k-means bounded-scalar
+    pattern. Ranks persist per round and the previous round unpersists
+    after materialization (lineage stays flat; no cached-block leak).
+    Output: (node, rank_units bigint, rank double = units-normalized).
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))                .where(F.col(src).isNotNull() & F.col(dst).isNotNull())                .dropDuplicates(["u", "v"])
+    nodes = (und.select(F.col("u").alias("node"))
+                .unionAll(und.select(F.col("v").alias("node")))
+                .dropDuplicates(["node"]))
+    outdeg = und.groupBy(F.col("u").alias("node"))                 .agg(F.count(F.lit(1)).alias("__out"))
+    base = nodes.join(outdeg, on="node", how="left")                 .select("node", F.coalesce(F.col("__out"), F.lit(0))
+                        .alias("__out"))
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank_units long, rank double")
+    share = units // n_nodes
+    d, d_inv = damping_pct, 100 - damping_pct
+    ranks = base.withColumn("__r", F.lit(share).cast("long")).persist()
+    ranks.count()
+    prev = ranks
+    for _ in range(max(n_iter, 1)):
+        dang = (ranks.where(F.col("__out") == 0)
+                     .groupBy().agg(F.coalesce(F.sum("__r"), F.lit(0))
+                                    .alias("__dang")))
+        contrib = (ranks.where(F.col("__out") > 0)
+                        .join(und, ranks["node"] == und["u"])
+                        .select(F.col("v").alias("node"),
+                                F.expr("__r div __out").alias("__c")))
+        inc = contrib.groupBy("node").agg(F.sum("__c").alias("__inc"))
+        upd = (f"cast((cast({d_inv * share} as bigint) + {d} * "
+               f"(coalesce(__inc, cast(0 as bigint)) + "
+               f"__dang div {n_nodes})) div 100 as bigint) as __r")
+        ranks = (base.join(inc, on="node", how="left")
+                     .crossJoin(F.broadcast(dang))
+                     .selectExpr("node", "__out", upd)
+                     .persist())
+        ranks.count()
+        prev.unpersist()
+        prev = ranks
+    out = ranks.select("node", F.col("__r").alias("rank_units"),
+                       (F.col("__r") / F.lit(float(units)))
+                       .alias("rank")).localCheckpoint(eager=True)
+    ranks.unpersist()
+    return out
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Global triangle count via degree-ordered edge orientation (the

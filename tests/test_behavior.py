@@ -99,3 +99,40 @@ def test_funnel_leaves_no_cached_tables(spark):
     assert out == {"a": 3, "b": 2, "c": 1}
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after == before
+
+
+def test_sessionize_gap_splits_sessions(spark):
+    from spork_spark.operators.behavior import sessionize
+    rows = [(1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:10:00", 2),
+            (1, "2024-01-01 11:30:00", 3),      # 80 min gap -> new
+            (2, "2024-01-01 09:00:00", 4)]
+    df = spark.createDataFrame(rows, "u bigint, ts string, eid bigint") \
+              .selectExpr("u", "cast(ts as timestamp) ts", "eid")
+    out = {(r.u, r.eid): r.session_seq for r in
+           sessionize(df, "u", "ts", gap_seconds=1800,
+                      tiebreak_col="eid").collect()}
+    assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_sessionize_boundary_gap_not_new_session(spark):
+    """A gap of EXACTLY gap_seconds stays in the same session (strict
+    >), pinned so the oracle comparison can't drift."""
+    from spork_spark.operators.behavior import sessionize
+    rows = [(1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:30:00", 2),
+            (1, "2024-01-01 11:00:00.000001", 3)]
+    df = spark.createDataFrame(rows, "u bigint, ts string, eid bigint") \
+              .selectExpr("u", "cast(ts as timestamp) ts", "eid")
+    out = [r.session_seq for r in
+           sessionize(df, "u", "ts", gap_seconds=1800,
+                      tiebreak_col="eid").orderBy("eid").collect()]
+    assert out == [1, 1, 2]       # 30:00.000001 exceeds; 30:00 does not
+
+
+def test_sessionize_single_exchange_plan(spark):
+    from spork_spark.operators.behavior import sessionize
+    df = spark.createDataFrame([(1, "2024-01-01 10:00:00", 1)],
+                               "u bigint, ts string, eid bigint") \
+              .selectExpr("u", "cast(ts as timestamp) ts", "eid")
+    plan = sessionize(df, "u", "ts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -237,3 +237,65 @@ def test_bm25_matches_reference_formula(spark):
     assert got[1] == (exp1, 2)
     assert got[2] == (exp2, 1)
     assert 3 not in got                      # no query terms -> no row
+
+
+def test_profile_columns_metrics(spark):
+    from spork_spark.operators import profile_columns
+    df = spark.createDataFrame(
+        [(1, "ab", 2.0), (2, None, None), (2, "c", 8.0)],
+        "k bigint, s string, v double")
+    p = {r.column: r for r in profile_columns(df).collect()}
+    assert p["k"].n_rows == 3 and p["k"].n_nulls == 0
+    assert p["k"].n_distinct == 2
+    assert p["k"].min_num == 1.0 and p["k"].max_num == 2.0
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["s"].min_str == "ab" and p["s"].max_str == "c"
+    assert abs(p["s"].avg_len - 1.5) < 1e-9
+    assert p["v"].max_num == 8.0 and p["v"].min_str is None
+
+
+def test_profile_columns_single_pass_plan(spark):
+    """All metrics for all columns must come from ONE aggregate over
+    the table: a single scan in the plan."""
+    from spork_spark.operators import profile_columns
+    df = spark.range(10).selectExpr("id", "cast(id as string) s")
+    plan = profile_columns(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("Range (") <= 1
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from spork_spark.operators import weighted_sample
+    from pyspark.sql import functions as F
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"))
+    a = [r.doc_id for r in
+         weighted_sample(df, "w", 50, id_col="doc_id").collect()]
+    b = [r.doc_id for r in
+         weighted_sample(df.repartition(7), "w", 50,
+                         id_col="doc_id").collect()]
+    assert a == b                            # deterministic
+    heavy = sum(1 for x in a if x < 100)
+    assert heavy > 25     # 100 heavy rows (x1000) dominate the draw
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from spork_spark.operators import weighted_sample
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id bigint, w double")
+    got = [r.doc_id for r in
+           weighted_sample(df, "w", 10, id_col="doc_id").collect()]
+    assert got == [1]
+
+
+def test_group_outliers_flags_exact_boundary(spark):
+    from spork_spark.operators import group_outliers
+    # group g: values 0.0 x8 and 8.0 x2 -> mu=1.6, sigma^2=10.24,
+    # sigma=3.2; z=2 -> threshold |x-mu| > 6.4: 8.0 deviates 6.4
+    # EXACTLY -> NOT an outlier (strict >); z=1 -> 8.0 deviates > 3.2
+    rows = [("g", 0.0)] * 8 + [("g", 8.0)] * 2
+    df = spark.createDataFrame(rows, "t string, v double")
+    assert group_outliers(df, "t", "v", z_num=2).count() == 0
+    assert group_outliers(df, "t", "v", z_num=1).count() == 2

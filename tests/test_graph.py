@@ -136,3 +136,39 @@ def test_triangle_count_ignores_duplicates_loops_direction(spark):
     # one triangle {1,2,3}; reversed/duplicate edges and the self-loop
     # must not inflate the count
     assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+def test_pagerank_star_graph_center_wins(spark):
+    """Spokes -> center: the center accumulates damped mass, spokes
+    keep only the teleport share; total mass is conserved up to
+    integer-truncation dust."""
+    from spork_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src bigint, dst bigint")
+    out = {r.node: r.rank_units for r in pagerank(edges, n_iter=3).collect()}
+    assert len(out) == 6
+    assert out[0] > out[1] and len({out[i] for i in range(1, 6)}) == 1
+    total = sum(out.values())
+    assert 0 <= 10 ** 12 - total < 600    # truncation dust only
+
+
+def test_pagerank_is_deterministic_across_partitionings(spark):
+    from spork_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(200)] +
+        [(i, i + 1) for i in range(100)], "src bigint, dst bigint")
+    a = {(r.node, r.rank_units)
+         for r in pagerank(edges, n_iter=3).collect()}
+    b = {(r.node, r.rank_units)
+         for r in pagerank(edges.repartition(13), n_iter=3).collect()}
+    assert a == b
+
+
+def test_pagerank_leaves_no_cached_tables(spark):
+    from spork_spark.operators.graph import pagerank
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "src bigint, dst bigint")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    pagerank(edges, n_iter=2).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before

@@ -1,0 +1,123 @@
+"""Round-5 scale evidence (verdict item 4): sf1 slopes for the round-4
+session operators, plus the set-similarity candidate-count table that
+demonstrates the prefix filter stays sub-quadratic on 10x data (the
+documented low-entropy caveat, dedup.py set_similarity_pairs).
+
+Measures, at sf0.1 (5k docs / 150k customers) and sf1 (50k docs /
+1.5M customers — tools/make_scale.py layout):
+- setsim: candidate pairs BEFORE verification and verified pairs, for
+  (threshold, shingle_n) combinations, plus wall time. The quadratic
+  ceiling n*(n-1)/2 is printed alongside: candidates/ceiling is the
+  sub-quadratic proof.
+- fuzzy_pairs / triangles / dedup_spans wall times (cold = first run,
+  warm = median of 3).
+
+Writes SCALE_r05.json. Usage: python tools/scale_r05.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def timed(fn, warm_runs=3):
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    ts = []
+    for _ in range(warm_runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(cold, 4), round(statistics.median(ts), 4)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from spork_spark import get_spark
+    from spork_spark.operators.dedup import (set_similarity_candidates,
+                                             set_similarity_pairs)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
+               "sf1": os.path.join(repo, "testdata_sf1")}
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out = {"metric": "round5_session_operator_scale", "round": 5,
+           "protocol": "local[32], engine-default session (autosized "
+                       "confs); cold = first run, warm = median of 3; "
+                       "setsim candidate counts are exact counts of the "
+                       "pre-verification candidate-pair stage",
+           "setsim_candidates": {}, "operators": {}}
+
+    for sf, d in sf_dirs.items():
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_docs = docs.count()
+        rows = []
+        combos = [(0.5, 8), (0.5, 12), (0.6, 12), (0.7, 12)]
+        if sf == "sf1":
+            # the (t=0.5, n=8) low-entropy blowup is demonstrated at
+            # sf0.1 (27% of quadratic); at 50k docs its candidate set
+            # is ~3e8 pairs — fence it rather than burn an hour proving
+            # the caveat twice (documented in dedup.py:426)
+            combos = combos[1:]
+        for thr, sn in combos:
+            cand, _, _ = set_similarity_candidates(
+                docs, "doc_id", "text", shingle_n=sn, threshold=thr)
+            n_cand = cand.count()
+            t0 = time.perf_counter()
+            n_ver = set_similarity_pairs(
+                docs, "doc_id", "text", shingle_n=sn,
+                threshold=thr).count()
+            secs = round(time.perf_counter() - t0, 4)
+            ceiling = n_docs * (n_docs - 1) // 2
+            rows.append({
+                "threshold": thr, "shingle_n": sn,
+                "candidates": n_cand, "verified": n_ver,
+                "quadratic_ceiling": ceiling,
+                "candidate_fraction": round(n_cand / ceiling, 6),
+                "full_pipeline_sec": secs,
+            })
+            print(f"{sf} t={thr} n={sn}: cand={n_cand} "
+                  f"({n_cand / ceiling:.2%} of quadratic) "
+                  f"verified={n_ver} {secs}s", flush=True)
+        out["setsim_candidates"][sf] = {"n_docs": n_docs, "rows": rows}
+
+        qs = entrymod.queries()
+        ops = {}
+        for name in ("fuzzy_pairs", "triangles", "dedup_spans",
+                     "setsim_pairs"):
+            df = qs[name](spark, d)
+            cold, warm = timed(lambda d2=df: noop(d2))
+            ops[name] = {"cold_sec": cold, "warm_sec": warm,
+                         "rows": df.count()}
+            print(f"{sf} {name}: cold={cold} warm={warm} "
+                  f"rows={ops[name]['rows']}", flush=True)
+        out["operators"][sf] = ops
+
+    # slopes
+    slopes = {}
+    for name in out["operators"]["sf0.1"]:
+        a = out["operators"]["sf0.1"][name]["warm_sec"]
+        b = out["operators"]["sf1"][name]["warm_sec"]
+        slopes[name] = round(b / a, 2) if a else None
+    out["slopes_10x_data_warm"] = slopes
+
+    with open(os.path.join(repo, "SCALE_r05.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(slopes))
+
+
+if __name__ == "__main__":
+    main()
