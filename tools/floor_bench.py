@@ -149,6 +149,10 @@ def main() -> None:
             "duckdb_sec": b,
             "headroom_sec": round(q_t - ex_t, 4),
             "floor_vs_duckdb": round(ex_t / b, 2) if b else None,
+            # the honest bound: even a plan that did ZERO work beyond
+            # its scan+exchange floor still pays the fixed per-job cost
+            "floor_plus_overhead_vs_duckdb":
+                round((ex_t + fixed) / b, 2) if b else None,
             "query_vs_duckdb": round(q_t / b, 2) if b else None,
         }
     print(json.dumps(out, indent=1))
