@@ -2256,6 +2256,62 @@ def q_sessionize(spark, sf):
              .orderBy("user_id", "session_seq"))
 
 
+def q_rollup_incremental(spark, sf):
+    """Continuous-aggregate refresh (operators/rollup.py rollup_merge):
+    rollup the pre-cutoff events, rollup the late tail separately, and
+    MERGE the two rollups — raw history is never rescanned. cnt/sum
+    re-SUM (sum in exact decimal(38,2)), min/max re-MIN/MAX, so the
+    merged result is bit-identical to the direct full rollup, which is
+    exactly what the oracle computes. Shape: two raw shuffles (one per
+    disjoint slice — same total volume as one) + one rollup-row-sized
+    merge groupBy."""
+    from spork_spark.operators import rollup_merge, time_rollup
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    snap = time_rollup(ev.filter(F.col("ts") < cutoff), ts_col="ts",
+                       dims=("event_type",), value_col="value",
+                       grains=("hour", "day"))
+    delta = time_rollup(ev.filter(F.col("ts") >= cutoff), ts_col="ts",
+                        dims=("event_type",), value_col="value",
+                        grains=("hour", "day"))
+    return (rollup_merge(snap, delta)
+            .orderBy("grain", "bucket", "event_type"))
+
+
+def q_pmi(spark, sf):
+    """Within-document co-occurrence PMI (operators/text.py pmi_pairs
+    — Church & Hanks 1990): document-frequency based, vocabulary
+    bounded by min_df=5 (noise floor) and max_df=50% of docs (the
+    hub-token ceiling that keeps the per-doc pair join sub-quadratic
+    AND drops the zero-signal stopwords; 0.9 here — the synthetic corpus
+    has a ~31-token vocabulary where nearly every token tops 50% df, so
+    the production-default 0.5 ceiling would empty it). ln rounded to 6 digits for
+    engine portability; all counts exact integers."""
+    from spork_spark.operators import pmi_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (pmi_pairs(docs, min_df=5, max_df_frac=0.9, min_pair=3)
+            .orderBy("tok_a", "tok_b"))
+
+
+def q_winsorize(spark, sf):
+    """Per-group percentile clipping (operators/curation.py winsorize):
+    event values clipped to their event_type's [p5, p95]; quantiles by
+    exact linear interpolation (Spark percentile == DuckDB
+    quantile_cont, parity already pinned by `percentiles`), rounded to
+    6 digits BEFORE clipping so the boundary constant is engine-
+    portable; interior values pass through bit-unchanged. Plan: stats
+    groupBy + broadcast join back + narrow map — corpus never
+    shuffles."""
+    from spork_spark.operators import winsorize
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return (winsorize(ev, "event_type", "value", p_lo=0.05, p_hi=0.95)
+            .select("event_id", "event_type", "value", "value_w")
+            .orderBy("event_id"))
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2930,6 +2986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "outliers": q_outliers,
         "sessionize": q_sessionize,
+        "rollup_incremental": q_rollup_incremental,
+        "pmi": q_pmi,
+        "winsorize_events": q_winsorize,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -4667,6 +4726,68 @@ def oracle_sql() -> dict[str, str]:
                        AS duration_s
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "rollup_incremental": """
+            WITH base AS (
+              SELECT date_trunc('hour', ts) AS bucket, event_type,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS sum_value,
+                     MIN(value) AS min_value, MAX(value) AS max_value
+              FROM events GROUP BY 1, 2),
+            h AS (SELECT 'hour' AS grain, * FROM base),
+            d AS (SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket,
+                         event_type, CAST(SUM(cnt) AS BIGINT) AS cnt,
+                         CAST(SUM(sum_value) AS DECIMAL(38,2)) AS sum_value,
+                         MIN(min_value) AS min_value,
+                         MAX(max_value) AS max_value
+                  FROM base GROUP BY 2, 3)
+            SELECT * FROM h UNION ALL SELECT * FROM d
+            ORDER BY grain, bucket, event_type
+        """,
+        "pmi": """
+            WITH t0 AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE text IS NOT NULL),
+            toks AS (SELECT DISTINCT doc_id, token FROM t0),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n
+                   FROM documents WHERE text IS NOT NULL),
+            dfq AS (SELECT token, COUNT(*) AS df FROM toks
+                    GROUP BY token),
+            vocab AS (SELECT token, df FROM dfq, nd
+                      WHERE df >= 5
+                        AND df <= CAST(FLOOR(0.9 * n) AS BIGINT)),
+            tv AS (SELECT t.doc_id, t.token
+                   FROM toks t JOIN vocab USING (token)),
+            pairs AS (
+              SELECT a.token AS tok_a, b.token AS tok_b,
+                     COUNT(*) AS n_pair
+              FROM tv a JOIN tv b
+                ON a.doc_id = b.doc_id AND a.token < b.token
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT tok_a, tok_b, n_pair, va.df AS df_a, vb.df AS df_b,
+                   ROUND(LN(CAST(n_pair AS DOUBLE) * n
+                            / (va.df * vb.df)), 6) AS pmi
+            FROM pairs
+            JOIN vocab va ON tok_a = va.token
+            JOIN vocab vb ON tok_b = vb.token, nd
+            ORDER BY tok_a, tok_b
+        """,
+        "winsorize_events": """
+            WITH s AS (
+              SELECT event_type,
+                     ROUND(quantile_cont(value, 0.05), 6) AS lo,
+                     ROUND(quantile_cont(value, 0.95), 6) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY event_type)
+            SELECT event_id, e.event_type, value,
+                   CASE WHEN value IS NULL THEN NULL
+                        WHEN value < lo THEN lo
+                        WHEN value > hi THEN hi
+                        ELSE value END AS value_w
+            FROM events e LEFT JOIN s USING (event_type)
+            ORDER BY event_id
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

@@ -10,12 +10,12 @@ from .graph import connected_components, triangle_count
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
-from .rollup import time_rollup
+from .rollup import rollup_merge, time_rollup
 from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
                    gopher_filter,
-                   pack_sequences, quality_score, repetition_ratio,
+                   pack_sequences, pmi_pairs, quality_score, repetition_ratio,
                    resample_mixture, scrub_pii,
                    stratified_sample, tf_idf, token_count, tokens,
                    word_ngrams)
@@ -26,7 +26,7 @@ from .multimodal import (ahash_images, ahash_pairs,
 from .curation import (blocklist_filter, classifier_score, corpus_stats,
                        kmeans_quantized, kmeans_train,
                        group_outliers, profile_columns,
-                       weighted_sample,
+                       weighted_sample, winsorize,
                        ngram_logcount_score,
                        per_source_cap, semantic_dedup)
 from .skew import heavy_hitters, salted_join, skew_histogram
@@ -49,7 +49,7 @@ __all__ = [
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
-    "time_rollup", "token_count", "tokens",
+    "rollup_merge", "time_rollup", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "set_similarity_pairs",

@@ -493,3 +493,41 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.7, k: int = 8,
                          * d128(F.col("__na")) * d128(F.col("__nb"))))
                 .select(F.col("__idb").alias(id_col)).distinct())
     return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+def winsorize(df: DataFrame, group_col: str, value_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95,
+              round_digits: int = 6) -> DataFrame:
+    """Per-group percentile clipping (winsorization): replace values
+    below the group's p_lo quantile / above its p_hi quantile with the
+    quantile itself — the tail-taming sibling of group_outliers (which
+    FLAGS; this REPAIRS), standard before computing per-stratum means
+    at corpus scale.
+
+    Quantiles use Spark's exact linear-interpolation `percentile`
+    (same definition as DuckDB quantile_cont — parity already pinned by
+    the `percentiles` query) and are ROUNDED to ``round_digits`` before
+    clipping, so the clip boundary is an engine-portable constant and
+    the output is oracle-reproducible; raw values pass through
+    bit-unchanged when inside the bounds. Nulls pass through as null.
+
+    Shape: one map-side-combined groupBy computes (lo, hi) per group
+    (group-count sized — broadcastable), one broadcast join back, then
+    a narrow least/greatest map. The corpus itself never shuffles.
+    """
+    v = F.col(value_col)
+    stats = (df.where(v.isNotNull())
+               .groupBy(group_col)
+               .agg(F.round(F.expr(f"percentile({value_col}, {p_lo})"),
+                            round_digits).alias("__lo"),
+                    F.round(F.expr(f"percentile({value_col}, {p_hi})"),
+                            round_digits).alias("__hi")))
+    # least/greatest SKIP nulls in Spark: unguarded, a null value would
+    # come back as the lower bound, and an all-null group's null bounds
+    # already pass values through — so only the v-null case needs a gate
+    return (df.join(F.broadcast(stats), on=group_col, how="left")
+              .withColumn(f"{value_col}_w",
+                          F.when(v.isNotNull(),
+                                 F.least(F.greatest(v, F.col("__lo")),
+                                         F.col("__hi"))))
+              .drop("__lo", "__hi"))

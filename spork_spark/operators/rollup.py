@@ -116,3 +116,34 @@ def time_rollup(df: DataFrame, ts_col: str = "ts",
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def rollup_merge(snapshot: DataFrame, delta: DataFrame,
+                 dims: tuple = ("event_type",)) -> DataFrame:
+    """Fold a late-arriving delta rollup into an existing rollup
+    snapshot WITHOUT rescanning raw history — the continuous-aggregate
+    refresh step (TimescaleDB's invalidation-refresh shape; SURVEY.md
+    §2.8 event-time family). At 100 TB the raw corpus is append-mostly
+    and the rollup snapshot is bucket-count sized: recomputing from raw
+    to absorb a 0.1% late tail re-shuffles everything, while this merge
+    shuffles only snapshot+delta rollup rows (proportional to BUCKETS,
+    not events).
+
+    Correct because every carried aggregate is decomposable: cnt and
+    sum_value re-SUM (sum is decimal(38,2) — exact, order-independent),
+    min/max re-MIN/MAX. AVG stays derivable as sum/cnt. Inputs are two
+    outputs of ``time_rollup`` over disjoint row sets with the same
+    grains/dims; output schema matches time_rollup, so merges chain
+    (snapshot ⊕ delta1 ⊕ delta2 — associative and commutative).
+
+    Shape: unionByName + ONE groupBy on (grain, bucket, *dims) with
+    map-side partial agg; no join, no window, no raw-data scan.
+    """
+    keys = ["grain", "bucket", *dims]
+    return (snapshot.unionByName(delta)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.sum("cnt").cast("long").alias("cnt"),
+                 F.sum("sum_value").cast("decimal(38,2)")
+                  .alias("sum_value"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value")))

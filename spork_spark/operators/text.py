@@ -595,3 +595,60 @@ def bm25_scores(df: DataFrame, query_tokens: list, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
                   .agg(F.round(F.sum("part"), 6).alias("bm25"),
                        F.count(F.lit(1)).cast("long").alias("n_terms")))
+
+
+def pmi_pairs(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", min_df: int = 5,
+              max_df_frac: float = 0.5, min_pair: int = 3,
+              round_digits: int = 6) -> DataFrame:
+    """Pointwise mutual information over within-document token
+    co-occurrence (Church & Hanks, CL 1990) — the collocation /
+    phrase-mining signal a corpus analysis runs to find multi-word
+    expressions and topical term pairs.
+
+    pmi(a,b) = ln( N · df_ab / (df_a · df_b) ) over DOCUMENT
+    frequencies (each token counted once per doc), rounded to
+    ``round_digits`` so the value is engine-portable (ln differs only
+    in the last ulp; counts and N are exact integers).
+
+    Scale shape: the pair stage is a self-equi-join of the (doc,
+    token) set on doc — per-doc cost is C(v,2) in its VOCAB tokens, so
+    the vocabulary filter is what bounds it: tokens must appear in
+    >= ``min_df`` docs (noise floor) and <= ``max_df_frac``·N docs
+    (hub/stopword ceiling — exactly the tokens that would explode the
+    join AND carry no PMI signal). Both aggs get map-side partials;
+    the df lookup joins broadcast (vocab is post-filter small);
+    ``min_pair`` prunes the pair tail before the final join.
+    """
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("__doc"),
+                      F.explode(tokens(text_col)).alias("token"))
+              .dropDuplicates(["__doc", "token"]))
+    n_docs = df.where(F.col(text_col).isNotNull()) \
+               .select(F.countDistinct(id_col)).first()[0]
+    dfreq = (toks.groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .where((F.col("df") >= min_df)
+                        & (F.col("df") <= int(max_df_frac * n_docs))))
+    tv = toks.join(F.broadcast(dfreq.select("token")), on="token")
+    a = tv.select("__doc", F.col("token").alias("tok_a"))
+    b = tv.select("__doc", F.col("token").alias("tok_b"))
+    pairs = (a.join(b, on="__doc")
+              .where(F.col("tok_a") < F.col("tok_b"))
+              .groupBy("tok_a", "tok_b")
+              .agg(F.count(F.lit(1)).alias("n_pair"))
+              .where(F.col("n_pair") >= min_pair))
+    da = dfreq.select(F.col("token").alias("tok_a"),
+                      F.col("df").alias("df_a"))
+    db = dfreq.select(F.col("token").alias("tok_b"),
+                      F.col("df").alias("df_b"))
+    return (pairs.join(F.broadcast(da), on="tok_a")
+                 .join(F.broadcast(db), on="tok_b")
+                 .withColumn(
+                     "pmi",
+                     F.round(F.log(F.col("n_pair").cast("double")
+                                   * F.lit(float(n_docs))
+                                   / (F.col("df_a") * F.col("df_b"))),
+                             round_digits))
+                 .select("tok_a", "tok_b", "n_pair", "df_a", "df_b",
+                         "pmi"))

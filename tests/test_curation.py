@@ -299,3 +299,24 @@ def test_group_outliers_flags_exact_boundary(spark):
     df = spark.createDataFrame(rows, "t string, v double")
     assert group_outliers(df, "t", "v", z_num=2).count() == 0
     assert group_outliers(df, "t", "v", z_num=1).count() == 2
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from spork_spark.operators import winsorize
+    # group g: 0..10 -> p10=1.0, p90=9.0 under linear interpolation
+    rows = [("g", float(i)) for i in range(11)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = sorted(r.v_w for r in
+                 winsorize(df, "t", "v", p_lo=0.1, p_hi=0.9).collect())
+    assert out[0] == 1.0 and out[1] == 1.0       # 0 clipped up
+    assert out[-1] == 9.0 and out[-2] == 9.0     # 10 clipped down
+    assert out[5] == 5.0                         # interior untouched
+
+
+def test_winsorize_nulls_and_allnull_groups_pass_through(spark):
+    from spork_spark.operators import winsorize
+    rows = [("a", 1.0), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    got = {(r.t, r.v): r.v_w for r in winsorize(df, "t", "v").collect()}
+    assert got[("a", 1.0)] == 1.0
+    assert got[("a", None)] is None and got[("b", None)] is None

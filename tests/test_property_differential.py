@@ -1094,3 +1094,73 @@ def test_time_rollup_matches_duckdb(spark, rows):
         FROM base GROUP BY 2, 3
     """).fetchall())
     assert got == want
+
+
+# --- round-5 algebraic-operator properties -------------------------------
+
+ev_row = st.tuples(
+    st.integers(0, 4),                       # user
+    st.integers(0, 10_000),                  # seconds offset
+    st.integers(-100, 100).map(float),       # value
+)
+ev_tables = st.lists(ev_row, min_size=1, max_size=40)
+
+
+def mk_events(spark, rows):
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, base + datetime.timedelta(seconds=s), v, i)
+            for i, (u, s, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "u bigint, ts timestamp_ntz, value double, eid bigint")
+
+
+@given(data=ev_tables, cut=st.integers(0, 10_000),
+       grains=st.sampled_from([("hour",), ("hour", "day"),
+                               ("minute", "hour", "day")]))
+@SLOW
+def test_rollup_merge_equals_direct_property(spark, data, cut, grains):
+    """For ANY split point and grain set, rollup(before) ⊕ rollup(after)
+    must equal rollup(all) exactly — the decomposability contract that
+    makes continuous-aggregate refresh sound."""
+    import datetime
+    from pyspark.sql import functions as F
+    from spork_spark.operators import rollup_merge, time_rollup
+    df = mk_events(spark, data).withColumn("event_type", F.lit("t"))
+    cutoff = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=cut)
+    merged = rollup_merge(
+        time_rollup(df.filter(F.col("ts") < F.lit(cutoff)), grains=grains),
+        time_rollup(df.filter(F.col("ts") >= F.lit(cutoff)), grains=grains))
+    direct = time_rollup(df, grains=grains)
+    k = lambda r: (r["grain"], r["bucket"], r["event_type"])
+    got = {k(r): (r["cnt"], r["sum_value"], r["min_value"], r["max_value"])
+           for r in merged.collect()}
+    want = {k(r): (r["cnt"], r["sum_value"], r["min_value"], r["max_value"])
+            for r in direct.collect()}
+    assert got == want
+
+
+@given(data=ev_tables, gap=st.integers(1, 5_000))
+@SLOW
+def test_sessionize_gap_invariants_property(spark, data, gap):
+    """For ANY event set and gap: consecutive events of a session are
+    within gap; session boundaries exceed it; ordinals are dense from 1
+    — checked against an independent driver-side replay."""
+    from spork_spark.operators import sessionize
+    df = mk_events(spark, data)
+    out = sessionize(df, "u", "ts", gap_seconds=gap,
+                     tiebreak_col="eid").collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["u"], r["ts"], r["eid"])):
+        by_user.setdefault(r["u"], []).append(r)
+    for rows_ in by_user.values():
+        prev = None
+        expect = 1
+        for r in rows_:
+            if prev is not None:
+                delta = (r["ts"] - prev["ts"]).total_seconds()
+                if delta > gap:
+                    expect += 1
+                assert (delta > gap) == (r["session_seq"] > prev["session_seq"])
+            assert r["session_seq"] == expect
+            prev = r

@@ -127,3 +127,42 @@ def test_rollup_day_week_month_sources_correctly(spark):
               out.groupBy("grain").agg(F.sum("cnt").alias("t")).collect()}
     assert totals == {"day": 10, "week": 10, "month": 10}
     out.unpersist()
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    """Rollup(on_time) ⊕ Rollup(late) == Rollup(all) exactly, per grain
+    and bucket — the late-data refresh never needs the raw history."""
+    import datetime
+    from spork_spark.operators import rollup_merge
+    rows = [(datetime.datetime(2024, 1, 1 + h // 24, h % 24),
+             "a" if h % 2 else "b", float(h) + 0.25) for h in range(48)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, event_type string, value double")
+    on_time = df.filter(F.dayofmonth("ts") == 1)
+    late = df.filter(F.dayofmonth("ts") == 2)
+    merged = rollup_merge(time_rollup(on_time), time_rollup(late))
+    direct = time_rollup(df)
+    key = lambda r: (r["grain"], r["bucket"], r["event_type"])
+    got = {key(r): (r["cnt"], r["sum_value"], r["min_value"],
+                    r["max_value"]) for r in merged.collect()}
+    want = {key(r): (r["cnt"], r["sum_value"], r["min_value"],
+                     r["max_value"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_rollup_merge_is_associative(spark):
+    """(s ⊕ d1) ⊕ d2 == s ⊕ (d1 ⊕ d2) — merges chain."""
+    import datetime
+    from spork_spark.operators import rollup_merge
+    rows = [(datetime.datetime(2024, 1, 1 + i % 3, i % 24), "x",
+             float(i)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, event_type string, value double")
+    parts = [time_rollup(df.filter(F.dayofmonth("ts") == d))
+             for d in (1, 2, 3)]
+    left = rollup_merge(rollup_merge(parts[0], parts[1]), parts[2])
+    right = rollup_merge(parts[0], rollup_merge(parts[1], parts[2]))
+    k = lambda r: (r["grain"], r["bucket"], r["event_type"])
+    a = {k(r): (r["cnt"], r["sum_value"]) for r in left.collect()}
+    b = {k(r): (r["cnt"], r["sum_value"]) for r in right.collect()}
+    assert a == b

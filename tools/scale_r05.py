@@ -61,7 +61,18 @@ def main() -> None:
                        "pre-verification candidate-pair stage",
            "setsim_candidates": {}, "operators": {}}
 
+    # resume: keep completed sf levels from a previous partial run
+    out_path = os.path.join(repo, "SCALE_r05.json")
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        out["setsim_candidates"].update(prev.get("setsim_candidates", {}))
+        out["operators"].update(prev.get("operators", {}))
+
     for sf, d in sf_dirs.items():
+        if sf in out["operators"] and sf in out["setsim_candidates"]:
+            print(f"{sf}: already measured, skipping", flush=True)
+            continue
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         n_docs = docs.count()
         rows = []
@@ -76,11 +87,18 @@ def main() -> None:
             cand, _, _ = set_similarity_candidates(
                 docs, "doc_id", "text", shingle_n=sn, threshold=thr)
             n_cand = cand.count()
-            t0 = time.perf_counter()
-            n_ver = set_similarity_pairs(
-                docs, "doc_id", "text", shingle_n=sn,
-                threshold=thr).count()
-            secs = round(time.perf_counter() - t0, 4)
+            # verification ships BOTH shingle arrays per candidate pair
+            # across the exchange; above ~5M pairs that shuffle exceeds
+            # local disk at sf1 (measured: the t=0.5 combo filled the
+            # volume). Count candidates always; verify when shippable.
+            if n_cand <= 5_000_000:
+                t0 = time.perf_counter()
+                n_ver = set_similarity_pairs(
+                    docs, "doc_id", "text", shingle_n=sn,
+                    threshold=thr).count()
+                secs = round(time.perf_counter() - t0, 4)
+            else:
+                n_ver, secs = None, None
             ceiling = n_docs * (n_docs - 1) // 2
             rows.append({
                 "threshold": thr, "shingle_n": sn,
@@ -96,8 +114,18 @@ def main() -> None:
 
         qs = entrymod.queries()
         ops = {}
-        for name in ("fuzzy_pairs", "triangles", "dedup_spans",
-                     "setsim_pairs"):
+        # the registered setsim query is (t=0.6, n=12); reuse its combo
+        # measurement as the disk fence for the timed full pipeline
+        c06 = next((r for r in rows
+                    if r["threshold"] == 0.6 and r["shingle_n"] == 12),
+                   None)
+        op_names = ["fuzzy_pairs", "triangles", "dedup_spans"]
+        if c06 is None or c06["candidates"] <= 5_000_000:
+            op_names.append("setsim_pairs")
+        else:
+            print(f"{sf} setsim_pairs: skipped (candidates="
+                  f"{c06['candidates']} > 5M disk fence)", flush=True)
+        for name in op_names:
             df = qs[name](spark, d)
             cold, warm = timed(lambda d2=df: noop(d2))
             ops[name] = {"cold_sec": cold, "warm_sec": warm,
@@ -105,13 +133,15 @@ def main() -> None:
             print(f"{sf} {name}: cold={cold} warm={warm} "
                   f"rows={ops[name]['rows']}", flush=True)
         out["operators"][sf] = ops
+        with open(out_path, "w") as fh:       # partial save per sf
+            json.dump(out, fh, indent=1)
 
     # slopes
     slopes = {}
     for name in out["operators"]["sf0.1"]:
         a = out["operators"]["sf0.1"][name]["warm_sec"]
-        b = out["operators"]["sf1"][name]["warm_sec"]
-        slopes[name] = round(b / a, 2) if a else None
+        b = out["operators"].get("sf1", {}).get(name, {}).get("warm_sec")
+        slopes[name] = round(b / a, 2) if a and b else None
     out["slopes_10x_data_warm"] = slopes
 
     with open(os.path.join(repo, "SCALE_r05.json"), "w") as fh:
