@@ -2312,6 +2312,34 @@ def q_winsorize(spark, sf):
             .orderBy("event_id"))
 
 
+def q_chi2(spark, sf):
+    """Chi-squared association between documents.lang and
+    documents.source (operators/stats.py chi2_contingency): per-cell
+    contributions in EXACT integer arithmetic — (O-E)^2/E multiplied
+    out to (N*n_ab - n_a*n_b)^2 * 1e6 div (N*n_a*n_b), every term an
+    integer, zero cells of the margin cross product included. Plan: two
+    margin groupBys + one cell groupBy + a category-sized cross join —
+    the corpus shuffles as counts only."""
+    from spork_spark.operators import chi2_contingency
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (chi2_contingency(docs, "lang", "source")
+            .orderBy("lang", "source"))
+
+
+def q_histogram(spark, sf):
+    """Fixed-range equi-width histogram of events.value per event_type
+    (operators/stats.py histogram): cent-quantized integer bucketing
+    ([0,100) in 20 buckets, out-of-range clamped to the edges), ONE
+    map-side-combined groupBy — bucket-count-sized output."""
+    from spork_spark.operators import histogram
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return (histogram(ev, "event_type", "value",
+                      lo=0, hi=100, n_buckets=20)
+            .orderBy("event_type", "bucket"))
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -2989,6 +3017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "pmi": q_pmi,
         "winsorize_events": q_winsorize,
+        "chi2_lang_source": q_chi2,
+        "histogram_events": q_histogram,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -4788,6 +4818,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE value END AS value_w
             FROM events e LEFT JOIN s USING (event_type)
             ORDER BY event_id
+        """,
+        "chi2_lang_source": """
+            WITH d AS (SELECT lang AS a, source AS b FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL),
+            c AS (SELECT a, b, COUNT(*) AS n_ab FROM d GROUP BY a, b),
+            ma AS (SELECT a, COUNT(*) AS n_a FROM d GROUP BY a),
+            mb AS (SELECT b, COUNT(*) AS n_b FROM d GROUP BY b),
+            n AS (SELECT COUNT(*) AS n_total FROM d)
+            SELECT ma.a AS lang, mb.b AS source,
+                   CAST(COALESCE(c.n_ab, 0) AS BIGINT) AS n_ab,
+                   n_a, n_b,
+                   CAST((CAST(n_total * COALESCE(c.n_ab, 0)
+                              - n_a * n_b AS HUGEINT)
+                         * CAST(n_total * COALESCE(c.n_ab, 0)
+                                - n_a * n_b AS HUGEINT) * 1000000)
+                        // (CAST(n_total AS HUGEINT) * n_a * n_b)
+                        AS BIGINT) AS contrib_e6
+            FROM ma CROSS JOIN mb CROSS JOIN n
+            LEFT JOIN c ON c.a = ma.a AND c.b = mb.b
+            ORDER BY lang, source
+        """,
+        "histogram_events": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            b AS (
+              SELECT event_type,
+                     CAST(LEAST(GREATEST(FLOOR(v / 500.0), 0), 19)
+                          AS BIGINT) AS bucket
+              FROM d)
+            SELECT event_type, bucket,
+                   CAST(bucket * 5.0 AS DOUBLE) AS bucket_lo,
+                   CAST((bucket + 1) * 5.0 AS DOUBLE) AS bucket_hi,
+                   COUNT(*) AS cnt
+            FROM b GROUP BY 1, 2
+            ORDER BY event_type, bucket
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

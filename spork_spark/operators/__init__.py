@@ -11,6 +11,7 @@ from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
+from .stats import chi2_contingency, histogram
 from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
@@ -49,7 +50,7 @@ __all__ = [
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
-    "rollup_merge", "time_rollup", "token_count", "tokens", "pmi_pairs", "winsorize",
+    "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "set_similarity_pairs",

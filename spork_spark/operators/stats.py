@@ -1,0 +1,106 @@
+"""Distribution statistics for corpus QA: chi-squared association between
+two categorical columns, and fixed-range histograms — the "is my mixture
+drifting / are these strata independent" checks a 100 TB ingest runs per
+batch (extension beyond the reference surface; SURVEY.md §2.11 family,
+next to profile_columns and group_outliers).
+
+Both are EXACT-integer formulations so the oracle reproduces them
+bit-for-bit: chi2 multiplies the textbook (O-E)^2/E out to a ratio of
+integers before a single scaled integer division; the histogram buckets
+cent-quantized values with integer division against an integer width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi2_contingency(df: DataFrame, col_a: str, col_b: str,
+                     scale: int = 10 ** 6) -> DataFrame:
+    """Per-cell chi-squared contribution for the (col_a, col_b)
+    contingency table, in exact integer arithmetic.
+
+    The textbook cell term (n_ab - E)^2 / E with E = n_a*n_b/N
+    multiplies out to  (N*n_ab - n_a*n_b)^2 / (N * n_a * n_b)  — a
+    ratio of exact integers; ``contrib_e6`` is that ratio scaled by
+    ``scale`` under integer division (decimal(38,0) guards the square),
+    so SUM(contrib_e6)/scale approximates the chi2 statistic with
+    deterministic, engine-portable truncation per cell. Zero cells of
+    the observed-margin cross product are included (they contribute
+    n_a*n_b^2... term with n_ab=0), as the statistic requires.
+
+    Shape: two margin groupBys + one cell groupBy over the data (each
+    map-side combined), then a margins-only cross join (|A| x |B| rows
+    — category-count sized, NOT data sized) left-joined to the cells.
+    Null categories are excluded (a null level is a data-quality issue
+    to fix upstream, not a category).
+    """
+    d = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()) \
+          .select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    cells = d.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = d.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    mb = d.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    grid = (ma.crossJoin(mb).crossJoin(F.broadcast(n))
+              .join(cells, on=["a", "b"], how="left")
+              .withColumn("n_ab", F.coalesce(F.col("n_ab"), F.lit(0))
+                          .cast("long")))
+    num = (d38(F.col("n_total")) * d38(F.col("n_ab"))
+           - d38(F.col("n_a")) * d38(F.col("n_b")))
+    den = d38(F.col("n_total")) * d38(F.col("n_a")) * d38(F.col("n_b"))
+    # integral `div` keeps the scaled ratio in exact integers end-to-end
+    # (decimal/decimal true division would round at engine-specific
+    # result scales); both operands are non-negative, so div == floor
+    # on both engines and the result fits a long (<= scale * N).
+    return (grid.withColumn("__num2",
+                            (num * num
+                             * F.lit(scale).cast("decimal(38,0)"))
+                            .cast("decimal(38,0)"))
+                .withColumn("__den", den)
+                .withColumn("contrib_e6",
+                            F.expr("__num2 div __den").cast("long"))
+            .select(F.col("a").alias(col_a), F.col("b").alias(col_b),
+                    "n_ab", "n_a", "n_b", "contrib_e6"))
+
+
+def histogram(df: DataFrame, group_col: str, value_col: str,
+              lo: int = 0, hi: int = 100, n_buckets: int = 20,
+              scale: int = 100) -> DataFrame:
+    """Fixed-range equi-width histogram of ``value_col`` per group, in
+    exact integer arithmetic: values quantize to v = floor(x*scale+0.5)
+    and bucket = clamp((v - lo*scale) div w, 0, n-1) with integer width
+    w = (hi-lo)*scale/n_buckets (must divide evenly — raises otherwise).
+    Out-of-range values clamp into the edge buckets, so counts always
+    total the row count. One map-side-combined groupBy; output is
+    (group, bucket, bucket_lo, bucket_hi, cnt) — bucket-count sized.
+    """
+    span_c = (hi - lo) * scale
+    if span_c % n_buckets:
+        raise ValueError(f"(hi-lo)*scale={span_c} not divisible by "
+                         f"n_buckets={n_buckets}")
+    w = span_c // n_buckets
+    v = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+         .cast("long")
+    # floor((v - lo)/w) is exact in double arithmetic whenever the true
+    # ratio is integral (integers <= 2^53 are representable), so the
+    # bucket boundary never drifts between engines; negatives floor to
+    # -1 and clamp up to the edge bucket.
+    bucket = F.least(F.greatest(
+        F.floor((v - F.lit(lo * scale)) / F.lit(w)), F.lit(0)),
+        F.lit(n_buckets - 1)).cast("long")
+    return (df.where(F.col(value_col).isNotNull())
+              .groupBy(F.col(group_col), bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("bucket_lo",
+                          (F.lit(lo) + F.col("bucket")
+                           * F.lit(w / scale)).cast("double"))
+              .withColumn("bucket_hi",
+                          (F.lit(lo) + (F.col("bucket") + 1)
+                           * F.lit(w / scale)).cast("double"))
+              .select(group_col, "bucket", "bucket_lo", "bucket_hi",
+                      "cnt"))

@@ -1,0 +1,56 @@
+"""Tests for operators/stats.py: exact-integer chi2 contingency and
+fixed-range histograms."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spork_spark.operators import chi2_contingency, histogram
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    # perfectly independent 2x2 with equal margins: O == E everywhere
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_contingency(df, "a", "b").collect()
+    assert len(out) == 4
+    assert all(r.contrib_e6 == 0 for r in out)
+    assert all(r.n_ab == 5 for r in out)
+
+
+def test_chi2_matches_textbook_value(spark):
+    # 2x2: [[10, 0], [0, 10]] -> chi2 = N = 20 exactly
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_contingency(df, "a", "b").collect()
+    assert len(out) == 4                     # zero cells included
+    total = sum(r.contrib_e6 for r in out)
+    assert total == 20 * 10 ** 6             # exact: no truncation here
+    zero = [r for r in out if r.n_ab == 0]
+    assert len(zero) == 2 and all(r.contrib_e6 == 5 * 10 ** 6
+                                  for r in zero)
+
+
+def test_chi2_excludes_null_levels(spark):
+    rows = [("x", "p"), (None, "p"), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_contingency(df, "a", "b").collect()
+    assert len(out) == 1 and out[0].n_ab == 1
+
+
+def test_histogram_buckets_and_clamping(spark):
+    rows = [("g", -5.0), ("g", 0.0), ("g", 4.99), ("g", 5.0),
+            ("g", 99.99), ("g", 150.0), ("g", None)]
+    df = spark.createDataFrame(rows, "t string, v double")
+    out = {r.bucket: r for r in
+           histogram(df, "t", "v", lo=0, hi=100, n_buckets=20).collect()}
+    assert out[0].cnt == 3          # -5 clamped, 0.0, 4.99
+    assert out[1].cnt == 1          # 5.0 lands in [5, 10)
+    assert out[19].cnt == 2         # 99.99 and 150 clamped
+    assert out[0].bucket_lo == 0.0 and out[0].bucket_hi == 5.0
+    assert sum(r.cnt for r in out.values()) == 6     # null excluded
+
+
+def test_histogram_rejects_uneven_width(spark):
+    df = spark.createDataFrame([("g", 1.0)], "t string, v double")
+    with pytest.raises(ValueError):
+        histogram(df, "t", "v", lo=0, hi=100, n_buckets=7)
