@@ -2312,6 +2312,44 @@ def q_winsorize(spark, sf):
             .orderBy("event_id"))
 
 
+def q_cc_incremental(spark, sf):
+    """Incremental connected components (operators/graph.py
+    cc_incremental): label the chain edges first, then fold the
+    doubling edges in WITHOUT re-traversing the old graph — CC runs on
+    the contracted graph only, the old labeling is touched by two key
+    shuffles. The oracle is the full-recompute recursive CTE over the
+    UNION, so green means incremental == from-scratch exactly — the
+    contract that lets a 100 TB near-dedup pipeline absorb new pair
+    batches at delta cost."""
+    from spork_spark.operators import cc_incremental, connected_components
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df().select("doc_id")
+    old = docs.filter(F.col("doc_id") % 10 < 4) \
+              .select(F.col("doc_id").alias("src"),
+                      (F.col("doc_id") + 1).alias("dst"))
+    new = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)) \
+              .select(F.col("doc_id").alias("src"),
+                      (F.col("doc_id") * 2).alias("dst"))
+    return (cc_incremental(connected_components(old), new)
+            .orderBy("node"))
+
+
+def q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood record-linkage blocking (operators/dedup.py
+    sorted_neighborhood_pairs — Hernandez & Stolfo SIGMOD'95): docs
+    within 2 positions of each other in (n_chars, doc_id) order.
+    Global positions via the POCounter two-pass design (range
+    partition + per-partition row_number + broadcast prefix offsets),
+    neighbors via a position equi-join — no 1-partition window
+    anywhere."""
+    from spork_spark.operators import sorted_neighborhood_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return (sorted_neighborhood_pairs(docs, "doc_id", "n_chars",
+                                      window=3)
+            .orderBy("id_a", "id_b"))
+
+
 def q_chi2(spark, sf):
     """Chi-squared association between documents.lang and
     documents.source (operators/stats.py chi2_contingency): per-cell
@@ -3019,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": q_winsorize,
         "chi2_lang_source": q_chi2,
         "histogram_events": q_histogram,
+        "cc_incremental": q_cc_incremental,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -4856,6 +4896,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "cc_incremental": """
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+              WHERE doc_id % 10 < 4
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents
+              WHERE doc_id % 7 = 0 AND doc_id > 0),
+            sym AS (
+              SELECT src AS a, dst AS b FROM base WHERE src != dst
+              UNION
+              SELECT dst, src FROM base WHERE src != dst),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node)
+            SELECT node, MIN(comp) AS comp FROM walk
+            GROUP BY node ORDER BY node
+        """,
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+              FROM documents WHERE n_chars IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n_chars AS key_a, b.n_chars AS key_b,
+                   CAST(b.rn - a.rn AS INTEGER) AS dist
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+            ORDER BY id_a, id_b
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

@@ -1,12 +1,12 @@
 """Extension operators beyond the reference surface (SURVEY.md §2.11 /
 BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 
-from .dedup import (duplicate_spans, edit_distance_pairs,
+from .dedup import (duplicate_spans, sorted_neighborhood_pairs, edit_distance_pairs,
                     set_similarity_pairs,
                     embedding_dedup_pairs, exact_dedup,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
-from .graph import connected_components, triangle_count
+from .graph import cc_incremental, connected_components, triangle_count
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
@@ -53,7 +53,7 @@ __all__ = [
     "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
-    "zorder_by", "zorder_key", "set_similarity_pairs",
+    "zorder_by", "zorder_key", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

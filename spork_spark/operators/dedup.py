@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MERSENNE_PRIME = (1 << 61) - 1
 
@@ -581,3 +582,66 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
                      .filter(F.col("__rn") > 1)
                      .select(F.col(id_col)))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
+                              window: int = 3) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    sort records by a blocking key and emit every pair within ``window``
+    positions — the classic record-linkage candidate generator for keys
+    where similar records sort near each other (names, lengths,
+    normalized addresses). Complements the content-blocked generators
+    here (LSH bands, FastSS deletions, PPJoin prefixes) with an
+    order-based one; like them it produces CANDIDATES — verify with an
+    exact similarity downstream.
+
+    Scale shape (no 1-partition global window): ONE repartitionByRange
+    on (key, id) + in-partition sort gives the global order; global
+    positions come from the reference's POCounter/PORank two-pass
+    design (compiler/plan.py _scalable_row_number — per-partition
+    counts, one row per partition at the driver, prefix-sum offsets
+    broadcast back). Neighbors then join on position equality
+    (rn + k == rn), k in 1..window-1 — an equi-join, never a range
+    scan. Ties on key order deterministically by id.
+
+    Output: (id_a, id_b, key_a, key_b, dist) with dist = rank distance
+    (1 = adjacent), id_a the earlier row in sort order.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (w-1 neighbors per row)")
+    pid, mid = "__pid", "__mid"
+    base = (df.select(F.col(id_col).alias("__id"),
+                      F.col(key_col).alias("__key"))
+              .where(F.col(key_col).isNotNull())
+              .repartitionByRange(F.col("__key"), F.col("__id"))
+              .sortWithinPartitions("__key", "__id")
+              .withColumn(pid, F.spark_partition_id())
+              .withColumn(mid, F.monotonically_increasing_id())
+              .persist())
+    counts = {r[0]: r[1] for r in base.groupBy(pid).count().collect()}
+    offs, acc = [], 0
+    for p in sorted(counts):
+        offs.append((p, acc))
+        acc += counts[p]
+    offdf = base.sparkSession.createDataFrame(
+        offs or [(0, 0)], f"{pid} int, __off long")
+    w = Window.partitionBy(pid).orderBy(mid)
+    rn = (base.join(F.broadcast(offdf), on=pid, how="left")
+              .withColumn("__rn", (F.row_number().over(w)
+                                   + F.coalesce(F.col("__off"), F.lit(0)))
+                          .cast("long"))
+              .select("__id", "__key", "__rn"))
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, window)]))
+    left = rn.select(F.col("__id").alias("id_a"),
+                     F.col("__key").alias("key_a"),
+                     F.col("__rn").alias("__rn_a"),
+                     ks.alias("dist")) \
+             .withColumn("__rn", F.col("__rn_a") + F.col("dist"))
+    right = rn.select(F.col("__id").alias("id_b"),
+                      F.col("__key").alias("key_b"), "__rn")
+    out = (left.join(right, on="__rn")
+               .select("id_a", "id_b", "key_a", "key_b",
+                       F.col("dist").cast("int").alias("dist")))
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

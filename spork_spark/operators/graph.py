@@ -201,3 +201,56 @@ def triangle_count(edges: DataFrame, src: str = "src",
     closed = wedges.join(oriented.select("u", "v"), on=["u", "v"])
     return closed.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def cc_incremental(labels: DataFrame, new_edges: DataFrame,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fold NEW edges into an existing connected-components labeling
+    without re-traversing the old graph — the append-only maintenance
+    step a streaming near-dedup pipeline needs (new documents arrive,
+    new similarity pairs appear; re-running CC over the full pair
+    history is the thing that stops scaling first).
+
+    Soundness: with canonical labels (component = min reachable node
+    id, exactly what ``connected_components`` emits), contracting every
+    old component to its label preserves connectivity — two old
+    components merge iff a new edge connects them. So CC on the
+    CONTRACTED graph (new edges mapped through the old labels;
+    previously-unseen nodes stand for themselves) yields the merge
+    relation, and its labels are again global minima because each old
+    label IS the min of its component. One final join remaps every old
+    node. Output: (node, comp) for all old + new nodes.
+
+    Scale shape: the old labeling is touched by exactly TWO key
+    shuffles (map new-edge endpoints through it; remap at the end) —
+    cost proportional to |labels| + |new edges|, NOT to the historical
+    edge count. The inner CC runs on the contracted graph, whose size
+    is bounded by 2·|new edges|.
+    """
+    e = (new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                  .filter(F.col("a").isNotNull()
+                          & F.col("b").isNotNull()))
+    la = labels.select(F.col("node").alias("a"),
+                       F.col("comp").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"),
+                       F.col("comp").alias("cb"))
+    contracted = (e.join(la, on="a", how="left")
+                   .join(lb, on="b", how="left")
+                   .select(F.coalesce("ca", "a").alias("src"),
+                           F.coalesce("cb", "b").alias("dst")))
+    meta = connected_components(contracted)          # contracted-size CC
+    meta = meta.localCheckpoint(eager=True)
+    # remap old labels through the merge relation; labels not touched by
+    # any new edge keep their component
+    m_old = meta.select(F.col("node").alias("comp"),
+                        F.col("comp").alias("newc"))
+    remapped = (labels.join(m_old, on="comp", how="left")
+                      .select("node", F.coalesce("newc", "comp")
+                              .alias("comp")))
+    # nodes that appear only in the new edges: take their meta label
+    # (every contraction representative is itself an old node id, so one
+    # anti-join against the old node set isolates the genuinely new)
+    new_nodes = (meta.join(labels.select(F.col("node")), on="node",
+                           how="left_anti")
+                     .select("node", "comp"))
+    return remapped.unionByName(new_nodes)

@@ -165,10 +165,67 @@ def test_pagerank_is_deterministic_across_partitionings(spark):
 
 
 def test_pagerank_leaves_no_cached_tables(spark):
+    """The per-round persists must all unpersist; the RETURNED frame is
+    an eager localCheckpoint whose RDD lives until the Python object is
+    collected — so drop it and poll for the async ContextCleaner."""
+    import gc
+    import time
     from spork_spark.operators.graph import pagerank
     edges = spark.createDataFrame([(1, 2), (2, 3)],
                                   "src bigint, dst bigint")
+    gc.collect()
+    time.sleep(0.5)
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    pagerank(edges, n_iter=2).count()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after == before
+    out = pagerank(edges, n_iter=2)
+    out.count()
+    del out
+    gc.collect()
+    for _ in range(40):                     # cleaner is asynchronous
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        if after <= before:
+            break
+        time.sleep(0.25)
+    assert after <= before
+
+
+def test_cc_incremental_merges_components(spark):
+    """Old graph {1-2} {3-4}; new edge 2-3 merges them; new edge 5-6
+    opens a fresh component. Result must equal CC over the union."""
+    from spork_spark.operators.graph import (cc_incremental,
+                                             connected_components)
+    old = spark.createDataFrame([(1, 2), (3, 4)], "src bigint, dst bigint")
+    new = spark.createDataFrame([(2, 3), (5, 6)], "src bigint, dst bigint")
+    labels = connected_components(old)
+    got = {(r.node, r.comp) for r in
+           cc_incremental(labels, new).collect()}
+    want = {(r.node, r.comp) for r in
+            connected_components(old.union(new)).collect()}
+    assert got == want
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+
+def test_cc_incremental_internal_edges_are_noops(spark):
+    from spork_spark.operators.graph import (cc_incremental,
+                                             connected_components)
+    old = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    labels = connected_components(old)
+    new = spark.createDataFrame([(1, 3)], "src bigint, dst bigint")
+    got = {(r.node, r.comp) for r in
+           cc_incremental(labels, new).collect()}
+    assert got == {(r.node, r.comp) for r in labels.collect()}
+
+
+def test_cc_incremental_chains(spark):
+    """Two successive increments equal one CC over everything."""
+    from spork_spark.operators.graph import (cc_incremental,
+                                             connected_components)
+    e0 = spark.createDataFrame([(10, 20), (30, 40), (50, 60)],
+                               "src bigint, dst bigint")
+    e1 = spark.createDataFrame([(20, 30)], "src bigint, dst bigint")
+    e2 = spark.createDataFrame([(40, 50), (70, 80)],
+                               "src bigint, dst bigint")
+    lab = cc_incremental(cc_incremental(connected_components(e0), e1), e2)
+    got = {(r.node, r.comp) for r in lab.collect()}
+    want = {(r.node, r.comp) for r in
+            connected_components(e0.union(e1).union(e2)).collect()}
+    assert got == want

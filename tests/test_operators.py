@@ -302,3 +302,28 @@ def test_range_join_left_stable_under_nondeterministic_input(spark):
     matched = [r for r in rows if r.rid is not None]
     assert {r.point for r in matched} == {2.0, 3.0, 4.0, 5.0, 10.0, 11.0,
                                           12.0}
+
+
+def test_sorted_neighborhood_pairs_window(spark):
+    from spork_spark.operators import sorted_neighborhood_pairs
+    rows = [(1, 10), (2, 11), (3, 30), (4, 31), (5, 32)]
+    df = spark.createDataFrame(rows, "id bigint, k bigint")
+    got = {(r.id_a, r.id_b, r.dist) for r in
+           sorted_neighborhood_pairs(df, "id", "k", window=2).collect()}
+    # adjacent-only (w=2): each consecutive pair in key order
+    assert got == {(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)}
+    got3 = {(r.id_a, r.id_b, r.dist) for r in
+            sorted_neighborhood_pairs(df, "id", "k", window=3).collect()}
+    assert (1, 3, 2) in got3 and (3, 5, 2) in got3 and len(got3) == 7
+
+
+def test_sorted_neighborhood_is_partitioning_invariant(spark):
+    from spork_spark.operators import sorted_neighborhood_pairs
+    rows = [(i, (i * 13) % 97) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, k bigint")
+    a = {(r.id_a, r.id_b, r.dist) for r in
+         sorted_neighborhood_pairs(df, "id", "k", window=4).collect()}
+    b = {(r.id_a, r.id_b, r.dist) for r in
+         sorted_neighborhood_pairs(df.repartition(7), "id", "k",
+                                   window=4).collect()}
+    assert a == b and len(a) == 199 + 198 + 197
