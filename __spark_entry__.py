@@ -2312,6 +2312,41 @@ def q_winsorize(spark, sf):
             .orderBy("event_id"))
 
 
+def q_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (operators/behavior.py transition_matrix): ONE keyed
+    window (lag) + one map-combined pair groupBy + broadcast row
+    totals; probabilities as exact integer ppm (cnt*1e6 div total)."""
+    from spork_spark.operators import transition_matrix
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return (transition_matrix(ev, "user_id", "ts", "event_type",
+                              tiebreak_col="event_id")
+            .orderBy("from_state", "to_state"))
+
+
+def q_dq(spark, sf):
+    """Declarative data-quality suite (operators/dq.py dq_validate —
+    the dbt-tests/Deequ shape): five rules over events — all row-wise
+    rules fold into ONE shared aggregate pass (plan-tested), unique is
+    one groupBy, the FK check one broadcast anti-join against
+    customer. Output: (rule, kind, n_violations), exact counts."""
+    from spork_spark.operators import dq_validate
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    cust = _t(eng, sf, "customer").df()
+    rules = [
+        {"kind": "not_null", "col": "event_id"},
+        {"kind": "in_range", "col": "value", "lo": 0, "hi": 100},
+        {"kind": "matches", "col": "event_type",
+         "pattern": "[a-z_0-9]+"},
+        {"kind": "unique", "cols": ["event_id"]},
+        {"kind": "foreign_key", "col": "user_id", "ref": cust,
+         "ref_col": "c_custkey"},
+    ]
+    return dq_validate(ev, rules).orderBy("rule")
+
+
 def q_cc_incremental(spark, sf):
     """Incremental connected components (operators/graph.py
     cc_incremental): label the chain edges first, then fold the
@@ -3059,6 +3094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "cc_incremental": q_cc_incremental,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "transitions": q_transitions,
+        "dq_events": q_dq,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -4926,6 +4963,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.rn - a.rn AS INTEGER) AS dist
             FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
             ORDER BY id_a, id_b
+        """,
+        "transitions": """
+            WITH o AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS f,
+                     event_type AS t
+              FROM events),
+            s AS (SELECT f AS from_state, t AS to_state,
+                         COUNT(*) AS cnt
+                  FROM o WHERE f IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_state,
+                           CAST(SUM(cnt) AS BIGINT) AS tt
+                    FROM s GROUP BY 1)
+            SELECT from_state, to_state, cnt,
+                   CAST(cnt * 1000000 // tt AS BIGINT) AS prob_e6
+            FROM s JOIN tot USING (from_state)
+            ORDER BY from_state, to_state
+        """,
+        "dq_events": """
+            SELECT 'foreign_key(user_id)' AS rule,
+                   'foreign_key' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_violations
+            FROM events e
+            WHERE user_id IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+            UNION ALL
+            SELECT 'in_range(value,0,100)', 'in_range',
+                   COUNT(*) FILTER (value IS NOT NULL
+                                    AND (value < 0 OR value > 100))
+            FROM events
+            UNION ALL
+            SELECT 'matches(event_type)', 'matches',
+                   COUNT(*) FILTER (event_type IS NOT NULL
+                     AND NOT regexp_full_match(event_type,
+                                               '(?:[a-z_0-9]+)'))
+            FROM events
+            UNION ALL
+            SELECT 'not_null(event_id)', 'not_null',
+                   COUNT(*) FILTER (event_id IS NULL) FROM events
+            UNION ALL
+            SELECT 'unique(event_id)', 'unique',
+                   CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM events
+                  GROUP BY event_id HAVING COUNT(*) > 1)
+            ORDER BY rule
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

@@ -12,6 +12,7 @@ from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
 from .stats import chi2_contingency, histogram
+from .dq import dq_validate
 from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
@@ -35,7 +36,7 @@ from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 from .upsert import merge_upsert
 from .behavior import (cohort_retention, funnel, scd2_from_log,
-                       sessionize)
+                       sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
 from .layout import zorder_by, zorder_key
 
@@ -50,7 +51,7 @@ __all__ = [
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
-    "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "token_count", "tokens", "pmi_pairs", "winsorize",
+    "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "dq_validate", "transition_matrix", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",

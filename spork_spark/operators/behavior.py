@@ -159,3 +159,39 @@ def scd2_from_log(df: DataFrame, key_col: str, ts_col: str,
         F.col("valid_from"), *[F.col(a) for a in attr_cols])
     return runs.withColumn("valid_to",
                            F.lead(F.col("valid_from")).over(w2))
+
+
+def transition_matrix(df: DataFrame, user_col: str, ts_col: str,
+                      state_col: str,
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences: for each observed (prev_state → state) step, the count
+    and the row-normalized probability — the behavioral-model /
+    next-event-prediction staple next to funnel and sessionize.
+
+    Probability is carried as ``prob_e6`` = cnt * 1e6 div
+    row_total(prev_state) — exact integer division, so the matrix is
+    deterministic and SQL-reproducible (a double ratio would be, too,
+    but the integer form survives any summation order).
+
+    Shape: ONE keyed window (lag over user, ordered by ts with a
+    deterministic tiebreak) + one map-combined groupBy on the pair +
+    a broadcast join of the prev-state row totals. First events per
+    user have no predecessor and are excluded (no NULL pseudo-state).
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (df.withColumn("__prev", F.lag(state_col).over(w))
+               .where(F.col("__prev").isNotNull())
+               .groupBy(F.col("__prev").alias("from_state"),
+                        F.col(state_col).alias("to_state"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = steps.groupBy("from_state") \
+                  .agg(F.sum("cnt").alias("__tot"))
+    return (steps.join(F.broadcast(totals), on="from_state")
+                 .withColumn("prob_e6",
+                             F.expr("cnt * 1000000 div __tot")
+                             .cast("long"))
+                 .select("from_state", "to_state", "cnt", "prob_e6"))

@@ -1,0 +1,105 @@
+"""Declarative data-quality validation (the dbt-tests / Deequ
+constraint-suite shape; extension beyond the reference surface,
+SURVEY.md §2.11 family next to profile_columns): a rule list compiles
+to the minimum number of passes over the data and returns one row per
+rule with its violation count — the gate a 100 TB ingest evaluates
+before publishing a batch.
+
+Pass structure (the scale contract):
+- every ROW-WISE rule (not_null, accepted_values, in_range, matches)
+  folds into ONE shared aggregate pass — k rules cost one scan;
+- each `unique` rule is one map-combined groupBy counting key groups
+  with multiplicity > 1 (violations = rows beyond the first of each);
+- each `foreign_key` rule is one left-anti join against the reference
+  keys (broadcast when small).
+All counts are exact integers; no sampling, no Python row crossings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dq_validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → (rule, kind, n_violations).
+
+    Rule dicts (``name`` optional, defaults to a derived label):
+      {"kind": "not_null", "col": c}
+      {"kind": "accepted_values", "col": c, "values": [...]}
+      {"kind": "in_range", "col": c, "lo": x, "hi": y}   # inclusive
+      {"kind": "matches", "col": c, "pattern": rx}       # full-string
+      {"kind": "unique", "cols": [c, ...]}
+      {"kind": "foreign_key", "col": c, "ref": DataFrame, "ref_col": r}
+        (null FK values are not violations — use not_null to forbid)
+    """
+    spark = df.sparkSession
+    rowwise_aggs: list = []
+    labels: list[tuple[str, str]] = []
+    results: list[DataFrame] = []
+
+    def viol(cond, label):        # count rows FAILING the predicate
+        rowwise_aggs.append(
+            F.count(F.when(~F.coalesce(cond, F.lit(False)), 1))
+             .cast("long").alias(f"__r{len(rowwise_aggs)}"))
+        labels.append(label)
+
+    for rule in rules:
+        kind = rule["kind"]
+        if kind == "not_null":
+            c = rule["col"]
+            viol(F.col(c).isNotNull(),
+                 (rule.get("name", f"not_null({c})"), kind))
+        elif kind == "accepted_values":
+            c = rule["col"]
+            viol(F.col(c).isNull() | F.col(c).isin(rule["values"]),
+                 (rule.get("name", f"accepted_values({c})"), kind))
+        elif kind == "in_range":
+            c, lo, hi = rule["col"], rule["lo"], rule["hi"]
+            viol(F.col(c).isNull()
+                 | ((F.col(c) >= lo) & (F.col(c) <= hi)),
+                 (rule.get("name", f"in_range({c},{lo},{hi})"), kind))
+        elif kind == "matches":
+            c, rx = rule["col"], rule["pattern"]
+            viol(F.col(c).isNull() | F.col(c).rlike(f"^(?:{rx})$"),
+                 (rule.get("name", f"matches({c})"), kind))
+        elif kind == "unique":
+            cols = rule["cols"]
+            name = rule.get("name", f"unique({','.join(cols)})")
+            dup = (df.groupBy(*cols)
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .where(F.col("__n") > 1)
+                     .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+                          .cast("long").alias("n_violations")))
+            results.append(dup.select(F.lit(name).alias("rule"),
+                                      F.lit(kind).alias("kind"),
+                                      "n_violations"))
+        elif kind == "foreign_key":
+            c, ref, rc = rule["col"], rule["ref"], rule["ref_col"]
+            name = rule.get("name", f"foreign_key({c})")
+            orphans = (df.where(F.col(c).isNotNull())
+                         .join(ref.select(F.col(rc).alias(c)).distinct(),
+                               on=c, how="left_anti")
+                         .agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_violations")))
+            results.append(orphans.select(F.lit(name).alias("rule"),
+                                          F.lit(kind).alias("kind"),
+                                          "n_violations"))
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+
+    if rowwise_aggs:              # ONE pass for every row-wise rule
+        one = df.groupBy().agg(*rowwise_aggs)
+        structs = [F.struct(F.lit(nm).alias("rule"),
+                            F.lit(kd).alias("kind"),
+                            F.col(f"__r{i}").alias("n_violations"))
+                   for i, (nm, kd) in enumerate(labels)]
+        results.insert(0, one.select(
+            F.explode(F.array(*structs)).alias("p")).select("p.*"))
+    if not results:
+        return spark.createDataFrame(
+            [], "rule string, kind string, n_violations long")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

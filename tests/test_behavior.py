@@ -136,3 +136,34 @@ def test_sessionize_single_exchange_plan(spark):
     plan = sessionize(df, "u", "ts")._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from spork_spark.operators import transition_matrix
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "b")]
+    df = spark.createDataFrame(rows, "u bigint, t bigint, s string") \
+              .selectExpr("u", "cast(t as timestamp) ts", "s")
+    got = {(r.from_state, r.to_state): (r.cnt, r.prob_e6) for r in
+           transition_matrix(df, "u", "ts", "s").collect()}
+    # a->b happens 3x (u1 twice, u2 once); b->a once; a total=3, b total=1
+    assert got[("a", "b")] == (3, 1_000_000)
+    assert got[("b", "a")] == (1, 1_000_000)
+    assert len(got) == 2            # first events excluded
+
+
+def test_transition_matrix_integer_division(spark):
+    from spork_spark.operators import transition_matrix
+    rows = [(1, i, "a" if i % 3 else "b") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "u bigint, t bigint, s string") \
+              .selectExpr("u", "cast(t as timestamp) ts", "s")
+    out = transition_matrix(df, "u", "ts", "s").collect()
+    for r in out:
+        assert r.prob_e6 <= 1_000_000
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_state, []).append(r)
+    for rows_ in by_from.values():
+        tot = sum(r.cnt for r in rows_)
+        for r in rows_:
+            assert r.prob_e6 == r.cnt * 1_000_000 // tot

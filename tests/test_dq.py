@@ -1,0 +1,50 @@
+"""Tests for operators/dq.py declarative data-quality validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spork_spark.operators import dq_validate
+
+
+def _run(df, rules):
+    return {r.rule: (r.kind, r.n_violations)
+            for r in dq_validate(df, rules).collect()}
+
+
+def test_rowwise_rules_share_one_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (2, "zz", -1.0), (None, "a", None)],
+        "k bigint, s string, v double")
+    rules = [{"kind": "not_null", "col": "k"},
+             {"kind": "accepted_values", "col": "s", "values": ["a", "b"]},
+             {"kind": "in_range", "col": "v", "lo": 0, "hi": 10},
+             {"kind": "matches", "col": "s", "pattern": "[a-y]+"}]
+    got = _run(df, rules)
+    assert got["not_null(k)"] == ("not_null", 1)
+    assert got["accepted_values(s)"] == ("accepted_values", 1)   # zz
+    assert got["in_range(v,0,10)"] == ("in_range", 2)            # 50, -1
+    assert got["matches(s)"] == ("matches", 1)                   # zz
+    # single scan for all four rules
+    plan = dq_validate(df, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+
+
+def test_unique_counts_rows_beyond_first(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k bigint")
+    got = _run(df, [{"kind": "unique", "cols": ["k"]}])
+    assert got["unique(k)"] == ("unique", 2)
+
+
+def test_foreign_key_orphans(spark):
+    df = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k bigint")
+    ref = spark.createDataFrame([(1,), (2,)], "rk bigint")
+    got = _run(df, [{"kind": "foreign_key", "col": "k",
+                     "ref": ref, "ref_col": "rk"}])
+    assert got["foreign_key(k)"] == ("foreign_key", 1)      # 9 only
+
+
+def test_unknown_kind_raises(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        dq_validate(df, [{"kind": "nope", "col": "k"}])
