@@ -2312,6 +2312,30 @@ def q_winsorize(spark, sf):
             .orderBy("event_id"))
 
 
+def q_asof_nearest(spark, sf):
+    """pandas-merge_asof 'nearest' direction (operators/asof.py):
+    each click attached to the user's temporally CLOSEST purchase
+    (ties to the backward match — pandas semantics). Composed from the
+    backward and forward union+window passes — two keyed windows, no
+    inequality join anywhere. The right side is deduped per (user, ts)
+    first for a deterministic winner. Oracle: fenced quadratic
+    min-|Δ| per left row (algorithm-independent)."""
+    from spork_spark.operators import asof_join
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("p_value")))
+    out = asof_join(clicks, purch, on="ts", by="user_id",
+                    direction="nearest")
+    return (out.select("event_id", "user_id", "ts",
+                       F.col("p_value_asof").alias("p_value"),
+                       F.col("ts_asof").alias("p_ts"))
+               .orderBy("event_id"))
+
+
 def q_transitions(spark, sf):
     """First-order Markov transition matrix over per-user event-type
     sequences (operators/behavior.py transition_matrix): ONE keyed
@@ -3096,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "transitions": q_transitions,
         "dq_events": q_dq,
+        "asof_nearest": q_asof_nearest,
         "zorder": q_zorder,
         "funnel": q_funnel,
         "scd2": q_scd2,
@@ -5008,6 +5033,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT COUNT(*) AS n FROM events
                   GROUP BY event_id HAVING COUNT(*) > 1)
             ORDER BY rule
+        """,
+        "asof_nearest": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, ts, MAX(value) AS p_value FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts),
+            j AS (
+              SELECT l.event_id, l.user_id, l.ts, r.p_value,
+                     r.ts AS rts,
+                     abs(epoch_us(l.ts) - epoch_us(r.ts)) AS d,
+                     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS side
+              FROM l JOIN r USING (user_id)),
+            best AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY d, side) AS rn
+              FROM j)
+            SELECT l.event_id, l.user_id, l.ts, b.p_value,
+                   b.rts AS p_ts
+            FROM l LEFT JOIN best b
+              ON l.event_id = b.event_id AND b.rn = 1
+            ORDER BY l.event_id
         """,
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

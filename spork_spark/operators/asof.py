@@ -23,7 +23,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: list[str] | str | None = None,
               right_cols: list[str] | None = None,
               suffix: str = "_asof", tolerance: float | None = None,
-              how: str = "left") -> DataFrame:
+              how: str = "left",
+              direction: str = "backward") -> DataFrame:
     """For each left row, the latest right row with right.ts <= left.ts
     (per `by` key). Right payload columns come back `<name><suffix>`;
     unmatched rows null-fill (how='left') or drop (how='inner').
@@ -31,10 +32,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     `tolerance` (seconds): matches older than left.ts - tolerance are
     discarded — the standard staleness bound.
 
+    `direction` (pandas merge_asof parity): 'backward' (default,
+    right.ts <= left.ts, latest wins), 'forward' (right.ts >= left.ts,
+    earliest wins — the SAME union+window plan over the reversed
+    order), 'nearest' (smaller |Δts| of the two, ties to backward —
+    composed from both passes with the per-row tolerance applied to
+    each side before the comparison).
+
     If several right rows share (key, ts), the winner is the one last in
     the union's sort — make the right side unique per (key, ts) first
     (e.g. groupBy.agg(max)) for deterministic results.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, by, right_cols, suffix,
+                             tolerance, how)
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            "asof_join direction must be backward|forward|nearest")
+    fwd = direction == "forward"
     keys = [by] if isinstance(by, str) else list(by or [])
     rcols = right_cols or [c for c in right.columns
                            if c not in keys and c != on]
@@ -59,16 +74,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         F.lit(1).alias("__side"))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
+    # forward = the mirrored scan: descending ts puts later rows first,
+    # so last-non-null over the running frame is the EARLIEST >= match
+    order = [F.col("__ts").desc() if fwd else F.col("__ts").asc(),
+             F.col("__side")]
     w = (Window.partitionBy(*[F.col(k) for k in keys])
-               .orderBy(F.col("__ts"), F.col("__side"))
+               .orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last(F.col("__r"), ignorenulls=True).over(w)
     out = (u.withColumn("__m", matched)
             .filter(F.col("__side") == 1))
     if tolerance is not None:
-        fresh = (F.col("__ts").cast("double") -
-                 F.col("__m.__rts").cast("double")) <= F.lit(float(tolerance))
-        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
+        from pyspark.sql import types as T
+        if isinstance(left.schema[on].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            def tnum(c):     # seconds, so `tolerance` keeps its unit
+                return F.expr(f"cast(unix_micros(cast({c} as timestamp))"
+                              f" as double) / 1e6")
+        else:
+            def tnum(c):
+                return F.expr(f"cast({c} as double)")
+        delta = ((tnum("__m.__rts") - tnum("__ts")) if fwd
+                 else (tnum("__ts") - tnum("__m.__rts")))
+        out = out.withColumn(
+            "__m", F.when(delta <= F.lit(float(tolerance)), F.col("__m")))
     if how == "inner":
         out = out.filter(F.col("__m").isNotNull())
     elif how != "left":
@@ -76,6 +105,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     sel = [F.col(c) for c in lcols]
     sel += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rcols]
     return out.select(*sel)
+
+
+def _asof_nearest(left, right, on, by, right_cols, suffix, tolerance,
+                  how):
+    """nearest = backward ∘ forward with a per-row |Δ| comparison; ties
+    go to the backward match (pandas semantics). Two keyed window
+    passes — still no inequality join anywhere."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rcols = right_cols or [c for c in right.columns
+                           if c not in keys and c != on]
+    rcols_full = rcols if on in rcols else rcols + [on]
+    b = asof_join(left, right, on, by, rcols_full, "__b", tolerance,
+                  "left", "backward")
+    f = asof_join(b, right, on, by, rcols_full, "__f", tolerance,
+                  "left", "forward")
+    from pyspark.sql import types as T
+    is_ts = isinstance(left.schema[on].dataType,
+                       (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    def num(c):          # timestamp-safe numeric view for |Δ| compare
+        if is_ts:
+            return F.expr(f"cast(unix_micros(cast(`{c}` as timestamp)) "
+                          f"as double)")
+        return F.col(c).cast("double")
+
+    ts = num(on)
+    bd = ts - num(f"{on}__b")
+    fd = num(f"{on}__f") - ts
+    use_b = (F.col(f"{on}__b").isNotNull()
+             & (F.col(f"{on}__f").isNull() | (bd <= fd)))
+    sel = [F.col(c) for c in left.columns]
+    # guarantee an <on><suffix> column even if the caller pruned it out
+    out_cols = rcols_full
+    for c in out_cols:
+        sel.append(F.when(use_b, F.col(f"{c}__b"))
+                    .otherwise(F.col(f"{c}__f")).alias(f"{c}{suffix}"))
+    out = f.select(*sel)
+    if how == "inner":
+        out = out.filter(F.col(f"{on}{suffix}").isNotNull())
+    return out
 
 
 def range_join(left: DataFrame, right: DataFrame, point_col: str,

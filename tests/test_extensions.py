@@ -929,3 +929,60 @@ def test_image_near_dedup_closes_transitivity(spark):
     losers = {r.node for r in
               comp.filter(F.col("node") != F.col("comp")).collect()}
     assert losers == {11, 12}
+
+
+def test_asof_join_forward(spark):
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "u long, ts long, x string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 50, 300.0)],
+        "u long, ts long, p double")
+    out = asof_join(left, right, on="ts", by="u", direction="forward")
+    got = {(r.u, r.ts): r.p_asof for r in out.collect()}
+    # earliest right at-or-after
+    assert got == {(1, 5): 100.0, (1, 10): 200.0, (1, 20): None,
+                   (2, 10): 300.0}
+    tol = asof_join(left, right, on="ts", by="u", direction="forward",
+                    tolerance=5)
+    got_t = {(r.u, r.ts): r.p_asof for r in tol.collect()}
+    assert got_t == {(1, 5): 100.0, (1, 10): 200.0, (1, 20): None,
+                     (2, 10): None}                  # 40 > 5 stale
+
+
+def test_asof_join_nearest_ties_backward(spark):
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 21, "b"), (2, 7, "c")],
+        "u long, ts long, x string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 24, 200.0), (2, 5, 300.0), (2, 9, 400.0)],
+        "u long, ts long, p double")
+    out = asof_join(left, right, on="ts", by="u", direction="nearest")
+    got = {(r.u, r.ts): r.p_asof for r in out.collect()}
+    # (1,10): back Δ2 vs fwd Δ14 -> 100; (1,21): Δ13 vs Δ3 -> 200;
+    # (2,7): Δ2 both sides -> tie goes BACKWARD -> 300
+    assert got == {(1, 10): 100.0, (1, 21): 200.0, (2, 7): 300.0}
+    inner = asof_join(left.union(spark.createDataFrame(
+        [(3, 1, "z")], "u long, ts long, x string")),
+        right, on="ts", by="u", direction="nearest", how="inner")
+    assert sorted(r.u for r in inner.collect()) == [1, 1, 2]
+
+
+def test_asof_join_tolerance_on_timestamps(spark):
+    """tolerance is in SECONDS for timestamp keys (the tnum /1e6 view);
+    pins the unix_micros path that plain cast-to-double cannot take."""
+    from spork_spark.operators import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "u long, ts string") \
+        .selectExpr("u", "cast(ts as timestamp_ntz) ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:30", 1.0),
+         (1, "2024-01-01 09:00:00", 2.0)],
+        "u long, ts string, p double") \
+        .selectExpr("u", "cast(ts as timestamp_ntz) ts", "p")
+    ok = asof_join(left, right, on="ts", by="u", tolerance=60)
+    assert ok.collect()[0].p_asof == 1.0
+    stale = asof_join(left, right, on="ts", by="u", tolerance=10)
+    assert stale.collect()[0].p_asof is None
