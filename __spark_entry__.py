@@ -33,6 +33,25 @@ from spork_spark.plans import expressions as E
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_TMP_SEQ = __import__("itertools").count()
+
+
+def _tmp_path(prefix: str, sf: str) -> str:
+    """Unique-per-invocation scratch dir for STORE→LOAD roundtrip queries.
+
+    A fixed path reused across invocations in one long-lived session trips
+    Spark's cached file listing: the second run overwrites the directory
+    with differently-named part files while the reader still holds the
+    first run's listing (FAILED_READ_FILE.FILE_NOT_EXIST — found by
+    tools/soak.py's run-everything-twice harness). Real jobs write a fresh
+    output dir per run; model that."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{abs(hash(sf)) % 10**8}_{next(_TMP_SEQ)}")
+
 
 def _eng(spark: SparkSession) -> Engine:
     configure_session(spark)
@@ -279,8 +298,7 @@ def q_pigmix_multistore(spark, sf):
     from spork_spark.parser import run_script
     from spork_spark.sources import read
     eng = _eng(spark)
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spork_multistore_{abs(hash(sf)) % 10**8}")
+    base = _tmp_path("spork_multistore", sf)
     for leg in ("hi", "lo"):
         import shutil
         shutil.rmtree(f"{base}_{leg}", ignore_errors=True)
@@ -1786,8 +1804,7 @@ def q_pigstorage_roundtrip(spark, sf):
     eng = _eng(spark)
     nation = _t(eng, sf, "nation").df().select(
         "n_nationkey", "n_name", "n_regionkey")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spork_pigstorage_{abs(hash(sf)) % 10**8}")
+    path = _tmp_path("spork_pigstorage", sf)
     write(nation, path, fmt="pigstorage")
     out = read(spark, path, fmt="pigstorage",
                schema="n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -1980,8 +1997,7 @@ def q_json_roundtrip(spark, sf):
     eng = _eng(spark)
     nation = _t(eng, sf, "nation").df().select(
         "n_nationkey", "n_name", "n_regionkey")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spork_json_{abs(hash(sf)) % 10**8}")
+    path = _tmp_path("spork_json", sf)
     write(nation, path, fmt="jsonstorage")
     out = read(spark, path, fmt="jsonloader",
                schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
@@ -1997,8 +2013,7 @@ def q_orc_roundtrip(spark, sf):
     eng = _eng(spark)
     supp = _t(eng, sf, "supplier").df().select(
         "s_suppkey", "s_name", "s_nationkey")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spork_orc_{abs(hash(sf)) % 10**8}")
+    path = _tmp_path("spork_orc", sf)
     write(supp, path, fmt="orcstorage")
     out = read(spark, path, fmt="orcstorage")
     return out.orderBy("s_suppkey")
@@ -2017,8 +2032,7 @@ def q_text_loader(spark, sf):
     lines = nation.select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"))
         .alias("value"))
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spork_text_{abs(hash(sf)) % 10**8}")
+    path = _tmp_path("spork_text", sf)
     write(lines, path, fmt="textloader")
     out = read(spark, path, fmt="textloader")
     return (out.select(
@@ -2484,8 +2498,7 @@ def q_partitioned_pruning(spark, sf):
     eng = _eng(spark)
     orders = _t(eng, sf, "orders").df().select(
         "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"spork_part_{abs(hash(sf)) % 10**8}")
+    path = _tmp_path("spork_part", sf)
     write(orders, path, fmt="parquet", partition_by=["o_orderstatus"])
     out = read(spark, path, fmt="parquet")
     return (out.filter(F.col("o_orderstatus") == "F")
@@ -2709,8 +2722,7 @@ def q_bucketed_join(spark, sf):
     import tempfile
 
     eng = _eng(spark)
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spork_buck_{abs(hash(sf)) % 10**8}")
+    base = _tmp_path("spork_buck", sf)
     cust = _t(eng, sf, "customer").df().select("c_custkey", "c_nationkey")
     orders = _t(eng, sf, "orders").df().select("o_custkey", "o_totalprice")
     for name, df, key in [("spork_bc", cust, "c_custkey"),
@@ -2807,8 +2819,7 @@ def q_schema_merge(spark, sf):
     from spork_spark.sources import read, write
     eng = _eng(spark)
     nation = _t(eng, sf, "nation").df()
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spork_merge_{abs(hash(sf)) % 10**8}")
+    base = _tmp_path("spork_merge", sf)
     old = nation.filter(F.col("n_nationkey") < 12) \
                 .select("n_nationkey", "n_name")
     new = nation.filter(F.col("n_nationkey") >= 12) \
@@ -2974,6 +2985,46 @@ def q_streaming_dedup(spark, sf):
             .orderBy("user_id", "event_type"))
 
 
+def q_snapshot_diff(spark, sf):
+    """CDC between two snapshot versions (operators/diff.py
+    snapshot_diff): old = customers < 1200, new = customers > 300 with
+    mktsegment starred for custkey % 7 == 0 — yields all three change
+    classes. ONE full-outer sort-merge join on the key; unchanged keys
+    (the bulk) are dropped. Oracle = the same FULL OUTER JOIN with
+    IS NOT DISTINCT FROM null-safe compares."""
+    from spork_spark.operators import snapshot_diff
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer").df()
+    old = (cust.filter(F.col("c_custkey") < 1200)
+               .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    new = (cust.filter(F.col("c_custkey") > 300)
+               .select(
+                   "c_custkey",
+                   F.when(F.col("c_custkey") % 7 == 0,
+                          F.concat(F.col("c_mktsegment"), F.lit("*")))
+                    .otherwise(F.col("c_mktsegment"))
+                    .alias("c_mktsegment"),
+                   "c_acctbal"))
+    return snapshot_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
+
+
+def q_fingerprint(spark, sf):
+    """Merkle-leaf table checksum (operators/diff.py table_fingerprint):
+    orders reduced to 64 order-insensitive (n_rows, sum, xor) digest
+    buckets — the anti-entropy exchange that compares two 100 TB copies
+    with KB of traffic. md5-based 60-bit digests are engine-portable, so
+    the oracle recomputes them bit-for-bit in DuckDB; sum folds in
+    DECIMAL(38,0) (exact), xor in BIGINT. One map-side-combined hash
+    aggregate; the shuffle carries <=64 rows per task."""
+    from spork_spark.operators import table_fingerprint
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders").df()
+    return table_fingerprint(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        num_buckets=64)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3107,6 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted": q_skew_salted,
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "fingerprint_table": q_fingerprint,
         "profile_events": q_profile_events,
         "weighted_sample": q_weighted_sample,
         "outliers": q_outliers,
@@ -5387,6 +5440,46 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT * FROM applied) m
             ORDER BY o_orderkey
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+              WHERE c_custkey < 1200),
+            n AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN c_mktsegment || '*'
+                          ELSE c_mktsegment END AS c_mktsegment,
+                     c_acctbal
+              FROM customer WHERE c_custkey > 300)
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'added'
+                        WHEN n.c_custkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type,
+                   o.c_mktsegment AS old_c_mktsegment,
+                   n.c_mktsegment AS new_c_mktsegment,
+                   o.c_acctbal AS old_c_acctbal,
+                   n.c_acctbal AS new_c_acctbal
+            FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+            WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+               OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+                       AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+            ORDER BY c_custkey
+        """,
+        "fingerprint_table": """
+            WITH d AS (
+              SELECT ('0x' || substring(md5(
+                       CAST(o_orderkey AS VARCHAR) || chr(1) ||
+                       CAST(o_custkey AS VARCHAR) || chr(1) ||
+                       o_orderstatus || chr(1) ||
+                       o_orderpriority), 1, 15))::BIGINT AS dv
+              FROM orders)
+            SELECT CAST(dv % 64 AS INT) AS bucket,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                     AS sum_digest,
+                   bit_xor(dv) AS xor_digest
+            FROM d GROUP BY 1 ORDER BY bucket
         """,
         "heavy_hitters": """
             WITH t AS (

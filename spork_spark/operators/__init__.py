@@ -35,6 +35,8 @@ from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
 from .asof import asof_join, range_join
 from .upsert import merge_upsert
+from .diff import (fingerprint_compare, row_digest, snapshot_diff,
+                   table_fingerprint)
 from .behavior import (cohort_retention, funnel, scd2_from_log,
                        sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
@@ -53,6 +55,8 @@ __all__ = [
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
     "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "dq_validate", "transition_matrix", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
+    "snapshot_diff", "table_fingerprint", "fingerprint_compare",
+    "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "ahash_images", "ahash_pairs",

@@ -1,0 +1,94 @@
+"""Long-lived-driver soak: execute EVERY registered query twice in one
+SparkSession and verify (a) no persisted-RDD accumulation between
+rounds — the leak class the funnel fix (round 4 advice) belongs to —
+and (b) identical row counts across rounds (session-state pollution:
+a query that changes a conf or leaves a temp view would show here).
+
+A resident engine service runs thousands of queries per session; at
+100 TB a leaked cached table is executor storage eviction and a
+poisoned conf is silent wrong answers. This is the harness that keeps
+both classes boring.
+
+Usage: python tools/soak.py [sf_dir]    Writes SOAK_r05.json.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def persisted(spark) -> int:
+    return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+
+def settle(spark, floor: int, timeout: float = 30.0) -> int:
+    """gc + poll: persisted/localCheckpoint RDDs free via the
+    ContextCleaner only after the JVM-side RDD objects are garbage
+    collected (sc.persistentRdds holds weak refs), and nothing triggers
+    a JVM GC on our schedule (spark.cleaner.periodicGC.interval defaults
+    to 30 MINUTES) — so drop the Python refs, then explicitly System.gc()
+    the JVM and give the async cleaner a moment."""
+    gc.collect()
+    deadline = time.monotonic() + timeout
+    n = persisted(spark)
+    while n > floor and time.monotonic() < deadline:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        n = persisted(spark)
+    return n
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from spork_spark import get_spark
+
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    report = {"sf": SF, "n_queries": len(qs), "rounds": 2,
+              "count_mismatches": [], "errors": [],
+              "persisted_before": persisted(spark)}
+    counts: dict[str, list[int]] = {}
+    for rnd in range(2):
+        for name, fn in qs.items():
+            try:
+                n = fn(spark, SF).count()
+                counts.setdefault(name, []).append(n)
+            except Exception as exc:      # noqa: BLE001 — soak must finish
+                report["errors"].append(
+                    {"round": rnd, "query": name, "error": str(exc)[:200]})
+        # between rounds, drop per-round refs and let the cleaner settle
+        report[f"persisted_after_round{rnd}"] = settle(
+            spark, report["persisted_before"])
+    for name, cs in counts.items():
+        if len(set(cs)) != 1:
+            report["count_mismatches"].append(
+                {"query": name, "counts": cs})
+    report["leaked"] = (report["persisted_after_round1"]
+                        - report["persisted_before"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SOAK_r05.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    ok = (not report["count_mismatches"] and not report["errors"]
+          and report["leaked"] <= 0)
+    print(f"{len(qs)} queries x2: leaked={report['leaked']} "
+          f"mismatches={len(report['count_mismatches'])} "
+          f"errors={len(report['errors'])} -> "
+          f"{'OK' if ok else 'FAIL'}")
+    for m in report["count_mismatches"]:
+        print("MISMATCH", m)
+    for e in report["errors"]:
+        print("ERROR", e)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
