@@ -3025,6 +3025,50 @@ def q_fingerprint(spark, sf):
         num_buckets=64)
 
 
+def q_leakage_safe_split(spark, sf):
+    """Leakage-safe train/valid/test split (operators/splits.py): docs
+    sharing a 40-char text prefix are near-dup pairs; connected
+    components close the relation transitively; every cluster hashes as
+    ONE unit (md5 of its min-id representative), so no near-duplicate
+    ever straddles a split boundary. The oracle replays pairs +
+    recursive-CTE components + the identical md5 bucket arithmetic."""
+    from spork_spark.operators import leakage_safe_split
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    pref = (docs.where(F.col("text").isNotNull())
+                .select("doc_id", F.substring("text", 1, 40).alias("__p")))
+    a = pref.select(F.col("doc_id").alias("id_a"), "__p")
+    b = pref.select(F.col("doc_id").alias("id_b"), "__p")
+    pairs = (a.join(b, on="__p")
+              .where(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b"))
+    out = leakage_safe_split(docs, "doc_id", pairs,
+                             splits=[("train", 80), ("valid", 10),
+                                     ("test", 10)],
+                             salt="r5")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+def q_compaction_plan(spark, sf):
+    """Small-file compaction planning (operators/layout.py
+    compaction_plan): a (source, lang) file inventory with char-count
+    sizes, next-fit-grouped by exclusive prefix sum into 20 kB target
+    jobs. Exact integer window arithmetic — the oracle is one SQL
+    window function. The inventory is metadata (one row per file), so
+    the single global window is the same centralized planning every
+    lakehouse OPTIMIZE does."""
+    from spork_spark.operators import compaction_plan
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    inv = (docs.groupBy(
+               F.concat_ws("/", F.col("source"), F.col("lang"))
+                .alias("path"))
+               .agg(F.sum(F.length("text")).alias("size_bytes")))
+    return (compaction_plan(inv, "size_bytes", target_bytes=20000,
+                            order_cols=["path"])
+            .orderBy("path"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3160,6 +3204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
         "fingerprint_table": q_fingerprint,
+        "leakage_safe_split": q_leakage_safe_split,
+        "compaction_plan": q_compaction_plan,
         "profile_events": q_profile_events,
         "weighted_sample": q_weighted_sample,
         "outliers": q_outliers,
@@ -5465,6 +5511,49 @@ def oracle_sql() -> dict[str, str]:
                OR NOT (o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
                        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
             ORDER BY c_custkey
+        """,
+        "leakage_safe_split": """
+            WITH RECURSIVE
+            pref AS (
+              SELECT doc_id, substring(text, 1, 40) AS p
+              FROM documents WHERE text IS NOT NULL),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pref a JOIN pref b
+                ON a.p = b.p AND a.doc_id < b.doc_id),
+            sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a != id_b
+              UNION
+              SELECT id_b, id_a FROM pairs WHERE id_a != id_b),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node),
+            comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+            bucketed AS (
+              SELECT d.doc_id,
+                     ('0x' || substring(md5('r5' ||
+                        CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)),
+                        1, 15))::BIGINT % 100 AS bucket
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+            SELECT doc_id,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM bucketed ORDER BY doc_id
+        """,
+        "compaction_plan": """
+            WITH inv AS (
+              SELECT source || '/' || lang AS path,
+                     CAST(SUM(length(text)) AS BIGINT) AS size_bytes
+              FROM documents GROUP BY source, lang)
+            SELECT path, size_bytes,
+                   CAST(FLOOR(COALESCE(SUM(size_bytes) OVER (
+                         ORDER BY path
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)
+                        / 20000.0) AS BIGINT) AS compaction_group
+            FROM inv ORDER BY path
         """,
         "fingerprint_table": """
             WITH d AS (

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..caching import track
 from ..functions.builtins import ALGEBRAIC_AGGS
 from ..plans import expressions as E
 from ..plans import logical as L
@@ -69,7 +70,10 @@ class PlanCompiler:
         # multi-store reuse one computation (SURVEY.md §4.2).
         if self._consumers.get(node._id, 0) > 1 and not isinstance(
                 node, (L.Load, L.InMemory)):
-            df = df.persist()
+            # tracked so a resident driver can release the CacheManager
+            # entry (caching.release_cached / Engine.release_cache) —
+            # an untracked Dataset.persist leaks until session end
+            df = track(df)
         self._cache[node._id] = df
         return df
 
@@ -1361,7 +1365,14 @@ class PlanCompiler:
         kdf = kdf.orderBy(*order)
 
         pid = "__pid"
-        staged = kdf.withColumn(pid, F.spark_partition_id()).persist()
+        # eager localCheckpoint, not persist: the offsets collected below
+        # must match the partition ids the later join sees, and a
+        # recomputed range exchange can re-sample different bounds
+        # (RangePartitioner seeds from the RDD id) — checkpointing freezes
+        # the assignment; the RDD-level blocks free via GC with the
+        # result's lineage instead of pinning a CacheManager entry
+        staged = kdf.withColumn(pid, F.spark_partition_id()) \
+                    .localCheckpoint(eager=True)
         parts = staged.groupBy(pid).agg(
             F.sum("__cnt").alias("rows"),
             F.count(F.lit(1)).alias("keys")).collect()
@@ -1408,7 +1419,11 @@ class PlanCompiler:
         pid, mid = "__pid", "__mid"
         staged = df.withColumn(pid, F.spark_partition_id()) \
                    .withColumn(mid, F.monotonically_increasing_id())
-        staged = staged.persist()
+        # eager localCheckpoint for the same reason as _c_rank: pid/mid
+        # captured here must be identical in the count pass and the join
+        # pass, and recompute does not guarantee that; GC-freed, no
+        # CacheManager pin
+        staged = staged.localCheckpoint(eager=True)
         counts = {r[0]: r[1] for r in
                   staged.groupBy(pid).count().collect()}
         offs, acc = [], 0

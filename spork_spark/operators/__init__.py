@@ -40,7 +40,8 @@ from .diff import (fingerprint_compare, row_digest, snapshot_diff,
 from .behavior import (cohort_retention, funnel, scd2_from_log,
                        sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
-from .layout import zorder_by, zorder_key
+from .layout import compaction_plan, zorder_by, zorder_key
+from .splits import leakage_safe_split
 
 __all__ = [
     "connected_components", "triangle_count", "near_dedup", "duplicate_spans",
@@ -58,7 +59,7 @@ __all__ = [
     "snapshot_diff", "table_fingerprint", "fingerprint_compare",
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
-    "zorder_by", "zorder_key", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
+    "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -23,6 +23,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8,
@@ -84,3 +85,40 @@ def zorder_by(df: DataFrame, cols: list[str], bits: int = 8,
     else:
         keyed = keyed.repartitionByRange(F.col("__z"))
     return keyed.sortWithinPartitions("__z").drop("__z")
+
+
+def compaction_plan(inventory: DataFrame, size_col: str,
+                    target_bytes: int,
+                    order_cols: list[str] | None = None,
+                    out_col: str = "compaction_group") -> DataFrame:
+    """Group small files into target-size compaction jobs (the OPTIMIZE /
+    bin-packing step every lakehouse table needs: a streaming sink or
+    per-partition writer leaves thousands of KB-scale files whose
+    per-file open/footer cost dominates scans at 100 TB).
+
+    `inventory` is a FILE inventory — one row per file (path, size,
+    min/max key, ...), i.e. metadata at ~1e5–1e6 rows even for a 100 TB
+    table, NOT data. That is why the single global window below is the
+    right call: every real compactor (Delta OPTIMIZE, Iceberg
+    rewrite_data_files) plans over the file listing centrally; the
+    DATA movement happens later, one distributed job per group.
+
+    Deterministic next-fit by running total: files are laid out in
+    `order_cols` order (sort-key order keeps key-adjacent files in one
+    group, preserving clustering through compaction) and file i joins
+    group `floor(exclusive_prefix_sum(size) / target_bytes)`. Exact
+    integer arithmetic — an oracle replays it with one window function.
+    Files at or above `target_bytes` occupy their prefix range alone and
+    never merge with a neighbor that would not also fit.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    order_cols = order_cols or [size_col]
+    w = (Window.orderBy(*[F.col(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum(F.col(size_col).cast("long")).over(w),
+                        F.lit(0).cast("long"))
+    return (inventory
+            .withColumn(out_col,
+                        F.floor(prefix / F.lit(target_bytes))
+                         .cast("long")))

@@ -101,6 +101,15 @@ class Engine:
     def compile(self, node: L.LogicalOp) -> DataFrame:
         return self._compiler.compile(node)
 
+    def release_cache(self) -> int:
+        """Unpersist every engine-managed cached subplan (the SPLIT /
+        multi-consumer persists, SURVEY.md §4.2) for this session.
+        A resident driver calls this after materializing outstanding
+        results; unmaterialized consumers recompute — correctness is
+        unaffected. Returns the number of entries released."""
+        from ..caching import release_cached
+        return release_cached(self.spark)
+
     def _rel(self, node: L.LogicalOp, alias: str | None = None) -> "Relation":
         r = Relation(self, node, alias or f"rel_{next(_rel_ids)}")
         node.alias = r.alias

@@ -65,7 +65,11 @@ def main() -> None:
             except Exception as exc:      # noqa: BLE001 — soak must finish
                 report["errors"].append(
                     {"round": rnd, "query": name, "error": str(exc)[:200]})
-        # between rounds, drop per-round refs and let the cleaner settle
+        # between rounds: the resident-service maintenance call releases
+        # the engine-managed CacheManager persists (SPLIT subplan reuse),
+        # then GC settles the RDD-level localCheckpoint blocks
+        from spork_spark.caching import release_cached
+        report[f"released_round{rnd}"] = release_cached(spark)
         report[f"persisted_after_round{rnd}"] = settle(
             spark, report["persisted_before"])
     for name, cs in counts.items():
