@@ -3049,6 +3049,18 @@ def q_leakage_safe_split(spark, sf):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit (operators/dq.py k_anonymity): customer
+    quasi-identifier combinations (nation, market segment) with fewer
+    than 8 members re-identify their members — the indirect-identifier
+    privacy gate next to scrub_pii's direct-identifier scrub. ONE
+    map-combined groupBy; the corpus crosses the wire as group counts."""
+    from spork_spark.operators import k_anonymity
+    eng = _eng(spark)
+    cust = _t(eng, sf, "customer").df()
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
 def q_compaction_plan(spark, sf):
     """Small-file compaction planning (operators/layout.py
     compaction_plan): a (source, lang) file inventory with char-count
@@ -3206,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_table": q_fingerprint,
         "leakage_safe_split": q_leakage_safe_split,
         "compaction_plan": q_compaction_plan,
+        "k_anonymity": q_k_anonymity,
         "profile_events": q_profile_events,
         "weighted_sample": q_weighted_sample,
         "outliers": q_outliers,
@@ -5541,6 +5554,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 90 THEN 'valid'
                         ELSE 'test' END AS split
             FROM bucketed ORDER BY doc_id
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   count(*) AS group_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 8
+            ORDER BY group_size, c_nationkey, c_mktsegment
         """,
         "compaction_plan": """
             WITH inv AS (

@@ -103,3 +103,34 @@ def dq_validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
+                null_as_value: bool = True) -> DataFrame:
+    """Quasi-identifier audit: every combination of `quasi_cols` whose
+    group is smaller than `k` re-identifies its members (Sweeney 2002,
+    k-anonymity) — the privacy gate a training-data release runs next
+    to PII scrubbing (text.scrub_pii removes direct identifiers; this
+    catches the INDIRECT ones: zip+age+gender-style combinations).
+
+    Returns the violating combinations: the quasi columns plus
+    `group_size` (< k), smallest first — the release blocker worklist.
+    An empty result means the table is k-anonymous over these columns.
+
+    ONE map-combined groupBy on the quasi columns — the corpus crosses
+    the wire as group counts. `null_as_value=True` (default) treats
+    NULL as its own value (a null zip code still narrows someone down);
+    False drops rows with any null quasi value from the audit.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    base = df
+    if not null_as_value:
+        for c in quasi_cols:
+            base = base.where(F.col(c).isNotNull())
+    return (base.groupBy(*quasi_cols)
+                .agg(F.count(F.lit(1)).alias("group_size"))
+                .where(F.col("group_size") < k)
+                .orderBy("group_size", *quasi_cols))

@@ -66,6 +66,14 @@ _SCALE_CONF = {
     "spark.ui.retainedJobs": "200",
     "spark.ui.retainedStages": "200",
     "spark.ui.retainedTasks": "2000",
+    # Same resident-driver hygiene for STORAGE: localCheckpoint blocks
+    # (graph/rollup/asof lineage truncation) free through the
+    # ContextCleaner, which only learns an RDD is dead from a JVM GC —
+    # and a mostly-idle large-heap driver can go very long between full
+    # GCs, stranding checkpoint blocks (tools/soak.py measures this
+    # directly). Spark's own knob for exactly this: periodic GC every
+    # 10 min instead of the 30 min default.
+    "spark.cleaner.periodicGC.interval": "10min",
 }
 
 

@@ -48,3 +48,36 @@ def test_unknown_kind_raises(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError):
         dq_validate(df, [{"kind": "nope", "col": "k"}])
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from spork_spark.operators import k_anonymity
+    df = spark.createDataFrame(
+        [("10001", 30), ("10001", 30), ("10001", 30),
+         ("10002", 40), ("10002", 40),
+         ("99999", 77)],
+        "zip string, age int")
+    out = k_anonymity(df, ["zip", "age"], k=3).collect()
+    got = {(r["zip"], r["age"]): r["group_size"] for r in out}
+    assert got == {("99999", 77): 1, ("10002", 40): 2}
+
+
+def test_k_anonymity_null_handling(spark):
+    from spork_spark.operators import k_anonymity
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,)], "zip string")
+    # null is its own quasi value by default
+    out = k_anonymity(df, ["zip"], k=2).collect()
+    assert [(r["zip"], r["group_size"]) for r in out] == [(None, 1)]
+    # and excluded entirely with null_as_value=False
+    assert k_anonymity(df, ["zip"], k=2, null_as_value=False).count() == 0
+
+
+def test_k_anonymity_validates_args(spark):
+    import pytest
+    from spork_spark.operators import k_anonymity
+    df = spark.createDataFrame([("a",)], "zip string")
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["zip"], k=1)
