@@ -4,6 +4,7 @@ BASELINE.json north star): the LLM-training-data-pipeline toolkit."""
 from .dedup import (duplicate_spans, sorted_neighborhood_pairs, edit_distance_pairs,
                     set_similarity_pairs,
                     embedding_dedup_pairs, exact_dedup,
+                    minhash_banding, lsh_pairs_incremental,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
 from .graph import cc_incremental, connected_components, triangle_count
@@ -46,7 +47,7 @@ from .splits import leakage_safe_split
 __all__ = [
     "connected_components", "triangle_count", "near_dedup", "duplicate_spans",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
-    "minhash_signature", "ngram_jaccard_pairs", "shingles", "simhash",
+    "minhash_signature", "minhash_banding", "lsh_pairs_incremental", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",
     "lsh_topk", "quantize_embeddings",
     "bm25_scores", "bpe_ish_token_count", "char_entropy", "chunk_documents",

@@ -102,16 +102,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     exact-oracle-checkable. Same architecture either way: codegen'd
     min() HashAggregates, narrow banding rows, post-hoc jaccard verify.
     """
+    banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
+                             num_hashes=num_hashes, bands=bands, seed=seed,
+                             hash_fn=hash_fn)
+    left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bh")
+    right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bh")
+    pairs = (left.join(right, on=["__band", "__bh"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b")
+                 .dropDuplicates(["id_a", "id_b"]))
+    shing = df.select(F.col(id_col), shingles(text_col, shingle_n)
+                      .alias("__sh"))
+    return _jaccard_verify(pairs, shing, id_col, threshold)
+
+
+def minhash_banding(df: DataFrame, id_col: str, text_col: str,
+                    shingle_n: int = 5, num_hashes: int = 64,
+                    bands: int = 16, seed: int = 42,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, __band, __bh) LSH banding rows for every doc — the STORED
+    near-dup INDEX of a corpus: band-hash buckets are the only state the
+    candidate join needs, so persisting this narrow table (3 columns,
+    `bands` rows per doc) lets later ingest batches dedup against the
+    full history WITHOUT recomputing it (lsh_pairs_incremental).
+
+    Signature via explode + num_hashes min() aggregates — identical
+    values to minhash_signature (same coefficients, same long
+    arithmetic) but inside codegen'd HashAggregate with map-side partial
+    aggregation, instead of interpreted per-element higher-order
+    functions (HOF lambdas don't participate in whole-stage codegen;
+    measured 10×+ faster at 5k docs). Banding rows stay NARROW — the
+    bucket self-join is quadratic in bucket size, and a dup-heavy corpus
+    makes buckets big, so candidate rows must not carry shingle arrays.
+    """
     import random
 
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
-    # Signature via explode + num_hashes min() aggregates — identical
-    # values to minhash_signature (same coefficients, same long
-    # arithmetic) but inside codegen'd HashAggregate with map-side partial
-    # aggregation, instead of interpreted per-element higher-order
-    # functions (HOF lambdas don't participate in whole-stage codegen;
-    # measured 10×+ faster at 5k docs).
+    base = df.select(F.col(id_col),
+                     shingles(text_col, shingle_n).alias("__sh"))
     exploded = base.select(id_col, F.explode("__sh").alias("__s"))
     if hash_fn == "md5":
         sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))))
@@ -129,12 +157,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                .select(id_col, F.array(*[F.col(f"__mh{j}")
                                          for j in range(num_hashes)])
                        .alias("__sig")))
-    # Banding rows stay NARROW (id, band, bucket-hash) — the bucket
-    # self-join is quadratic in bucket size, and a dup-heavy corpus makes
-    # buckets big, so candidate rows must not carry shingle arrays. Pair
-    # ids first, dedupe, then re-join the shingle sets once per surviving
-    # candidate for exact-jaccard verification (two narrow hash joins
-    # instead of wide arrays through the explosion).
     if hash_fn == "md5":
         band_key = lambda b: F.md5(F.concat_ws("|", F.slice(  # noqa: E731
             F.col("__sig"), b * rows_per_band + 1, rows_per_band)))
@@ -142,18 +164,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         band_key = lambda b: F.xxhash64(F.slice(  # noqa: E731
             F.col("__sig"), b * rows_per_band + 1, rows_per_band)
             .cast("string"))
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             band_key)).alias("__band", "__bh"))
-    left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bh")
-    right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bh")
-    pairs = (left.join(right, on=["__band", "__bh"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b")
-                 .dropDuplicates(["id_a", "id_b"]))
-    shing = base.select(F.col(id_col), F.col("__sh"))
+
+
+def _jaccard_verify(pairs: DataFrame, shing: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
+    """Exact-jaccard verification of candidate (id_a, id_b) pairs against
+    a (id, __sh) shingle-set table: two narrow hash joins re-attach the
+    sets once per surviving candidate."""
     cand = (pairs
             .join(shing.select(F.col(id_col).alias("id_a"),
                                F.col("__sh").alias("sh_a")), on="id_a")
@@ -163,7 +185,55 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (cand.withColumn("jaccard", inter / union)
                 .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+                .select("id_a", "id_b",
+                        F.round("jaccard", 4).alias("jaccard")))
+
+
+def lsh_pairs_incremental(index: DataFrame, corpus: DataFrame,
+                          new_docs: DataFrame, id_col: str, text_col: str,
+                          shingle_n: int = 5, num_hashes: int = 64,
+                          bands: int = 16, threshold: float = 0.7,
+                          seed: int = 42,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs TOUCHING an ingest batch, against a stored index.
+
+    The daily-refresh shape at 100 TB: re-running minhash_lsh_pairs on
+    old ∪ new re-shingles and re-pairs the entire history for every
+    batch. Instead, `index` = minhash_banding(historical corpus), stored
+    once and appended per batch; this call
+
+      1. computes banding rows for `new_docs` only (cost ∝ batch);
+      2. candidate-joins them against index ∪ new banding — every pair
+         involves ≥1 new doc by construction, old-old pairs never form;
+      3. exact-jaccard-verifies survivors, re-shingling ONLY the docs a
+         candidate touches (a semi-join prunes the historical `corpus`
+         to candidate ids before shingling — point lookups, not a scan).
+
+    Output is exactly `minhash_lsh_pairs(old ∪ new)` filtered to pairs
+    touching a new id (pinned by test), with id_a < id_b; feed it to
+    cc_incremental to maintain the duplicate clusters themselves.
+    `corpus` must be the docs the index was built over; `new_docs` ids
+    must be disjoint from it.
+    """
+    new_band = minhash_banding(new_docs, id_col, text_col,
+                               shingle_n=shingle_n, num_hashes=num_hashes,
+                               bands=bands, seed=seed, hash_fn=hash_fn)
+    all_band = index.select(id_col, "__band", "__bh").unionByName(new_band)
+    left = new_band.select(F.col(id_col).alias("id_a"), "__band", "__bh")
+    right = all_band.select(F.col(id_col).alias("id_b"), "__band", "__bh")
+    pairs = (left.join(right, on=["__band", "__bh"])
+                 .filter(F.col("id_a") != F.col("id_b"))
+                 .select(F.least("id_a", "id_b").alias("id_a"),
+                         F.greatest("id_a", "id_b").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+    touched = (pairs.select(F.col("id_a").alias(id_col))
+                    .union(pairs.select("id_b"))
+                    .distinct())
+    docs = corpus.select(id_col, text_col)                  .unionByName(new_docs.select(id_col, text_col))
+    shing = (docs.join(touched, on=id_col, how="left_semi")
+                 .select(F.col(id_col),
+                         shingles(text_col, shingle_n).alias("__sh")))
+    return _jaccard_verify(pairs, shing, id_col, threshold)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

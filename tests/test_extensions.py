@@ -986,3 +986,40 @@ def test_asof_join_tolerance_on_timestamps(spark):
     assert ok.collect()[0].p_asof == 1.0
     stale = asof_join(left, right, on="ts", by="u", tolerance=10)
     assert stale.collect()[0].p_asof is None
+
+
+def test_lsh_incremental_matches_full_recompute(docs):
+    """Incremental pairs against a stored index == full-corpus pairs
+    filtered to those touching a new doc — the maintenance invariant."""
+    from spork_spark.operators import lsh_pairs_incremental, minhash_banding
+    old = docs.filter(F.col("doc_id") < 2)       # 0, 1 (exact dups)
+    new = docs.filter(F.col("doc_id") >= 2)      # 2 (near dup of 0/1), 3, 4
+    idx = minhash_banding(old, "doc_id", "text")
+    inc = lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                                threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    new_ids = {2, 3, 4}
+    want = {(r.id_a, r.id_b): r.jaccard for r in full.collect()
+            if r.id_a in new_ids or r.id_b in new_ids}
+    assert got == want
+    assert got                               # the near-dup pair surfaced
+    assert (0, 1) not in got                 # old-old pairs never form
+
+
+def test_lsh_incremental_new_new_pairs_form(spark):
+    """Two near-dup docs arriving in the SAME batch must pair with each
+    other, not only with history."""
+    from spork_spark.operators import lsh_pairs_incremental, minhash_banding
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    old = spark.createDataFrame(
+        [(0, "unrelated historical text about entirely other things "
+             "stored long ago in the archive")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(10, base), (11, base)], "doc_id bigint, text string")
+    idx = minhash_banding(old, "doc_id", "text")
+    inc = lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                                threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in inc.collect()} == {(10, 11)}
