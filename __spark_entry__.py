@@ -2474,6 +2474,37 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_gap_fill(spark, sf):
+    """Dense daily purchase-volume series per user cohort with LOCF gap
+    filling (operators/timeseries.py gap_fill): purchases keyed by
+    pmod(user_id, 50) are cent-summed per (cohort, day); each cohort's
+    min..max day spine is generated distributed (sequence + explode,
+    never a driver loop) and holes carry the last observation forward
+    under a keyed window. Exact long cents, so the oracle replays it
+    digit-for-digit with generate_series + IGNORE NULLS last_value."""
+    from spork_spark.operators import gap_fill
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    d = (ev.filter(F.col("event_type") == "purchase")
+           .withColumn("k", F.pmod(F.col("user_id"), F.lit(50))))
+    return gap_fill(d, "k", "ts", "value").orderBy("k", "day")
+
+
+def q_group_ols(spark, sf):
+    """Per-event-type OLS trend of value vs days-since-first-observation
+    (operators/timeseries.py group_ols): textbook normal equations as
+    ratios of exact decimal(38,0) sums over cent-quantized values, with
+    sign-split scaled integer division — slope/intercept/r² land as
+    exact *_e6 longs the oracle reproduces bit-for-bit. One broadcast
+    first-day join + ONE map-side-combined aggregation; output is
+    group-count sized."""
+    from spork_spark.operators import group_ols
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return group_ols(ev, "event_type", "ts", "value") \
+        .orderBy("event_type")
+
+
 def q_merge_upsert(spark, sf):
     """MERGE-style upsert (operators/upsert.py): refresh the orders
     snapshot with a deterministic change batch — keys %7 (and not %13)
@@ -3252,6 +3283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": q_winsorize,
         "chi2_lang_source": q_chi2,
         "histogram_events": q_histogram,
+        "gap_fill": q_gap_fill,
+        "group_ols": q_group_ols,
         "cc_incremental": q_cc_incremental,
         "sorted_neighborhood": q_sorted_neighborhood,
         "transitions": q_transitions,
@@ -5125,6 +5158,73 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "gap_fill": """
+            WITH daily AS (
+              SELECT user_id % 50 AS k,
+                     date_trunc('day', ts)::DATE AS day,
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS obs
+              FROM events
+              WHERE event_type = 'purchase'
+                AND ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2),
+            spine AS (
+              SELECT k, unnest(generate_series(MIN(day), MAX(day),
+                                               INTERVAL 1 DAY))::DATE AS day
+              FROM daily GROUP BY k),
+            j AS (
+              SELECT s.k, s.day, d.obs
+              FROM spine s LEFT JOIN daily d
+                ON d.k = s.k AND d.day = s.day)
+            SELECT k, day,
+                   last_value(obs IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value_cents,
+                   obs IS NULL AS filled
+            FROM j ORDER BY k, day
+        """,
+        "group_ols": """
+            WITH base AS (
+              SELECT event_type AS g, date_trunc('day', ts)::DATE AS d,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            f AS (SELECT g, MIN(d) AS d0 FROM base GROUP BY g),
+            xy AS (
+              SELECT b.g, CAST(date_diff('day', f.d0, b.d) AS BIGINT) AS x,
+                     b.y
+              FROM base b JOIN f ON f.g = b.g),
+            s AS (
+              SELECT g, COUNT(*) AS n,
+                     SUM(CAST(x AS HUGEINT)) AS sx,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM xy GROUP BY g),
+            t AS (
+              SELECT g, n,
+                     CAST(n AS HUGEINT) * sxy - sx * sy AS cov,
+                     CAST(n AS HUGEINT) * sxx - sx * sx AS varx,
+                     CAST(n AS HUGEINT) * syy - sy * sy AS vary,
+                     sy * sxx - sx * sxy AS inum
+              FROM s)
+            SELECT g AS event_type, n,
+                   CASE WHEN varx = 0 THEN NULL ELSE
+                     CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+                          * ((abs(cov) * 1000000) // abs(varx))
+                          AS BIGINT) END AS slope_e6,
+                   CASE WHEN varx = 0 THEN NULL ELSE
+                     CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+                          * ((abs(inum) * 1000000) // abs(varx))
+                          AS BIGINT) END AS intercept_e6,
+                   CASE WHEN varx * vary = 0 THEN NULL ELSE
+                     CAST((cov * cov * 1000000) // (varx * vary)
+                          AS BIGINT) END AS r2_e6
+            FROM t ORDER BY event_type
         """,
         "cc_incremental": """
             WITH RECURSIVE

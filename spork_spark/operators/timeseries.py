@@ -1,0 +1,147 @@
+"""Time-series primitives for metric tables: gap filling over a dense
+per-key time spine (TimescaleDB locf / hypertable-style continuous-view
+repair), and per-group closed-form OLS trend fitting — the "is this
+source's volume trending down / fill the missing days before charting"
+operations a 100 TB telemetry pipeline runs per batch (extension beyond
+the reference surface; SURVEY.md §2.11 family, next to time_rollup and
+histogram).
+
+Both follow the repo's exact-arithmetic discipline so the DuckDB oracle
+reproduces them bit-for-bit: values are cent-quantized to longs before
+summing (double summation order would differ between engines), and the
+regression is the textbook normal-equation ratio of exact integer sums
+with a sign-split scaled integer division (division of non-negative
+integers truncates identically on both engines; `div`/`//` disagree on
+negative operands, so the sign travels separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+             scale: int = 100) -> DataFrame:
+    """Dense daily series per key with last-observation-carried-forward.
+
+    Aggregates ``value_col`` to an exact per-(key, day) cent sum
+    (``floor(v*scale+0.5)`` per row, summed as long), generates each
+    key's full min-day..max-day spine with ``sequence()`` + explode —
+    spine rows are born distributed, one array per key, never a driver
+    loop — left-joins the observed days, and forward-fills gaps with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+    Day 1 of every key is observed by construction (the spine starts at
+    the key's first observation), so LOCF never leaves a null.
+
+    Output: (key, day, value_cents, filled) — ``filled`` marks
+    carried-forward rows. One groupBy shuffle on (key, day) plus one
+    keyed window shuffle on key; the spine join is key+day equi-join.
+    At 100 TB the spine is bounded by keys × span-days (metadata-sized
+    next to the event data); a key with a multi-year hole inflates only
+    its own array. Skewed keys ride the groupBy's map-side combine.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+               .groupBy(F.col(key_col).alias("__k"), day.alias("day"))
+               .agg(F.sum(cents).alias("__obs")))
+    spine = (daily.groupBy("__k")
+                  .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+                  .select("__k", F.explode(F.sequence(
+                      F.col("__lo"), F.col("__hi"),
+                      F.expr("interval 1 day"))).alias("day")))
+    w = (Window.partitionBy("__k").orderBy("day")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine.join(daily, on=["__k", "day"], how="left")
+                 .withColumn("value_cents",
+                             F.last("__obs", ignorenulls=True).over(w))
+                 .withColumn("filled", F.col("__obs").isNull())
+                 .select(F.col("__k").alias(key_col), "day",
+                         "value_cents", "filled"))
+
+
+def group_ols(df: DataFrame, group_col: str, ts_col: str, value_col: str,
+              scale: int = 100, out_scale: int = 10 ** 6) -> DataFrame:
+    """Per-group ordinary-least-squares trend of value against time, in
+    exact integer arithmetic.
+
+    x = days since the group's FIRST observation (centering keeps the
+    integer sums small: x ≤ span-days, not epoch-days), y = cent-
+    quantized value. The normal-equation solutions
+
+        slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)
+        intercept = (Sy·Sxx − Sx·Sxy) / (n·Sxx − Sx²)   (y at first day)
+        r²        = (n·Sxy − Sx·Sy)² / ((n·Sxx − Sx²)(n·Syy − Sy²))
+
+    are ratios of EXACT integer sums (decimal(38,0) accumulators);
+    ``*_e6`` columns are those ratios scaled by ``out_scale`` under
+    sign-split integer division — abs values divide (identical
+    truncation on both engines), the sign multiplies back — so the
+    oracle reproduces every digit. Exact while intermediates fit 38
+    digits: with day-centered x (≤ ~10⁴) and cent y (≤ ~10⁷) that holds
+    to ~10⁹ rows per group for the r² numerator square; pre-aggregate to
+    daily grain first (time_rollup) to bound n by span-days when a
+    group exceeds that. Degenerate groups (single day: zero x-variance)
+    return null slope/intercept/r².
+
+    Shape: one map-side-combined groupBy for the first-day min, a
+    broadcast-joinable (group, first_day) table re-joined to the data,
+    then ONE aggregation producing the six sums — group-count-sized
+    output, no window, no collect.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("__g"), day.alias("__d"),
+                      F.floor(F.col(value_col).cast("double") * scale
+                              + 0.5).cast("long").alias("__y")))
+    first = base.groupBy("__g").agg(F.min("__d").alias("__d0"))
+    xy = (base.join(F.broadcast(first), on="__g")
+              .withColumn("__x", F.datediff("__d", "__d0").cast("long")))
+    sums = xy.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("__x"))).alias("sx"),
+        F.sum(d38(F.col("__y"))).alias("sy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__y"))).alias("sxy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("sxx"),
+        F.sum(d38(F.col("__y")) * d38(F.col("__y"))).alias("syy"))
+
+    n = d38(F.col("n"))
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+
+    out = (sums
+           .withColumn("__cov", cov).withColumn("__varx", varx)
+           .withColumn("__vary", vary).withColumn("__inum", icpt_num))
+
+    def e6(numc, denc):
+        # sign-split scaled integer division: exact and engine-portable
+        # (non-negative div truncates identically everywhere; `div` vs
+        # `//` semantics diverge only on negative operands).
+        sign = (F.when(F.col(numc) < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.when(F.col(denc) < 0, F.lit(-1)).otherwise(F.lit(1))
+                ).cast("long")
+        mag = F.expr(f"(abs({numc}) * cast({out_scale} as decimal(38,0)))"
+                     f" div abs({denc})").cast("long")
+        return F.when(F.col(denc) == 0, F.lit(None).cast("long")) \
+                .otherwise(sign * mag)
+
+    return (out
+            .withColumn("slope_e6", e6("__cov", "__varx"))
+            .withColumn("intercept_e6", e6("__inum", "__varx"))
+            .withColumn("__r2den",
+                        (F.col("__varx") * F.col("__vary"))
+                        .cast("decimal(38,0)"))
+            .withColumn("__r2num",
+                        (F.col("__cov") * F.col("__cov"))
+                        .cast("decimal(38,0)"))
+            .withColumn("r2_e6", e6("__r2num", "__r2den"))
+            .select(F.col("__g").alias(group_col), "n",
+                    "slope_e6", "intercept_e6", "r2_e6"))
