@@ -2474,6 +2474,34 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_equifreq_bins(spark, sf):
+    """Equal-frequency feature bins over events.value as a FUNCTION OF
+    VALUE (operators/stats.py equifreq_bins): distinct cent-quantized
+    values bin by cumulative count, (rows_below * n) div total — same
+    value always lands in the same bin (train/serve-consistent, unlike
+    ntile's arbitrary tie splitting). One map-side-combined groupBy over
+    the data; the cumulative window runs over DISTINCT values only
+    (value-cardinality sized, not data sized)."""
+    from spork_spark.operators import equifreq_bins
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return equifreq_bins(ev, "value", n_bins=10).orderBy("bin")
+
+
+def q_bigram_lm(spark, sf):
+    """Corpus-self-trained add-one bigram LM fluency score per document
+    (operators/text.py bigram_lm_score — the KenLM-style quality-filter
+    shape): ONE explode pass builds the bigram stream (arrays_zip of
+    two slices, no self-join), two map-side-combined groupBys train the
+    model, and scoring re-joins the stream to the vocabulary-sized
+    model tables. Probabilities are exact integers
+    (c12+1)*1e6 div (c1+V), so the oracle replays every digit."""
+    from spork_spark.operators import bigram_lm_score
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
 def q_gap_fill(spark, sf):
     """Dense daily purchase-volume series per user cohort with LOCF gap
     filling (operators/timeseries.py gap_fill): purchases keyed by
@@ -3285,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "equifreq_bins": q_equifreq_bins,
+        "bigram_lm": q_bigram_lm,
         "cc_incremental": q_cc_incremental,
         "sorted_neighborhood": q_sorted_neighborhood,
         "transitions": q_transitions,
@@ -5158,6 +5188,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "equifreq_bins": """
+            WITH d AS (
+              SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v,
+                     COUNT(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            t AS (SELECT SUM(c) AS tot FROM d),
+            b AS (
+              SELECT v, c,
+                     COALESCE(SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+              FROM d)
+            SELECT CAST((cum * 10) // tot AS BIGINT) AS bin,
+                   MIN(v) AS lo_cents, MAX(v) AS hi_cents,
+                   COUNT(*) AS n_values, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM b, t GROUP BY 1 ORDER BY bin
+        """,
+        "bigram_lm": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            tr AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 2),
+            big AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws) - 1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM tr),
+            cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+            cu AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+            vv AS (SELECT COUNT(DISTINCT t) AS v
+                   FROM (SELECT unnest(ws) AS t FROM tr)),
+            p AS (
+              SELECT b.doc_id,
+                     ((cb.c12 + 1) * 1000000) // (cu.c1 + vv.v) AS p_e6
+              FROM big b
+              JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+              JOIN cu ON b.w1 = cu.w1, vv)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(p_e6) AS BIGINT) AS sum_p_e6,
+                   CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS avg_p_e6
+            FROM p GROUP BY doc_id ORDER BY doc_id
         """,
         "gap_fill": """
             WITH daily AS (

@@ -12,9 +12,9 @@ from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
-from .stats import chi2_contingency, histogram
+from .stats import chi2_contingency, equifreq_bins, histogram
 from .dq import dq_validate, k_anonymity
-from .text import (bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
+from .text import (bigram_lm_score, bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
                    gopher_filter,
@@ -56,7 +56,7 @@ __all__ = [
     "pack_sequences",
     "repetition_ratio", "resample_mixture", "scrub_pii", "stratified_sample",
     "fingerprint", "inverted_index", "quality_score", "tf_idf",
-    "rollup_merge", "time_rollup", "chi2_contingency", "histogram", "dq_validate", "k_anonymity", "transition_matrix", "token_count", "tokens", "pmi_pairs", "winsorize",
+    "rollup_merge", "time_rollup", "chi2_contingency", "equifreq_bins", "histogram", "bigram_lm_score", "dq_validate", "k_anonymity", "transition_matrix", "token_count", "tokens", "pmi_pairs", "winsorize",
     "word_ngrams",
     "snapshot_diff", "table_fingerprint", "fingerprint_compare",
     "row_digest",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def chi2_contingency(df: DataFrame, col_a: str, col_b: str,
@@ -66,6 +67,48 @@ def chi2_contingency(df: DataFrame, col_a: str, col_b: str,
                             F.expr("__num2 div __den").cast("long"))
             .select(F.col("a").alias(col_a), F.col("b").alias(col_b),
                     "n_ab", "n_a", "n_b", "contrib_e6"))
+
+
+def equifreq_bins(df: DataFrame, value_col: str, n_bins: int = 10,
+                  scale: int = 100) -> DataFrame:
+    """Equal-frequency (quantile) feature bins as a FUNCTION OF VALUE.
+
+    ntile() splits tied values across bins by row order — fine for a
+    chart, wrong for ML feature binning, where the value→bin map must
+    be deterministic so train- and serve-time encode identically. This
+    instead bins each DISTINCT cent-quantized value by its cumulative
+    count: bin(v) = (rows_below_v * n_bins) div total — every
+    occurrence of a value lands in one bin, boundaries sit as close to
+    equal frequency as ties permit, and the arithmetic is exact
+    integers both engines truncate identically.
+
+    Shape: ONE map-side-combined groupBy over the data (the only pass
+    that sees every row), then a cumulative window over the DISTINCT
+    values only. That window is unpartitioned by design — its input is
+    value-cardinality sized, not data sized (cent-quantized metrics
+    have bounded cardinality; ~10⁴ rows for a [0,100] metric at any
+    data scale), so the single task is a non-issue at 100 TB. Output is
+    (bin, lo_cents, hi_cents, n_values, cnt) — n_bins rows (fewer when
+    a heavy tie swallows neighbours).
+    """
+    v = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+         .cast("long")
+    dist = (df.where(F.col(value_col).isNotNull())
+              .groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    total = dist.groupBy().agg(F.sum("c").alias("__tot"))
+    binned = (dist.withColumn("cum", F.coalesce(F.sum("c").over(w),
+                                                F.lit(0)))
+                  .crossJoin(F.broadcast(total))
+                  .withColumn("bin", F.expr(
+                      f"(cum * {n_bins}) div __tot").cast("long")))
+    return (binned.groupBy("bin")
+                  .agg(F.min("v").alias("lo_cents"),
+                       F.max("v").alias("hi_cents"),
+                       F.count(F.lit(1)).alias("n_values"),
+                       F.sum("c").alias("cnt"))
+                  .select("bin", "lo_cents", "hi_cents", "n_values",
+                          "cnt"))
 
 
 def histogram(df: DataFrame, group_col: str, value_col: str,

@@ -652,3 +652,61 @@ def pmi_pairs(df: DataFrame, id_col: str = "doc_id",
                              round_digits))
                  .select("tok_a", "tok_b", "n_pair", "df_a", "df_b",
                          "pmi"))
+
+
+def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    out_scale: int = 10 ** 6) -> DataFrame:
+    """Per-document fluency score under a corpus-trained add-one bigram
+    language model — the KenLM-perplexity-style quality filter of a
+    training-data pipeline (CCNet/Gopher family), with the model
+    TRAINED ON THE CORPUS ITSELF (self-scoring: gibberish and boiler-
+    plate diverge from the corpus's own transition statistics).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) the count of
+    bigrams starting at w1 and V the vocabulary of the training stream
+    (docs with ≥ 2 tokens — single-token docs contribute neither
+    bigrams nor vocab, by convention). Each
+    probability lands as the exact integer ``(c12+1)·out_scale div
+    (c1+V)`` — linear-space rather than the classic log-space, which
+    keeps every digit engine-portable (log would differ in last ulps);
+    per doc: sum_p_e6 (exact long), n_bigrams, and their exact integer
+    ratio avg_p_e6 — the filterable score. Docs with < 2 tokens carry
+    no bigram and drop out (nothing to score).
+
+    Shape: ONE explode pass builds the (doc, w1, w2) bigram stream via
+    arrays_zip of two slices (no self-join); model counts are two
+    map-side-combined groupBys over it; scoring re-joins the stream to
+    the bigram model on (w1,w2) and the context model on w1 — both
+    model tables are vocabulary-sized, shuffle-partitioned equi-joins
+    (a trained model at 100 TB outgrows broadcast; AQE may still pick
+    one where it fits). V is a 1-row broadcast. No Python row
+    crossings anywhere.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))),
+                            TOKEN_SPLIT), lambda t: t != "")
+    base = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col), toks.alias("__w"))
+              .where(F.size("__w") >= 2))
+    big = base.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+            F.slice("__w", 2, F.size("__w") - 1).alias("w2"))).alias("__b")) \
+        .select(id_col, F.col("__b.w1").alias("w1"),
+                F.col("__b.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (base.select(F.explode("__w").alias("t"))
+                 .agg(F.countDistinct("t").alias("v")))
+    p = (big.join(cb, on=["w1", "w2"])
+            .join(cu, on="w1")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("p_e6", F.expr(
+                f"((c12 + 1) * {out_scale}) div (c1 + v)").cast("long")))
+    return (p.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                  F.sum("p_e6").alias("sum_p_e6"))
+             .withColumn("avg_p_e6",
+                         F.expr("sum_p_e6 div n_bigrams").cast("long"))
+             .select(id_col, "n_bigrams", "sum_p_e6", "avg_p_e6"))

@@ -54,3 +54,26 @@ def test_histogram_rejects_uneven_width(spark):
     df = spark.createDataFrame([("g", 1.0)], "t string, v double")
     with pytest.raises(ValueError):
         histogram(df, "t", "v", lo=0, hi=100, n_buckets=7)
+
+
+def test_equifreq_bins_balanced_no_ties(spark):
+    from spork_spark.operators import equifreq_bins
+    df = spark.createDataFrame([(float(i),) for i in range(100)],
+                               "value double")
+    out = {r.bin: r for r in equifreq_bins(df, "value", 4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[b].cnt == 25 for b in out)
+    assert out[0].lo_cents == 0 and out[0].hi_cents == 2400
+    assert out[3].lo_cents == 7500 and out[3].hi_cents == 9900
+
+
+def test_equifreq_bins_value_is_deterministic_under_ties(spark):
+    """Every occurrence of a value lands in ONE bin (train/serve
+    consistency) — a heavy tie swallows its whole mass."""
+    from spork_spark.operators import equifreq_bins
+    rows = [(1.0,)] * 90 + [(2.0,), (3.0,)] * 5
+    df = spark.createDataFrame(rows, "value double")
+    out = {r.bin: r for r in equifreq_bins(df, "value", 10).collect()}
+    assert out[0].cnt == 90 and out[0].lo_cents == out[0].hi_cents == 100
+    assert 9 in out                    # the tail still reaches the top bin
+    assert sum(r.cnt for r in out.values()) == 100

@@ -25,3 +25,32 @@ def test_pmi_pairs_counts_token_once_per_doc(spark):
         [(1, "a b a b a b"), (2, "a b")], "doc_id bigint, text string")
     rows = pmi_pairs(df, min_df=1, max_df_frac=1.0, min_pair=1).collect()
     assert len(rows) == 1 and rows[0].n_pair == 2   # docs, not tokens
+
+
+def test_bigram_lm_score_exact_tiny(spark):
+    """Hand-computed add-one bigram probabilities on a 2-doc corpus."""
+    from spork_spark.operators import bigram_lm_score
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],   # doc 3: no bigram
+        "doc_id bigint, text string")
+    # training stream = docs with >= 2 tokens (doc 3 contributes no
+    # bigram and no vocab): bigrams (a,b)x3, (b,a)x1; c1: a->3, b->1;
+    # V = {a,b} = 2.
+    # p(b|a) = (3+1)/(3+2) -> 800000 ; p(a|b) = (1+1)/(1+2) -> 666666
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert set(out) == {1, 2}                     # doc 3 unscored
+    assert out[1].n_bigrams == 3
+    assert out[1].sum_p_e6 == 800000 * 2 + 666666
+    assert out[1].avg_p_e6 == (800000 * 2 + 666666) // 3
+    assert out[2].n_bigrams == 1 and out[2].avg_p_e6 == 800000
+
+
+def test_bigram_lm_score_flags_shuffled_text(spark):
+    """A doc made of corpus words in atypical order scores below the
+    docs that follow the corpus's transition statistics."""
+    from spork_spark.operators import bigram_lm_score
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(5)] + [(99, "mat the on cat rug")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.avg_p_e6 for r in bigram_lm_score(df).collect()}
+    assert out[99] < out[0]
