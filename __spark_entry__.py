@@ -2474,6 +2474,23 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_embedding_covariance(spark, sf):
+    """Exact-integer covariance of the embedding corpus
+    (operators/linalg.py embedding_covariance): a mapInPandas kernel
+    accumulates ONE 64x64 int64 Gram matrix per partition (numpy Q^T Q
+    per Arrow batch, on e3-quantized components) and ships
+    dim(dim+1)/2-row partials — the corpus never crosses the wire as
+    vectors; a map-side-combined groupBy folds partials in
+    decimal(38,0). Every statistic is an exact integer the oracle's
+    explode+self-join replay reproduces digit-for-digit (the oracle
+    pays the quadratic unnest; the engine does not)."""
+    from spork_spark.operators import embedding_covariance
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return embedding_covariance(emb, "embedding", dim=64) \
+        .orderBy("i", "j")
+
+
 def q_equifreq_bins(spark, sf):
     """Equal-frequency feature bins over events.value as a FUNCTION OF
     VALUE (operators/stats.py equifreq_bins): distinct cent-quantized
@@ -3314,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
         "equifreq_bins": q_equifreq_bins,
+        "embedding_covariance": q_embedding_covariance,
         "bigram_lm": q_bigram_lm,
         "cc_incremental": q_cc_incremental,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -5188,6 +5206,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "embedding_covariance": """
+            WITH q AS (
+              SELECT vec_id, CAST(i AS INTEGER) AS i,
+                     CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000
+                                + 0.5) AS BIGINT) AS qv
+              FROM embeddings, generate_series(1, 64) t(i)
+              WHERE embedding IS NOT NULL AND len(embedding) = 64),
+            nn AS (SELECT COUNT(*) AS n FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) = 64),
+            s AS (SELECT i, SUM(qv) AS sv FROM q GROUP BY i),
+            g AS (
+              SELECT a.i AS i, b.i AS j,
+                     SUM(CAST(a.qv AS HUGEINT) * b.qv) AS s_ij
+              FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+            t AS (
+              SELECT g.i, g.j, nn.n,
+                     sa.sv AS s_i, sb.sv AS s_j, g.s_ij,
+                     CAST(nn.n AS HUGEINT) * g.s_ij
+                       - CAST(sa.sv AS HUGEINT) * sb.sv AS nm
+              FROM g JOIN s sa ON sa.i = g.i
+                     JOIN s sb ON sb.i = g.j, nn)
+            SELECT i, j, n,
+                   CAST(s_i AS BIGINT) AS s_i,
+                   CAST(s_j AS BIGINT) AS s_j,
+                   CAST(s_ij AS BIGINT) AS s_ij,
+                   CASE WHEN n = 0 THEN NULL ELSE
+                     CAST((CASE WHEN nm < 0 THEN -1 ELSE 1 END)
+                          * (abs(nm) // (CAST(n AS HUGEINT) * n))
+                          AS BIGINT) END AS cov_e6
+            FROM t ORDER BY i, j
         """,
         "equifreq_bins": """
             WITH d AS (

@@ -44,6 +44,7 @@ from .reshape import pivot_table, unpivot
 from .layout import compaction_plan, zorder_by, zorder_key
 from .splits import leakage_safe_split
 from .timeseries import gap_fill, group_ols
+from .linalg import embedding_covariance, pca_project
 
 __all__ = [
     "connected_components", "triangle_count", "near_dedup", "duplicate_spans",
@@ -62,7 +63,7 @@ __all__ = [
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
-    "gap_fill", "group_ols",
+    "gap_fill", "group_ols", "embedding_covariance", "pca_project",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",
