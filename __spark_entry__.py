@@ -2474,6 +2474,33 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_pareto(spark, sf):
+    """Pareto frontier (skyline) of part on (p_size max, p_retailprice
+    min) — operators/curation.py pareto_frontier, the distributed
+    block-nested-loop skyline (Börzsönyi SIGMOD'01): per-partition
+    local frontiers via a pandas kernel, then one re-run over the
+    gathered (tiny) local frontiers. The oracle pays the quadratic
+    NOT EXISTS replay; the engine never forms a pair."""
+    from spork_spark.operators import pareto_frontier
+    eng = _eng(spark)
+    part = _t(eng, sf, "part").df()
+    return pareto_frontier(part, {"p_size": "max",
+                                  "p_retailprice": "min"}) \
+        .orderBy("p_partkey")
+
+
+def q_benford(spark, sf):
+    """Benford first-digit audit of l_extendedprice
+    (operators/dq.py benford_digits): digit from the decimal's STRING
+    form (no log10 edge cases), ONE map-side-combined groupBy, exact
+    integer ppm shares against the precomputed Benford constants;
+    absent digits still report n=0."""
+    from spork_spark.operators import benford_digits
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df()
+    return benford_digits(li, "l_extendedprice").orderBy("digit")
+
+
 def q_embedding_covariance(spark, sf):
     """Exact-integer covariance of the embedding corpus
     (operators/linalg.py embedding_covariance): a mapInPandas kernel
@@ -3332,6 +3359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols": q_group_ols,
         "equifreq_bins": q_equifreq_bins,
         "embedding_covariance": q_embedding_covariance,
+        "pareto": q_pareto,
+        "benford": q_benford,
         "bigram_lm": q_bigram_lm,
         "cc_incremental": q_cc_incremental,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -5206,6 +5235,36 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "pareto": """
+            SELECT * FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size >= a.p_size
+                AND b.p_retailprice <= a.p_retailprice
+                AND (b.p_size > a.p_size
+                     OR b.p_retailprice < a.p_retailprice))
+            ORDER BY p_partkey
+        """,
+        "benford": """
+            WITH src AS (
+              SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                    '([1-9])', 1) AS dg
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            c AS (
+              SELECT CAST(dg AS INTEGER) AS digit, COUNT(*) AS n
+              FROM src WHERE dg <> '' GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM c),
+            d(digit, expected_ppm) AS (VALUES
+              (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+              (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+              (9, 45757))
+            SELECT d.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                   CAST((COALESCE(c.n, 0) * 1000000) // t.tot
+                        AS BIGINT) AS actual_ppm,
+                   CAST(d.expected_ppm AS BIGINT) AS expected_ppm
+            FROM d LEFT JOIN c ON c.digit = d.digit, t
+            ORDER BY d.digit
         """,
         "embedding_covariance": """
             WITH q AS (

@@ -13,7 +13,7 @@ from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
 from .stats import chi2_contingency, equifreq_bins, histogram
-from .dq import dq_validate, k_anonymity
+from .dq import benford_digits, dq_validate, k_anonymity
 from .text import (bigram_lm_score, bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
@@ -30,7 +30,7 @@ from .curation import (blocklist_filter, classifier_score, corpus_stats,
                        kmeans_quantized, kmeans_train,
                        group_outliers, profile_columns,
                        weighted_sample, winsorize,
-                       ngram_logcount_score,
+                       ngram_logcount_score, pareto_frontier,
                        per_source_cap, semantic_dedup)
 from .skew import heavy_hitters, salted_join, skew_histogram
 from .bloom import bloom_filter, bloom_pruned_semi_join, build_bloom
@@ -64,6 +64,7 @@ __all__ = [
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "embedding_covariance", "pca_project",
+    "pareto_frontier", "benford_digits",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -531,3 +531,65 @@ def winsorize(df: DataFrame, group_col: str, value_col: str,
                                  F.least(F.greatest(v, F.col("__lo")),
                                          F.col("__hi"))))
               .drop("__lo", "__hi"))
+
+
+def pareto_frontier(df: DataFrame, dims: dict[str, str]) -> DataFrame:
+    """Pareto-optimal rows (the skyline) over ``dims``, a mapping of
+    column → 'max' | 'min' — the multi-objective selection a curation
+    pipeline runs when no single quality score exists (e.g. maximize
+    fluency AND dedup distance while minimizing toxicity): a row
+    survives iff NO other row is at-least-as-good on every dimension
+    and strictly better on one. Duplicated frontier points all survive
+    (neither dominates the other) — deterministic, no tiebreak needed.
+
+    Scale shape (Börzsönyi SIGMOD'01 block-nested-loop, distributed):
+    stage 1 computes the LOCAL frontier of every partition with a
+    pandas kernel (sort by the first dimension, incremental dominance
+    scan — each partition's output is its own skyline, usually tiny);
+    stage 2 re-runs the same kernel once over the gathered local
+    frontiers (coalesce(1)). Correct because dominance is transitive:
+    a globally dominated row is dominated by some row of its own
+    partition's frontier, so local pruning never drops a global
+    survivor. Worst case (mutually incomparable data, e.g. perfectly
+    anti-correlated dims) prunes nothing and stage 2 sees the full
+    input on one task — the documented quadratic fence, same family as
+    the brute-force ANN baseline; real quality dims prune heavily.
+    The kernel compares float64 images of the dims (numeric columns
+    only; exact for integers/decimals up to 15 significant digits —
+    the conversion is monotone, so dominance is preserved; wider
+    decimals could collide). The scan is safe in descending-lex order:
+    a later row is lex-≤ every kept row, so its first differing dim is
+    strictly smaller and it can never dominate one already kept.
+    """
+    import pandas as pd
+
+    for c, d in dims.items():
+        if d not in ("max", "min"):
+            raise ValueError(f"dims[{c!r}] must be 'max' or 'min'")
+    cols = list(dims)
+    signs = [1.0 if dims[c] == "max" else -1.0 for c in cols]
+
+    def local_frontier(batches):
+        import numpy as np
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        X = pdf[cols].to_numpy(dtype=np.float64) * np.asarray(signs)
+        order = np.lexsort(tuple(X[:, k] for k in range(X.shape[1])))[::-1]
+        kept_idx: list[int] = []
+        K = np.empty((0, X.shape[1]))
+        for i in order:
+            x = X[i]
+            if len(kept_idx):
+                ge = (K >= x).all(axis=1)
+                gt = (K > x).any(axis=1)
+                if (ge & gt).any():
+                    continue
+            kept_idx.append(i)
+            K = np.vstack([K, x])
+        yield pdf.iloc[sorted(kept_idx)]
+
+    schema = df.schema
+    local = df.mapInPandas(local_frontier, schema=schema)
+    return local.coalesce(1).mapInPandas(local_frontier, schema=schema)

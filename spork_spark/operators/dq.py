@@ -134,3 +134,44 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
                 .agg(F.count(F.lit(1)).alias("group_size"))
                 .where(F.col("group_size") < k)
                 .orderBy("group_size", *quasi_cols))
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law as exact
+# integer constants (no engine computes a log).
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181,
+                66946, 57991, 51152, 45757]
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of ``value_col`` against
+    Benford's law — the classic fabricated-data / unit-mixup audit for
+    naturally-occurring amounts (invoices, populations, file sizes).
+
+    The digit comes from the value's STRING form (first [1-9] char of
+    the canonical decimal/integer rendering) — no log10, whose
+    power-of-ten edge cases differ per libm; zero and null values
+    carry no leading digit and are excluded. Output per digit 1-9:
+    (digit, n, actual_ppm, expected_ppm) with actual_ppm the exact
+    integer n·10⁶ div total and expected_ppm the precomputed Benford
+    constant — deviations are the analyst's (or dq rule's) call, e.g.
+    max |actual−expected|. ONE map-side-combined groupBy; the total is
+    a 1-row broadcast. Digits absent from the data still appear (n=0),
+    as a distribution audit requires.
+    """
+    digit = F.regexp_extract(F.col(value_col).cast("string"),
+                             "([1-9])", 1)
+    counts = (df.where(F.col(value_col).isNotNull() & (digit != ""))
+                .groupBy(digit.cast("int").alias("digit"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(d + 1, _BENFORD_PPM[d]) for d in range(9)],
+        "digit int, expected_ppm long")
+    total = counts.groupBy().agg(F.sum("n").alias("__tot"))
+    return (digits.join(counts, on="digit", how="left")
+                  .crossJoin(F.broadcast(total))
+                  .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+                  .withColumn("actual_ppm",
+                              F.expr("(n * 1000000) div __tot")
+                               .cast("long"))
+                  .select("digit", "n", "actual_ppm", "expected_ppm"))

@@ -320,3 +320,48 @@ def test_winsorize_nulls_and_allnull_groups_pass_through(spark):
     got = {(r.t, r.v): r.v_w for r in winsorize(df, "t", "v").collect()}
     assert got[("a", 1.0)] == 1.0
     assert got[("a", None)] is None and got[("b", None)] is None
+
+
+def test_pareto_frontier_basic(spark):
+    from spork_spark.operators import pareto_frontier
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 3.0, 3.0), (3, 1.0, 5.0),
+         (4, 2.0, 2.0),             # dominated by row 2
+         (5, 5.0, 1.0),             # duplicate of row 1: both survive
+         (6, 4.0, 0.5)],            # frontier (max q, min cost? no: both max)
+        "id bigint, q double, r double")
+    out = pareto_frontier(df, {"q": "max", "r": "max"})
+    assert {r.id for r in out.collect()} == {1, 2, 3, 5}
+
+
+def test_pareto_frontier_min_orientation(spark):
+    from spork_spark.operators import pareto_frontier
+    df = spark.createDataFrame(
+        [(1, 1.0, 9.0), (2, 2.0, 2.0), (3, 9.0, 1.0), (4, 5.0, 5.0)],
+        "id bigint, cost double, err double")
+    out = pareto_frontier(df, {"cost": "min", "err": "min"})
+    assert {r.id for r in out.collect()} == {1, 2, 3}
+
+
+def test_pareto_frontier_partition_invariant(spark):
+    from spork_spark.operators import pareto_frontier
+    import random
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 1), rng.uniform(0, 1), rng.uniform(0, 1))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double, c double")
+    dims = {"a": "max", "b": "max", "c": "min"}
+    one = {r.id for r in pareto_frontier(df.repartition(1), dims).collect()}
+    many = {r.id for r in pareto_frontier(df.repartition(13), dims).collect()}
+    assert one == many
+    # brute-force reference
+    def dominated(x, ys):
+        xv = (x[1], x[2], -x[3])
+        for y in ys:
+            yv = (y[1], y[2], -y[3])
+            if all(a >= b for a, b in zip(yv, xv)) and yv != xv:
+                if any(a > b for a, b in zip(yv, xv)):
+                    return True
+        return False
+    ref = {r[0] for r in rows if not dominated(r, rows)}
+    assert one == ref

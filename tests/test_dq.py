@@ -81,3 +81,34 @@ def test_k_anonymity_validates_args(spark):
         k_anonymity(df, [], k=3)
     with pytest.raises(ValueError):
         k_anonymity(df, ["zip"], k=1)
+
+
+def test_benford_digits_counts_and_ppm(spark):
+    from spork_spark.operators import benford_digits
+    vals = [1.0, 12.5, 19.9, 2.0, 0.0, None, -3.5, 0.071, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r.digit: r for r in benford_digits(df, "x").collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1].n == 4                 # 1.0, 12.5, 19.9, 100.0
+    assert out[2].n == 1 and out[3].n == 1 and out[7].n == 1
+    assert out[9].n == 0                 # absent digit still reported
+    assert out[1].actual_ppm == 4 * 1000000 // 7
+    assert out[1].expected_ppm == 301029
+
+
+def test_benford_rejects_uniform_accepts_exponential(spark):
+    """Exponentially-spread amounts follow Benford; a uniform [100,999]
+    column concentrates nowhere near it — max deviation tells them apart."""
+    from spork_spark.operators import benford_digits
+    import pyspark.sql.functions as F
+    expo = spark.createDataFrame(
+        [(1.07 ** i,) for i in range(1, 400)], "x double")
+    unif = spark.createDataFrame(
+        [(float(100 + i),) for i in range(900)], "x double")
+    def maxdev(df):
+        return (benford_digits(df, "x")
+                .agg(F.max(F.abs(F.col("actual_ppm")
+                                 - F.col("expected_ppm"))))
+                .first()[0])
+    assert maxdev(expo) < 25000          # within 2.5% of Benford
+    assert maxdev(unif) > 60000          # uniform: digit 1 hugely off
