@@ -2474,6 +2474,34 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_rolling_sum(spark, sf):
+    """Trailing 7-day rolling cent-sum per event_type
+    (operators/timeseries.py rolling_sum): one map-side-combined daily
+    groupBy, then ONE keyed window with an integer RANGE frame over the
+    epoch-day number — calendar holes shorten the window arithmetically
+    instead of requiring densification. Exact longs end-to-end."""
+    from spork_spark.operators import rolling_sum
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return rolling_sum(ev, "event_type", "ts", "value", days=7) \
+        .orderBy("event_type", "day")
+
+
+def q_ewma(spark, sf):
+    """Per-key EWMA of the daily cent series as an EXACT integer
+    recurrence (operators/timeseries.py ewma): alpha is the rational
+    3/10 and state lives in micro-cents, s_t = (3·x_t·1e6 + 7·s_{t-1})
+    div 10 — one truncating integer division per step, so the oracle's
+    recursive CTE replays the identical longs (a float recurrence would
+    hinge on literal parsing and libm). Per-key sequential state is
+    intrinsic (sessionize class); cross-key parallelism scales."""
+    from spork_spark.operators import ewma
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return ewma(ev, "event_type", "ts", "value").orderBy("event_type",
+                                                         "day")
+
+
 def q_pareto(spark, sf):
     """Pareto frontier (skyline) of part on (p_size max, p_retailprice
     min) — operators/curation.py pareto_frontier, the distributed
@@ -3359,6 +3387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols": q_group_ols,
         "equifreq_bins": q_equifreq_bins,
         "embedding_covariance": q_embedding_covariance,
+        "rolling_sum": q_rolling_sum,
+        "ewma": q_ewma,
         "pareto": q_pareto,
         "benford": q_benford,
         "bigram_lm": q_bigram_lm,
@@ -5235,6 +5265,46 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "rolling_sum": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS value_cents
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2)
+            SELECT event_type, day, value_cents,
+                   CAST(SUM(value_cents) OVER (
+                     PARTITION BY event_type
+                     ORDER BY date_diff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS rolling_cents
+            FROM daily ORDER BY event_type, day
+        """,
+        "ewma": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS k, date_trunc('day', ts)::DATE AS day,
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS vc
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2),
+            idx AS (
+              SELECT k, day, vc,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY day) AS i
+              FROM daily),
+            r AS (
+              SELECT k, day, vc, i, CAST(vc AS HUGEINT) * 1000000 AS s
+              FROM idx WHERE i = 1
+              UNION ALL
+              SELECT idx.k, idx.day, idx.vc, idx.i,
+                     (3 * CAST(idx.vc AS HUGEINT) * 1000000 + 7 * r.s)
+                       // 10
+              FROM r JOIN idx ON idx.k = r.k AND idx.i = r.i + 1)
+            SELECT k AS event_type, day, vc AS value_cents,
+                   CAST(s AS BIGINT) AS ewma_ucents
+            FROM r ORDER BY event_type, day
         """,
         "pareto": """
             SELECT * FROM part a

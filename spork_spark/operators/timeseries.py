@@ -145,3 +145,91 @@ def group_ols(df: DataFrame, group_col: str, ts_col: str, value_col: str,
             .withColumn("r2_e6", e6("__r2num", "__r2den"))
             .select(F.col("__g").alias(group_col), "n",
                     "slope_e6", "intercept_e6", "r2_e6"))
+
+
+def rolling_sum(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                days: int = 7, scale: int = 100) -> DataFrame:
+    """Trailing ``days``-day rolling cent-sum per key, on observed days.
+
+    Values aggregate to exact per-(key, day) cent sums first (one
+    map-side-combined groupBy), then ONE keyed window with an integer
+    RANGE frame over the epoch-day number — rangeBetween(-(days-1), 0)
+    — sums the trailing window. RANGE (not ROWS) so calendar holes
+    shorten the window arithmetic correctly without densifying: a key
+    observed on days {1, 9} has day 9's trailing week exclude day 1.
+    Exact longs end-to-end. One groupBy shuffle + one keyed window
+    shuffle; state is the window frame over each key's observed days.
+    Compose with gap_fill first when the dense-calendar semantics
+    (holes as carried/zero rows) are wanted instead.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+               .groupBy(F.col(key_col).alias("__k"), day.alias("day"))
+               .agg(F.sum(cents).alias("value_cents")))
+    dayn = F.datediff("day", F.lit("1970-01-01")).cast("long")
+    return (daily.withColumn("rolling_cents",
+                             F.sum("value_cents").over(
+                                 Window.partitionBy("__k")
+                                       .orderBy(dayn)
+                                       .rangeBetween(-(days - 1), 0)))
+                 .select(F.col("__k").alias(key_col), "day",
+                         "value_cents", "rolling_cents"))
+
+
+def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+         alpha_num: int = 3, alpha_den: int = 10,
+         scale: int = 100) -> DataFrame:
+    """Per-key exponentially-weighted moving average of the daily cent
+    series, as an EXACT integer recurrence.
+
+    alpha is the RATIONAL alpha_num/alpha_den, and the state lives in
+    micro-cent units (cents · 10⁶):
+
+        s_1 = x_1 · 10⁶
+        s_t = (alpha_num · x_t · 10⁶ + (alpha_den − alpha_num) · s_{t−1})
+              div alpha_den
+
+    — integer arithmetic with one truncating division per step, so
+    every engine replays the identical value (a float recurrence would
+    hinge on literal parsing and libm; this hinges on nothing). The
+    deterministic truncation costs < 1 micro-cent per step. Output:
+    (key, day, value_cents, ewma_ucents).
+
+    Shape: one map-side-combined groupBy to daily grain, then ONE
+    applyInPandas over each key's ordered days — per-key sequential
+    state is intrinsic to EWMA (same class as sessionize); cross-key
+    parallelism is the scale axis, and a key's state is two integers.
+    The oracle replays the recurrence as a recursive CTE over
+    row-numbered days.
+    """
+    import pandas as pd
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+               .groupBy(F.col(key_col).alias("__k"), day.alias("day"))
+               .agg(F.sum(cents).alias("value_cents")))
+    a, d = alpha_num, alpha_den
+    if not 0 < a < d:
+        raise ValueError("need 0 < alpha_num < alpha_den")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        s = None
+        for x in pdf["value_cents"]:
+            xi = int(x) * 10 ** 6
+            s = xi if s is None else (a * xi + (d - a) * s) // d
+            out.append(s)
+        pdf["ewma_ucents"] = out
+        return pdf
+
+    res = daily.groupBy("__k").applyInPandas(
+        fn, schema="__k " + dict(daily.dtypes)["__k"]
+                   + ", day date, value_cents long, ewma_ucents long")
+    return res.withColumnRenamed("__k", key_col)

@@ -59,3 +59,47 @@ def test_group_ols_negative_slope_and_degenerate(spark):
     assert out["flatday"].slope_e6 is None              # zero x-variance
     assert out["flatday"].intercept_e6 is None
     assert out["flatday"].r2_e6 is None
+
+
+def test_rolling_sum_range_frame_respects_holes(spark):
+    from spork_spark.operators import rolling_sum
+    rows = [("a", "2024-01-01 00:00:00", 1.0),
+            ("a", "2024-01-03 00:00:00", 2.0),
+            ("a", "2024-01-09 00:00:00", 4.0),   # day 1 falls out of window
+            ("b", "2024-01-01 00:00:00", 8.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.k, str(r.day)): r.rolling_cents
+           for r in rolling_sum(df, "k", "ts", "value", days=7).collect()}
+    assert out[("a", "2024-01-01")] == 100
+    assert out[("a", "2024-01-03")] == 300          # day1 + day3
+    assert out[("a", "2024-01-09")] == 600          # day3 + day9 only
+    assert out[("b", "2024-01-01")] == 800
+
+
+def test_ewma_exact_integer_recurrence(spark):
+    from spork_spark.operators import ewma
+    rows = [("a", f"2024-01-0{d} 00:00:00", float(v))
+            for d, v in [(1, 10.0), (2, 20.0), (3, 10.0)]]
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = [r.ewma_ucents for r in
+           ewma(df, "k", "ts", "value").orderBy("day").collect()]
+    # cents: 1000, 2000, 1000; micro: s1=1e9
+    s1 = 1000 * 10 ** 6
+    s2 = (3 * 2000 * 10 ** 6 + 7 * s1) // 10
+    s3 = (3 * 1000 * 10 ** 6 + 7 * s2) // 10
+    assert out == [s1, s2, s3]
+
+
+def test_ewma_partition_invariant(spark):
+    from spork_spark.operators import ewma
+    import random
+    rng = random.Random(5)
+    rows = [(f"k{i % 7}", f"2024-{1 + (i // 28) % 12:02d}-{1 + i % 28:02d}"
+             " 00:00:00", rng.uniform(0, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    a = sorted(map(tuple, ewma(df.repartition(1), "k", "ts", "value").collect()))
+    b = sorted(map(tuple, ewma(df.repartition(11), "k", "ts", "value").collect()))
+    assert a == b
