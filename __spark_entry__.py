@@ -3139,6 +3139,42 @@ def q_streaming_dedup(spark, sf):
             .orderBy("user_id", "event_type"))
 
 
+def q_stream_upsert(spark, sf):
+    """Streaming CDC apply (streaming/__init__.py stream_upsert_parquet):
+    a change stream MERGEs into a parquet snapshot per micro-batch via
+    foreachBatch + merge_upsert — snapshot never shuffles (batch keys
+    broadcast into one anti-join), atomic directory-rename publish,
+    exactly-once per batch via the checkpoint. Both change waves land in
+    one source fileset, so within-batch resolution picks the max-version
+    row deterministically; the oracle replays the merge as
+    anti-join ∪ window-winner SQL."""
+    from spork_spark.streaming import stream_upsert_parquet
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders").df()
+    base = (orders.filter(F.col("o_orderkey") % 3 == 0)
+                  .select(F.col("o_orderkey").alias("id"),
+                          F.col("o_custkey").cast("long").alias("val"),
+                          F.lit(0).cast("long").alias("ver")))
+    ch1 = (orders.filter(F.col("o_orderkey") % 4 == 0)
+                 .select(F.col("o_orderkey").alias("id"),
+                         (F.col("o_custkey") + 1000000).cast("long")
+                         .alias("val"),
+                         F.lit(1).cast("long").alias("ver")))
+    ch2 = (orders.filter(F.col("o_orderkey") % 8 == 0)
+                 .select(F.col("o_orderkey").alias("id"),
+                         (F.col("o_custkey") + 2000000).cast("long")
+                         .alias("val"),
+                         F.lit(2).cast("long").alias("ver")))
+    snap = _tmp_path("stream_upsert_snap", sf)
+    src = _tmp_path("stream_upsert_src", sf)
+    ck = _tmp_path("stream_upsert_ck", sf)
+    base.write.mode("overwrite").parquet(snap)
+    ch1.unionByName(ch2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    stream_upsert_parquet(stream, snap, ["id"], ck, version_col="ver")
+    return spark.read.parquet(snap).orderBy("id")
+
+
 def q_snapshot_diff(spark, sf):
     """CDC between two snapshot versions (operators/diff.py
     snapshot_diff): old = customers < 1200, new = customers > 300 with
@@ -3353,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "stream_dedup": q_streaming_dedup,
+        "stream_upsert": q_stream_upsert,
         "ngram_logcount": q_ngram_logcount,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -5909,6 +5946,30 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT * FROM applied) m
             ORDER BY o_orderkey
+        """,
+        "stream_upsert": """
+            WITH base AS (
+              SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS val,
+                     CAST(0 AS BIGINT) AS ver
+              FROM orders WHERE o_orderkey % 3 = 0),
+            ch AS (
+              SELECT o_orderkey AS id,
+                     CAST(o_custkey + 1000000 AS BIGINT) AS val,
+                     CAST(1 AS BIGINT) AS ver
+              FROM orders WHERE o_orderkey % 4 = 0
+              UNION ALL
+              SELECT o_orderkey, CAST(o_custkey + 2000000 AS BIGINT),
+                     CAST(2 AS BIGINT)
+              FROM orders WHERE o_orderkey % 8 = 0),
+            win AS (
+              SELECT id, val, ver FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY id ORDER BY ver DESC, val DESC) AS rn
+                FROM ch) WHERE rn = 1)
+            SELECT id, val, ver FROM base
+            WHERE id NOT IN (SELECT id FROM ch)
+            UNION ALL SELECT * FROM win
+            ORDER BY id
         """,
         "snapshot_diff": """
             WITH o AS (

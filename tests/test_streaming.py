@@ -300,3 +300,33 @@ def test_write_stream_parquet_roundtrip(spark, tmp_path):
     # replay with the same checkpoint: no new input -> no new rows
     write_stream_parquet(agg(read_stream(spark, src, SCHEMA)), out, ckpt)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_upsert_parquet_cdc_apply(spark, tmp_path):
+    """Micro-batched CDC stream merged into a parquet snapshot equals
+    one batch merge_upsert of the same changes (order within a key
+    resolved by version)."""
+    import pyspark.sql.functions as F
+    from spork_spark.operators import merge_upsert
+    from spork_spark.streaming import stream_upsert_parquet
+
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "id bigint, val string, ver bigint")
+    base.write.parquet(snap)
+    changes = spark.createDataFrame(
+        [(2, "b2", 1), (4, "d", 1), (2, "b3", 2)],
+        "id bigint, val string, ver bigint")
+    changes.write.parquet(src)
+
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    stream_upsert_parquet(stream, snap, ["id"], ck, version_col="ver")
+
+    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    want = sorted(map(tuple, merge_upsert(
+        base, changes, ["id"], version_col="ver").collect()))
+    assert got == want
+    assert (2, "b3", 2) in got and (4, "d", 1) in got and (1, "a", 0) in got
