@@ -2474,6 +2474,34 @@ def q_histogram(spark, sf):
             .orderBy("event_type", "bucket"))
 
 
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negatives): top-5 nearest different-label vectors per anchor
+    (anchors = vec_id % 50 == 0). Anchors broadcast; the corpus never
+    shuffles except the per-anchor top-k ranking; scores round before
+    ranking so rank boundaries replay. The oracle pays the quadratic
+    scoring the engine's anchor-batch shape avoids at scale."""
+    from spork_spark.operators import hard_negatives
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return hard_negatives(emb, anchors=anchors, k=5) \
+        .orderBy("anchor_id", "rank")
+
+
+def q_normalize_text(spark, sf):
+    """Canonical text normalization (operators/text.py normalize_text):
+    Unicode NFC via an Arrow-batched pandas UDF (same Unicode standard
+    DuckDB's nfc_normalize implements), then native lowercase +
+    whitespace collapse + trim. Pure row-wise map, fuses into the
+    scan."""
+    from spork_spark.operators import normalize_text
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return normalize_text(docs).select("doc_id", "text_norm") \
+        .orderBy("doc_id")
+
+
 def q_rolling_sum(spark, sf):
     """Trailing 7-day rolling cent-sum per event_type
     (operators/timeseries.py rolling_sum): one map-side-combined daily
@@ -3424,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols": q_group_ols,
         "equifreq_bins": q_equifreq_bins,
         "embedding_covariance": q_embedding_covariance,
+        "hard_negatives": q_hard_negatives,
+        "normalize_text": q_normalize_text,
         "rolling_sum": q_rolling_sum,
         "ewma": q_ewma,
         "pareto": q_pareto,
@@ -5302,6 +5332,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS cnt
             FROM b GROUP BY 1, 2
             ORDER BY event_type, bucket
+        """,
+        "hard_negatives": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id,
+                     CAST(embedding AS DOUBLE[]) AS av, label AS al
+              FROM embeddings WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT a.anchor_id, e.vec_id, e.label,
+                     ROUND(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), a.av), 4) AS score
+              FROM embeddings e, a
+              WHERE e.vec_id <> a.anchor_id AND e.label <> a.al),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY score DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT anchor_id, vec_id, label, score, rank
+            FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\s+', ' ', 'g')) END AS text_norm
+            FROM documents ORDER BY doc_id
         """,
         "rolling_sum": """
             WITH daily AS (

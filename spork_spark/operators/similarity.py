@@ -283,3 +283,42 @@ def dequantize_embeddings(df: DataFrame, q_col: str = "q_vec",
         F.transform(F.col(q_col),
                     lambda x: (x.cast("double")
                                * F.col(scale_col)).cast("float")))
+
+
+def hard_negatives(df: DataFrame, anchors: DataFrame = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", k: int = 5,
+                   score_round: int = 4) -> DataFrame:
+    """Top-k nearest DIFFERENT-label neighbors per anchor — contrastive
+    hard-negative mining, the training-pair construction step of an
+    embedding-model pipeline (negatives that are close in vector space
+    but wrong by label teach the margin; random negatives are too easy).
+
+    Exact variant: anchors BROADCAST against the corpus (scoring is a
+    narrow map over corpus partitions — the corpus never shuffles), one
+    keyed shuffle ranks top-k per anchor. Scores round BEFORE ranking so
+    rank boundaries replay in any engine. Anchor batches are the scale
+    knob (cost ∝ corpus × anchors): at 100 TB mine per anchor batch, or
+    pre-bucket candidates with ivf_topk's trained cells and re-rank —
+    this exact path doubles as that pipeline's recall oracle, same
+    relationship as brute_force_topk to ivf_topk.
+
+    Output: (anchor_id, vec_id, label, score, rank).
+    """
+    anchors = df if anchors is None else anchors
+    a = anchors.select(F.col(id_col).alias("anchor_id"),
+                       F.col(vec_col).cast("array<double>").alias("__av"),
+                       F.col(label_col).alias("__al"))
+    c = df.select(F.col(id_col), F.col(label_col),
+                  F.col(vec_col).cast("array<double>").alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(a))
+               .filter((F.col(id_col) != F.col("anchor_id"))
+                       & (F.col(label_col) != F.col("__al")))
+               .withColumn("score", F.round(
+                   cosine(F.col("__cv"), F.col("__av")), score_round)))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
+                                                F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("anchor_id", id_col, label_col, "score",
+                          "rank"))

@@ -710,3 +710,32 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
              .withColumn("avg_p_e6",
                          F.expr("sum_p_e6 div n_bigrams").cast("long"))
              .select(id_col, "n_bigrams", "sum_p_e6", "avg_p_e6"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Canonical text normalization: Unicode NFC, lowercase, whitespace
+    collapsed to single spaces, trimmed — the cleaning step that makes
+    every downstream exact-match operator (exact_dedup, line dedup,
+    decontaminate, inverted_index) see é and e-plus-combining-accent as
+    the same document.
+
+    NFC runs in an Arrow-batched pandas UDF (Spark has no NFC builtin;
+    unicodedata implements the same Unicode standard DuckDB's
+    nfc_normalize does, so the oracle matches); lowercase and the
+    whitespace collapse stay native Columns. Null text stays null.
+    Pure row-wise map — no shuffle, fuses into the scan stage.
+    """
+    import pandas as pd
+    import unicodedata
+
+    # no type hints: PEP-563 lazy annotations + the local pandas import
+    # make `pd.Series` unresolvable for pandas_udf's hint inference
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    norm = F.trim(F.regexp_replace(F.lower(_nfc(F.col(text_col))),
+                                   r"\s+", " "))
+    return df.withColumn(out_col, norm)

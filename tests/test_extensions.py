@@ -1023,3 +1023,47 @@ def test_lsh_incremental_new_new_pairs_form(spark):
     inc = lsh_pairs_incremental(idx, old, new, "doc_id", "text",
                                 threshold=0.5)
     assert {(r.id_a, r.id_b) for r in inc.collect()} == {(10, 11)}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from spork_spark.operators import hard_negatives
+    rows = [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0),   # same label as 1
+            (3, [0.9, 0.2], 1), (4, [0.0, 1.0], 1),
+            (5, [-1.0, 0.0], 2)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>, "
+                               "label int")
+    out = hard_negatives(df, k=2)
+    by_anchor = {}
+    for r in out.collect():
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    # anchor 1 (label 0): nearest different-label is 3, never 2
+    got1 = [r.vec_id for r in sorted(by_anchor[1], key=lambda r: r.rank)]
+    assert got1[0] == 3 and 2 not in got1
+    assert all(r.label != 0 for r in by_anchor[1])
+    assert all(len(v) <= 2 for v in by_anchor.values())
+
+
+def test_hard_negatives_anchor_subset(spark):
+    from spork_spark.operators import hard_negatives
+    import pyspark.sql.functions as F
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>, "
+                               "label int")
+    out = hard_negatives(df, anchors=df.filter(F.col("vec_id") < 2), k=3)
+    assert {r.anchor_id for r in out.collect()} == {0, 1}
+
+
+def test_normalize_text_nfc_lower_collapse(spark):
+    from spork_spark.operators import normalize_text
+    composed = "café"                       # é precomposed
+    decomposed = "café"                    # e + combining acute
+    df = spark.createDataFrame(
+        [(1, f"  {decomposed}   du   MONDE \t"), (2, composed), (3, None)],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.text_norm
+           for r in normalize_text(df).collect()}
+    assert out[1] == "café du monde"        # NFC + lower + collapse
+    assert out[2] == "café"
+    assert out[3] is None
