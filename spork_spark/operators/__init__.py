@@ -9,7 +9,7 @@ from .dedup import (duplicate_spans, sorted_neighborhood_pairs, edit_distance_pa
                     ngram_jaccard_pairs, shingles, simhash)
 from .graph import cc_incremental, connected_components, triangle_count
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
-                         hard_negatives, ivf_topk, ivf_topk_trained, lsh_topk,
+                         hard_negatives, hard_negatives_ivf, ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
 from .stats import chi2_contingency, equifreq_bins, histogram
@@ -64,7 +64,7 @@ __all__ = [
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "embedding_covariance", "pca_project",
-    "pareto_frontier", "benford_digits", "hard_negatives", "normalize_text",
+    "pareto_frontier", "benford_digits", "hard_negatives", "hard_negatives_ivf", "normalize_text",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

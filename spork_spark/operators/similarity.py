@@ -187,7 +187,8 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
                      vec_col: str = "embedding", n_centroids: int = 4,
                      nprobe: int = 2, n_iter: int = 2, scale: int = 1000,
                      query_id_col: str | None = None,
-                     score_round: int = 6) -> DataFrame:
+                     score_round: int = 6,
+                     label_col: str | None = None) -> DataFrame:
     """IVF approximate top-k with a k-means-TRAINED coarse quantizer
     (round-4 item 2: real recall depends on centroid quality, so the
     codebook comes from operators/curation.py kmeans_train instead of
@@ -208,21 +209,28 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
     Scale shape: training is kmeans_train's bounded k-row collects; the
     probe is an equi-join on cell id with broadcast queries; corpus-side
     work after bucketing is |probed cells|, not |corpus|.
+
+    ``label_col``: when set, only DIFFERENT-label candidates rank (and
+    the label joins the output) — the IVF-bucketed hard-negative miner;
+    see hard_negatives for the exact path it approximates.
     """
     from .curation import _quantize_vec, _sq_dist, kmeans_train
     qid = query_id_col or id_col
     cents, cells = kmeans_train(corpus, k=n_centroids, n_iter=n_iter,
                                 id_col=id_col, vec_col=vec_col,
                                 scale=scale)
-    c = (corpus.select(F.col(id_col),
-                       F.col(vec_col).cast("array<double>")
-                        .alias("__cvec"))
+    ccols = [F.col(id_col),
+             F.col(vec_col).cast("array<double>").alias("__cvec")]
+    qcols = [F.col(qid).alias("query_id"),
+             F.col(vec_col).cast("array<double>").alias("__qvec"),
+             _quantize_vec(vec_col, scale).alias("__qq")]
+    if label_col is not None:
+        ccols.append(F.col(label_col))
+        qcols.append(F.col(label_col).alias("__qlabel"))
+    c = (corpus.select(*ccols)
                .join(cells, on=id_col)
                .withColumnRenamed("cluster", "__cell"))
-    q = queries.select(F.col(qid).alias("query_id"),
-                       F.col(vec_col).cast("array<double>")
-                        .alias("__qvec"),
-                       _quantize_vec(vec_col, scale).alias("__qq"))
+    q = queries.select(*qcols)
     scored_cells = F.array(*[
         F.struct(_sq_dist(F.col("__qq"),
                           F.array([F.lit(v) for v in codes])).alias("d"),
@@ -233,17 +241,46 @@ def ivf_topk_trained(corpus: DataFrame, queries: DataFrame,
     ranked = F.transform(F.array_sort(scored_cells), lambda s: s["cid"])
     q = q.withColumn("__cell", F.explode(
         F.slice(ranked, 1, min(nprobe, len(cents)))))
-    scored = (c.join(F.broadcast(q.select("query_id", "__qvec",
-                                          "__cell")), on="__cell")
+    qsel = ["query_id", "__qvec", "__cell"] \
+        + (["__qlabel"] if label_col is not None else [])
+    scored = (c.join(F.broadcast(q.select(*qsel)), on="__cell")
                .filter(F.col(id_col) != F.col("query_id"))
                .withColumn("score", F.round(
                    cosine(F.col("__cvec"), F.col("__qvec")),
                    score_round)))
+    if label_col is not None:
+        scored = scored.filter(F.col(label_col) != F.col("__qlabel"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col(id_col))
+    out_cols = ["query_id", id_col] \
+        + ([label_col] if label_col is not None else []) \
+        + ["score", "rank"]
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
-                  .select("query_id", id_col, "score", "rank"))
+                  .select(*out_cols))
+
+
+def hard_negatives_ivf(df: DataFrame, anchors: DataFrame = None,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label", k: int = 5,
+                       n_centroids: int = 4, nprobe: int = 2,
+                       n_iter: int = 2, score_round: int = 4) -> DataFrame:
+    """IVF-bucketed hard-negative mining — the 100 TB path for
+    hard_negatives: candidates come from each anchor's `nprobe` nearest
+    k-means-trained cells (equi-join on cell id, corpus-side work ∝
+    probed cells, not corpus × anchors), different-label filtering and
+    exact cosine re-ranking happen inside the probe. Recall vs the
+    exact miner is the quality knob (nprobe → n_centroids degrades to
+    exact); hard_negatives is the recall oracle, same relationship as
+    brute_force_topk to ivf_topk. Output matches hard_negatives:
+    (anchor_id, vec_id, label, score, rank).
+    """
+    anchors = df if anchors is None else anchors
+    out = ivf_topk_trained(df, anchors, k=k, id_col=id_col,
+                           vec_col=vec_col, n_centroids=n_centroids,
+                           nprobe=nprobe, n_iter=n_iter,
+                           score_round=score_round, label_col=label_col)
+    return out.withColumnRenamed("query_id", "anchor_id")
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",

@@ -1067,3 +1067,22 @@ def test_normalize_text_nfc_lower_collapse(spark):
     assert out[1] == "café du monde"        # NFC + lower + collapse
     assert out[2] == "café"
     assert out[3] is None
+
+
+def test_hard_negatives_ivf_recall_and_parity(spark):
+    """nprobe = n_centroids degrades the IVF miner to the exact miner;
+    at nprobe < n_centroids recall stays above the bound."""
+    from spork_spark.operators import hard_negatives, hard_negatives_ivf
+    import pyspark.sql.functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = hard_negatives(emb, anchors=anchors, k=5)
+    full = hard_negatives_ivf(emb, anchors=anchors, k=5,
+                              n_centroids=4, nprobe=4)
+    e = {(r.anchor_id, r.vec_id) for r in exact.collect()}
+    f = {(r.anchor_id, r.vec_id) for r in full.collect()}
+    assert e == f                              # full probe == exact
+    probe = hard_negatives_ivf(emb, anchors=anchors, k=5,
+                               n_centroids=4, nprobe=2)
+    p = {(r.anchor_id, r.vec_id) for r in probe.collect()}
+    assert len(p & e) / len(e) >= 0.5          # recall bound at nprobe=2
