@@ -3226,7 +3226,7 @@ def q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
 
 
-def q_fingerprint(spark, sf):
+def q_fingerprint_table(spark, sf):
     """Merkle-leaf table checksum (operators/diff.py table_fingerprint):
     orders reduced to 64 order-insensitive (n_rows, sum, xor) digest
     buckets — the anti-entropy exchange that compares two 100 TB copies
@@ -3435,7 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
-        "fingerprint_table": q_fingerprint,
+        "fingerprint_table": q_fingerprint_table,
         "leakage_safe_split": q_leakage_safe_split,
         "compaction_plan": q_compaction_plan,
         "k_anonymity": q_k_anonymity,

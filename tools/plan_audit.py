@@ -48,6 +48,10 @@ CROSS_OK = {
     "multimodal_near_dedup": "same aHash banded verify as multimodal_phash",
     "dedup_spans": "anchor-span verify within content-defined blocks",
     "chi2_lang_source": "category-sized margins cross join (|A|x|B|)",
+    "equifreq_bins": "1-row total-count broadcast for the cumulative bin rule",
+    "benford": "1-row total-count broadcast for the ppm shares",
+    "bigram_lm": "1-row vocabulary-size broadcast for the smoothing denominator",
+    "hard_negatives": "documented exact mining baseline: anchors x corpus (IVF variant is the scale path)",
 }
 
 # name -> reason Python row-crossing is intrinsic
