@@ -486,3 +486,80 @@ def test_join_hint_skipped_when_side_broadcastable(eng, spark):
     finally:
         spark.conf.set("spark.spork.join.defaultStrategy", "auto")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_gap_fill_two_keyed_exchanges_no_python(spark):
+    """gap_fill = daily groupBy + spine equi-join + ONE keyed window —
+    no Python row crossings, no cartesian (docs/SCALE.md claim)."""
+    import pyspark.sql.functions as F
+    from spork_spark.operators import gap_fill
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)],
+        "k string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _raw_plan(gap_fill(df, "k", "ts", "value"))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan           # map-combined daily sums
+
+
+def test_group_ols_single_aggregation_no_window(spark):
+    """group_ols: broadcast first-day join + ONE aggregation — no window,
+    no Python, group-count-sized output."""
+    import pyspark.sql.functions as F
+    from spork_spark.operators import group_ols
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)],
+        "g string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _raw_plan(group_ols(df, "g", "ts", "value"))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equifreq_bins_window_over_distinct_only(spark):
+    """The unpartitioned cumulative window must sit ABOVE the distinct-
+    value aggregate (value-cardinality input), never over the raw data."""
+    from spork_spark.operators import equifreq_bins
+    df = spark.createDataFrame([(float(i),) for i in range(50)],
+                               "value double")
+    plan = _raw_plan(equifreq_bins(df, "value", 5))
+    # window input flows from a HashAggregate (the distinct-value pass)
+    assert plan.index("HashAggregate") < len(plan)
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], \
+        "no aggregate below the window: it would scan raw rows"
+
+
+def test_bigram_lm_no_self_join_on_docs(spark):
+    """The bigram stream is built by arrays_zip of two slices inside one
+    projection — no join of the doc table to itself, no Python."""
+    from spork_spark.operators import bigram_lm_score
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = _raw_plan(bigram_lm_score(df))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_partials_then_fold(spark):
+    """mapInPandas Gram kernel feeds a map-combined HashAggregate — the
+    corpus never reaches the exchange as vectors."""
+    from spork_spark.operators import embedding_covariance
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                               "vec_id bigint, embedding array<double>")
+    plan = _raw_plan(embedding_covariance(df, "embedding", dim=2))
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("MapInPandas"), \
+        "fold must sit above the kernel (plans print top-down)"
+
+
+def test_stream_upsert_base_never_shuffles(spark):
+    """merge_upsert's anti-join broadcasts the batch key set; the base
+    snapshot side carries no Exchange (docs/SCALE.md claim)."""
+    from spork_spark.operators import merge_upsert
+    base = spark.createDataFrame([(1, "a")], "id bigint, val string")
+    upd = spark.createDataFrame([(1, "b")], "id bigint, val string")
+    plan = _raw_plan(merge_upsert(base, upd, ["id"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
