@@ -951,6 +951,29 @@ def q_dedup_incremental(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_dedup_index_roundtrip(spark, sf):
+    """The stored-index contract end-to-end: the LSH banding index is
+    STOREd to parquet and reLOADed before the incremental candidate
+    join — exactly how a daily-refresh pipeline persists near-dup state
+    between batches (minhash_banding docstring). Output must equal
+    dedup_incremental's (same oracle SQL), proving the index carries
+    through a parquet roundtrip with no recompute."""
+    from spork_spark.operators import lsh_pairs_incremental, minhash_banding
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_path = _tmp_path("lsh_index", sf)
+    minhash_banding(old, "doc_id", "text", shingle_n=5, num_hashes=64,
+                    bands=16, hash_fn="md5") \
+        .write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    return lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                                 shingle_n=5, num_hashes=64, bands=16,
+                                 threshold=0.6, hash_fn="md5") \
+        .orderBy("id_a", "id_b")
+
+
 def q_dedup_spans(spark, sf):
     """ExactSubstr-style duplicate-span detection (Lee et al. 2021) via
     content-defined anchoring (winnowing family): anchor positions are
@@ -3360,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_index_roundtrip": q_dedup_index_roundtrip,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -4238,6 +4262,37 @@ def oracle_sql() -> dict[str, str]:
             FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
         """,
         "dedup_incremental": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 4, 1))]) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            sig AS (
+              SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || sg)) AS mh
+              FROM ex CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j),
+            band AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 4),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+            v AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b)
+            SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+            FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
+        """,
+"dedup_index_roundtrip": """
             WITH sh AS (
               SELECT doc_id,
                      list_distinct([substring(text, i, 5)
