@@ -2525,6 +2525,33 @@ def q_normalize_text(spark, sf):
         .orderBy("doc_id")
 
 
+def q_ohlc(spark, sf):
+    """Daily OHLC candlestick bars per event_type
+    (operators/timeseries.py ohlc): open/close via struct-ordered
+    MIN/MAX over the TOTAL order (ts, event_id) — deterministic under
+    simultaneous observations, where bare min_by would pick an
+    arbitrary survivor — so the whole bar is ONE map-side-combined
+    groupBy, no window. Exact cents."""
+    from spork_spark.operators import ohlc
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return ohlc(ev, "event_type", "ts", "value", "event_id") \
+        .orderBy("event_type", "day")
+
+
+def q_twap(spark, sf):
+    """Time-weighted average value per event_type
+    (operators/timeseries.py twap — the TimescaleDB time_weight/LOCF
+    convention): each observation holds until the next, the last holds
+    nothing; cents x micro-second durations accumulate in decimal(38,0)
+    and the span ratio lands as an exact twap_e6 long. ONE keyed lead
+    window + ONE map-side-combined groupBy."""
+    from spork_spark.operators import twap
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return twap(ev, "event_type", "ts", "value").orderBy("event_type")
+
+
 def q_rolling_sum(spark, sf):
     """Trailing 7-day rolling cent-sum per event_type
     (operators/timeseries.py rolling_sum): one map-side-combined daily
@@ -3478,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "hard_negatives": q_hard_negatives,
         "normalize_text": q_normalize_text,
+        "ohlc": q_ohlc,
+        "twap": q_twap,
         "rolling_sum": q_rolling_sum,
         "ewma": q_ewma,
         "pareto": q_pareto,
@@ -5412,6 +5441,46 @@ def oracle_sql() -> dict[str, str]:
                      trim(regexp_replace(lower(nfc_normalize(text)),
                                          '\s+', ' ', 'g')) END AS text_norm
             FROM documents ORDER BY doc_id
+        """,
+        "ohlc": """
+            WITH base AS (
+              SELECT event_type AS k, date_trunc('day', ts)::DATE AS day,
+                     ts, event_id,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            b2 AS (
+              SELECT *,
+                     first_value(v) OVER (PARTITION BY k, day
+                       ORDER BY ts, event_id) AS open_c,
+                     first_value(v) OVER (PARTITION BY k, day
+                       ORDER BY ts DESC, event_id DESC) AS close_c
+              FROM base)
+            SELECT k AS event_type, day,
+                   MIN(open_c) AS open_cents, MAX(v) AS high_cents,
+                   MIN(v) AS low_cents, MIN(close_c) AS close_cents,
+                   COUNT(*) AS n_obs
+            FROM b2 GROUP BY 1, 2 ORDER BY event_type, day
+        """,
+        "twap": """
+            WITH base AS (
+              SELECT event_type AS k, epoch_us(ts) AS t,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            st AS (
+              SELECT k, t, v,
+                     lead(t) OVER (PARTITION BY k ORDER BY t, v) AS nxt
+              FROM base),
+            s AS (
+              SELECT k, SUM(CAST(v AS HUGEINT) * (nxt - t)) AS wsum,
+                     MIN(t) AS t0, MAX(t) AS t1, COUNT(*) AS n_obs
+              FROM st GROUP BY k)
+            SELECT k AS event_type, n_obs,
+                   CASE WHEN t1 = t0 THEN NULL ELSE
+                     CAST((wsum * 1000000) // (t1 - t0) AS BIGINT)
+                   END AS twap_e6
+            FROM s ORDER BY event_type
         """,
         "rolling_sum": """
             WITH daily AS (

@@ -43,7 +43,7 @@ from .behavior import (cohort_retention, funnel, scd2_from_log,
 from .reshape import pivot_table, unpivot
 from .layout import compaction_plan, zorder_by, zorder_key
 from .splits import leakage_safe_split
-from .timeseries import ewma, gap_fill, group_ols, rolling_sum
+from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, twap
 from .linalg import embedding_covariance, pca_project
 
 __all__ = [
@@ -63,7 +63,7 @@ __all__ = [
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
-    "gap_fill", "group_ols", "rolling_sum", "ewma", "embedding_covariance", "pca_project",
+    "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "hard_negatives", "hard_negatives_ivf", "normalize_text",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",

@@ -233,3 +233,91 @@ def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
         fn, schema="__k " + dict(daily.dtypes)["__k"]
                    + ", day date, value_cents long, ewma_ucents long")
     return res.withColumnRenamed("__k", key_col)
+
+
+def ohlc(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+         id_col: str, scale: int = 100) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars per key — the candlestick
+    rollup, on exact cent values.
+
+    Open/close are the first/last observation of the (key, day) group
+    under the TOTAL order (ts, id) — the id tiebreak makes simultaneous
+    observations deterministic, where a bare min_by/max_by(ts) would
+    pick an arbitrary survivor (the merge_upsert lesson). Implemented
+    as struct-ordered MIN/MAX aggregates — min(struct(ts, id, v)).v is
+    the open — so the whole bar is ONE map-side-combined groupBy; no
+    window, no second pass. high/low are plain MIN/MAX.
+
+    Output: (key, day, open_cents, high_cents, low_cents, close_cents,
+    n_obs). The oracle replays the same total order with arg_min/
+    arg_max over (ts, id) pairs.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+              .select(F.col(key_col).alias("__k"), day.alias("day"),
+                      F.col(ts_col).alias("__ts"),
+                      F.col(id_col).alias("__id"),
+                      cents.alias("__v")))
+    first = F.min(F.struct("__ts", "__id", "__v"))
+    last = F.max(F.struct("__ts", "__id", "__v"))
+    return (base.groupBy("__k", "day")
+                .agg(first.getField("__v").alias("open_cents"),
+                     F.max("__v").alias("high_cents"),
+                     F.min("__v").alias("low_cents"),
+                     last.getField("__v").alias("close_cents"),
+                     F.count(F.lit(1)).alias("n_obs"))
+                .select(F.col("__k").alias(key_col), "day", "open_cents",
+                        "high_cents", "low_cents", "close_cents",
+                        "n_obs"))
+
+
+def twap(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+         scale: int = 100, out_scale: int = 10 ** 6) -> DataFrame:
+    """Time-weighted average value per key over its observation span —
+    the irregular-series mean that duration-weights each observation
+    (TimescaleDB time_weight, LOCF convention): an observation holds
+    until the next one; the last observation carries no duration.
+
+        twap = Σ v_i · (t_{i+1} − t_i) / (t_n − t_1)
+
+    in exact integers: cents × micro-second durations accumulate in
+    decimal(38,0) and the final ratio is a sign-free scaled integer
+    division (all terms non-negative) → ``twap_e6`` ≡ cents·10⁶.
+    Keys with a single observation (zero span) return null.
+
+    Shape: ONE keyed window (lead) + ONE map-side-combined groupBy —
+    the sessionize class. Same-timestamp observations get zero duration
+    (they never held); the (ts, value) lead order is made total by the
+    value tiebreak so reruns agree.
+    """
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+              .select(F.col(key_col).alias("__k"),
+                      # fixtures are TIMESTAMP_NTZ; unix_micros wants
+                      # TIMESTAMP — identity under the UTC session TZ
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                       .alias("__t"),
+                      cents.alias("__v")))
+    w = Window.partitionBy("__k").orderBy("__t", "__v")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stepped = base.withColumn("__nxt", F.lead("__t").over(w))
+    sums = (stepped.groupBy("__k")
+                   .agg(F.sum(d38(F.col("__v"))
+                              * d38(F.col("__nxt") - F.col("__t")))
+                        .alias("__wsum"),
+                        F.min("__t").alias("__t0"),
+                        F.max("__t").alias("__t1"),
+                        F.count(F.lit(1)).alias("n_obs")))
+    span = (F.col("__t1") - F.col("__t0")).cast("decimal(38,0)")
+    return (sums.select(
+        F.col("__k").alias(key_col), "n_obs",
+        F.when(F.col("__t1") == F.col("__t0"),
+               F.lit(None).cast("long"))
+         .otherwise(F.expr(f"(__wsum * {out_scale}) div (__t1 - __t0)")
+                     .cast("long"))
+         .alias("twap_e6")))

@@ -103,3 +103,39 @@ def test_ewma_partition_invariant(spark):
     a = sorted(map(tuple, ewma(df.repartition(1), "k", "ts", "value").collect()))
     b = sorted(map(tuple, ewma(df.repartition(11), "k", "ts", "value").collect()))
     assert a == b
+
+
+def test_ohlc_deterministic_open_close(spark):
+    from spork_spark.operators import ohlc
+    rows = [  # two obs share the opening timestamp: id breaks the tie
+        ("a", "2024-01-01 09:00:00", 2, 5.0),
+        ("a", "2024-01-01 09:00:00", 1, 3.0),     # open (smaller id)
+        ("a", "2024-01-01 12:00:00", 3, 9.0),     # high
+        ("a", "2024-01-01 17:00:00", 4, 1.0),     # low + close
+        ("a", "2024-01-02 10:00:00", 5, 7.0),
+        ("b", "2024-01-01 10:00:00", 6, 4.0)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, event_id bigint, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.k, str(r.day)): r for r in
+           ohlc(df, "k", "ts", "value", "event_id").collect()}
+    bar = out[("a", "2024-01-01")]
+    assert (bar.open_cents, bar.high_cents, bar.low_cents,
+            bar.close_cents, bar.n_obs) == (300, 900, 100, 100, 4)
+    assert out[("a", "2024-01-02")].open_cents == 700
+    assert out[("b", "2024-01-01")].n_obs == 1
+
+
+def test_twap_duration_weighting(spark):
+    from spork_spark.operators import twap
+    rows = [  # v=10 holds 1h, v=20 holds 3h -> twap = (10+60)/4 = 17.5
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 01:00:00", 20.0),
+        ("a", "2024-01-01 04:00:00", 99.0),       # last: no duration
+        ("b", "2024-01-01 00:00:00", 5.0)]        # single obs: null
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.k: r for r in twap(df, "k", "ts", "value").collect()}
+    assert out["a"].twap_e6 == 1750 * 10 ** 6     # 17.50 in cents*1e6
+    assert out["a"].n_obs == 3
+    assert out["b"].twap_e6 is None
