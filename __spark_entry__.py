@@ -951,6 +951,27 @@ def q_dedup_incremental(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_shortest_paths(spark, sf):
+    """Multi-source bounded BFS (operators/graph.py bfs_distances) over
+    the synthetic doc graph (chain + doubling edges, the cc fixture):
+    hop distance from the doc_id % 100 == 0 seed set, max 4 hops.
+    Level-synchronous frontier expansion — per-round work is
+    frontier-out-degree, visited nodes never re-expand; the oracle is
+    the recursive-CTE walk with MIN(dist) per node."""
+    from spork_spark.operators import bfs_distances
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    chain = (docs.filter(F.col("doc_id") % 10 < 4)
+                 .select(F.col("doc_id").alias("src"),
+                         (F.col("doc_id") + 1).alias("dst")))
+    doubling = docs.select(F.col("doc_id").alias("src"),
+                           (F.col("doc_id") * 2).alias("dst"))
+    edges = chain.unionByName(doubling)
+    sources = docs.filter(F.col("doc_id") % 100 == 0) \
+                  .select(F.col("doc_id").alias("node"))
+    return bfs_distances(edges, sources, max_hops=4).orderBy("node")
+
+
 def q_dedup_index_roundtrip(spark, sf):
     """The stored-index contract end-to-end: the LSH banding index is
     STOREd to parquet and reLOADed before the incremental candidate
@@ -3411,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_full": q_dedup_near_full,
         "dedup_incremental": q_dedup_incremental,
         "dedup_index_roundtrip": q_dedup_index_roundtrip,
+        "shortest_paths": q_shortest_paths,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -4289,6 +4311,25 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh sb ON sb.doc_id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
             FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
+        """,
+        "shortest_paths": """
+            WITH RECURSIVE
+            e AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 4
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents),
+            ed AS (SELECT DISTINCT a, b FROM e WHERE a <> b),
+            src AS (SELECT DISTINCT doc_id AS node FROM documents
+                    WHERE doc_id % 100 = 0),
+            walk AS (
+              SELECT node, 0 AS dist FROM src
+              UNION
+              SELECT ed.b, walk.dist + 1
+              FROM walk JOIN ed ON ed.a = walk.node
+              WHERE walk.dist < 4)
+            SELECT node, CAST(MIN(dist) AS INT) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
         "dedup_incremental": """
             WITH sh AS (

@@ -533,7 +533,8 @@ def winsorize(df: DataFrame, group_col: str, value_col: str,
               .drop("__lo", "__hi"))
 
 
-def pareto_frontier(df: DataFrame, dims: dict[str, str]) -> DataFrame:
+def pareto_frontier(df: DataFrame, dims: dict[str, str],
+                    group_col: str | None = None) -> DataFrame:
     """Pareto-optimal rows (the skyline) over ``dims``, a mapping of
     column → 'max' | 'min' — the multi-objective selection a curation
     pipeline runs when no single quality score exists (e.g. maximize
@@ -560,21 +561,24 @@ def pareto_frontier(df: DataFrame, dims: dict[str, str]) -> DataFrame:
     decimals could collide). The scan is safe in descending-lex order:
     a later row is lex-≤ every kept row, so its first differing dim is
     strictly smaller and it can never dominate one already kept.
+
+    ``group_col``: an independent frontier per group. Stage 1 prunes
+    per (partition, group); stage 2 hash-partitions on the group and
+    finishes each group exactly — parallel across groups, so the
+    single-task gather only happens in the global (ungrouped) case.
     """
     import pandas as pd
 
     for c, d in dims.items():
         if d not in ("max", "min"):
             raise ValueError(f"dims[{c!r}] must be 'max' or 'min'")
+    if group_col in dims:
+        raise ValueError("group_col cannot also be a dimension")
     cols = list(dims)
     signs = [1.0 if dims[c] == "max" else -1.0 for c in cols]
 
-    def local_frontier(batches):
+    def scan(pdf):
         import numpy as np
-        parts = [b for b in batches if len(b)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
         X = pdf[cols].to_numpy(dtype=np.float64) * np.asarray(signs)
         order = np.lexsort(tuple(X[:, k] for k in range(X.shape[1])))[::-1]
         kept_idx: list[int] = []
@@ -588,8 +592,24 @@ def pareto_frontier(df: DataFrame, dims: dict[str, str]) -> DataFrame:
                     continue
             kept_idx.append(i)
             K = np.vstack([K, x])
-        yield pdf.iloc[sorted(kept_idx)]
+        return pdf.iloc[sorted(kept_idx)]
+
+    def local_frontier(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if group_col is None:
+            yield scan(pdf)
+        else:
+            yield pd.concat([scan(g) for _, g in
+                             pdf.groupby(group_col, dropna=False,
+                                         sort=False)])
 
     schema = df.schema
     local = df.mapInPandas(local_frontier, schema=schema)
-    return local.coalesce(1).mapInPandas(local_frontier, schema=schema)
+    if group_col is None:
+        return local.coalesce(1).mapInPandas(local_frontier,
+                                             schema=schema)
+    return local.repartition(group_col) \
+                .mapInPandas(local_frontier, schema=schema)

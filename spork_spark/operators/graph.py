@@ -254,3 +254,48 @@ def cc_incremental(labels: DataFrame, new_edges: DataFrame,
                            how="left_anti")
                      .select("node", "comp"))
     return remapped.unionByName(new_nodes)
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  node_col: str = "node", max_hops: int = 6) -> DataFrame:
+    """Minimum hop distance from ANY source node, directed, bounded by
+    ``max_hops`` — multi-source BFS (reachability-with-depth: "which
+    documents sit within k link hops of the seed set", the crawl-depth /
+    influence-radius query). Output: (node, dist), sources at dist 0;
+    nodes farther than max_hops (or unreachable) are absent.
+
+    Level-synchronous frontier expansion: each round joins the CURRENT
+    frontier (nodes first reached last round — not the whole visited
+    set) to the edge list and anti-joins already-visited nodes, so
+    per-round work is frontier-out-degree, not |edges|·rounds. Exactly
+    ``max_hops`` rounds with an early exit on an empty frontier;
+    visited/frontier localCheckpoint each round (flat lineage, the CC
+    pattern). A visited node is never re-expanded — BFS's invariant
+    that the first discovery IS the minimum distance makes min-merging
+    unnecessary.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+             .filter(F.col("a") != F.col("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    frontier = sources.select(F.col(node_col).alias("node")).distinct() \
+                      .withColumn("dist", F.lit(0))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["a"])
+                       .select(F.col("b").alias("node"),
+                               (F.col("dist") + 1).alias("dist"))
+                       .distinct()
+                       .join(visited.select("node"), on="node",
+                             how="left_anti"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.head(1):
+            frontier.unpersist()
+            break
+        old_v, old_f = visited, frontier
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        old_f.unpersist()
+        old_v.unpersist()
+    return visited

@@ -365,3 +365,20 @@ def test_pareto_frontier_partition_invariant(spark):
         return False
     ref = {r[0] for r in rows if not dominated(r, rows)}
     assert one == ref
+
+
+def test_pareto_frontier_per_group(spark):
+    from spork_spark.operators import pareto_frontier
+    rows = [("g1", 1, 5.0, 5.0), ("g1", 2, 1.0, 1.0),   # 2 dominated in g1
+            ("g2", 3, 1.0, 1.0), ("g2", 4, 0.5, 0.5)]   # 3 wins in g2
+    df = spark.createDataFrame(rows, "g string, id bigint, a double, b double")
+    out = pareto_frontier(df.repartition(5),
+                          {"a": "max", "b": "max"}, group_col="g")
+    assert {r.id for r in out.collect()} == {1, 3}
+    # same rows grouped == per-group application of the global operator
+    for g in ("g1", "g2"):
+        import pyspark.sql.functions as F
+        solo = pareto_frontier(df.filter(F.col("g") == g),
+                               {"a": "max", "b": "max"})
+        grouped = {r.id for r in out.filter(F.col("g") == g).collect()}
+        assert {r.id for r in solo.collect()} == grouped

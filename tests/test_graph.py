@@ -229,3 +229,30 @@ def test_cc_incremental_chains(spark):
     want = {(r.node, r.comp) for r in
             connected_components(e0.union(e1).union(e2)).collect()}
     assert got == want
+
+
+def test_bfs_distances_multi_source_min_hops(spark):
+    from spork_spark.operators import bfs_distances
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 3), (6, 6), (7, 8)],
+        "src bigint, dst bigint")
+    sources = spark.createDataFrame([(1,), (10,)], "node bigint")
+    out = {r.node: r.dist for r in
+           bfs_distances(edges, sources, max_hops=3).collect()}
+    # 3 is 1 hop from source 10 (not 2 hops from source 1)
+    assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    # 7->8 unreachable from sources; self-loop 6 ignored
+
+
+def test_bfs_distances_hop_bound_and_no_revisit(spark):
+    from spork_spark.operators import bfs_distances
+    # cycle: BFS must terminate and keep first-discovery distances
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src bigint, dst bigint")
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    out = {r.node: r.dist for r in
+           bfs_distances(edges, sources, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+    shallow = {r.node: r.dist for r in
+               bfs_distances(edges, sources, max_hops=1).collect()}
+    assert shallow == {1: 0, 2: 1}
