@@ -2645,6 +2645,34 @@ def q_embedding_covariance(spark, sf):
         .orderBy("i", "j")
 
 
+def q_group_mode(spark, sf):
+    """Deterministic MODE per group (operators/stats.py group_mode):
+    most common lang per source over documents — two map-side-combined
+    groupBys, ties resolved to the SMALLEST value (never an arbitrary
+    survivor). This exercises the orderable-type fallback branch; the
+    long fast path (bitwise-not argmax in one struct MAX) is pinned by
+    unit test."""
+    from spork_spark.operators import group_mode
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return group_mode(docs, "source", "lang").orderBy("source")
+
+
+def q_item_cooccurrence(spark, sf):
+    """Market-basket association rules (operators/basket.py
+    item_cooccurrence): parts co-purchased within an order, with exact
+    integer support/lift/cosine². The per-basket self-equi-join is
+    bounded by the max_basket ceiling and the min_support floor (the
+    pmi_pairs contract, itemized); supports join back broadcast; the
+    basket count is a 1-row broadcast."""
+    from spork_spark.operators import item_cooccurrence
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df()
+    return item_cooccurrence(li, "l_orderkey", "l_partkey",
+                             min_support=5, min_pair=2) \
+        .orderBy("item_a", "item_b")
+
+
 def q_equifreq_bins(spark, sf):
     """Equal-frequency feature bins over events.value as a FUNCTION OF
     VALUE (operators/stats.py equifreq_bins): distinct cent-quantized
@@ -3523,6 +3551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "group_mode": q_group_mode,
+        "item_cooccurrence": q_item_cooccurrence,
         "equifreq_bins": q_equifreq_bins,
         "embedding_covariance": q_embedding_covariance,
         "hard_negatives": q_hard_negatives,
@@ -5624,6 +5654,44 @@ def oracle_sql() -> dict[str, str]:
                           * (abs(nm) // (CAST(n AS HUGEINT) * n))
                           AS BIGINT) END AS cov_e6
             FROM t ORDER BY i, j
+        """,
+        "group_mode": """
+            WITH c AS (
+              SELECT source AS g, lang AS v, COUNT(*) AS c
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (SELECT g, MAX(c) AS cnt FROM c GROUP BY g)
+            SELECT c.g AS source, MIN(c.v) AS mode, t.cnt
+            FROM c JOIN t ON t.g = c.g AND c.c = t.cnt
+            GROUP BY 1, 3 ORDER BY source
+        """,
+        "item_cooccurrence": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            sz AS (SELECT b, COUNT(*) AS s FROM bi GROUP BY b),
+            bi2 AS (SELECT bi.* FROM bi JOIN sz USING (b)
+                    WHERE sz.s <= 100),
+            supp AS (SELECT i, COUNT(*) AS n FROM bi2 GROUP BY i
+                     HAVING COUNT(*) >= 5),
+            bi3 AS (SELECT bi2.* FROM bi2 JOIN supp USING (i)),
+            nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi3),
+            p AS (
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co
+              FROM bi3 a JOIN bi3 b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT item_a, item_b, co, sa.n AS n_a, sb.n AS n_b,
+                   CAST((CAST(co AS HUGEINT) * n_baskets * 1000000)
+                        // (CAST(sa.n AS HUGEINT) * sb.n)
+                        AS BIGINT) AS lift_e6,
+                   CAST((CAST(co AS HUGEINT) * co * 1000000)
+                        // (CAST(sa.n AS HUGEINT) * sb.n)
+                        AS BIGINT) AS cos2_e6
+            FROM p JOIN supp sa ON sa.i = p.item_a
+                   JOIN supp sb ON sb.i = p.item_b, nb
+            ORDER BY item_a, item_b
         """,
         "equifreq_bins": """
             WITH d AS (

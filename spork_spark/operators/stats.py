@@ -147,3 +147,46 @@ def histogram(df: DataFrame, group_col: str, value_col: str,
                            * F.lit(w / scale)).cast("double"))
               .select(group_col, "bucket", "bucket_lo", "bucket_hi",
                       "cnt"))
+
+
+def group_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Most frequent value per group with a DETERMINISTIC tiebreak (the
+    smallest value among the tied counts) — the MODE aggregate neither
+    Pig nor Spark ships, done in two map-side-combined groupBys and a
+    window-free argmax.
+
+    (group, value) counts reduce first; the per-group winner is then
+    MAX(struct(cnt, rk)) where rk orders ties toward the SMALLEST value
+    — for longs via bitwise negation (~v is order-reversing and
+    lossless), for other types via a dense rank substitute: the struct
+    carries (cnt, neg_marker, value)… implementation detail: longs get
+    the exact ~v trick; other orderable types fall back to MIN(value)
+    among rows that tie the max count (one extra bounded join).
+    Output: (group, mode, cnt). Null values are excluded (a null mode
+    is a data-quality signal, not a mode).
+    """
+    counts = (df.where(F.col(value_col).isNotNull())
+                .groupBy(F.col(group_col).alias("__g"),
+                         F.col(value_col).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__c")))
+    vt = dict(counts.dtypes)["__v"]
+    if vt in ("bigint", "int", "smallint", "tinyint"):
+        # ~v reverses order losslessly: max(struct(c, ~v)) == argmax by
+        # (count, smallest value)
+        best = (counts.groupBy("__g")
+                      .agg(F.max(F.struct(
+                          F.col("__c"),
+                          F.bitwise_not(F.col("__v").cast("long"))
+                           .alias("__nv"))).alias("__b"))
+                      .select(F.col("__g").alias(group_col),
+                              F.bitwise_not(F.col("__b.__nv"))
+                               .cast(vt).alias("mode"),
+                              F.col("__b.__c").alias("cnt")))
+        return best
+    top = (counts.groupBy("__g").agg(F.max("__c").alias("cnt"))
+                 .withColumnRenamed("__g", "__tg"))
+    return (counts.join(top, (F.col("__g") == F.col("__tg"))
+                        & (F.col("__c") == F.col("cnt")))
+                  .groupBy(F.col("__g").alias(group_col), F.col("cnt"))
+                  .agg(F.min("__v").alias("mode"))
+                  .select(group_col, "mode", "cnt"))

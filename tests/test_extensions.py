@@ -1086,3 +1086,30 @@ def test_hard_negatives_ivf_recall_and_parity(spark):
                                n_centroids=4, nprobe=2)
     p = {(r.anchor_id, r.vec_id) for r in probe.collect()}
     assert len(p & e) / len(e) >= 0.5          # recall bound at nprobe=2
+
+
+def test_item_cooccurrence_counts_lift(spark):
+    from spork_spark.operators import item_cooccurrence
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (4, "y"), (4, "y"),            # duplicate item in basket: once
+            (5, "w")]                      # singleton support < 2 pruned
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = {(r.item_a, r.item_b): r for r in
+           item_cooccurrence(df, "b", "i", min_support=2,
+                             min_pair=2).collect()}
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert (r.co, r.n_a, r.n_b) == (2, 3, 3)
+    # N = baskets with surviving items = {1,2,3,4} = 4
+    assert r.lift_e6 == 2 * 4 * 10 ** 6 // 9
+    assert r.cos2_e6 == 4 * 10 ** 6 // 9
+
+
+def test_item_cooccurrence_caps_power_baskets(spark):
+    from spork_spark.operators import item_cooccurrence
+    big = [(99, f"i{k}") for k in range(50)]
+    small = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(big + small, "b bigint, i string")
+    out = item_cooccurrence(df, "b", "i", min_support=2, min_pair=2,
+                            max_basket=10).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}

@@ -77,3 +77,20 @@ def test_equifreq_bins_value_is_deterministic_under_ties(spark):
     assert out[0].cnt == 90 and out[0].lo_cents == out[0].hi_cents == 100
     assert 9 in out                    # the tail still reaches the top bin
     assert sum(r.cnt for r in out.values()) == 100
+
+
+def test_group_mode_long_with_tiebreak(spark):
+    from spork_spark.operators import group_mode
+    rows = [("a", 5), ("a", 5), ("a", 9), ("a", 9), ("a", 1),  # tie 5/9 -> 5
+            ("b", -3), ("b", -3), ("b", 7), ("c", None), ("c", 2)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {r.g: (r.mode, r.cnt) for r in group_mode(df, "g", "v").collect()}
+    assert out == {"a": (5, 2), "b": (-3, 2), "c": (2, 1)}
+
+
+def test_group_mode_string_fallback(spark):
+    from spork_spark.operators import group_mode
+    rows = [("a", "x"), ("a", "x"), ("a", "m"), ("a", "m"), ("a", "z")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = group_mode(df, "g", "v").collect()
+    assert (out[0].mode, out[0].cnt) == ("m", 2)   # smallest tied value
