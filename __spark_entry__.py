@@ -972,6 +972,31 @@ def q_shortest_paths(spark, sf):
     return bfs_distances(edges, sources, max_hops=4).orderBy("node")
 
 
+def q_weighted_paths(spark, sf):
+    """Bounded Bellman-Ford (operators/graph.py weighted_distances)
+    over the doc graph with weight (src+dst)%7+1: min weighted distance
+    from the %100 seed set within 4 hops. Delta-frontier relaxation
+    with a MIN-merge per round (the weighted sibling of shortest_paths,
+    where a later hop can improve an earlier node); oracle = the
+    recursive-CTE walk with MIN(dist)."""
+    from spork_spark.operators import weighted_distances
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    chain = (docs.filter(F.col("doc_id") % 10 < 4)
+                 .select(F.col("doc_id").alias("src"),
+                         (F.col("doc_id") + 1).alias("dst")))
+    doubling = docs.select(F.col("doc_id").alias("src"),
+                           (F.col("doc_id") * 2).alias("dst"))
+    edges = (chain.unionByName(doubling)
+                  .withColumn("weight",
+                              F.pmod(F.col("src") + F.col("dst"),
+                                     F.lit(7)) + 1))
+    sources = docs.filter(F.col("doc_id") % 100 == 0) \
+                  .select(F.col("doc_id").alias("node"))
+    return weighted_distances(edges, sources, max_hops=4) \
+        .orderBy("node")
+
+
 def q_dedup_index_roundtrip(spark, sf):
     """The stored-index contract end-to-end: the LSH banding index is
     STOREd to parquet and reLOADed before the incremental candidate
@@ -2645,6 +2670,38 @@ def q_embedding_covariance(spark, sf):
         .orderBy("i", "j")
 
 
+def q_keywords(spark, sf):
+    """Keyword extraction: top-3 tf-idf terms per document — the
+    tf_idf operator composed with a per-doc WindowGroupLimit top-k
+    (rank on the ROUNDED score with a token tiebreak, so rank
+    boundaries replay in any engine). The partial group-limit prunes
+    below the shuffle, the trending/per_source_cap plan shape."""
+    from pyspark.sql.window import Window
+    from spork_spark.operators import tf_idf
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    scored = tf_idf(docs, "doc_id", min_df=5)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3)
+                  .select("doc_id", "token", "tfidf",
+                          F.col("rank").cast("int").alias("rank"))
+                  .orderBy("doc_id", "rank"))
+
+
+def q_group_mad(spark, sf):
+    """Robust location/scale per event_type (operators/stats.py
+    group_mad): median and median-absolute-deviation of cent values —
+    exact WITHOUT rounding because interpolated medians of integers
+    are exact binary doubles (halves/quarters). Two aggregation passes
+    with a broadcast median join — medians are holistic."""
+    from spork_spark.operators import group_mad
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return group_mad(ev, "event_type", "value").orderBy("event_type")
+
+
 def q_group_mode(spark, sf):
     """Deterministic MODE per group (operators/stats.py group_mode):
     most common lang per source over documents — two map-side-combined
@@ -3461,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_index_roundtrip": q_dedup_index_roundtrip,
         "shortest_paths": q_shortest_paths,
+        "weighted_paths": q_weighted_paths,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
@@ -3551,6 +3609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "keywords": q_keywords,
+        "group_mad": q_group_mad,
         "group_mode": q_group_mode,
         "item_cooccurrence": q_item_cooccurrence,
         "equifreq_bins": q_equifreq_bins,
@@ -4341,6 +4401,27 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh sb ON sb.doc_id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
             FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
+        """,
+        "weighted_paths": """
+            WITH RECURSIVE
+            e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 4
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents),
+            ed AS (
+              SELECT a, b, (a + b) % 7 + 1 AS w
+              FROM (SELECT DISTINCT a, b FROM e0 WHERE a <> b)),
+            src AS (SELECT DISTINCT doc_id AS node FROM documents
+                    WHERE doc_id % 100 = 0),
+            walk AS (
+              SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM src
+              UNION
+              SELECT ed.b, walk.dist + ed.w, walk.hops + 1
+              FROM walk JOIN ed ON ed.a = walk.node
+              WHERE walk.hops < 4)
+            SELECT node, MIN(dist) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
         "shortest_paths": """
             WITH RECURSIVE
@@ -5654,6 +5735,47 @@ def oracle_sql() -> dict[str, str]:
                           * (abs(nm) // (CAST(n AS HUGEINT) * n))
                           AS BIGINT) END AS cov_e6
             FROM t ORDER BY i, j
+        """,
+        "keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf
+                    GROUP BY token HAVING COUNT(*) >= 5),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, token,
+                     ROUND(tf * LN(CAST(n AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN dfq USING (token), nd),
+            ranked AS (
+              SELECT doc_id, token, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, token) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, token, tfidf, rank
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "group_mad": """
+            WITH base AS (
+              SELECT event_type AS g,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT g, COUNT(*) AS n,
+                     CAST(median(v) AS DOUBLE) AS median_cents
+              FROM base GROUP BY g)
+            SELECT b.g AS event_type, MIN(m.n) AS n,
+                   MIN(m.median_cents) AS median_cents,
+                   CAST(median(ABS(b.v - m.median_cents)) AS DOUBLE)
+                     AS mad_cents
+            FROM base b JOIN m ON m.g = b.g
+            GROUP BY b.g ORDER BY event_type
         """,
         "group_mode": """
             WITH c AS (

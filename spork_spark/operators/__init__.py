@@ -7,13 +7,13 @@ from .dedup import (duplicate_spans, sorted_neighborhood_pairs, edit_distance_pa
                     minhash_banding, lsh_pairs_incremental,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
-from .graph import bfs_distances, cc_incremental, connected_components, triangle_count
+from .graph import bfs_distances, cc_incremental, connected_components, triangle_count, weighted_distances
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          hard_negatives, hard_negatives_ivf, ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
 from .basket import item_cooccurrence
-from .stats import chi2_contingency, equifreq_bins, group_mode, histogram
+from .stats import chi2_contingency, equifreq_bins, group_mad, group_mode, histogram
 from .dq import benford_digits, dq_validate, k_anonymity
 from .text import (bigram_lm_score, bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
@@ -48,7 +48,7 @@ from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, twap
 from .linalg import embedding_covariance, pca_project
 
 __all__ = [
-    "connected_components", "triangle_count", "bfs_distances", "near_dedup", "duplicate_spans",
+    "connected_components", "triangle_count", "bfs_distances", "weighted_distances", "near_dedup", "duplicate_spans",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "minhash_banding", "lsh_pairs_incremental", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",
@@ -66,7 +66,7 @@ __all__ = [
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "hard_negatives", "hard_negatives_ivf", "normalize_text",
-    "group_mode", "item_cooccurrence",
+    "group_mode", "group_mad", "item_cooccurrence",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

@@ -299,3 +299,57 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
         old_f.unpersist()
         old_v.unpersist()
     return visited
+
+
+def weighted_distances(edges: DataFrame, sources: DataFrame,
+                       src: str = "src", dst: str = "dst",
+                       weight: str = "weight", node_col: str = "node",
+                       max_hops: int = 6) -> DataFrame:
+    """Minimum WEIGHTED distance from any source within ``max_hops``
+    edges — bounded Bellman-Ford (the weighted sibling of
+    bfs_distances: with weights, a later hop can improve an
+    already-reached node, so each round MIN-MERGES instead of
+    anti-joining the visited set).
+
+    Each round relaxes every edge out of the nodes whose distance
+    improved last round (the delta frontier — Bellman-Ford's standard
+    worklist optimization), merges candidates into the label table
+    with a MIN aggregate, and localCheckpoints (the CC lineage
+    pattern). Terminates after max_hops rounds or when no distance
+    improves. Negative weights are rejected: with a hop bound they
+    would make "distance" path-length-dependent in a way min-merge
+    cannot order. Output: (node, dist) exact integer weights.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).cast("long").alias("w"))
+    if e.where(F.col("w") < 0).head(1):
+        raise ValueError("negative edge weights are not supported")
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+    labels = sources.select(F.col(node_col).alias("node")).distinct() \
+                    .withColumn("dist", F.lit(0).cast("long"))
+    labels = labels.localCheckpoint(eager=True)
+    frontier = labels
+    for _ in range(max_hops):
+        cand = (frontier.join(e, frontier["node"] == e["a"])
+                        .select(F.col("b").alias("node"),
+                                (F.col("dist") + F.col("w"))
+                                .alias("dist"))
+                        .groupBy("node").agg(F.min("dist").alias("dist")))
+        merged = (labels.unionByName(cand)
+                        .groupBy("node").agg(F.min("dist").alias("dist")))
+        merged = merged.localCheckpoint(eager=True)
+        improved = (merged.join(
+            labels.withColumnRenamed("dist", "__old"), on="node",
+            how="left")
+            .where(F.col("__old").isNull()
+                   | (F.col("dist") < F.col("__old")))
+            .select("node", "dist"))
+        improved = improved.localCheckpoint(eager=True)
+        old_l, old_f = labels, frontier
+        labels, frontier = merged, improved
+        old_l.unpersist()
+        old_f.unpersist()
+        if not frontier.head(1):
+            break
+    return labels

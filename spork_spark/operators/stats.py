@@ -190,3 +190,40 @@ def group_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                   .groupBy(F.col("__g").alias(group_col), F.col("cnt"))
                   .agg(F.min("__v").alias("mode"))
                   .select(group_col, "mode", "cnt"))
+
+
+def group_mad(df: DataFrame, group_col: str, value_col: str,
+              scale: int = 100) -> DataFrame:
+    """Median and median-absolute-deviation per group — the robust
+    location/scale pair (outlier detection that, unlike mean/stddev,
+    a few extreme values cannot drag).
+
+    Exact WITHOUT rounding: values cent-quantize to longs, and the
+    linearly-interpolated median of integers is an exact binary double
+    (a half at worst), as is the MAD of the resulting half-integral
+    absolute deviations (a quarter at worst) — both engines compute
+    the identical bits, no round() hedge needed.
+
+    Two aggregation passes (medians are holistic — one pass cannot
+    produce them): per-group median, broadcast back, median of
+    absolute deviations. Spark's percentile aggregate sorts within
+    each group — the per-group memory bound of every exact median;
+    use sketch_quantiles for the approximate one-pass path at extreme
+    group sizes. Output: (group, n, median_cents, mad_cents).
+    """
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("__g"),
+                      cents.alias("__v")))
+    med = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col("__v"), F.lit(0.5)).alias("median_cents"))
+    dev = (base.join(F.broadcast(med), on="__g")
+               .withColumn("__d", F.abs(F.col("__v")
+                                        - F.col("median_cents"))))
+    return (dev.groupBy(F.col("__g").alias(group_col))
+               .agg(F.first("n").alias("n"),
+                    F.first("median_cents").alias("median_cents"),
+                    F.percentile(F.col("__d"), F.lit(0.5))
+                     .alias("mad_cents")))

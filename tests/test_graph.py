@@ -256,3 +256,30 @@ def test_bfs_distances_hop_bound_and_no_revisit(spark):
     shallow = {r.node: r.dist for r in
                bfs_distances(edges, sources, max_hops=1).collect()}
     assert shallow == {1: 0, 2: 1}
+
+
+def test_weighted_distances_prefers_cheaper_longer_path(spark):
+    from spork_spark.operators import weighted_distances
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1),    # 1->3->2 (2) beats 1->2 (10)
+         (2, 4, 5), (9, 9, 1)],
+        "src bigint, dst bigint, weight bigint")
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    out = {r.node: r.dist for r in
+           weighted_distances(edges, sources, max_hops=4).collect()}
+    assert out == {1: 0, 3: 1, 2: 2, 4: 7}
+
+
+def test_weighted_distances_hop_bound_and_negative_reject(spark):
+    import pytest
+    from spork_spark.operators import weighted_distances
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1)],
+        "src bigint, dst bigint, weight bigint")
+    sources = spark.createDataFrame([(1,)], "node bigint")
+    one_hop = {r.node: r.dist for r in
+               weighted_distances(edges, sources, max_hops=1).collect()}
+    assert one_hop == {1: 0, 2: 10, 3: 1}    # cheaper 2-hop not yet found
+    neg = spark.createDataFrame([(1, 2, -1)], "src bigint, dst bigint, weight bigint")
+    with pytest.raises(ValueError):
+        weighted_distances(neg, sources)

@@ -94,3 +94,17 @@ def test_group_mode_string_fallback(spark):
     df = spark.createDataFrame(rows, "g string, v string")
     out = group_mode(df, "g", "v").collect()
     assert (out[0].mode, out[0].cnt) == ("m", 2)   # smallest tied value
+
+
+def test_group_mad_exact_halves(spark):
+    from spork_spark.operators import group_mad
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+            ("b", 5.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in group_mad(df, "g", "v").collect()}
+    # a: cents [100,200,300,10000] -> median 250.0; devs [150,50,50,9750]
+    #    -> mad 100.0 (interpolated between 50 and 150)
+    assert out["a"].median_cents == 250.0 and out["a"].mad_cents == 100.0
+    # b: median 600.0, devs [100,100] -> mad 100.0
+    assert out["b"].median_cents == 600.0 and out["b"].mad_cents == 100.0
+    assert out["a"].n == 4 and out["b"].n == 2
