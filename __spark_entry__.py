@@ -2653,6 +2653,41 @@ def q_benford(spark, sf):
     return benford_digits(li, "l_extendedprice").orderBy("digit")
 
 
+def q_consistent_sample(spark, sf):
+    """Join-preserving deterministic sampling (operators/splits.py
+    consistent_sample): orders and customer sampled INDEPENDENTLY by
+    the same customer-key hash still join with full referential
+    integrity — sample(A) ⋈ sample(B) == sample(A ⋈ B), the 100 TB
+    debug-extract contract (independent row samples keep ~rate² of
+    pairs). Map-only predicate, fuses into the scan."""
+    from spork_spark.operators import consistent_sample
+    eng = _eng(spark)
+    orders = _t(eng, sf, "orders").df()
+    cust = _t(eng, sf, "customer").df()
+    so = consistent_sample(orders, "o_custkey", 10)
+    sc = consistent_sample(cust, "c_custkey", 10)
+    j = so.join(sc, so["o_custkey"] == sc["c_custkey"])
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.countDistinct("c_custkey").alias("n_customers"))
+             .orderBy("c_mktsegment"))
+
+
+def q_jl_sketch(spark, sf):
+    """Johnson-Lindenstrauss sketch with EXACT ±1 Rademacher planes
+    (operators/linalg.py rademacher_projection): plane entries come
+    from md5-hex-digit parity (Achlioptas 2001 — ±1 satisfies JL, and
+    unlike Gaussian planes the sketch is exact integers the oracle
+    replays digit-for-digit). Pure Column HOFs over k·dim inline sign
+    literals — no Python, no shuffle, fuses into the scan; any worker
+    regenerates the matrix from the seed."""
+    from spork_spark.operators import rademacher_projection
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    return (rademacher_projection(emb, out_dim=16, seed=42)
+            .select("vec_id", "sketch").orderBy("vec_id"))
+
+
 def q_embedding_covariance(spark, sf):
     """Exact-integer covariance of the embedding corpus
     (operators/linalg.py embedding_covariance): a mapInPandas kernel
@@ -3614,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mode": q_group_mode,
         "item_cooccurrence": q_item_cooccurrence,
         "equifreq_bins": q_equifreq_bins,
+        "consistent_sample": q_consistent_sample,
+        "jl_sketch": q_jl_sketch,
         "embedding_covariance": q_embedding_covariance,
         "hard_negatives": q_hard_negatives,
         "normalize_text": q_normalize_text,
@@ -5703,6 +5740,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.expected_ppm AS BIGINT) AS expected_ppm
             FROM d LEFT JOIN c ON c.digit = d.digit, t
             ORDER BY d.digit
+        """,
+        "consistent_sample": """
+            WITH so AS (
+              SELECT * FROM orders
+              WHERE substring(md5('cs:' || CAST(o_custkey AS VARCHAR)),
+                              1, 4) < '1999'),
+            sc AS (
+              SELECT * FROM customer
+              WHERE substring(md5('cs:' || CAST(c_custkey AS VARCHAR)),
+                              1, 4) < '1999')
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   COUNT(DISTINCT c_custkey) AS n_customers
+            FROM so JOIN sc ON so.o_custkey = sc.c_custkey
+            GROUP BY 1 ORDER BY c_mktsegment
+        """,
+        "jl_sketch": """
+            WITH sg AS (
+              SELECT t1.k, t2.i,
+                     CASE WHEN strpos('02468ace',
+                          substr(md5('42:' || t1.k || ':' || t2.i), 1, 1))
+                          > 0 THEN 1 ELSE -1 END AS s
+              FROM generate_series(0, 15) t1(k),
+                   generate_series(0, 63) t2(i)),
+            q AS (
+              SELECT vec_id, gi.i AS i,
+                     CAST(FLOOR(CAST(embedding[gi.i + 1] AS DOUBLE)
+                                * 1000 + 0.5) AS BIGINT) AS qv
+              FROM embeddings, generate_series(0, 63) gi(i)
+              WHERE embedding IS NOT NULL),
+            d AS (
+              SELECT q.vec_id, sg.k, SUM(sg.s * q.qv) AS c
+              FROM q JOIN sg ON sg.i = q.i GROUP BY 1, 2)
+            SELECT vec_id, list(CAST(c AS BIGINT) ORDER BY k) AS sketch
+            FROM d GROUP BY vec_id ORDER BY vec_id
         """,
         "embedding_covariance": """
             WITH q AS (

@@ -43,9 +43,9 @@ from .behavior import (cohort_retention, funnel, scd2_from_log,
                        sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
 from .layout import compaction_plan, zorder_by, zorder_key
-from .splits import leakage_safe_split
+from .splits import consistent_sample, leakage_safe_split
 from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, twap
-from .linalg import embedding_covariance, pca_project
+from .linalg import embedding_covariance, pca_project, rademacher_projection
 
 __all__ = [
     "connected_components", "triangle_count", "bfs_distances", "weighted_distances", "near_dedup", "duplicate_spans",
@@ -63,9 +63,9 @@ __all__ = [
     "snapshot_diff", "table_fingerprint", "fingerprint_compare",
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
-    "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
+    "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "embedding_covariance", "pca_project",
-    "pareto_frontier", "benford_digits", "hard_negatives", "hard_negatives_ivf", "normalize_text",
+    "pareto_frontier", "benford_digits", "rademacher_projection", "hard_negatives", "hard_negatives_ivf", "normalize_text",
     "group_mode", "group_mad", "item_cooccurrence",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",

@@ -159,3 +159,47 @@ def pca_project(df: DataFrame, vec_col: str = "embedding",
 
     return df.mapInPandas(
         project, schema=f"{out_fields}, {out_col} array<double>")
+
+
+def rademacher_projection(df: DataFrame, vec_col: str = "embedding",
+                          out_dim: int = 16, seed: int = 42,
+                          scale: int = 1000,
+                          out_col: str = "sketch") -> DataFrame:
+    """Johnson-Lindenstrauss sketch with a ±1 (Rademacher) projection
+    matrix — the data-INDEPENDENT dimensionality reduction next to
+    pca_project's data-dependent one: distances are preserved within
+    (1±ε) whp, no training pass, and any worker can regenerate the
+    matrix from the seed (nothing to ship or store).
+
+    Exactness: components quantize to q = floor(x·scale + 0.5) and the
+    plane entries are ±1 from the PARITY OF A HEX DIGIT of
+    md5('<seed>:<k>:<i>') — so each output coordinate is an exact
+    integer sum the SQL oracle replays digit-for-digit (a Gaussian
+    matrix would be float-order-dependent; Rademacher loses nothing:
+    Achlioptas 2001 shows ±1 entries satisfy the JL lemma). Appends
+    ``out_col`` array<long>, length out_dim, sketch[k] = Σ_i s(k,i)·q_i.
+
+    Pure Column expressions — the signs are k·dim inline literals
+    (same pattern as the SRP hyperplanes), the dot products are
+    aggregate() HOFs; no Python, no shuffle, fuses into the scan.
+    """
+    import hashlib
+
+    def sign(k: int, i: int) -> int:
+        h = hashlib.md5(f"{seed}:{k}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    v = F.col(vec_col)
+    dim_probe = df.select(F.size(vec_col)).where(v.isNotNull()).first()
+    if dim_probe is None:
+        raise ValueError("cannot infer dim from an all-null column")
+    dim = dim_probe[0]
+    q = F.transform(v, lambda x: F.floor(x.cast("double") * scale + 0.5)
+                    .cast("long"))
+    outs = []
+    for k in range(out_dim):
+        signs = F.array(*[F.lit(sign(k, i)) for i in range(dim)])
+        outs.append(F.aggregate(
+            F.zip_with(q, signs, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x))
+    return df.withColumn(out_col, F.array(*outs))

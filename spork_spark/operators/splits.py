@@ -80,3 +80,28 @@ def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
     return (joined
             .withColumn(out_col, split_assignment(rep, splits, salt))
             .drop("__node", "comp"))
+
+
+def consistent_sample(df: DataFrame, key_col: str, rate_pct: int,
+                      salt: str = "cs") -> DataFrame:
+    """Deterministic JOIN-PRESERVING sample: keep a row iff its KEY's
+    md5 bucket falls under ``rate_pct`` of the 16-bit space — the
+    100 TB debugging move. Because membership is a pure function of
+    (key, salt), any two tables sampled with the same key and salt
+    keep matching keys TOGETHER:
+
+        sample(A) ⋈ sample(B)  ==  sample(A ⋈ B)
+
+    whereas independent row samples keep only ~rate² of join pairs and
+    break referential integrity. Rerunnable (no RNG state), map-only
+    (the predicate fuses into the scan and pushes to the reader), and
+    stable under corpus growth — a key's verdict never changes, so
+    yesterday's sampled debug extract is a subset of today's.
+    """
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    prefix = F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
+                                        F.col(key_col).cast("string"))),
+                         1, 4)
+    bucket = F.conv(prefix, 16, 10).cast("int")
+    return df.where(bucket < (65536 * rate_pct) // 100)

@@ -70,3 +70,33 @@ def test_pca_project_recovers_dominant_axes(vecs):
     ref = (X - X.mean(axis=0)) @ W.T
     assert P[:, 0].var() > P[:, 1].var()
     assert np.abs(np.abs(P) - np.abs(ref)).max() < 0.05
+
+
+def test_rademacher_projection_exact_and_distance_preserving(spark):
+    import numpy as np
+    from spork_spark.operators import rademacher_projection
+    import hashlib
+    rng = np.random.RandomState(11)
+    X = rng.randn(30, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<double>")
+    out = rademacher_projection(df, out_dim=8, seed=7)
+    rows = {r.vec_id: r.sketch for r in out.collect()}
+
+    def sign(k, i):
+        h = hashlib.md5(f"7:{k}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+    S = np.array([[sign(k, i) for i in range(16)] for k in range(8)])
+    Q = np.floor(X * 1000 + 0.5).astype(np.int64)
+    want = Q @ S.T
+    for i in range(30):
+        assert list(rows[i]) == list(want[i])       # exact integers
+    # JL property (loose): sketch distances correlate with true ones
+    P = want / 1000.0 / np.sqrt(8)
+    d_true = np.linalg.norm(X[:, None] - X[None, :], axis=2).ravel()
+    d_sk = np.linalg.norm(P[:, None] - P[None, :], axis=2).ravel()
+    mask = d_true > 0
+    # loose sanity bound: an 8-dim sketch of 16-dim data preserves
+    # distance ORDER only statistically (JL epsilon is large at k=8)
+    assert np.corrcoef(d_true[mask], d_sk[mask])[0, 1] > 0.5

@@ -88,3 +88,32 @@ def test_compaction_plan_rejects_bad_target(spark):
     inv = spark.createDataFrame([("a", 1)], "path string, size_bytes long")
     with pytest.raises(ValueError):
         compaction_plan(inv, "size_bytes", 0)
+
+
+def test_consistent_sample_join_preserving(spark):
+    """sample(A) join sample(B) == sample(A join B) — the contract."""
+    import pyspark.sql.functions as F
+    from spork_spark.operators import consistent_sample
+    a = spark.range(0, 2000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("x"))
+    b = spark.range(0, 2000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 3).alias("y"))
+    sa = consistent_sample(a, "k", 20)
+    sb = consistent_sample(b, "k", 20)
+    joined_then_sampled = consistent_sample(a.join(b, "k"), "k", 20)
+    sampled_then_joined = sa.join(sb, "k")
+    got = sorted(map(tuple, sampled_then_joined.collect()))
+    want = sorted(map(tuple, joined_then_sampled.collect()))
+    assert got == want and len(got) > 100
+    # rate lands near 20%
+    assert abs(sa.count() / 2000 - 0.2) < 0.05
+
+
+def test_consistent_sample_stable_under_growth(spark):
+    import pyspark.sql.functions as F
+    from spork_spark.operators import consistent_sample
+    small = spark.range(0, 500).select(F.col("id").alias("k"))
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    s_small = {r.k for r in consistent_sample(small, "k", 10).collect()}
+    s_big = {r.k for r in consistent_sample(big, "k", 10).collect()}
+    assert s_small == {k for k in s_big if k < 500}
