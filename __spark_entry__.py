@@ -2705,6 +2705,29 @@ def q_embedding_covariance(spark, sf):
         .orderBy("i", "j")
 
 
+def q_timeseries_report(spark, sf):
+    """The composed telemetry dashboard row: per event_type, OLS trend
+    (group_ols) ⋈ robust location/scale (group_mad) ⋈ time-weighted
+    average (twap) — three independent aggregation pipelines joined on
+    the group key (each exact, so the composition is exact; the oracle
+    is the join of the three oracles). The shape that matters at
+    100 TB: three passes stay three map-side-combined aggregations over
+    the same scan lineage, joined at group-count size."""
+    from spork_spark.operators import group_mad, group_ols, twap
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    ols = group_ols(ev, "event_type", "ts", "value") \
+        .select("event_type", "slope_e6", "r2_e6")
+    mad = group_mad(ev, "event_type", "value") \
+        .select("event_type", "n", "median_cents", "mad_cents")
+    tw = twap(ev, "event_type", "ts", "value") \
+        .select("event_type", "twap_e6")
+    return (ols.join(mad, on="event_type").join(tw, on="event_type")
+               .select("event_type", "n", "slope_e6", "r2_e6",
+                       "median_cents", "mad_cents", "twap_e6")
+               .orderBy("event_type"))
+
+
 def q_keywords(spark, sf):
     """Keyword extraction: top-3 tf-idf terms per document — the
     tf_idf operator composed with a per-doc WindowGroupLimit top-k
@@ -3644,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
         "group_mad": q_group_mad,
         "group_mode": q_group_mode,
@@ -5806,6 +5830,69 @@ def oracle_sql() -> dict[str, str]:
                           * (abs(nm) // (CAST(n AS HUGEINT) * n))
                           AS BIGINT) END AS cov_e6
             FROM t ORDER BY i, j
+        """,
+        "timeseries_report": """
+            WITH base AS (
+              SELECT event_type AS g, date_trunc('day', ts)::DATE AS d,
+                     epoch_us(ts) AS t,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            f AS (SELECT g, MIN(d) AS d0 FROM base GROUP BY g),
+            xy AS (SELECT b.g,
+                          CAST(date_diff('day', f.d0, b.d) AS BIGINT) AS x,
+                          b.y
+                   FROM base b JOIN f ON f.g = b.g),
+            sums AS (
+              SELECT g, COUNT(*) AS n,
+                     SUM(CAST(x AS HUGEINT)) AS sx,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM xy GROUP BY g),
+            ols AS (
+              SELECT g,
+                     CAST(n AS HUGEINT) * sxy - sx * sy AS cov,
+                     CAST(n AS HUGEINT) * sxx - sx * sx AS varx,
+                     CAST(n AS HUGEINT) * syy - sy * sy AS vary
+              FROM sums),
+            ols2 AS (
+              SELECT g,
+                     CASE WHEN varx = 0 THEN NULL ELSE
+                       CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+                            * ((abs(cov) * 1000000) // abs(varx))
+                            AS BIGINT) END AS slope_e6,
+                     CASE WHEN varx * vary = 0 THEN NULL ELSE
+                       CAST((cov * cov * 1000000) // (varx * vary)
+                            AS BIGINT) END AS r2_e6
+              FROM ols),
+            med AS (
+              SELECT g, COUNT(*) AS n,
+                     CAST(median(y) AS DOUBLE) AS median_cents
+              FROM base GROUP BY g),
+            mad AS (
+              SELECT b.g, MIN(m.n) AS n, MIN(m.median_cents) AS median_cents,
+                     CAST(median(ABS(b.y - m.median_cents)) AS DOUBLE)
+                       AS mad_cents
+              FROM base b JOIN med m ON m.g = b.g GROUP BY b.g),
+            st AS (
+              SELECT g, t, y,
+                     lead(t) OVER (PARTITION BY g ORDER BY t, y) AS nxt
+              FROM base),
+            tw AS (
+              SELECT g, SUM(CAST(y AS HUGEINT) * (nxt - t)) AS wsum,
+                     MIN(t) AS t0, MAX(t) AS t1
+              FROM st GROUP BY g),
+            tw2 AS (
+              SELECT g, CASE WHEN t1 = t0 THEN NULL ELSE
+                       CAST((wsum * 1000000) // (t1 - t0) AS BIGINT)
+                     END AS twap_e6
+              FROM tw)
+            SELECT o.g AS event_type, mad.n, o.slope_e6, o.r2_e6,
+                   mad.median_cents, mad.mad_cents, tw2.twap_e6
+            FROM ols2 o JOIN mad ON mad.g = o.g JOIN tw2 ON tw2.g = o.g
+            ORDER BY event_type
         """,
         "keywords": """
             WITH toks AS (
