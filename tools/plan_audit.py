@@ -52,6 +52,7 @@ CROSS_OK = {
     "benford": "1-row total-count broadcast for the ppm shares",
     "bigram_lm": "1-row vocabulary-size broadcast for the smoothing denominator",
     "hard_negatives": "documented exact mining baseline: anchors x corpus (IVF variant is the scale path)",
+    "item_cooccurrence": "1-row basket-count broadcast for the lift denominator",
 }
 
 # name -> reason Python row-crossing is intrinsic
