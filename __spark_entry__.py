@@ -2705,6 +2705,34 @@ def q_embedding_covariance(spark, sf):
         .orderBy("i", "j")
 
 
+def q_theil_sen(spark, sf):
+    """Theil–Sen robust trend per event_type (operators/timeseries.py
+    theil_sen): median of all pairwise slopes of the DAILY series —
+    each pair slope an exact sign-split e6 integer, the median an exact
+    interpolated double. The daily pre-aggregation is the quadratic
+    fence (span-days² pairs per group, never raw rows); group_ols is
+    the unfenced least-squares path."""
+    from spork_spark.operators import theil_sen
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return theil_sen(ev, "event_type", "ts", "value") \
+        .orderBy("event_type")
+
+
+def q_boilerplate(spark, sf):
+    """Boilerplate/template density per document (operators/text.py
+    boilerplate_density — the RefinedWeb-family signal): share of a
+    doc's distinct 8-gram windows that recur in OTHER documents, exact
+    integer ppm. Recurrence is counted through the gram-frequency table
+    (one explode + two map-side-combined groupBys + one vocabulary-
+    sized equi-join) — never doc-pairs, the same reason dedup_lines
+    scales."""
+    from spork_spark.operators import boilerplate_density
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    return boilerplate_density(docs, n=8).orderBy("doc_id")
+
+
 def q_timeseries_report(spark, sf):
     """The composed telemetry dashboard row: per event_type, OLS trend
     (group_ols) ⋈ robust location/scale (group_mad) ⋈ time-weighted
@@ -3667,6 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "theil_sen": q_theil_sen,
+        "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
         "group_mad": q_group_mad,
@@ -5830,6 +5860,56 @@ def oracle_sql() -> dict[str, str]:
                           * (abs(nm) // (CAST(n AS HUGEINT) * n))
                           AS BIGINT) END AS cov_e6
             FROM t ORDER BY i, j
+        """,
+        "theil_sen": """
+            WITH daily AS (
+              SELECT event_type AS g, date_trunc('day', ts)::DATE AS d,
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2),
+            dd AS (
+              SELECT g, date_diff('day', DATE '1970-01-01', d) AS x, y
+              FROM daily),
+            p AS (
+              SELECT a.g,
+                     (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END)
+                     * ((abs(b.y - a.y) * 1000000) // (b.x - a.x))
+                       AS slope_e6
+              FROM dd a JOIN dd b ON a.g = b.g AND a.x < b.x),
+            m AS (SELECT g, CAST(median(slope_e6) AS DOUBLE) AS slope_e6
+                  FROM p GROUP BY g),
+            nd AS (SELECT g, COUNT(*) AS n_days FROM daily GROUP BY g)
+            SELECT nd.g AS event_type, nd.n_days, m.slope_e6
+            FROM nd LEFT JOIN m ON m.g = nd.g ORDER BY event_type
+        """,
+        "boilerplate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(list_filter(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t != ''), t -> lower(t)) AS tk
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) >= 8 THEN
+                       list_distinct([array_to_string(tk[i:i+7], ' ')
+                           for i in generate_series(1, len(tk) - 7)])
+                     ELSE [] END AS gs
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            gdf AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+            per AS (
+              SELECT e.doc_id, COUNT(*) AS n_grams,
+                     SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END)
+                       AS dup_grams
+              FROM ex e JOIN gdf USING (g) GROUP BY 1)
+            SELECT doc_id, n_grams,
+                   CAST(dup_grams AS BIGINT) AS dup_grams,
+                   CAST((dup_grams * 1000000) // n_grams AS BIGINT)
+                     AS dup_ppm
+            FROM per ORDER BY doc_id
         """,
         "timeseries_report": """
             WITH base AS (

@@ -15,7 +15,7 @@ from .rollup import rollup_merge, time_rollup
 from .basket import item_cooccurrence
 from .stats import chi2_contingency, equifreq_bins, group_mad, group_mode, histogram
 from .dq import benford_digits, dq_validate, k_anonymity
-from .text import (bigram_lm_score, bm25_scores, bpe_ish_token_count, char_entropy, chunk_documents,
+from .text import (bigram_lm_score, bm25_scores, boilerplate_density, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
                    inverted_index,
                    gopher_filter,
@@ -44,7 +44,7 @@ from .behavior import (cohort_retention, funnel, scd2_from_log,
 from .reshape import pivot_table, unpivot
 from .layout import compaction_plan, zorder_by, zorder_key
 from .splits import consistent_sample, leakage_safe_split
-from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, twap
+from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, theil_sen, twap
 from .linalg import embedding_covariance, pca_project, rademacher_projection
 
 __all__ = [
@@ -64,9 +64,9 @@ __all__ = [
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
-    "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "embedding_covariance", "pca_project",
+    "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "theil_sen", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "rademacher_projection", "hard_negatives", "hard_negatives_ivf", "normalize_text",
-    "group_mode", "group_mad", "item_cooccurrence",
+    "group_mode", "group_mad", "item_cooccurrence", "boilerplate_density",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

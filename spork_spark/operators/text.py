@@ -739,3 +739,38 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     norm = F.trim(F.regexp_replace(F.lower(_nfc(F.col(text_col))),
                                    r"\s+", " "))
     return df.withColumn(out_col, norm)
+
+
+def boilerplate_density(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8,
+                        out_scale: int = 10 ** 6) -> DataFrame:
+    """Per-document share of n-gram windows that recur elsewhere in the
+    corpus — the boilerplate/template signal (RefinedWeb family): a doc
+    whose 8-grams mostly appear in other documents is navigation chrome,
+    license text, or a template, whatever its per-doc quality score says.
+
+    Counts DISTINCT n-grams per doc (word_ngrams distinct=True), marks a
+    gram duplicated when its DOCUMENT frequency ≥ 2, and reports
+    ``dup_ppm`` = duplicated-grams · 10⁶ div total-grams — exact
+    integers. Docs shorter than n tokens have no window and drop out.
+
+    Shape: one explode pass → gram-df groupBy (map-side combined) →
+    duplicated-gram set joins back on the gram (vocabulary-sized,
+    shuffle equi-join; the df table outgrows broadcast at corpus scale)
+    → per-doc count aggregation. Nothing quadratic: recurrence is
+    counted through the gram table, never doc-pairs — the same reason
+    dedup_lines scales.
+    """
+    grams = (df.where(F.col(text_col).isNotNull())
+               .select(F.col(id_col),
+                       F.explode(word_ngrams(text_col, n)).alias("__g")))
+    gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    marked = grams.join(gdf, on="__g") \
+                  .withColumn("__dup", (F.col("__df") >= 2).cast("long"))
+    return (marked.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_grams"),
+                       F.sum("__dup").alias("dup_grams"))
+                  .withColumn("dup_ppm",
+                              F.expr(f"(dup_grams * {out_scale})"
+                                     " div n_grams").cast("long"))
+                  .select(id_col, "n_grams", "dup_grams", "dup_ppm"))

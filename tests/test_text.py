@@ -54,3 +54,22 @@ def test_bigram_lm_score_flags_shuffled_text(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r.doc_id: r.avg_p_e6 for r in bigram_lm_score(df).collect()}
     assert out[99] < out[0]
+
+
+def test_boilerplate_density_marks_shared_windows(spark):
+    from spork_spark.operators import boilerplate_density
+    chrome = "copyright acme corp all rights reserved contact us today"
+    rows = [(1, chrome + " alpha beta gamma delta"),
+            (2, chrome + " epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "shorty")]                       # < 8 tokens: no window
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_density(df, n=8).collect()}
+    assert 4 not in out
+    assert out[3].dup_grams == 0 and out[3].dup_ppm == 0
+    # docs 1 and 2 share the 9-token chrome prefix -> its two 8-gram
+    # windows are duplicated; each doc has 6 windows (13 tokens)
+    assert out[1].n_grams == 6 and out[1].dup_grams == 2
+    assert out[1].dup_ppm == 2 * 1000000 // 6
+    assert out[2].dup_grams == 2

@@ -139,3 +139,28 @@ def test_twap_duration_weighting(spark):
     assert out["a"].twap_e6 == 1750 * 10 ** 6     # 17.50 in cents*1e6
     assert out["a"].n_obs == 3
     assert out["b"].twap_e6 is None
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    from spork_spark.operators import theil_sen, group_ols
+    # perfect slope 1.00/day, except one wild day
+    rows = [("a", f"2024-01-{d + 1:02d} 00:00:00",
+             float(d + 1) if d != 5 else 1000.0) for d in range(9)]
+    df = spark.createDataFrame(rows, "g string, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    ts_row = theil_sen(df, "g", "ts", "value").collect()[0]
+    assert ts_row.n_days == 9
+    assert ts_row.slope_e6 == 100 * 10 ** 6          # 100 cents/day exact
+    ols_row = group_ols(df, "g", "ts", "value").collect()[0]
+    assert abs(ols_row.slope_e6 - 100 * 10 ** 6) > 10 ** 7  # OLS dragged
+
+
+def test_theil_sen_single_day_null(spark):
+    from spork_spark.operators import theil_sen
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 5.0),
+         ("a", "2024-01-01 12:00:00", 7.0)],
+        "g string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    r = theil_sen(df, "g", "ts", "value").collect()[0]
+    assert r.n_days == 1 and r.slope_e6 is None
