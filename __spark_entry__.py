@@ -2477,6 +2477,24 @@ def q_dq(spark, sf):
     return dq_validate(ev, rules).orderBy("rule")
 
 
+def q_dq_embeddings(spark, sf):
+    """Vector-column data-quality suite (operators/dq.py dq_validate
+    with the `vector` rule kind): dimensionality + NaN/null-element
+    well-formedness of the embedding column folds into the SAME shared
+    aggregate pass as the scalar rules — k rules still cost one scan.
+    Exact counts; the oracle replays each predicate in SQL."""
+    from spork_spark.operators import dq_validate
+    eng = _eng(spark)
+    emb = _t(eng, sf, "embeddings").df()
+    rules = [
+        {"kind": "vector", "col": "embedding", "dim": 64},
+        {"kind": "not_null", "col": "embedding"},
+        {"kind": "in_range", "col": "label", "lo": 0, "hi": 9},
+        {"kind": "unique", "cols": ["vec_id"]},
+    ]
+    return dq_validate(emb, rules).orderBy("rule")
+
+
 def q_cc_incremental(spark, sf):
     """Incremental connected components (operators/graph.py
     cc_incremental): label the chain edges first, then fold the
@@ -3719,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "transitions": q_transitions,
         "dq_events": q_dq,
+        "dq_embeddings": q_dq_embeddings,
         "asof_nearest": q_asof_nearest,
         "zorder": q_zorder,
         "funnel": q_funnel,
@@ -6212,6 +6231,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt * 1000000 // tt AS BIGINT) AS prob_e6
             FROM s JOIN tot USING (from_state)
             ORDER BY from_state, to_state
+        """,
+        "dq_embeddings": """
+            WITH v AS (SELECT * FROM embeddings)
+            SELECT rule, kind, n_violations FROM (
+              SELECT 'vector(embedding,64)' AS rule, 'vector' AS kind,
+                     CAST(COUNT(CASE WHEN embedding IS NOT NULL AND
+                       (len(embedding) <> 64 OR len(list_filter(
+                           embedding, x -> x IS NULL
+                           OR isnan(CAST(x AS DOUBLE)))) > 0)
+                       THEN 1 END) AS BIGINT) AS n_violations
+              FROM v
+              UNION ALL
+              SELECT 'not_null(embedding)', 'not_null',
+                     CAST(COUNT(CASE WHEN embedding IS NULL THEN 1 END)
+                          AS BIGINT)
+              FROM v
+              UNION ALL
+              SELECT 'in_range(label,0,9)', 'in_range',
+                     CAST(COUNT(CASE WHEN label IS NOT NULL
+                          AND (label < 0 OR label > 9) THEN 1 END)
+                          AS BIGINT)
+              FROM v
+              UNION ALL
+              SELECT 'unique(vec_id)', 'unique',
+                     CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+              FROM (SELECT vec_id, COUNT(*) AS n FROM v
+                    GROUP BY vec_id HAVING COUNT(*) > 1))
+            ORDER BY rule
         """,
         "dq_events": """
             SELECT 'foreign_key(user_id)' AS rule,

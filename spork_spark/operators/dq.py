@@ -63,6 +63,18 @@ def dq_validate(df: DataFrame, rules: list[dict]) -> DataFrame:
             c, rx = rule["col"], rule["pattern"]
             viol(F.col(c).isNull() | F.col(c).rlike(f"^(?:{rx})$"),
                  (rule.get("name", f"matches({c})"), kind))
+        elif kind == "vector":
+            # embedding-column well-formedness: right dimensionality,
+            # no NaN / null elements. Null vectors pass (use not_null
+            # to forbid, same contract as the scalar rules). Folds into
+            # the shared row-wise pass like any other predicate.
+            c, dim = rule["col"], rule["dim"]
+            ok = (F.col(c).isNull()
+                  | ((F.size(F.col(c)) == dim)
+                     & ~F.exists(F.col(c),
+                                 lambda x: x.isNull()
+                                 | F.isnan(x.cast("double")))))
+            viol(ok, (rule.get("name", f"vector({c},{dim})"), kind))
         elif kind == "unique":
             cols = rule["cols"]
             name = rule.get("name", f"unique({','.join(cols)})")

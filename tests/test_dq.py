@@ -112,3 +112,18 @@ def test_benford_rejects_uniform_accepts_exponential(spark):
                 .first()[0])
     assert maxdev(expo) < 25000          # within 2.5% of Benford
     assert maxdev(unif) > 60000          # uniform: digit 1 hugely off
+
+
+def test_vector_rule_flags_malformed_embeddings(spark):
+    from spork_spark.operators import dq_validate
+    rows = [(1, [1.0, 2.0]), (2, [1.0]),           # wrong dim
+            (3, [float("nan"), 1.0]),              # NaN element
+            (4, None),                             # null vector: passes
+            (5, [0.5, None])]                      # null element
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    out = {r.rule: r.n_violations for r in dq_validate(
+        df, [{"kind": "vector", "col": "embedding", "dim": 2},
+             {"kind": "not_null", "col": "embedding"}]).collect()}
+    assert out["vector(embedding,2)"] == 3
+    assert out["not_null(embedding)"] == 1
