@@ -2723,6 +2723,28 @@ def q_embedding_covariance(spark, sf):
         .orderBy("i", "j")
 
 
+def q_covisitation(spark, sf):
+    """Session-based co-visitation: sessionize ∘ item_cooccurrence —
+    baskets are (user, session) and items the event types visited in
+    that session, the co-visitation matrix behind session-based
+    recommenders. Shows two operators composing cleanly: sessionize's
+    single keyed window feeds the basket key; the co-occurrence
+    machinery (support floor, basket ceiling, exact lift/cos²) runs
+    unchanged. The oracle is the sessionize SQL piped into the
+    item_cooccurrence SQL."""
+    from spork_spark.operators import item_cooccurrence, sessionize
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                      tiebreak_col="event_id")
+    baskets = sess.withColumn(
+        "basket", F.concat_ws("#", F.col("user_id").cast("string"),
+                              F.col("session_seq").cast("string")))
+    return item_cooccurrence(baskets, "basket", "event_type",
+                             min_support=5, min_pair=5) \
+        .orderBy("item_a", "item_b")
+
+
 def q_theil_sen(spark, sf):
     """Theil–Sen robust trend per event_type (operators/timeseries.py
     theil_sen): median of all pairwise slopes of the DAILY series —
@@ -3713,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events": q_histogram,
         "gap_fill": q_gap_fill,
         "group_ols": q_group_ols,
+        "covisitation": q_covisitation,
         "theil_sen": q_theil_sen,
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
@@ -5879,6 +5902,49 @@ def oracle_sql() -> dict[str, str]:
                           * (abs(nm) // (CAST(n AS HUGEINT) * n))
                           AS BIGINT) END AS cov_e6
             FROM t ORDER BY i, j
+        """,
+        "covisitation": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, event_type,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS seq
+              FROM o),
+            bi AS (
+              SELECT DISTINCT
+                     CAST(user_id AS VARCHAR) || '#' ||
+                       CAST(seq AS VARCHAR) AS b,
+                     event_type AS i
+              FROM s),
+            sz AS (SELECT b, COUNT(*) AS s FROM bi GROUP BY b),
+            bi2 AS (SELECT bi.* FROM bi JOIN sz USING (b)
+                    WHERE sz.s <= 100),
+            supp AS (SELECT i, COUNT(*) AS n FROM bi2 GROUP BY i
+                     HAVING COUNT(*) >= 5),
+            bi3 AS (SELECT bi2.* FROM bi2 JOIN supp USING (i)),
+            nb AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi3),
+            p AS (
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS co
+              FROM bi3 a JOIN bi3 b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+            SELECT item_a, item_b, co, sa.n AS n_a, sb.n AS n_b,
+                   CAST((CAST(co AS HUGEINT) * n_baskets * 1000000)
+                        // (CAST(sa.n AS HUGEINT) * sb.n)
+                        AS BIGINT) AS lift_e6,
+                   CAST((CAST(co AS HUGEINT) * co * 1000000)
+                        // (CAST(sa.n AS HUGEINT) * sb.n)
+                        AS BIGINT) AS cos2_e6
+            FROM p JOIN supp sa ON sa.i = p.item_a
+                   JOIN supp sb ON sb.i = p.item_b, nb
+            ORDER BY item_a, item_b
         """,
         "theil_sen": """
             WITH daily AS (
