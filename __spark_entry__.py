@@ -2816,6 +2816,18 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_group_gini(spark, sf):
+    """Gini concentration of event value per event_type
+    (operators/stats.py group_gini): exact integer formula over the
+    group's sorted cent values — ONE keyed window for the exact ranks
+    + ONE map-side-combined aggregation; rank ties on equal values
+    cancel out of Σ i·y, so the result is deterministic."""
+    from spork_spark.operators import group_gini
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return group_gini(ev, "event_type", "value").orderBy("event_type")
+
+
 def q_group_mad(spark, sf):
     """Robust location/scale per event_type (operators/stats.py
     group_mad): median and median-absolute-deviation of cent values —
@@ -3740,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "group_gini": q_group_gini,
         "group_mad": q_group_mad,
         "group_mode": q_group_mode,
         "item_cooccurrence": q_item_cooccurrence,
@@ -6082,6 +6095,29 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "group_gini": """
+            WITH base AS (
+              SELECT event_type AS g,
+                     CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5)
+                          AS BIGINT) AS y
+              FROM events WHERE value IS NOT NULL),
+            r AS (
+              SELECT g, y,
+                     row_number() OVER (PARTITION BY g ORDER BY y) AS i
+              FROM base),
+            s AS (
+              SELECT g, COUNT(*) AS n,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(i AS HUGEINT) * y) AS siy
+              FROM r GROUP BY g)
+            SELECT g AS event_type, n, CAST(sy AS BIGINT) AS sum_cents,
+                   CASE WHEN n <= 1 OR CAST(n AS HUGEINT) * sy = 0
+                        THEN NULL ELSE
+                     CAST(((2 * siy - (n + 1) * sy) * 1000000)
+                          // (CAST(n AS HUGEINT) * sy) AS BIGINT)
+                   END AS gini_e6
+            FROM s ORDER BY event_type
         """,
         "group_mad": """
             WITH base AS (

@@ -227,3 +227,54 @@ def group_mad(df: DataFrame, group_col: str, value_col: str,
                     F.first("median_cents").alias("median_cents"),
                     F.percentile(F.col("__d"), F.lit(0.5))
                      .alias("mad_cents")))
+
+
+def group_gini(df: DataFrame, group_col: str, value_col: str,
+               scale: int = 100, out_scale: int = 10 ** 6) -> DataFrame:
+    """Gini coefficient of ``value_col`` per group — the concentration /
+    inequality audit (is 1% of sources contributing 90% of the tokens?
+    is revenue concentration drifting?), in exact integer arithmetic.
+
+    For the group's values sorted ascending (ties broken by value —
+    rank assignment within equal values cancels out of the formula):
+
+        G = (2·Σ i·y_(i) − (n+1)·Σ y) / (n·Σ y)
+
+    Every term is an exact decimal(38,0) integer over cent-quantized
+    non-negative values; ``gini_e6`` is the scaled sign-free integer
+    division (numerator ≥ 0 for non-negative data). Negative values are
+    rejected (Gini is undefined there). Output: (group, n, sum_cents,
+    gini_e6); single-value or all-zero groups return null.
+
+    Shape: ONE keyed window (row_number over the group's sort — the
+    exact-rank pass every exact Gini needs) + ONE map-side-combined
+    aggregation. Rank ties on equal values are broken arbitrarily by
+    the engine, but Σ i·y_(i) over a tie block is invariant to the
+    order within it (same y), so the result is deterministic anyway.
+    """
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    base = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("__g"),
+                      cents.alias("__y")))
+    if base.where(F.col("__y") < 0).head(1):
+        raise ValueError("group_gini requires non-negative values")
+    w = Window.partitionBy("__g").orderBy("__y")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    sums = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("__y"))).alias("__sy"),
+        F.sum(d38(F.col("__i")) * d38(F.col("__y"))).alias("__siy"))
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("__siy")
+           - (d38(F.col("n")) + 1) * F.col("__sy")).cast("decimal(38,0)")
+    den = (d38(F.col("n")) * F.col("__sy")).cast("decimal(38,0)")
+    return (sums.withColumn("__num", num).withColumn("__den", den)
+                .select(F.col("__g").alias(group_col), "n",
+                        F.col("__sy").cast("long").alias("sum_cents"),
+                        F.when((F.col("n") <= 1) | (F.col("__den") == 0),
+                               F.lit(None).cast("long"))
+                         .otherwise(F.expr(
+                             f"(__num * {out_scale}) div __den")
+                             .cast("long"))
+                         .alias("gini_e6")))

@@ -108,3 +108,26 @@ def test_group_mad_exact_halves(spark):
     # b: median 600.0, devs [100,100] -> mad 100.0
     assert out["b"].median_cents == 600.0 and out["b"].mad_cents == 100.0
     assert out["a"].n == 4 and out["b"].n == 2
+
+
+def test_group_gini_known_values(spark):
+    from spork_spark.operators import group_gini
+    rows = [("eq", v) for v in [5.0, 5.0, 5.0, 5.0]]          # equality: 0
+    rows += [("conc", v) for v in [0.0, 0.0, 0.0, 100.0]]     # one holder
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in group_gini(df, "g", "v").collect()}
+    assert out["eq"].gini_e6 == 0
+    # G = (2*4*10000 - 5*10000)/(4*10000) = 0.75
+    assert out["conc"].gini_e6 == 750000
+    assert out["conc"].sum_cents == 10000
+
+
+def test_group_gini_degenerate_and_negative(spark):
+    import pytest
+    from spork_spark.operators import group_gini
+    df = spark.createDataFrame([("a", 3.0)], "g string, v double")
+    r = group_gini(df, "g", "v").collect()[0]
+    assert r.gini_e6 is None                      # single value
+    neg = spark.createDataFrame([("a", -1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        group_gini(neg, "g", "v")
