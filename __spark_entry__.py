@@ -1020,6 +1020,39 @@ def q_dedup_index_roundtrip(spark, sf):
         .orderBy("id_a", "id_b")
 
 
+def q_dedup_incremental_clusters(spark, sf):
+    """The WHOLE incremental near-dedup story, end to end: historical
+    labeling (LSH pairs → CC over old docs only) + a new ingest batch →
+    lsh_pairs_incremental (batch-cost candidate pairs against the
+    stored index) → cc_incremental (fold the new pairs into the old
+    labeling WITHOUT re-traversing history). Output must equal the
+    full-recompute clusters over the entire corpus — the oracle replays
+    full-corpus LSH SQL + a recursive-CTE CC — which is exactly the
+    invariant that lets a 100 TB pipeline absorb daily batches at
+    delta cost."""
+    from spork_spark.operators import (cc_incremental,
+                                       connected_components,
+                                       lsh_pairs_incremental,
+                                       minhash_banding, minhash_lsh_pairs)
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old_pairs = minhash_lsh_pairs(old, "doc_id", "text", shingle_n=5,
+                                  num_hashes=64, bands=16, threshold=0.6,
+                                  hash_fn="md5")
+    labels = connected_components(
+        old_pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")))
+    idx = minhash_banding(old, "doc_id", "text", shingle_n=5,
+                          num_hashes=64, bands=16, hash_fn="md5")
+    inc = lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                                shingle_n=5, num_hashes=64, bands=16,
+                                threshold=0.6, hash_fn="md5")
+    return cc_incremental(labels, inc, src="id_a", dst="id_b") \
+        .orderBy("node")
+
+
 def q_dedup_spans(spark, sf):
     """ExactSubstr-style duplicate-span detection (Lee et al. 2021) via
     content-defined anchoring (winnowing family): anchor positions are
@@ -3655,6 +3688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_full": q_dedup_near_full,
         "dedup_incremental": q_dedup_incremental,
         "dedup_index_roundtrip": q_dedup_index_roundtrip,
+        "dedup_incremental_clusters": q_dedup_incremental_clusters,
         "shortest_paths": q_shortest_paths,
         "weighted_paths": q_weighted_paths,
         "dedup_simhash": q_dedup_simhash,
@@ -4586,6 +4620,44 @@ def oracle_sql() -> dict[str, str]:
               FROM walk JOIN ed ON ed.a = walk.node
               WHERE walk.dist < 4)
             SELECT node, CAST(MIN(dist) AS INT) AS dist
+            FROM walk GROUP BY node ORDER BY node
+        """,
+        "dedup_incremental_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                                    for i in generate_series(
+                                        1, greatest(length(text) - 4, 1))]) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            sig AS (
+              SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || sg)) AS mh
+              FROM ex CROSS JOIN range(64) t(j)
+              GROUP BY doc_id, j),
+            band AS (
+              SELECT doc_id, j // 4 AS band,
+                     md5(string_agg(mh, '|' ORDER BY j)) AS bh
+              FROM sig GROUP BY doc_id, j // 4),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band = b.band AND a.bh = b.bh
+                AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.id_a
+              JOIN sh sb ON sb.doc_id = p.id_b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sa.s, sb.s))) >= 0.6),
+            sym AS (
+              SELECT id_a AS a, id_b AS b FROM v
+              UNION SELECT id_b, id_a FROM v),
+            walk(node, comp) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node)
+            SELECT node, MIN(comp) AS comp
             FROM walk GROUP BY node ORDER BY node
         """,
         "dedup_incremental": """
