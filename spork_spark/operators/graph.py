@@ -291,13 +291,19 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
                              how="left_anti"))
         nxt = nxt.localCheckpoint(eager=True)
         if not nxt.head(1):
-            frontier.unpersist()
+            nxt.unpersist()
             break
         old_v, old_f = visited, frontier
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-        old_f.unpersist()
+        if old_f is not old_v:       # hop 1: frontier IS visited — the
+            old_f.unpersist()        # sources checkpoint must survive
         old_v.unpersist()
+    # only the RETURNED labels stay cached (caller owns them, the
+    # pagerank/CC contract); the last frontier must not linger
+    if frontier is not visited:
+        frontier.unpersist()
+    e.unpersist()
     return visited
 
 
@@ -348,8 +354,13 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
         improved = improved.localCheckpoint(eager=True)
         old_l, old_f = labels, frontier
         labels, frontier = merged, improved
+        if old_f is not old_l:       # round 1: frontier IS labels
+            old_f.unpersist()
         old_l.unpersist()
-        old_f.unpersist()
         if not frontier.head(1):
             break
+    # only the RETURNED labels stay cached; drop the last frontier
+    if frontier is not labels:
+        frontier.unpersist()
+    e.unpersist()
     return labels

@@ -165,26 +165,20 @@ def test_pagerank_is_deterministic_across_partitionings(spark):
 
 
 def test_pagerank_leaves_no_cached_tables(spark):
-    """The per-round persists must all unpersist; the RETURNED frame is
-    an eager localCheckpoint whose RDD lives until the Python object is
-    collected — so drop it and poll for the async ContextCleaner."""
-    import gc
-    import time
+    """The per-round persists must all unpersist. The RETURNED frame is
+    an eager localCheckpoint whose blocks free only via py4j detach +
+    JVM GC + the async ContextCleaner — arbitrarily later on this
+    runtime (tools/soak.py classifies exactly these as
+    pending_gc_blocks, not strong leaks) — so the deterministic
+    contract to pin is: nothing BEYOND the one returned frame stays
+    cached."""
     from spork_spark.operators.graph import pagerank
     edges = spark.createDataFrame([(1, 2), (2, 3)],
                                   "src bigint, dst bigint")
-    gc.collect()
-    time.sleep(0.5)
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     out = pagerank(edges, n_iter=2)
     out.count()
-    del out
-    gc.collect()
-    for _ in range(40):                     # cleaner is asynchronous
-        after = len(spark.sparkContext._jsc.getPersistentRDDs())
-        if after <= before:
-            break
-        time.sleep(0.25)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
 
 
@@ -283,3 +277,25 @@ def test_weighted_distances_hop_bound_and_negative_reject(spark):
     neg = spark.createDataFrame([(1, 2, -1)], "src bigint, dst bigint, weight bigint")
     with pytest.raises(ValueError):
         weighted_distances(neg, sources)
+
+
+def test_bfs_and_bellman_ford_leave_only_returned_labels(spark):
+    """Intermediate checkpoints (frontiers, edge snapshots) must all
+    unpersist — only the returned labeling stays cached (the
+    pagerank/CC contract, see that test for why returned checkpoints
+    cannot be awaited); the returned frame must survive collection even
+    when the FIRST expansion is empty (frontier IS the labels)."""
+    from spork_spark.operators import bfs_distances, weighted_distances
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    isolated = spark.createDataFrame([(99,)], "node bigint")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    outs = [bfs_distances(edges, isolated, max_hops=3),      # empty hop 1
+            bfs_distances(edges, spark.createDataFrame([(1,)], "node bigint"),
+                          max_hops=2),
+            weighted_distances(
+                edges.withColumn("weight", edges["dst"]),
+                spark.createDataFrame([(1,)], "node bigint"), max_hops=2)]
+    for o in outs:
+        assert o.count() >= 1                     # collectable post-cleanup
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before + 3           # only the 3 returned labelings
