@@ -972,6 +972,29 @@ def q_shortest_paths(spark, sf):
     return bfs_distances(edges, sources, max_hops=4).orderBy("node")
 
 
+def q_label_spreading(spark, sf):
+    """Semi-supervised label spreading (operators/graph.py
+    label_propagation): the %100 seed docs carry their lang label; two
+    rounds of frontier majority votes (fixed-once-labeled, ties to the
+    smallest label) classify the docs within 2 hops on the synthetic
+    doc graph. The oracle unrolls both rounds in SQL — deterministic
+    because a label, once assigned, is final."""
+    from spork_spark.operators import label_propagation
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    chain = (docs.filter(F.col("doc_id") % 10 < 4)
+                 .select(F.col("doc_id").alias("src"),
+                         (F.col("doc_id") + 1).alias("dst")))
+    doubling = docs.select(F.col("doc_id").alias("src"),
+                           (F.col("doc_id") * 2).alias("dst"))
+    edges = chain.unionByName(doubling)
+    seeds = (docs.filter((F.col("doc_id") % 100 == 0)
+                         & F.col("lang").isNotNull())
+                 .select(F.col("doc_id").alias("node"),
+                         F.col("lang").alias("label")))
+    return label_propagation(edges, seeds, n_iter=2).orderBy("node")
+
+
 def q_weighted_paths(spark, sf):
     """Bounded Bellman-Ford (operators/graph.py weighted_distances)
     over the doc graph with weight (src+dst)%7+1: min weighted distance
@@ -3690,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_roundtrip": q_dedup_index_roundtrip,
         "dedup_incremental_clusters": q_dedup_incremental_clusters,
         "shortest_paths": q_shortest_paths,
+        "label_spreading": q_label_spreading,
         "weighted_paths": q_weighted_paths,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4581,6 +4605,48 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh sb ON sb.doc_id = p.id_b)
             SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
             FROM v WHERE jac >= 0.6 ORDER BY id_a, id_b
+        """,
+        "label_spreading": """
+            WITH e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 4
+              UNION ALL
+              SELECT doc_id, doc_id * 2 FROM documents),
+            sym AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+              WHERE a <> b),
+            l0 AS (
+              SELECT doc_id AS node, lang AS label, TRUE AS is_seed
+              FROM documents
+              WHERE doc_id % 100 = 0 AND lang IS NOT NULL),
+            c1 AS (
+              SELECT s.a AS node, l.label, COUNT(*) AS c
+              FROM sym s JOIN l0 l ON l.node = s.b
+              WHERE s.a NOT IN (SELECT node FROM l0)
+              GROUP BY s.a, l.label),
+            v1 AS (
+              SELECT node, MIN(label) AS label FROM (
+                SELECT node, label, c,
+                       MAX(c) OVER (PARTITION BY node) AS mc
+                FROM c1) WHERE c = mc GROUP BY node),
+            l1 AS (
+              SELECT * FROM l0
+              UNION ALL SELECT node, label, FALSE FROM v1),
+            c2 AS (
+              SELECT s.a AS node, l.label, COUNT(*) AS c
+              FROM sym s JOIN l1 l ON l.node = s.b
+              WHERE s.a NOT IN (SELECT node FROM l1)
+              GROUP BY s.a, l.label),
+            v2 AS (
+              SELECT node, MIN(label) AS label FROM (
+                SELECT node, label, c,
+                       MAX(c) OVER (PARTITION BY node) AS mc
+                FROM c2) WHERE c = mc GROUP BY node),
+            l2 AS (
+              SELECT * FROM l1
+              UNION ALL SELECT node, label, FALSE FROM v2)
+            SELECT node, label, is_seed FROM l2 ORDER BY node
         """,
         "weighted_paths": """
             WITH RECURSIVE

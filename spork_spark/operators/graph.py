@@ -364,3 +364,57 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
         frontier.unpersist()
     e.unpersist()
     return labels
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      src: str = "src", dst: str = "dst",
+                      node_col: str = "node", label_col: str = "label",
+                      n_iter: int = 3) -> DataFrame:
+    """Semi-supervised label spreading: seed nodes carry known labels;
+    each round, every still-UNLABELED node adopts the majority label
+    among its labeled neighbors (ties break to the smallest label — the
+    group_mode discipline), and a label once assigned is FINAL — no
+    oscillation, so the result is deterministic and SQL-replayable
+    (vote-updating LPA cascades ties order-dependently). The
+    classify-the-unlabeled-corpus-from-a-small-golden-set primitive
+    (domain labels, language labels, spam verdicts) on the similarity
+    graph the dedup pipeline already builds.
+
+    Fixed ``n_iter`` rounds — labels reach n_iter hops from the seeds.
+    Per round: one key shuffle to attach neighbor labels to the
+    unlabeled frontier, one map-side-combined (node, label) count, one
+    bounded max-count join + MIN tiebreak; localCheckpoint per round
+    (CC lineage pattern); intermediates release, the returned labeling
+    stays cached (caller owns it). Output: (node, label, is_seed) —
+    nodes farther than n_iter hops from every seed are absent.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .union(edges.select(F.col(dst).alias("a"),
+                                    F.col(src).alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+    sym = sym.localCheckpoint(eager=True)
+    seed = (seeds.select(F.col(node_col).alias("node"),
+                         F.col(label_col).alias("label"))
+                 .dropDuplicates(["node"]))
+    labels = seed.withColumn("is_seed", F.lit(True))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        nbr = (sym.join(labels.select(F.col("node").alias("b"),
+                                      F.col("label")), on="b")
+                  .join(labels.select("node"),
+                        sym["a"] == F.col("node"), how="left_anti")
+                  .groupBy(F.col("a").alias("node"), "label")
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        top = nbr.groupBy("node").agg(F.max("__c").alias("__mc"))
+        vote = (nbr.join(top.withColumnRenamed("node", "__tn"),
+                         (nbr["node"] == F.col("__tn"))
+                         & (nbr["__c"] == F.col("__mc")))
+                   .groupBy(nbr["node"])
+                   .agg(F.min("label").alias("label"))
+                   .withColumn("is_seed", F.lit(False)))
+        old = labels
+        labels = labels.unionByName(vote).localCheckpoint(eager=True)
+        old.unpersist()
+    sym.unpersist()
+    return labels

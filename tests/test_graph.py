@@ -299,3 +299,31 @@ def test_bfs_and_bellman_ford_leave_only_returned_labels(spark):
         assert o.count() >= 1                     # collectable post-cleanup
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before + 3           # only the 3 returned labelings
+
+
+def test_label_propagation_spreads_and_ties_break_small(spark):
+    from spork_spark.operators import label_propagation
+    # chain 1-2-3-4-5; seeds: 1="a", 5="b"; node 3 ties -> "a"
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1, "a"), (5, "b")],
+                                  "node bigint, label string")
+    out = {r.node: (r.label, r.is_seed) for r in
+           label_propagation(edges, seeds, n_iter=3).collect()}
+    assert out[1] == ("a", True) and out[5] == ("b", True)
+    assert out[2][0] == "a" and out[4][0] == "b"
+    assert out[3][0] == "a"                      # tie -> smallest label
+    assert not out[3][1]
+
+
+def test_label_propagation_seeds_never_flip(spark):
+    from spork_spark.operators import label_propagation
+    # seed surrounded by opposite-label majority must keep its label
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame(
+        [(0, "z")] + [(i, "a") for i in range(1, 5)],
+        "node bigint, label string")
+    out = {r.node: r.label for r in
+           label_propagation(edges, seeds, n_iter=2).collect()}
+    assert out[0] == "z"
