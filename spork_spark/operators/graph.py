@@ -269,18 +269,23 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     frontier (nodes first reached last round — not the whole visited
     set) to the edge list and anti-joins already-visited nodes, so
     per-round work is frontier-out-degree, not |edges|·rounds. Exactly
-    ``max_hops`` rounds with an early exit on an empty frontier;
-    visited/frontier localCheckpoint each round (flat lineage, the CC
-    pattern). A visited node is never re-expanded — BFS's invariant
-    that the first discovery IS the minimum distance makes min-merging
-    unnecessary.
+    ``max_hops`` rounds with an early exit on an empty frontier. A
+    visited node is never re-expanded — BFS's invariant that the first
+    discovery IS the minimum distance makes min-merging unnecessary.
+
+    Caching discipline (the pagerank pattern): intermediates use
+    ``persist()`` — promptly releasable, where a localCheckpoint's
+    blocks free only via GC (DataFrame.unpersist cannot touch them) —
+    and only the RETURNED frame is an eager localCheckpoint (truncated
+    lineage; caller owns it, GC frees it). Plan depth grows linearly
+    with the bounded ``max_hops``, so persist's untruncated lineage is
+    fine here, unlike CC's convergence loop.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
-             .filter(F.col("a") != F.col("b")).distinct()
-    e = e.localCheckpoint(eager=True)
+             .filter(F.col("a") != F.col("b")).distinct().persist()
     frontier = sources.select(F.col(node_col).alias("node")).distinct() \
-                      .withColumn("dist", F.lit(0))
-    frontier = frontier.localCheckpoint(eager=True)
+                      .withColumn("dist", F.lit(0)).persist()
+    frontier.count()
     visited = frontier
     for hop in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier["node"] == e["a"])
@@ -288,23 +293,23 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
                                (F.col("dist") + 1).alias("dist"))
                        .distinct()
                        .join(visited.select("node"), on="node",
-                             how="left_anti"))
-        nxt = nxt.localCheckpoint(eager=True)
+                             how="left_anti")).persist()
         if not nxt.head(1):
             nxt.unpersist()
             break
         old_v, old_f = visited, frontier
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).persist()
+        visited.count()
         frontier = nxt
-        if old_f is not old_v:       # hop 1: frontier IS visited — the
-            old_f.unpersist()        # sources checkpoint must survive
+        if old_f is not old_v:       # hop 1: frontier IS visited
+            old_f.unpersist()
         old_v.unpersist()
-    # only the RETURNED labels stay cached (caller owns them, the
-    # pagerank/CC contract); the last frontier must not linger
+    out = visited.localCheckpoint(eager=True)
     if frontier is not visited:
         frontier.unpersist()
+    visited.unpersist()
     e.unpersist()
-    return visited
+    return out
 
 
 def weighted_distances(edges: DataFrame, sources: DataFrame,
@@ -319,22 +324,23 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
 
     Each round relaxes every edge out of the nodes whose distance
     improved last round (the delta frontier — Bellman-Ford's standard
-    worklist optimization), merges candidates into the label table
-    with a MIN aggregate, and localCheckpoints (the CC lineage
-    pattern). Terminates after max_hops rounds or when no distance
-    improves. Negative weights are rejected: with a hop bound they
-    would make "distance" path-length-dependent in a way min-merge
-    cannot order. Output: (node, dist) exact integer weights.
+    worklist optimization) and merges candidates into the label table
+    with a MIN aggregate. Terminates after max_hops rounds or when no
+    distance improves. Negative weights are rejected: with a hop bound
+    they would make "distance" path-length-dependent in a way
+    min-merge cannot order. Output: (node, dist) exact integer
+    weights. Caching discipline = bfs_distances (persist()
+    intermediates — promptly releasable; localCheckpoint only the
+    returned frame).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
                      F.col(weight).cast("long").alias("w"))
     if e.where(F.col("w") < 0).head(1):
         raise ValueError("negative edge weights are not supported")
-    e = e.groupBy("a", "b").agg(F.min("w").alias("w"))
-    e = e.localCheckpoint(eager=True)
+    e = e.groupBy("a", "b").agg(F.min("w").alias("w")).persist()
     labels = sources.select(F.col(node_col).alias("node")).distinct() \
-                    .withColumn("dist", F.lit(0).cast("long"))
-    labels = labels.localCheckpoint(eager=True)
+                    .withColumn("dist", F.lit(0).cast("long")).persist()
+    labels.count()
     frontier = labels
     for _ in range(max_hops):
         cand = (frontier.join(e, frontier["node"] == e["a"])
@@ -343,15 +349,15 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
                                 .alias("dist"))
                         .groupBy("node").agg(F.min("dist").alias("dist")))
         merged = (labels.unionByName(cand)
-                        .groupBy("node").agg(F.min("dist").alias("dist")))
-        merged = merged.localCheckpoint(eager=True)
+                        .groupBy("node").agg(F.min("dist").alias("dist"))
+                        .persist())
         improved = (merged.join(
             labels.withColumnRenamed("dist", "__old"), on="node",
             how="left")
             .where(F.col("__old").isNull()
                    | (F.col("dist") < F.col("__old")))
-            .select("node", "dist"))
-        improved = improved.localCheckpoint(eager=True)
+            .select("node", "dist")).persist()
+        improved.count()
         old_l, old_f = labels, frontier
         labels, frontier = merged, improved
         if old_f is not old_l:       # round 1: frontier IS labels
@@ -359,11 +365,12 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
         old_l.unpersist()
         if not frontier.head(1):
             break
-    # only the RETURNED labels stay cached; drop the last frontier
+    out = labels.localCheckpoint(eager=True)
     if frontier is not labels:
         frontier.unpersist()
+    labels.unpersist()
     e.unpersist()
-    return labels
+    return out
 
 
 def label_propagation(edges: DataFrame, seeds: DataFrame,
@@ -392,13 +399,12 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                 .union(edges.select(F.col(dst).alias("a"),
                                     F.col(src).alias("b")))
                 .filter(F.col("a") != F.col("b"))
-                .distinct())
-    sym = sym.localCheckpoint(eager=True)
+                .distinct()).persist()
     seed = (seeds.select(F.col(node_col).alias("node"),
                          F.col(label_col).alias("label"))
                  .dropDuplicates(["node"]))
-    labels = seed.withColumn("is_seed", F.lit(True))
-    labels = labels.localCheckpoint(eager=True)
+    labels = seed.withColumn("is_seed", F.lit(True)).persist()
+    labels.count()
     for _ in range(n_iter):
         nbr = (sym.join(labels.select(F.col("node").alias("b"),
                                       F.col("label")), on="b")
@@ -414,7 +420,10 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
                    .agg(F.min("label").alias("label"))
                    .withColumn("is_seed", F.lit(False)))
         old = labels
-        labels = labels.unionByName(vote).localCheckpoint(eager=True)
+        labels = labels.unionByName(vote).persist()
+        labels.count()
         old.unpersist()
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     sym.unpersist()
-    return labels
+    return out
