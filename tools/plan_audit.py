@@ -53,6 +53,7 @@ CROSS_OK = {
     "bigram_lm": "1-row vocabulary-size broadcast for the smoothing denominator",
     "hard_negatives": "documented exact mining baseline: anchors x corpus (IVF variant is the scale path)",
     "item_cooccurrence": "1-row basket-count broadcast for the lift denominator",
+    "covisitation": "same 1-row basket-count broadcast (composition of item_cooccurrence)",
 }
 
 # name -> reason Python row-crossing is intrinsic
