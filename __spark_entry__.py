@@ -2872,6 +2872,18 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_growth(spark, sf):
+    """Daily growth accounting over events
+    (operators/behavior.py growth_accounting): actives, first-ever-seen
+    news, returning, and cumulative uniques — exact integers; the
+    cumulative fold runs over DAY-cardinality rows (bounded at any data
+    scale), everything else is map-side-combined groupBys."""
+    from spork_spark.operators import growth_accounting
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return growth_accounting(ev).orderBy("day")
+
+
 def q_group_gini(spark, sf):
     """Gini concentration of event value per event_type
     (operators/stats.py group_gini): exact integer formula over the
@@ -3810,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "growth": q_growth,
         "group_gini": q_group_gini,
         "group_mad": q_group_mad,
         "group_mode": q_group_mode,
@@ -6233,6 +6246,25 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "growth": """
+            WITH base AS (
+              SELECT DISTINCT user_id AS u,
+                     date_trunc('day', ts)::DATE AS day
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            f AS (SELECT u, MIN(day) AS d0 FROM base GROUP BY u),
+            daily AS (
+              SELECT b.day, COUNT(*) AS n_active,
+                     CAST(SUM(CASE WHEN f.d0 = b.day THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_new
+              FROM base b JOIN f ON f.u = b.u GROUP BY b.day)
+            SELECT day, n_active, n_new,
+                   n_active - n_new AS n_returning,
+                   CAST(SUM(n_new) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_users
+            FROM daily ORDER BY day
         """,
         "group_gini": """
             WITH base AS (

@@ -195,3 +195,37 @@ def transition_matrix(df: DataFrame, user_col: str, ts_col: str,
                              F.expr("cnt * 1000000 div __tot")
                              .cast("long"))
                  .select("from_state", "to_state", "cnt", "prob_e6"))
+
+
+def growth_accounting(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Daily growth accounting: active users, NEW users (first ever
+    seen that day), returning users, and the cumulative unique count —
+    the DAU/new/retained decomposition every product and corpus-growth
+    dashboard starts from.
+
+    Exact integers throughout: first-seen day per user is one
+    map-side-combined MIN groupBy; daily actives one distinct-(user,
+    day) count; new = actives whose first-seen equals the day; the
+    cumulative uniques fold new over an unpartitioned window whose
+    input is DAY-cardinality (the equifreq_bins argument: bounded rows
+    at any data scale). Output: (day, n_active, n_new, n_returning,
+    cum_users).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(user_col).isNotNull())
+              .select(F.col(user_col).alias("__u"), day.alias("day"))
+              .dropDuplicates(["__u", "day"]))
+    first = base.groupBy("__u").agg(F.min("day").alias("__d0"))
+    daily = (base.join(first, on="__u")
+                 .groupBy("day")
+                 .agg(F.count(F.lit(1)).alias("n_active"),
+                      F.sum(F.when(F.col("__d0") == F.col("day"), 1)
+                             .otherwise(0)).cast("long").alias("n_new")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (daily.withColumn("n_returning",
+                             F.col("n_active") - F.col("n_new"))
+                 .withColumn("cum_users", F.sum("n_new").over(w))
+                 .select("day", "n_active", "n_new", "n_returning",
+                         "cum_users"))

@@ -167,3 +167,19 @@ def test_transition_matrix_integer_division(spark):
         tot = sum(r.cnt for r in rows_)
         for r in rows_:
             assert r.prob_e6 == r.cnt * 1_000_000 // tot
+
+
+def test_growth_accounting_decomposition(spark):
+    import pyspark.sql.functions as F
+    from spork_spark.operators import growth_accounting
+    rows = [(1, "2024-01-01"), (2, "2024-01-01"),
+            (1, "2024-01-02"), (3, "2024-01-02"),
+            (1, "2024-01-02"),                    # same (user, day) dup
+            (2, "2024-01-04")]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r.day): r for r in growth_accounting(df).collect()}
+    d1, d2, d4 = out["2024-01-01"], out["2024-01-02"], out["2024-01-04"]
+    assert (d1.n_active, d1.n_new, d1.n_returning, d1.cum_users) == (2, 2, 0, 2)
+    assert (d2.n_active, d2.n_new, d2.n_returning, d2.cum_users) == (2, 1, 1, 3)
+    assert (d4.n_active, d4.n_new, d4.n_returning, d4.cum_users) == (1, 0, 1, 3)
