@@ -2872,6 +2872,19 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_abc_suppliers(spark, sf):
+    """ABC/Pareto-class triage of suppliers by lineitem revenue
+    (operators/stats.py abc_classes): one map-side-combined groupBy,
+    an exclusive-prefix cumulative window over KEY-cardinality rows
+    (deterministic (total desc, key) order), and pure-integer threshold
+    comparisons — no division anywhere."""
+    from spork_spark.operators import abc_classes
+    eng = _eng(spark)
+    li = _t(eng, sf, "lineitem").df()
+    return abc_classes(li, "l_suppkey", "l_extendedprice") \
+        .orderBy("l_suppkey")
+
+
 def q_growth(spark, sf):
     """Daily growth accounting over events
     (operators/behavior.py growth_accounting): actives, first-ever-seen
@@ -3822,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "abc_suppliers": q_abc_suppliers,
         "growth": q_growth,
         "group_gini": q_group_gini,
         "group_mad": q_group_mad,
@@ -6246,6 +6260,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "abc_suppliers": """
+            WITH totals AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                         * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_cents
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_suppkey IS NOT NULL
+              GROUP BY l_suppkey),
+            g AS (SELECT SUM(CAST(total_cents AS HUGEINT)) AS gt
+                  FROM totals),
+            r AS (
+              SELECT l_suppkey, total_cents,
+                     CAST(COALESCE(SUM(total_cents) OVER (
+                       ORDER BY total_cents DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before_cents
+              FROM totals)
+            SELECT l_suppkey, total_cents, cum_before_cents,
+                   CASE WHEN CAST(cum_before_cents AS HUGEINT) * 1000000
+                             < g.gt * 800000 THEN 'A'
+                        WHEN CAST(cum_before_cents AS HUGEINT) * 1000000
+                             < g.gt * 950000 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r, g ORDER BY l_suppkey
         """,
         "growth": """
             WITH base AS (

@@ -13,7 +13,7 @@ from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          quantize_embeddings)
 from .rollup import rollup_merge, time_rollup
 from .basket import item_cooccurrence
-from .stats import chi2_contingency, equifreq_bins, group_gini, group_mad, group_mode, histogram
+from .stats import abc_classes, chi2_contingency, equifreq_bins, group_gini, group_mad, group_mode, histogram
 from .dq import benford_digits, dq_validate, k_anonymity
 from .text import (bigram_lm_score, bm25_scores, boilerplate_density, bpe_ish_token_count, char_entropy, chunk_documents,
                    decontaminate, dedup_lines, detect_language, fingerprint,
@@ -66,7 +66,7 @@ __all__ = [
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "theil_sen", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "rademacher_projection", "hard_negatives", "hard_negatives_ivf", "normalize_text",
-    "group_mode", "group_mad", "group_gini", "item_cooccurrence", "boilerplate_density",
+    "group_mode", "group_mad", "group_gini", "abc_classes", "item_cooccurrence", "boilerplate_density",
     "ahash_images", "ahash_pairs",
     "attach_binary_meta", "decode_audio", "decode_images",
     "decode_pixel_stats", "extract_features",

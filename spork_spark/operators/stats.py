@@ -278,3 +278,50 @@ def group_gini(df: DataFrame, group_col: str, value_col: str,
                              f"(__num * {out_scale}) div __den")
                              .cast("long"))
                          .alias("gini_e6")))
+
+
+def abc_classes(df: DataFrame, key_col: str, value_col: str,
+                a_ppm: int = 800000, b_ppm: int = 950000,
+                scale: int = 100) -> DataFrame:
+    """ABC / Pareto-class assignment: keys sorted by total value
+    descending; class A = keys covering the first ``a_ppm`` (default
+    80%) of cumulative value, B through ``b_ppm`` (95%), C the tail —
+    the inventory/priority triage (which suppliers, parts, or corpus
+    sources carry the value) next to group_gini's scalar answer.
+
+    Exact integers: per-key cent totals, an EXCLUSIVE-prefix cumulative
+    sum over the keys ordered by (total desc, key asc) — the key
+    tiebreak makes the boundary deterministic — and class thresholds
+    compared as cum_before·10⁶ < ppm·grand_total in pure integer
+    arithmetic (no division at all). A key straddling a boundary counts
+    toward the class its FIRST cent falls in (the exclusive prefix).
+
+    Shape: ONE map-side-combined groupBy over the data; the window runs
+    over KEY-cardinality rows (the equifreq argument — key counts are
+    bounded next to event counts; for billions of keys, range-partition
+    the window input on the same sort key). Output: (key, total_cents,
+    cum_before_cents, abc_class).
+    """
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    totals = (df.where(F.col(value_col).isNotNull()
+                       & F.col(key_col).isNotNull())
+                .groupBy(F.col(key_col).alias("__k"))
+                .agg(F.sum(cents).alias("total_cents")))
+    w = (Window.orderBy(F.col("total_cents").desc(), F.col("__k"))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    grand = totals.groupBy().agg(F.sum("total_cents").alias("__g"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = (totals.withColumn("cum_before_cents",
+                                F.coalesce(F.sum("total_cents").over(w),
+                                           F.lit(0)))
+                    .crossJoin(F.broadcast(grand)))
+    cmp_a = d38(F.col("cum_before_cents")) * 1000000 \
+        < d38(F.col("__g")) * a_ppm
+    cmp_b = d38(F.col("cum_before_cents")) * 1000000 \
+        < d38(F.col("__g")) * b_ppm
+    return (ranked.withColumn("abc_class",
+                              F.when(cmp_a, "A").when(cmp_b, "B")
+                               .otherwise("C"))
+                  .select(F.col("__k").alias(key_col), "total_cents",
+                          "cum_before_cents", "abc_class"))

@@ -131,3 +131,26 @@ def test_group_gini_degenerate_and_negative(spark):
     neg = spark.createDataFrame([("a", -1.0)], "g string, v double")
     with pytest.raises(ValueError):
         group_gini(neg, "g", "v")
+
+
+def test_abc_classes_boundaries(spark):
+    from spork_spark.operators import abc_classes
+    # totals: k1=70, k2=20, k3=6, k4=4  (grand 100)
+    rows = [("k1", 70.0), ("k2", 20.0), ("k3", 6.0), ("k4", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in abc_classes(df, "k", "v").collect()}
+    # exclusive prefixes: k1=0 (<80% -> A), k2=70 (<80% -> A),
+    # k3=90 (<95% -> B), k4=96 (-> C)
+    assert out["k1"].abc_class == "A" and out["k2"].abc_class == "A"
+    assert out["k3"].abc_class == "B"
+    assert out["k4"].abc_class == "C"
+    assert out["k4"].cum_before_cents == 9600
+
+
+def test_abc_classes_tie_deterministic(spark):
+    from spork_spark.operators import abc_classes
+    rows = [("b", 50.0), ("a", 50.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r.cum_before_cents for r in
+           abc_classes(df, "k", "v").collect()}
+    assert out["a"] == 0 and out["b"] == 5000   # ties order by key asc
