@@ -2872,6 +2872,20 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_rfm(spark, sf):
+    """RFM customer segmentation (operators/behavior.py rfm_segments):
+    per-user recency/frequency/monetary with quintile scores assigned
+    by the VALUE-DETERMINISTIC bin rule (equal metrics always score
+    equally — ntile would split ties arbitrarily). One per-user
+    aggregation; each score map is a metric-cardinality table joined
+    back broadcast. Exact integers; the oracle replicates all three
+    score maps."""
+    from spork_spark.operators import rfm_segments
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return rfm_segments(ev, n_bins=5).orderBy("user_id")
+
+
 def q_abc_suppliers(spark, sf):
     """ABC/Pareto-class triage of suppliers by lineitem revenue
     (operators/stats.py abc_classes): one map-side-combined groupBy,
@@ -3835,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "rfm": q_rfm,
         "abc_suppliers": q_abc_suppliers,
         "growth": q_growth,
         "group_gini": q_group_gini,
@@ -6260,6 +6275,65 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "rfm": """
+            WITH base AS (
+              SELECT user_id AS u, date_trunc('day', ts)::DATE AS d,
+                     COALESCE(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT), 0) AS c
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            users AS (
+              SELECT u, MAX(d) AS last_d, COUNT(*) AS frequency,
+                     CAST(SUM(c) AS BIGINT) AS monetary_cents
+              FROM base GROUP BY u),
+            mx AS (SELECT MAX(last_d) AS m FROM users),
+            u2 AS (
+              SELECT u,
+                     CAST(date_diff('day', last_d, mx.m) AS BIGINT)
+                       AS recency_days,
+                     frequency, monetary_cents
+              FROM users, mx),
+            rs AS (
+              SELECT v AS recency_days,
+                     CAST((cum * 5) // t + 1 AS INT) AS r_score
+              FROM (SELECT v,
+                           COALESCE(SUM(c) OVER (ORDER BY v DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum,
+                           SUM(c) OVER () AS t
+                    FROM (SELECT recency_days AS v, COUNT(*) AS c
+                          FROM u2 GROUP BY 1))),
+            fs AS (
+              SELECT v AS frequency,
+                     CAST((cum * 5) // t + 1 AS INT) AS f_score
+              FROM (SELECT v,
+                           COALESCE(SUM(c) OVER (ORDER BY v ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum,
+                           SUM(c) OVER () AS t
+                    FROM (SELECT frequency AS v, COUNT(*) AS c
+                          FROM u2 GROUP BY 1))),
+            ms AS (
+              SELECT v AS monetary_cents,
+                     CAST((cum * 5) // t + 1 AS INT) AS m_score
+              FROM (SELECT v,
+                           COALESCE(SUM(c) OVER (ORDER BY v ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum,
+                           SUM(c) OVER () AS t
+                    FROM (SELECT monetary_cents AS v, COUNT(*) AS c
+                          FROM u2 GROUP BY 1)))
+            SELECT u AS user_id, recency_days, frequency, monetary_cents,
+                   r_score AS recency_days_score,
+                   f_score AS frequency_score,
+                   m_score AS monetary_cents_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                     || CAST(m_score AS VARCHAR) AS segment
+            FROM u2 JOIN rs USING (recency_days)
+                    JOIN fs USING (frequency)
+                    JOIN ms USING (monetary_cents)
+            ORDER BY user_id
         """,
         "abc_suppliers": """
             WITH totals AS (

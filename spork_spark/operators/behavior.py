@@ -229,3 +229,73 @@ def growth_accounting(df: DataFrame, user_col: str = "user_id",
                  .withColumn("cum_users", F.sum("n_new").over(w))
                  .select("day", "n_active", "n_new", "n_returning",
                          "cum_users"))
+
+
+def rfm_segments(df: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 n_bins: int = 5, scale: int = 100) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last activity,
+    relative to the corpus max day), Frequency (events), Monetary
+    (cent total), each scored into ``n_bins`` quantile classes with the
+    VALUE-DETERMINISTIC bin rule (equifreq_bins: distinct metric values
+    bin by cumulative count, so equal metrics always score equally —
+    ntile would split them arbitrarily). Scores run 1..n_bins with
+    n_bins best (recent / frequent / high-value); ``segment`` is the
+    concatenated "RFM" code marketing tooling expects.
+
+    Shape: ONE per-user aggregation over the events (map-side
+    combined), then per metric a distinct-value cumulative window
+    whose input is metric-cardinality sized (the equifreq argument),
+    joined back to the user table — users shuffle once per metric
+    join, all three joinable tables are value-cardinality small
+    (broadcast). Exact integers end to end.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
+             .cast("long")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(user_col).isNotNull())
+              .select(F.col(user_col).alias("__u"), day.alias("__d"),
+                      F.coalesce(cents, F.lit(0)).alias("__c")))
+    users = base.groupBy("__u").agg(
+        F.max("__d").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("__c").alias("monetary_cents"))
+    mx = users.groupBy().agg(F.max("__last").alias("__mx"))
+    users = (users.crossJoin(F.broadcast(mx))
+                  .withColumn("recency_days",
+                              F.datediff("__mx", "__last").cast("long"))
+                  .drop("__mx", "__last"))
+
+    def score(metric: str, ascending_is_good: bool) -> DataFrame:
+        """(metric value -> 1..n_bins score) map, value-deterministic:
+        bin by cumulative count over distinct values, oriented so
+        n_bins is always the GOOD end."""
+        dist = users.groupBy(F.col(metric).alias("__v")) \
+                    .agg(F.count(F.lit(1)).alias("__c"))
+        order = F.col("__v").asc() if ascending_is_good \
+            else F.col("__v").desc()
+        w = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1)
+        tot = dist.groupBy().agg(F.sum("__c").alias("__t"))
+        return (dist.withColumn("__cum",
+                                F.coalesce(F.sum("__c").over(w),
+                                           F.lit(0)))
+                    .crossJoin(F.broadcast(tot))
+                    .select(F.col("__v").alias(metric),
+                            (F.expr(f"(__cum * {n_bins}) div __t") + 1)
+                            .cast("int").alias(f"{metric}_score")))
+
+    out = users
+    for metric, asc in (("recency_days", False),
+                        ("frequency", True),
+                        ("monetary_cents", True)):
+        out = out.join(F.broadcast(score(metric, asc)), on=metric)
+    return (out.withColumn("segment",
+                           F.concat_ws("", "recency_days_score",
+                                       "frequency_score",
+                                       "monetary_cents_score"))
+               .select(F.col("__u").alias(user_col), "recency_days",
+                       "frequency", "monetary_cents",
+                       "recency_days_score", "frequency_score",
+                       "monetary_cents_score", "segment"))

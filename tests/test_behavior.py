@@ -183,3 +183,28 @@ def test_growth_accounting_decomposition(spark):
     assert (d1.n_active, d1.n_new, d1.n_returning, d1.cum_users) == (2, 2, 0, 2)
     assert (d2.n_active, d2.n_new, d2.n_returning, d2.cum_users) == (2, 1, 1, 3)
     assert (d4.n_active, d4.n_new, d4.n_returning, d4.cum_users) == (1, 0, 1, 3)
+
+
+def test_rfm_segments_orientation_and_determinism(spark):
+    import pyspark.sql.functions as F
+    from spork_spark.operators import rfm_segments
+    rows = []
+    # u1: recent, frequent, big spender; u2: stale, rare, tiny
+    rows += [(1, f"2024-01-{d:02d}", 50.0) for d in range(20, 29)]
+    rows += [(2, "2024-01-01", 0.5)]
+    rows += [(3, "2024-01-15", 10.0), (3, "2024-01-16", 10.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in rfm_segments(df, n_bins=3).collect()}
+    u1, u2 = out[1], out[2]
+    assert u1.recency_days == 0 and u2.recency_days == 27
+    assert u1.frequency == 9 and u1.monetary_cents == 45000
+    # orientation: 3 is always best
+    assert u1.recency_days_score > u2.recency_days_score
+    assert u1.frequency_score > u2.frequency_score
+    assert u1.monetary_cents_score > u2.monetary_cents_score
+    assert u1.segment == "333" and u2.segment == "111"
+    # determinism: same metrics -> same scores on rerun
+    again = {r.user_id: r.segment
+             for r in rfm_segments(df.repartition(7), n_bins=3).collect()}
+    assert again == {u: out[u].segment for u in out}
