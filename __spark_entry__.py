@@ -2872,6 +2872,36 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_anomaly_days(spark, sf):
+    """Robust daily anomaly flags: days whose cent-sum deviates more
+    than 2.5×MAD from the per-type median of daily sums — group_mad
+    applied at the DAILY grain (medians of integer cents stay exact
+    binary doubles and 2.5 is dyadic, so the threshold compares
+    identically in both engines). The robust counterpart of z-score
+    day flagging: one wild day cannot drag its own threshold."""
+    from spork_spark.operators import group_mad
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5) \
+             .cast("long")
+    daily = (ev.where(F.col("ts").isNotNull()
+                      & F.col("value").isNotNull())
+               .groupBy(F.col("event_type"), day.alias("day"))
+               .agg(F.sum(cents).alias("day_cents")))
+    # group_mad over the daily grain: value_col in whole cents, so
+    # scale=1 keeps the quantization identity
+    stats = group_mad(daily, "event_type", "day_cents", scale=1) \
+        .select("event_type", "median_cents", "mad_cents")
+    return (daily.join(F.broadcast(stats), on="event_type")
+                 .where(F.abs(F.col("day_cents")
+                              - F.col("median_cents"))
+                        > 2.5 * F.col("mad_cents"))
+                 .select("event_type", "day", "day_cents",
+                         "median_cents", "mad_cents")
+                 .orderBy("event_type", "day"))
+
+
 def q_rfm(spark, sf):
     """RFM customer segmentation (operators/behavior.py rfm_segments):
     per-user recency/frequency/monetary with quintile scores assigned
@@ -3849,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "anomaly_days": q_anomaly_days,
         "rfm": q_rfm,
         "abc_suppliers": q_abc_suppliers,
         "growth": q_growth,
@@ -6275,6 +6306,30 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "anomaly_days": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                     CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100
+                                         + 0.5) AS BIGINT))
+                          AS BIGINT) AS day_cents
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2),
+            m AS (
+              SELECT event_type,
+                     CAST(median(day_cents) AS DOUBLE) AS median_cents
+              FROM daily GROUP BY event_type),
+            md AS (
+              SELECT d.event_type, MIN(m.median_cents) AS median_cents,
+                     CAST(median(ABS(d.day_cents - m.median_cents))
+                          AS DOUBLE) AS mad_cents
+              FROM daily d JOIN m ON m.event_type = d.event_type
+              GROUP BY d.event_type)
+            SELECT d.event_type, d.day, d.day_cents,
+                   md.median_cents, md.mad_cents
+            FROM daily d JOIN md ON md.event_type = d.event_type
+            WHERE ABS(d.day_cents - md.median_cents) > 2.5 * md.mad_cents
+            ORDER BY d.event_type, d.day
         """,
         "rfm": """
             WITH base AS (
