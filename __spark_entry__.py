@@ -2872,6 +2872,20 @@ def q_keywords(spark, sf):
                   .orderBy("doc_id", "rank"))
 
 
+def q_conversion_times(spark, sf):
+    """Time-to-convert distribution signup→purchase
+    (operators/behavior.py conversion_times): first signup to first
+    purchase at-or-after it per user, via conditional MIN aggregates —
+    no window, no stream-to-stream join; integer-microsecond delays
+    whose interpolated percentiles are exact. Counts starters vs
+    converters; never-converters stay out of the percentiles."""
+    from spork_spark.operators import conversion_times
+    eng = _eng(spark)
+    ev = _t(eng, sf, "events").df()
+    return conversion_times(ev, "user_id", "ts", "event_type",
+                            "signup", "purchase")
+
+
 def q_anomaly_days(spark, sf):
     """Robust daily anomaly flags: days whose cent-sum deviates more
     than 2.5×MAD from the per-type median of daily sums — group_mad
@@ -3879,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "timeseries_report": q_timeseries_report,
         "keywords": q_keywords,
+        "conversion_times": q_conversion_times,
         "anomaly_days": q_anomaly_days,
         "rfm": q_rfm,
         "abc_suppliers": q_abc_suppliers,
@@ -6306,6 +6321,29 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "conversion_times": """
+            WITH base AS (
+              SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t
+              FROM events
+              WHERE ts IS NOT NULL
+                AND event_type IN ('signup', 'purchase')),
+            a AS (
+              SELECT u, MIN(CASE WHEN e = 'signup' THEN t END) AS ta
+              FROM base GROUP BY u),
+            b AS (
+              SELECT base.u, MIN(t) AS tb
+              FROM base JOIN a ON a.u = base.u
+              WHERE e = 'purchase' AND t >= a.ta
+              GROUP BY base.u),
+            users AS (
+              SELECT a.u, CAST((tb - ta) // 1000000 AS BIGINT) AS delay
+              FROM a LEFT JOIN b ON b.u = a.u WHERE ta IS NOT NULL)
+            SELECT COUNT(*) AS n_started,
+                   COUNT(delay) AS n_converted,
+                   CAST(quantile_cont(delay, 0.5) AS DOUBLE) AS p50_s,
+                   CAST(quantile_cont(delay, 0.9) AS DOUBLE) AS p90_s
+            FROM users
         """,
         "anomaly_days": """
             WITH daily AS (

@@ -39,7 +39,7 @@ from .asof import asof_join, range_join
 from .upsert import merge_upsert
 from .diff import (fingerprint_compare, row_digest, snapshot_diff,
                    table_fingerprint)
-from .behavior import (cohort_retention, funnel, growth_accounting, rfm_segments, scd2_from_log,
+from .behavior import (cohort_retention, conversion_times, funnel, growth_accounting, rfm_segments, scd2_from_log,
                        sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
 from .layout import compaction_plan, zorder_by, zorder_key
@@ -62,7 +62,7 @@ __all__ = [
     "word_ngrams",
     "snapshot_diff", "table_fingerprint", "fingerprint_compare",
     "row_digest",
-    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "growth_accounting", "rfm_segments", "pivot_table", "unpivot", "edit_distance_pairs",
+    "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "growth_accounting", "rfm_segments", "conversion_times", "pivot_table", "unpivot", "edit_distance_pairs",
     "zorder_by", "zorder_key", "compaction_plan", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "theil_sen", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "rademacher_projection", "hard_negatives", "hard_negatives_ivf", "normalize_text",

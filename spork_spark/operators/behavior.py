@@ -299,3 +299,48 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
                        "frequency", "monetary_cents",
                        "recency_days_score", "frequency_score",
                        "monetary_cents_score", "segment"))
+
+
+def conversion_times(df: DataFrame, user_col: str, ts_col: str,
+                     event_col: str, from_event: str,
+                     to_event: str) -> DataFrame:
+    """Time-to-convert distribution: for every user, the delay from
+    their FIRST ``from_event`` to their first ``to_event`` AT OR AFTER
+    it, summarized as exact-integer percentiles — the "how long from
+    signup to purchase" question funnels count but don't time.
+
+    Exact end-to-end: timestamps become integer microseconds, each
+    user's delay is an integer difference, and the p50/p90 interpolated
+    percentiles of integers are exact binary doubles (the group_mad
+    argument) — no rounding hedge. Users who never convert are counted
+    (n_started vs n_converted) but excluded from the delay percentiles.
+
+    Shape: ONE per-user aggregation computes first-A and first-B-≥-A
+    together (conditional MIN aggregates — no window, no join between
+    the two event streams), then one global aggregate over USER-
+    cardinality rows. Output: 1 row (n_started, n_converted, p50_s,
+    p90_s) with delays in seconds (micros div 1e6, truncating).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(event_col).isin(from_event, to_event))
+              .select(F.col(user_col).alias("__u"),
+                      F.col(event_col).alias("__e"), us.alias("__t")))
+    per_user = (base.groupBy("__u")
+                    .agg(F.min(F.when(F.col("__e") == from_event,
+                                      F.col("__t"))).alias("__a")))
+    with_b = (base.where(F.col("__e") == to_event)
+                  .join(per_user, on="__u")
+                  .where(F.col("__t") >= F.col("__a"))
+                  .groupBy("__u")
+                  .agg(F.min("__t").alias("__b")))
+    users = (per_user.where(F.col("__a").isNotNull())
+                     .join(with_b, on="__u", how="left")
+                     .withColumn("__delay",
+                                 F.expr("(__b - __a) div 1000000")
+                                  .cast("long")))
+    return users.agg(
+        F.count(F.lit(1)).alias("n_started"),
+        F.count("__delay").alias("n_converted"),
+        F.percentile(F.col("__delay"), F.lit(0.5)).alias("p50_s"),
+        F.percentile(F.col("__delay"), F.lit(0.9)).alias("p90_s"))

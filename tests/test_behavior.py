@@ -208,3 +208,24 @@ def test_rfm_segments_orientation_and_determinism(spark):
     again = {r.user_id: r.segment
              for r in rfm_segments(df.repartition(7), n_bins=3).collect()}
     assert again == {u: out[u].segment for u in out}
+
+
+def test_conversion_times_first_a_to_first_b_after(spark):
+    import pyspark.sql.functions as F
+    from spork_spark.operators import conversion_times
+    rows = [
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 00:01:40", "purchase"),    # 100 s
+        (1, "2024-01-02 00:00:00", "purchase"),    # later: ignored
+        (2, "2024-01-01 00:00:00", "purchase"),    # BEFORE signup: no
+        (2, "2024-01-01 01:00:00", "signup"),      # started, no convert
+        (3, "2024-01-01 00:00:00", "signup"),
+        (3, "2024-01-01 00:05:00", "purchase"),    # 300 s
+        (4, "2024-01-05 00:00:00", "purchase")]    # never signed up
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, event_type string") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    r = conversion_times(df, "user_id", "ts", "event_type",
+                         "signup", "purchase").collect()[0]
+    assert (r.n_started, r.n_converted) == (3, 2)
+    assert r.p50_s == 200.0                        # median of {100, 300}
+    assert r.p90_s == 280.0                        # interpolated, exact
