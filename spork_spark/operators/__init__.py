@@ -7,7 +7,7 @@ from .dedup import (duplicate_spans, sorted_neighborhood_pairs, edit_distance_pa
                     minhash_banding, lsh_pairs_incremental,
                     minhash_lsh_pairs, minhash_signature, near_dedup,
                     ngram_jaccard_pairs, shingles, simhash)
-from .graph import bfs_distances, cc_incremental, connected_components, label_propagation, triangle_count, weighted_distances
+from .graph import bfs_distances, cc_incremental, connected_components, label_propagation, pagerank, triangle_count, weighted_distances
 from .similarity import (brute_force_topk, cosine, dequantize_embeddings,
                          hard_negatives, hard_negatives_ivf, ivf_topk, ivf_topk_trained, lsh_topk,
                          quantize_embeddings)
@@ -48,7 +48,7 @@ from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, theil_sen,
 from .linalg import embedding_covariance, pca_project, rademacher_projection
 
 __all__ = [
-    "connected_components", "triangle_count", "bfs_distances", "weighted_distances", "label_propagation", "near_dedup", "duplicate_spans",
+    "connected_components", "triangle_count", "bfs_distances", "weighted_distances", "label_propagation", "pagerank", "near_dedup", "duplicate_spans",
     "embedding_dedup_pairs", "exact_dedup", "minhash_lsh_pairs",
     "minhash_signature", "minhash_banding", "lsh_pairs_incremental", "ngram_jaccard_pairs", "shingles", "simhash",
     "brute_force_topk", "cosine", "dequantize_embeddings", "ivf_topk",

@@ -43,6 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     the union's sort — make the right side unique per (key, ts) first
     (e.g. groupBy.agg(max)) for deterministic results.
     """
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports how='left'|'inner'")
     if direction == "nearest":
         return _asof_nearest(left, right, on, by, right_cols, suffix,
                              tolerance, how)

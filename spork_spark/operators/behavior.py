@@ -244,12 +244,21 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
     concatenated "RFM" code marketing tooling expects.
 
     Shape: ONE per-user aggregation over the events (map-side
-    combined), then per metric a distinct-value cumulative window
-    whose input is metric-cardinality sized (the equifreq argument),
-    joined back to the user table — users shuffle once per metric
-    join, all three joinable tables are value-cardinality small
-    (broadcast). Exact integers end to end.
+    combined), then per metric a distinct-value cumulative score map
+    joined back to the user table. Recency cardinality is bounded
+    (days), but frequency/monetary distinct-value cardinality
+    approaches USER cardinality (~1e9 at 100 TB), so each map is built
+    behind a counted-cardinality fence
+    (spark.spork.prefixSum.cardinalityFence, default 100k): below it,
+    a single window + broadcast-joined map (cheap, one task over a
+    small table); above it, the range-partitioned two-pass exclusive
+    prefix sum (_scalable.exclusive_prefix_sum — the POCounter/PORank
+    design) with an UN-hinted join so Spark may pick SMJ. Exact
+    integers end to end; both paths produce identical scores (the bin
+    rule depends only on the exclusive cumulative count).
     """
+    from spork_spark.operators._scalable import (cardinality_fence,
+                                                 exclusive_prefix_sum)
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
              .cast("long")
@@ -267,30 +276,39 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
                               F.datediff("__mx", "__last").cast("long"))
                   .drop("__mx", "__last"))
 
-    def score(metric: str, ascending_is_good: bool) -> DataFrame:
-        """(metric value -> 1..n_bins score) map, value-deterministic:
-        bin by cumulative count over distinct values, oriented so
-        n_bins is always the GOOD end."""
+    fence = cardinality_fence(df.sparkSession)
+
+    def score(metric: str, ascending_is_good: bool):
+        """((metric value -> 1..n_bins score) map, is_small) —
+        value-deterministic: bin by cumulative count over distinct
+        values, oriented so n_bins is always the GOOD end. is_small
+        picks broadcast vs SMJ for the join back to users."""
         dist = users.groupBy(F.col(metric).alias("__v")) \
                     .agg(F.count(F.lit(1)).alias("__c"))
         order = F.col("__v").asc() if ascending_is_good \
             else F.col("__v").desc()
-        w = Window.orderBy(order).rowsBetween(
-            Window.unboundedPreceding, -1)
+        small = dist.count() <= fence
+        if small:
+            w = Window.orderBy(order).rowsBetween(
+                Window.unboundedPreceding, -1)
+            cum = dist.withColumn("__cum",
+                                  F.coalesce(F.sum("__c").over(w),
+                                             F.lit(0)))
+        else:
+            cum = exclusive_prefix_sum(dist, [order], "__c", "__cum")
         tot = dist.groupBy().agg(F.sum("__c").alias("__t"))
-        return (dist.withColumn("__cum",
-                                F.coalesce(F.sum("__c").over(w),
-                                           F.lit(0)))
-                    .crossJoin(F.broadcast(tot))
-                    .select(F.col("__v").alias(metric),
-                            (F.expr(f"(__cum * {n_bins}) div __t") + 1)
-                            .cast("int").alias(f"{metric}_score")))
+        return (cum.crossJoin(F.broadcast(tot))
+                   .select(F.col("__v").alias(metric),
+                           (F.expr(f"(__cum * {n_bins}) div __t") + 1)
+                           .cast("int").alias(f"{metric}_score")),
+                small)
 
     out = users
     for metric, asc in (("recency_days", False),
                         ("frequency", True),
                         ("monetary_cents", True)):
-        out = out.join(F.broadcast(score(metric, asc)), on=metric)
+        smap, small = score(metric, asc)
+        out = out.join(F.broadcast(smap) if small else smap, on=metric)
     return (out.withColumn("segment",
                            F.concat_ws("", "recency_days_score",
                                        "frequency_score",

@@ -334,7 +334,15 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
     returned frame).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
-                     F.col(weight).cast("long").alias("w"))
+                     F.col(weight).alias("w_raw"))
+    # Integral-weight contract: a silent cast('long') would truncate 2.7
+    # to 2 and change shortest paths without signal — reject instead.
+    if e.where(F.col("w_raw").cast("double")
+               != F.col("w_raw").cast("long").cast("double")).head(1):
+        raise ValueError(
+            "weighted_distances requires integral edge weights; "
+            "scale fractional weights to integers before calling")
+    e = e.select("a", "b", F.col("w_raw").cast("long").alias("w"))
     if e.where(F.col("w") < 0).head(1):
         raise ValueError("negative edge weights are not supported")
     e = e.groupBy("a", "b").agg(F.min("w").alias("w")).persist()

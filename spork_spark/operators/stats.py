@@ -296,26 +296,37 @@ def abc_classes(df: DataFrame, key_col: str, value_col: str,
     arithmetic (no division at all). A key straddling a boundary counts
     toward the class its FIRST cent falls in (the exclusive prefix).
 
-    Shape: ONE map-side-combined groupBy over the data; the window runs
-    over KEY-cardinality rows (the equifreq argument — key counts are
-    bounded next to event counts; for billions of keys, range-partition
-    the window input on the same sort key). Output: (key, total_cents,
-    cum_before_cents, abc_class).
+    Shape: ONE map-side-combined groupBy over the data; the cumulative
+    sum runs over KEY-cardinality rows behind a counted-cardinality
+    fence (spark.spork.prefixSum.cardinalityFence, default 100k):
+    below it, one global window task over the small key table; above
+    it (billions of keys), the range-partitioned two-pass exclusive
+    prefix sum on the same (total desc, key) sort
+    (_scalable.exclusive_prefix_sum — the POCounter/PORank design), so
+    no single task ever sees the full key set. Output: (key,
+    total_cents, cum_before_cents, abc_class).
     """
+    from spork_spark.operators._scalable import (cardinality_fence,
+                                                 exclusive_prefix_sum)
     cents = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
              .cast("long")
     totals = (df.where(F.col(value_col).isNotNull()
                        & F.col(key_col).isNotNull())
                 .groupBy(F.col(key_col).alias("__k"))
                 .agg(F.sum(cents).alias("total_cents")))
-    w = (Window.orderBy(F.col("total_cents").desc(), F.col("__k"))
-               .rowsBetween(Window.unboundedPreceding, -1))
+    order = [F.col("total_cents").desc(), F.col("__k")]
     grand = totals.groupBy().agg(F.sum("total_cents").alias("__g"))
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    ranked = (totals.withColumn("cum_before_cents",
-                                F.coalesce(F.sum("total_cents").over(w),
-                                           F.lit(0)))
-                    .crossJoin(F.broadcast(grand)))
+    if totals.count() <= cardinality_fence(df.sparkSession):
+        w = (Window.orderBy(*order)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        cum = totals.withColumn(
+            "cum_before_cents",
+            F.coalesce(F.sum("total_cents").over(w), F.lit(0)))
+    else:
+        cum = exclusive_prefix_sum(totals, order, "total_cents",
+                                   "cum_before_cents")
+    ranked = cum.crossJoin(F.broadcast(grand))
     cmp_a = d38(F.col("cum_before_cents")) * 1000000 \
         < d38(F.col("__g")) * a_ppm
     cmp_b = d38(F.col("cum_before_cents")) * 1000000 \

@@ -212,14 +212,20 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
     Each micro-batch (a) collapses to one row per key (merge_upsert's
     deterministic max-version tiebreak), (b) anti-joins the current
     snapshot on the batch's keys — the snapshot never shuffles; the
-    batch's key set broadcasts — and (c) rewrites the snapshot
-    atomically: write to `<path>.tmp-<batch_id>`, then rename over the
-    old directory. The rename is the atomicity boundary on a
-    POSIX/HDFS-style filesystem; on object stores a manifest-pointer
-    swap replaces it (the piece Delta's transaction log provides —
-    documented, not faked, here). Exactly-once per batch via the
-    checkpoint: a replayed batch re-merges idempotently because
-    merge_upsert is idempotent for a fixed batch.
+    batch's key set broadcasts — and (c) publishes the snapshot with a
+    crash-safe three-step swap: write to `<path>.tmp-<batch_id>`,
+    rename the live snapshot aside to `<path>.old-<batch_id>`, rename
+    the tmp into place, then delete the `.old` dir. `os.rename` cannot
+    atomically replace a non-empty directory, so a bare
+    rmtree-then-rename would lose ALL history if the process died
+    between the two calls; with the aside-rename, every crash point
+    leaves either the old snapshot or the new one recoverable, and
+    batch start restores a leftover `.old` dir before merging. On
+    object stores a manifest-pointer swap replaces the rename pair (the
+    piece Delta's transaction log provides — documented, not faked,
+    here). Exactly-once per batch via the checkpoint: a replayed batch
+    re-merges idempotently because merge_upsert is idempotent for a
+    fixed batch.
 
     Scale: cost per batch ∝ snapshot size for the rewrite — the plain-
     parquet trade (Delta rewrites only touched files); partition the
@@ -234,9 +240,28 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
 
     spark = stream_df.sparkSession
 
+    def recover_snapshot():
+        """Restore a snapshot left aside by a crash mid-swap.
+
+        Crash matrix: (a) died after writing tmp but before any rename
+        → live snapshot intact, stale tmp removed here; (b) died after
+        renaming live → .old but before tmp → live: live missing, .old
+        present → .old renamed back; (c) died after tmp → live but
+        before deleting .old: both present → .old deleted (new
+        snapshot already published)."""
+        import glob
+        for old in sorted(glob.glob(f"{snapshot_path}.old-*")):
+            if os.path.isdir(snapshot_path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, snapshot_path)
+        for tmp in glob.glob(f"{snapshot_path}.tmp-*"):
+            shutil.rmtree(tmp)
+
     def apply_batch(batch_df: DataFrame, batch_id: int):
         if not batch_df.head(1):
             return
+        recover_snapshot()
         if os.path.isdir(snapshot_path):
             base = spark.read.parquet(snapshot_path)
             merged = merge_upsert(base, batch_df.select(*base.columns)
@@ -254,10 +279,13 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
                     batch_df.drop(delete_col).limit(0), batch_df, keys,
                     delete_col=delete_col)
         tmp = f"{snapshot_path}.tmp-{batch_id}"
+        old = f"{snapshot_path}.old-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(snapshot_path):
-            shutil.rmtree(snapshot_path)
+            os.rename(snapshot_path, old)
         os.rename(tmp, snapshot_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     q = (stream_df.writeStream
          .foreachBatch(apply_batch)

@@ -154,3 +154,35 @@ def test_abc_classes_tie_deterministic(spark):
     out = {r.k: r.cum_before_cents for r in
            abc_classes(df, "k", "v").collect()}
     assert out["a"] == 0 and out["b"] == 5000   # ties order by key asc
+
+
+def test_abc_classes_scalable_path_parity(spark):
+    """Fence forced low: abc_classes must route through the
+    range-partitioned prefix sum and return byte-identical classes."""
+    from spork_spark.operators import abc_classes
+    rows = [(f"k{i:03d}", float(101 - i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    small = {(r.k, r.total_cents, r.cum_before_cents, r.abc_class)
+             for r in abc_classes(df, "k", "v").collect()}
+    spark.conf.set("spark.spork.prefixSum.cardinalityFence", "3")
+    try:
+        big = {(r.k, r.total_cents, r.cum_before_cents, r.abc_class)
+               for r in abc_classes(df, "k", "v").collect()}
+    finally:
+        spark.conf.unset("spark.spork.prefixSum.cardinalityFence")
+    assert big == small
+
+
+def test_abc_classes_scalable_tie_deterministic(spark):
+    """Ties on total_cents must keep the key tiebreak across range
+    partition boundaries (order includes __k)."""
+    from spork_spark.operators import abc_classes
+    rows = [(f"k{i:02d}", 10.0) for i in range(20)]
+    spark.conf.set("spark.spork.prefixSum.cardinalityFence", "3")
+    try:
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = sorted((r.k, r.cum_before_cents)
+                     for r in abc_classes(df, "k", "v").collect())
+        assert [c for _, c in out] == [i * 1000 for i in range(20)]
+    finally:
+        spark.conf.unset("spark.spork.prefixSum.cardinalityFence")
