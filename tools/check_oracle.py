@@ -134,9 +134,14 @@ def norm_rows(rows, colnames):
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] \
-        else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    only = [a for a in argv if "/" not in a]
 
     import __spark_entry__ as entrymod
     from spork_spark import get_spark
@@ -149,6 +154,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    results = []
     for name, qfn in qs.items():
         if only and name not in only:
             continue
@@ -158,10 +164,14 @@ def main():
             spark_rows = df.collect()
         except Exception as exc:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            results.append({"query": name, "status": "FAIL",
+                            "detail": f"spark raised {exc}"[:300]})
             failures += 1
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            results.append({"query": name, "status": "ROWS_ONLY",
+                            "rows": len(spark_rows)})
             continue
         try:
             # ONE execution: the Arrow table supplies schema AND rows
@@ -175,6 +185,8 @@ def main():
             duck_rows = list(zip(*cols_data)) if cols_data else []
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {exc}")
+            results.append({"query": name, "status": "FAIL",
+                            "detail": f"duckdb raised {exc}"[:300]})
             failures += 1
             continue
         problems = []
@@ -193,10 +205,24 @@ def main():
                 problems.append(f"values differ; first diff: {diff}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            results.append({"query": name, "status": "FAIL",
+                            "detail": '; '.join(problems)[:300]})
             failures += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
+            results.append({"query": name, "status": "PASS",
+                            "rows": len(spark_rows)})
     print(f"\n{'ALL GREEN' if not failures else f'{failures} FAILURES'}")
+    if json_out:
+        import json
+        with open(json_out, 'w') as fh:
+            json.dump({'sf': sf, 'n_queries': len(results),
+                       'n_pass': sum(r['status'] == 'PASS' for r in results),
+                       'n_rows_only': sum(r['status'] == 'ROWS_ONLY' for r in results),
+                       'n_fail': failures,
+                       'protocol': 'single invocation, typed Arrow comparator '
+                                   '(rows+cols+types+values, order-insensitive)',
+                       'results': results}, fh, indent=1)
     sys.exit(1 if failures else 0)
 
 

@@ -124,11 +124,18 @@ def main() -> None:
 
     fixed = median_time(lambda: noop(empty))
 
-    baseline = {          # BASELINE.md measured DuckDB medians (sf0.1)
-        "agg_q1": 0.0659, "join_3way": 0.0708, "orderby_limit": 0.0623,
-        "distinct": 0.0500, "window_rank": 0.0446,
-        "events_session": 0.0311,
-    }
+    if len(sys.argv) > 2:
+        # measured baseline for THIS sf_dir: a tools/duck_baseline.py
+        # output JSON ({"queries": {name: sec}}) — required for any
+        # dir other than sf0.1, where the hardcoded numbers are wrong
+        with open(sys.argv[2]) as fh:
+            baseline = json.load(fh)["queries"]
+    else:
+        baseline = {      # BASELINE.md measured DuckDB medians (sf0.1)
+            "agg_q1": 0.0659, "join_3way": 0.0708,
+            "orderby_limit": 0.0623, "distinct": 0.0500,
+            "window_rank": 0.0446, "events_session": 0.0311,
+        }
 
     out = {"sf_dir": SF_DIR, "fixed_job_overhead_sec": fixed,
            "protocol": "median of 7 warm runs through noop sink, "

@@ -54,6 +54,8 @@ CROSS_OK = {
     "hard_negatives": "documented exact mining baseline: anchors x corpus (IVF variant is the scale path)",
     "item_cooccurrence": "1-row basket-count broadcast for the lift denominator",
     "covisitation": "same 1-row basket-count broadcast (composition of item_cooccurrence)",
+    "rfm": "1-row max-date and per-metric 1-row total broadcasts (score maps themselves are equi-joins, fence-guarded)",
+    "abc_suppliers": "1-row grand-total broadcast for the class boundary ppm comparison",
 }
 
 # name -> reason Python row-crossing is intrinsic
