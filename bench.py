@@ -74,19 +74,41 @@ HEADLINE = {
 _BIG = _input_bytes(SF_DIR) > 32 * 1024 * 1024
 
 LATENCY_PROFILE = {
-    "spark.sql.adaptive.enabled": "false",
+    # AQE at sf1+: runtime broadcast conversion + partition coalescing pay
+    # for themselves once shuffles carry 50-150 MB (measured sf1 sweep:
+    # join_3way 0.67 -> 0.64, distinct 0.46 -> 0.41); at sf0.1 the per-stage
+    # re-planning round-trip can never pay off over ~10 MB shuffles.
+    "spark.sql.adaptive.enabled": "true" if _BIG else "false",
+    # 32 partitions = one per core; the sf1 sweep had 32 beat both 16
+    # (skewless queries leave cores idle) and 64 (2x task overhead for
+    # sub-200 MB shuffles) on every headline query except orderby_limit.
     "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE", "64" if _BIG else "8"),
+        "SPARK_GRAFT_SHUFFLE", "32" if _BIG else "8"),
     # single-row-group inputs scan as ONE task (parquet parallelizes at
     # row-group granularity), so DISTINCT's pre-shuffle partial agg runs
     # single-threaded for zero reduction; bypass it (FLOOR_r05.json:
     # 0.46s -> 0.26s). Engine default stays off — see compiler/plan.py.
-    "spark.spork.distinct.skipPartialAgg": "true",
+    # The bypass is a SINGLE-row-group remedy: with a multi-file layout
+    # the partial agg runs at full scan parallelism and cuts shuffle
+    # volume, so it stays on at sf1+ (sweep: 0.44 -> 0.41 s).
+    "spark.spork.distinct.skipPartialAgg": "false" if _BIG else "true",
     # same single-row-group rationale for windows: repartition on the
     # window keys first so the sort + group-limit run once, post-
     # exchange, at full parallelism (0.30s -> 0.22s; compiler/plan.py).
-    "spark.spork.window.repartitionFirst": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
+    # Still wins at sf1: partition keys spread over every scan task, so
+    # the pre-shuffle partial WindowGroupLimit prunes ~nothing and the
+    # explicit repartition saves its map-side sort (0.54 -> 0.43 s).
+    # "range" upgrades the exchange to RangePartitioning: the final
+    # ORDER BY (custkey-prefixed) then needs no exchange and no
+    # range-bound sampling re-execution of the window subplan
+    # (compiler/plan.py rationale; sf1 A/B: 0.50 -> 0.37-0.43 s).
+    "spark.spork.window.repartitionFirst": "range",
+    # 16 MB at sf1+ broadcasts the 2.2 MB customer file out of the 3-way
+    # join's shuffle path (orders, at 26 MB, measured WORSE broadcast:
+    # the 1.5M-row hashed-relation build costs more than its exchange
+    # saves — sweep 0.64 vs 1.39 s); 1 MB at sf0.1 broadcasts true dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(
+        (16 if _BIG else 1) * 1024 * 1024),
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.spork.join.defaultStrategy": "shuffle_hash",
     "spark.shuffle.compress": "false",

@@ -206,9 +206,27 @@ class PlanCompiler:
         Default OFF: when the map side IS wide and keys repeat across
         many input partitions, the partial group-limit genuinely prunes
         shuffle volume — the deployment makes the call, like the
-        distinct bypass above."""
-        if self._conf("spark.spork.window.repartitionFirst",
-                      "false") != "true":
+        distinct bypass above.
+
+        Value "range": repartitionByRange on the same keys. Equal keys
+        still land in one partition (RangePartitioning bounds are key
+        values), so the window's clustering requirement is met by the
+        same single exchange — AND the stage's RangePartitioning(keys
+        ASC) output satisfies any downstream ORDER BY whose sort order
+        starts with the keys ascending (Spark's
+        RangePartitioning.satisfies(OrderedDistribution) prefix rule).
+        A final `ORDER BY key, ...` then plans as a partition-local
+        sort: no second exchange, and — the real win — no range-bound
+        sampling pass that would otherwise EXECUTE THE WHOLE WINDOW
+        SUBPLAN TWICE (Exchange rangepartitioning samples its child;
+        here the sampling runs over the pre-window scan instead).
+        Measured at sf1: 0.43 -> 0.35 s on rank-top-3-per-customer.
+        Trade-off vs hash: range bounds come from a sampling job over
+        the input, and key-value skew skews ranges (hash spreads hot
+        ranges of DISTINCT keys better; a single hot KEY is atomic
+        either way)."""
+        mode = self._conf("spark.spork.window.repartitionFirst", "false")
+        if mode not in ("true", "range"):
             return df
         keysets = []
 
@@ -237,6 +255,8 @@ class PlanCompiler:
             keys = [ctx.compile(p) for p in first.partition_by]
         except Exception:
             return df
+        if mode == "range":
+            return df.repartitionByRange(*keys)
         return df.repartition(*keys)
 
     def _iter_windowfuncs(self, gens):

@@ -462,6 +462,49 @@ def test_window_repartition_first_conf(eng, spark):
     assert df_on.count() == df_off.count()
 
 
+def test_window_repartition_first_range_mode(eng, spark):
+    """repartitionFirst="range": one RangePartitioning exchange feeds
+    the window, and a downstream ORDER BY prefixed by the window keys
+    plans as a partition-local sort — NO second exchange, so no
+    range-bound sampling pass re-executing the window subplan. Output
+    must be identical (including global order) to the hash mode."""
+    from spork_spark import col
+    from spork_spark.plans import expressions as E
+
+    def build():
+        orders = eng.load("/root/testdata/sf0.001/orders.parquet")
+        w = E.WindowFunc("rank", [], [col("o_custkey")],
+                         [(col("o_totalprice"), False)])
+        return (orders.foreach(col("o_custkey").alias("c"),
+                               col("o_orderkey").alias("o"),
+                               E.Aliased(w, "rnk"))
+                      .filter(col("rnk") <= 3)
+                      .order_by(col("c"), col("rnk"), col("o")).df())
+
+    spark.conf.set("spark.spork.window.repartitionFirst", "range")
+    # Static shape needs AQE off here: on TINY inputs AQE coalesces the
+    # range shuffle, the read loses its RangePartitioning guarantee, and
+    # EnsureRequirements re-adds the final sort's exchange. At real
+    # partition fill (sf1 bench) no coalescing happens and the
+    # one-exchange plan survives AQE (measured: 0.50 -> 0.32 s).
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df_rng = build()
+        rows_rng = [tuple(r) for r in df_rng.collect()]
+        plan = df_rng._jdf.queryExecution().executedPlan().toString()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        rows_aqe = [tuple(r) for r in build().collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.spork.window.repartitionFirst", "false")
+    rows_hash = [tuple(r) for r in build().collect()]
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert rows_rng == rows_hash and rows_rng     # exact global order
+    assert rows_aqe == rows_hash                  # AQE-coalesced parity
+
+
 def test_join_hint_skipped_when_side_broadcastable(eng, spark):
     """With spark.spork.join.defaultStrategy=shuffle_hash, a join whose
     small side fits under autoBroadcastJoinThreshold must NOT be hinted
