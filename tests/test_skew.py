@@ -62,3 +62,54 @@ def test_heavy_hitters_rejects_bad_frac(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with _pytest.raises(ValueError):
         heavy_hitters(df, "k", min_frac=0.0)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """`USING 'skewed'` maps to AQE skew-join conf (session.py) — pin
+    that the machinery actually SPLITS a hot partition: one key carries
+    ~50% of a 200k-row left side, thresholds sized to the fixture (the
+    same proportional sizing a deployment does against its partition
+    sizes), and the FINAL adaptive plan must carry the skew=true
+    marker on the shuffle read. Evidence at sf1 scale: SKEW_r06.json
+    (6M rows, 20% hot key: 0.86s AQE-off -> 0.52s split)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            str(256 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(128 * 1024),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE's RUNTIME broadcast conversion has its own threshold —
+        # leave either on and the join broadcasts instead of splitting
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+             .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(50_000).select(F.col("id").alias("k"),
+                                           (F.col("id") * 2).alias("w"))
+        df = left.join(right, on="k")
+        # execute THIS QueryExecution so the adaptive plan finalizes
+        df._jdf.queryExecution().executedPlan().execute().count()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final or "isSkew=true" in final, final[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
