@@ -5113,7 +5113,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, lang,
                      list_transform(list_filter(
-                         regexp_split_to_array(trim(text), '\\s+'),
+                         regexp_split_to_array(trim(text), '\s+'),
                          t -> t != ''), t -> lower(t)) AS tk
               FROM documents),
             scored AS (
@@ -5328,14 +5328,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id,
-              len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                               t -> t != '')) AS n_tokens,
               CAST(COALESCE(list_sum(list_transform(
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != ''),
                      t -> (length(t)+3)//4)), 0)
                    + (length(text) -
-                      length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      length(regexp_replace(text, '[^\w\s]', '', 'g')))
                    AS BIGINT) AS n_bpe
             FROM documents ORDER BY doc_id
         """,
@@ -5583,7 +5583,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(trim(lower(text)),
-                                                       '\\s+'),
+                                                       '\s+'),
                                  x -> x != '') AS ws
               FROM documents),
             g AS (
@@ -5619,7 +5619,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(AVG(length(text)) * 100 + 0.5) AS BIGINT)
                        AS avg_chars_x100,
                    CAST(SUM(len(list_filter(
-                        regexp_split_to_array(trim(text), '\\s+'),
+                        regexp_split_to_array(trim(text), '\s+'),
                         x -> x != ''))) AS BIGINT) AS total_tokens,
                    CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0
                             END) AS BIGINT) AS n_short
@@ -6799,7 +6799,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(trim(lower(text)),
-                                                       '\\s+'),
+                                                       '\s+'),
                                  x -> x != '') AS ws
               FROM documents),
             g AS (
@@ -6886,7 +6886,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": r"""
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(len(list_filter(
-                        regexp_split_to_array(trim(text), '\\s+'),
+                        regexp_split_to_array(trim(text), '\s+'),
                         t -> t != ''))) AS BIGINT) AS total_tokens,
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM (SELECT * FROM (
@@ -7263,7 +7263,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, lang,
                      list_transform(list_filter(
-                         regexp_split_to_array(trim(text), '\\s+'),
+                         regexp_split_to_array(trim(text), '\s+'),
                          t -> t != ''), t -> lower(t)) AS tk
               FROM documents),
             grams AS (
@@ -7290,7 +7290,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": r"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS tk
               FROM documents),
             chunks AS (
@@ -7310,7 +7310,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      list_transform(list_filter(
-                         regexp_split_to_array(trim(text), '\\s+'),
+                         regexp_split_to_array(trim(text), '\s+'),
                          t -> t != ''), t -> lower(t)) AS tk,
                      text
               FROM documents),
@@ -7374,7 +7374,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      CAST(doc_id % 4 AS INT) AS stream,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                  t -> t != '') AS tk
               FROM documents),
             nz AS (SELECT * FROM base WHERE len(tk) > 0),
