@@ -330,3 +330,76 @@ def test_stream_upsert_parquet_cdc_apply(spark, tmp_path):
         base, changes, ["id"], version_col="ver").collect()))
     assert got == want
     assert (2, "b3", 2) in got and (4, "d", 1) in got and (1, "a", 0) in got
+
+
+def test_stream_upsert_recovers_crashed_swap(spark, tmp_path):
+    """Crash-matrix recovery for the three-step snapshot swap: a batch
+    starting after a crash must restore whichever side survived.
+
+    Case (b) of the matrix — died after live -> .old but before
+    tmp -> live: no live snapshot, an .old dir with all prior history,
+    plus a stale .tmp. The next batch must rename .old back (NOT
+    rebuild from the batch alone — the r5-advice silent-loss bug) and
+    clear the stale tmp before merging."""
+    from spork_spark.operators import merge_upsert
+    from spork_spark.streaming import stream_upsert_parquet
+
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id bigint, val string, ver bigint")
+    # simulate the crash: history sits ONLY in the .old-aside dir, a
+    # half-written tmp lingers, there is no live snapshot
+    base.write.parquet(snap + ".old-7")
+    spark.createDataFrame([(9, "junk", 9)], "id bigint, val string, "
+                          "ver bigint").write.parquet(snap + ".tmp-7")
+    changes = spark.createDataFrame(
+        [(2, "b2", 1), (3, "c", 1)], "id bigint, val string, ver bigint")
+    changes.write.parquet(src)
+
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    stream_upsert_parquet(stream, snap, ["id"], ck, version_col="ver")
+
+    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    want = sorted(map(tuple, merge_upsert(
+        base, changes, ["id"], version_col="ver").collect()))
+    assert got == want                      # history survived the crash
+    assert (1, "a", 0) in got               # the row only .old knew
+    assert not any(t for t in got if t[1] == "junk")
+    import glob
+    import os
+    assert not glob.glob(snap + ".old-*")   # aside dirs cleaned up
+    assert not glob.glob(snap + ".tmp-*")
+    assert os.path.isdir(snap)
+
+
+def test_stream_upsert_recovers_completed_swap(spark, tmp_path):
+    """Case (c): died after tmp -> live but before deleting .old — the
+    NEW snapshot is live; recovery must keep it and drop the stale
+    .old (restoring .old would resurrect overwritten rows)."""
+    from spork_spark.operators import merge_upsert
+    from spork_spark.streaming import stream_upsert_parquet
+
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck")
+    live = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "id bigint, val string, ver bigint")
+    live.write.parquet(snap)
+    spark.createDataFrame([(1, "stale", 0)], "id bigint, val string, "
+                          "ver bigint").write.parquet(snap + ".old-3")
+    changes = spark.createDataFrame(
+        [(3, "c", 6)], "id bigint, val string, ver bigint")
+    changes.write.parquet(src)
+
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    stream_upsert_parquet(stream, snap, ["id"], ck, version_col="ver")
+
+    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    want = sorted(map(tuple, merge_upsert(
+        live, changes, ["id"], version_col="ver").collect()))
+    assert got == want
+    assert not any(t for t in got if t[1] == "stale")
+    import glob
+    assert not glob.glob(snap + ".old-*")
