@@ -277,6 +277,15 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
                   .drop("__mx", "__last"))
 
     fence = cardinality_fence(df.sparkSession)
+    # The fence needs each metric's distinct-value count BEFORE the
+    # plan is chosen. Persist the per-user table (it feeds three score
+    # maps, the fence counts, and the final joins) and take all three
+    # counts in ONE aggregation job, so choosing the path costs one
+    # pass over users, not three recomputations of the event groupBy.
+    users = users.persist()
+    cards = users.agg(*[F.countDistinct(m).alias(m)
+                        for m in ("recency_days", "frequency",
+                                  "monetary_cents")]).collect()[0]
 
     def score(metric: str, ascending_is_good: bool):
         """((metric value -> 1..n_bins score) map, is_small) —
@@ -287,7 +296,7 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
                     .agg(F.count(F.lit(1)).alias("__c"))
         order = F.col("__v").asc() if ascending_is_good \
             else F.col("__v").desc()
-        small = dist.count() <= fence
+        small = cards[metric] <= fence
         if small:
             w = Window.orderBy(order).rowsBetween(
                 Window.unboundedPreceding, -1)
@@ -309,6 +318,13 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
                         ("monetary_cents", True)):
         smap, small = score(metric, asc)
         out = out.join(F.broadcast(smap) if small else smap, on=metric)
+    # The cache has served every eager consumer by now (the fence
+    # counts; above-fence score maps localCheckpoint off it inside
+    # exclusive_prefix_sum). Unpersist so a long-lived session running
+    # many rfm calls leaves zero cached blocks (the funnel discipline);
+    # the returned lazy plan recomputes users at action time exactly as
+    # before this optimization.
+    users.unpersist()
     return (out.withColumn("segment",
                            F.concat_ws("", "recency_days_score",
                                        "frequency_score",

@@ -335,16 +335,21 @@ def weighted_distances(edges: DataFrame, sources: DataFrame,
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
                      F.col(weight).alias("w_raw"))
-    # Integral-weight contract: a silent cast('long') would truncate 2.7
-    # to 2 and change shortest paths without signal — reject instead.
-    if e.where(F.col("w_raw").cast("double")
-               != F.col("w_raw").cast("long").cast("double")).head(1):
+    # Input contract, ONE validation scan: fractional weights (a silent
+    # cast('long') would truncate 2.7 to 2 and change shortest paths
+    # without signal) and negative weights (hop-bounded min-merge
+    # cannot order them) are both rejected from the same pass.
+    bad = e.where((F.col("w_raw").cast("double")
+                   != F.col("w_raw").cast("long").cast("double"))
+                  | (F.col("w_raw") < 0)).head(1)
+    if bad:
+        w = bad[0]["w_raw"]
         raise ValueError(
+            "negative edge weights are not supported" if w is not None
+            and float(w) < 0 else
             "weighted_distances requires integral edge weights; "
             "scale fractional weights to integers before calling")
     e = e.select("a", "b", F.col("w_raw").cast("long").alias("w"))
-    if e.where(F.col("w") < 0).head(1):
-        raise ValueError("negative edge weights are not supported")
     e = e.groupBy("a", "b").agg(F.min("w").alias("w")).persist()
     labels = sources.select(F.col(node_col).alias("node")).distinct() \
                     .withColumn("dist", F.lit(0).cast("long")).persist()

@@ -317,15 +317,24 @@ def abc_classes(df: DataFrame, key_col: str, value_col: str,
     order = [F.col("total_cents").desc(), F.col("__k")]
     grand = totals.groupBy().agg(F.sum("total_cents").alias("__g"))
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    if totals.count() <= cardinality_fence(df.sparkSession):
-        w = (Window.orderBy(*order)
-                   .rowsBetween(Window.unboundedPreceding, -1))
-        cum = totals.withColumn(
-            "cum_before_cents",
-            F.coalesce(F.sum("total_cents").over(w), F.lit(0)))
-    else:
-        cum = exclusive_prefix_sum(totals, order, "total_cents",
-                                   "cum_before_cents")
+    # Persist around the fence count so choosing the path costs one
+    # cached pass, not an extra recomputation of the event groupBy; the
+    # above-fence branch localCheckpoints off the cache inside
+    # exclusive_prefix_sum, so nothing stays pinned after return (the
+    # funnel discipline — zero cached blocks left behind).
+    totals = totals.persist()
+    try:
+        if totals.count() <= cardinality_fence(df.sparkSession):
+            w = (Window.orderBy(*order)
+                       .rowsBetween(Window.unboundedPreceding, -1))
+            cum = totals.withColumn(
+                "cum_before_cents",
+                F.coalesce(F.sum("total_cents").over(w), F.lit(0)))
+        else:
+            cum = exclusive_prefix_sum(totals, order, "total_cents",
+                                       "cum_before_cents")
+    finally:
+        totals.unpersist()
     ranked = cum.crossJoin(F.broadcast(grand))
     cmp_a = d38(F.col("cum_before_cents")) * 1000000 \
         < d38(F.col("__g")) * a_ppm

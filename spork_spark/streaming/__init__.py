@@ -250,12 +250,16 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
         before deleting .old: both present → .old deleted (new
         snapshot already published)."""
         import glob
-        for old in sorted(glob.glob(f"{snapshot_path}.old-*")):
+        # glob.escape: a metacharacter in the path ('[', '?', '*')
+        # would otherwise match nothing and silently skip recovery —
+        # exactly the loss this function exists to prevent
+        base = glob.escape(snapshot_path)
+        for old in sorted(glob.glob(f"{base}.old-*")):
             if os.path.isdir(snapshot_path):
                 shutil.rmtree(old)
             else:
                 os.rename(old, snapshot_path)
-        for tmp in glob.glob(f"{snapshot_path}.tmp-*"):
+        for tmp in glob.glob(f"{base}.tmp-*"):
             shutil.rmtree(tmp)
 
     def apply_batch(batch_df: DataFrame, batch_id: int):

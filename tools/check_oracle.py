@@ -138,6 +138,9 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py [sf_dir] [query ...] "
+                     "[--json out.json]")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
