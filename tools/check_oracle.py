@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -153,7 +154,10 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # directory tables (multi-file sf1 fixtures) need the glob form
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0

@@ -9,7 +9,7 @@ A resident engine service runs thousands of queries per session; at
 poisoned conf is silent wrong answers. This is the harness that keeps
 both classes boring.
 
-Usage: python tools/soak.py [sf_dir]    Writes SOAK_r05.json.
+Usage: python tools/soak.py [sf_dir] [out.json]    Writes the soak artifact.
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "SOAK_r05.json"
 
 
 def persisted(spark) -> int:
@@ -92,7 +93,7 @@ def main() -> None:
         not report["cachemanager_empty_round1"]) + \
         report["tracked_left_round1"]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SOAK_r05.json"), "w") as fh:
+    with open(os.path.join(repo, OUT), "w") as fh:
         json.dump(report, fh, indent=1)
     ok = (not report["count_mismatches"] and not report["errors"]
           and report["leaked_strong"] == 0)
