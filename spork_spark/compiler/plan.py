@@ -1393,20 +1393,12 @@ class PlanCompiler:
         # result's lineage instead of pinning a CacheManager entry
         staged = kdf.withColumn(pid, F.spark_partition_id()) \
                     .localCheckpoint(eager=True)
-        parts = staged.groupBy(pid).agg(
-            F.sum("__cnt").alias("rows"),
-            F.count(F.lit(1)).alias("keys")).collect()
-        offs, racc, kacc = [], 0, 0
-        for prow in sorted(parts, key=lambda r: r[0]):
-            offs.append((prow[0], racc, kacc))
-            racc += prow["rows"]
-            kacc += prow["keys"]
-        # Prefix-sum offsets travel as a tiny broadcast-joined DataFrame
-        # keyed on the partition id — O(1) expression tree at any partition
-        # count (a create_map literal here is a megabyte-scale expression
-        # at ~1e5 shuffle partitions).
-        offdf = staged.sparkSession.createDataFrame(
-            offs or [(0, 0, 0)], f"{pid} int, __rowoff long, __keyoff long")
+        # shared two-pass offsets core (operators/_scalable.py): rank
+        # needs the exclusive ROW total, dense the exclusive KEY total
+        from ..operators._scalable import partition_offsets
+        offdf, n_parts = partition_offsets(
+            staged, {"__rowoff": F.sum("__cnt"),
+                     "__keyoff": F.count(F.lit(1))}, pid=pid)
         staged_off = staged.join(F.broadcast(offdf), on=pid, how="left")
         w = Window.partitionBy(pid).orderBy(*order) \
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1427,7 +1419,7 @@ class PlanCompiler:
         for oc, n in zip(orig_keys, key_names):
             c = oc.eqNullSafe(ranked_keys[n])
             cond = c if cond is None else cond & c
-        joined = df.join(F.broadcast(ranked_keys) if len(parts) <= 1
+        joined = df.join(F.broadcast(ranked_keys) if n_parts <= 1
                          else ranked_keys, on=cond)
         return joined.select(out_rank.alias(node.name), *df.columns)
 
@@ -1444,16 +1436,9 @@ class PlanCompiler:
         # pass, and recompute does not guarantee that; GC-freed, no
         # CacheManager pin
         staged = staged.localCheckpoint(eager=True)
-        counts = {r[0]: r[1] for r in
-                  staged.groupBy(pid).count().collect()}
-        offs, acc = [], 0
-        for p in sorted(counts):
-            offs.append((p, acc))
-            acc += counts[p]
-        # Offsets as a broadcast-joined DataFrame on the partition id, not a
-        # create_map literal: O(1) expression tree at any partition count.
-        offdf = staged.sparkSession.createDataFrame(
-            offs or [(0, 0)], f"{pid} int, __off long")
+        from ..operators._scalable import partition_offsets
+        offdf, _ = partition_offsets(
+            staged, {"__off": F.count(F.lit(1))}, pid=pid)
         staged_off = staged.join(F.broadcast(offdf), on=pid, how="left")
         w = Window.partitionBy(pid).orderBy(mid)
         out = staged_off.withColumn(

@@ -34,6 +34,38 @@ def cardinality_fence(spark) -> int:
         return DEFAULT_CARDINALITY_FENCE
 
 
+def partition_offsets(staged: DataFrame, aggs: dict, pid: str = "__pid"
+                      ) -> "tuple[DataFrame, int]":
+    """Exclusive per-partition prefix offsets — the shared core of every
+    two-pass POCounter/PORank-style operator in the engine (bare RANK's
+    row numbers and RANK BY's rank/dense offsets in compiler/plan.py,
+    sorted-neighborhood positions in operators/dedup.py, and
+    exclusive_prefix_sum below).
+
+    ``staged`` must already carry a pinned partition id column ``pid``
+    (spark_partition_id over an eager localCheckpoint or a persisted
+    frame — recompute does not guarantee identical ids). ``aggs`` maps
+    offset-column name -> per-partition aggregate Column; for each, the
+    returned frame holds the running total of all LOWER partition ids
+    (exclusive). Driver traffic is one row per partition at any data
+    size; offsets travel back as a broadcast-joinable DataFrame keyed on
+    ``pid``, never a create_map literal (O(1) expression tree at ~1e5
+    partitions). Returns (offsets_df, n_partitions).
+    """
+    names = list(aggs)
+    rows = staged.groupBy(pid).agg(
+        *[c.alias(n) for n, c in aggs.items()]).collect()
+    offs, acc = [], dict.fromkeys(names, 0)
+    for r in sorted(rows, key=lambda r: r[pid]):
+        offs.append((r[pid], *[acc[n] for n in names]))
+        for n in names:
+            acc[n] += (r[n] or 0)
+    schema = f"{pid} int, " + ", ".join(f"{n} long" for n in names)
+    offdf = staged.sparkSession.createDataFrame(
+        offs or [(0,) + (0,) * len(names)], schema)
+    return offdf, len(rows)
+
+
 def exclusive_prefix_sum(df: DataFrame, order: list, value_col: str,
                          out_col: str,
                          num_partitions: int | None = None) -> DataFrame:
@@ -54,14 +86,7 @@ def exclusive_prefix_sum(df: DataFrame, order: list, value_col: str,
     staged = (df.repartitionByRange(n, *order)
                 .withColumn("__pid", F.spark_partition_id())
                 .localCheckpoint(eager=True))
-    per = staged.groupBy("__pid").agg(
-        F.sum(F.col(value_col)).alias("__s")).collect()
-    sums = {r["__pid"]: (r["__s"] or 0) for r in per}
-    offs, acc = [], 0
-    for p in sorted(sums):
-        offs.append((p, acc))
-        acc += sums[p]
-    offdf = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    offdf, _ = partition_offsets(staged, {"__off": F.sum(F.col(value_col))})
     w = (Window.partitionBy("__pid").orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, -1))
     return (staged.join(F.broadcast(offdf), on="__pid", how="left")

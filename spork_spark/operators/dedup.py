@@ -688,13 +688,9 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, key_col: str,
               .withColumn(pid, F.spark_partition_id())
               .withColumn(mid, F.monotonically_increasing_id())
               .persist())
-    counts = {r[0]: r[1] for r in base.groupBy(pid).count().collect()}
-    offs, acc = [], 0
-    for p in sorted(counts):
-        offs.append((p, acc))
-        acc += counts[p]
-    offdf = base.sparkSession.createDataFrame(
-        offs or [(0, 0)], f"{pid} int, __off long")
+    from spork_spark.operators._scalable import partition_offsets
+    offdf, _ = partition_offsets(base, {"__off": F.count(F.lit(1))},
+                                 pid=pid)
     w = Window.partitionBy(pid).orderBy(mid)
     rn = (base.join(F.broadcast(offdf), on=pid, how="left")
               .withColumn("__rn", (F.row_number().over(w)
