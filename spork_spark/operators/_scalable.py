@@ -81,8 +81,16 @@ def exclusive_prefix_sum(df: DataFrame, order: list, value_col: str,
     identical ids — the same discipline as _scalable_row_number).
     """
     spark = df.sparkSession
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if num_partitions:
+        n = num_partitions
+    else:
+        # 'spark.sql.shuffle.partitions' may be non-numeric on some
+        # platforms (e.g. 'auto' under external shuffle services) —
+        # same guarded parse as cardinality_fence().
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except Exception:
+            n = 32
     staged = (df.repartitionByRange(n, *order)
                 .withColumn("__pid", F.spark_partition_id())
                 .localCheckpoint(eager=True))

@@ -534,7 +534,8 @@ def winsorize(df: DataFrame, group_col: str, value_col: str,
 
 
 def pareto_frontier(df: DataFrame, dims: dict[str, str],
-                    group_col: str | None = None) -> DataFrame:
+                    group_col: str | None = None,
+                    fan_in: int = 4) -> DataFrame:
     """Pareto-optimal rows (the skyline) over ``dims``, a mapping of
     column → 'max' | 'min' — the multi-objective selection a curation
     pipeline runs when no single quality score exists (e.g. maximize
@@ -547,14 +548,22 @@ def pareto_frontier(df: DataFrame, dims: dict[str, str],
     stage 1 computes the LOCAL frontier of every partition with a
     pandas kernel (sort by the first dimension, incremental dominance
     scan — each partition's output is its own skyline, usually tiny);
-    stage 2 re-runs the same kernel once over the gathered local
-    frontiers (coalesce(1)). Correct because dominance is transitive:
-    a globally dominated row is dominated by some row of its own
-    partition's frontier, so local pruning never drops a global
-    survivor. Worst case (mutually incomparable data, e.g. perfectly
-    anti-correlated dims) prunes nothing and stage 2 sees the full
-    input on one task — the documented quadratic fence, same family as
-    the brute-force ANN baseline; real quality dims prune heavily.
+    stage 2 TREE-MERGES the local frontiers: repartition the pruned
+    survivors onto ``fan_in``× fewer tasks, re-prune, and repeat until
+    one partition remains — log_fan_in(P) rounds, so no single task
+    ever concatenates more than ``fan_in`` already-pruned frontiers
+    (the old coalesce(1) gather put the UNION of all local frontiers —
+    potentially input-sized for anti-correlated dims — in one Python
+    task; worse, a shuffle-free coalesce(1) also collapses the stage-1
+    pass itself to one task). The repartitions shuffle only surviving
+    frontier rows, so each round moves less data than the last.
+    Correct because dominance is transitive: a globally dominated row
+    is dominated by some row of its own partition's frontier, so local
+    pruning never drops a global survivor, at any merge order. Worst
+    case (mutually incomparable data, e.g. perfectly anti-correlated
+    dims) prunes nothing and the final task still sees ~input/fan_in
+    rows — the documented quadratic fence, same family as the
+    brute-force ANN baseline; real quality dims prune heavily.
     The kernel compares float64 images of the dims (numeric columns
     only; exact for integers/decimals up to 15 significant digits —
     the conversion is monotone, so dominance is preserved; wider
@@ -606,10 +615,26 @@ def pareto_frontier(df: DataFrame, dims: dict[str, str],
                              pdf.groupby(group_col, dropna=False,
                                          sort=False)])
 
+    if fan_in < 2:
+        raise ValueError("fan_in must be >= 2")
     schema = df.schema
     local = df.mapInPandas(local_frontier, schema=schema)
-    if group_col is None:
-        return local.coalesce(1).mapInPandas(local_frontier,
+    if group_col is not None:
+        return local.repartition(group_col) \
+                    .mapInPandas(local_frontier, schema=schema)
+    # Global skyline: tree-merge with shuffling repartitions.
+    # repartition (not coalesce) is deliberate — a narrow coalesce(n)
+    # would pull the UPSTREAM prune pass into the same n tasks,
+    # serializing stage 1; the shuffle boundary keeps every prune
+    # round at its own parallelism and only frontier rows travel.
+    try:
+        n = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+    except Exception:
+        n = 32
+    out = local
+    while n > 1:
+        n = max(1, n // fan_in)
+        out = out.repartition(n).mapInPandas(local_frontier,
                                              schema=schema)
-    return local.repartition(group_col) \
-                .mapInPandas(local_frontier, schema=schema)
+    return out

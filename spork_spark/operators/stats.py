@@ -83,25 +83,45 @@ def equifreq_bins(df: DataFrame, value_col: str, n_bins: int = 10,
     integers both engines truncate identically.
 
     Shape: ONE map-side-combined groupBy over the data (the only pass
-    that sees every row), then a cumulative window over the DISTINCT
-    values only. That window is unpartitioned by design — its input is
-    value-cardinality sized, not data sized (cent-quantized metrics
-    have bounded cardinality; ~10⁴ rows for a [0,100] metric at any
-    data scale), so the single task is a non-issue at 100 TB. Output is
-    (bin, lo_cents, hi_cents, n_values, cnt) — n_bins rows (fewer when
-    a heavy tie swallows neighbours).
+    that sees every row), then a cumulative sum over the DISTINCT
+    values only — behind the same counted-cardinality fence as
+    abc_classes and rfm_segments (spark.spork.prefixSum.
+    cardinalityFence, default 100k). Cent-quantized scores have bounded
+    cardinality (~10⁴ for a [0,100] metric) and stay on the cheap
+    single-window path; an UNBOUNDED value column (prices, latencies —
+    10⁸+ distinct cent values at 100 TB) crosses the fence and takes
+    the range-partitioned two-pass exclusive prefix sum
+    (_scalable.exclusive_prefix_sum), so no single task ever holds the
+    full distinct-value set. Output is (bin, lo_cents, hi_cents,
+    n_values, cnt) — n_bins rows (fewer when a heavy tie swallows
+    neighbours).
     """
+    from spork_spark.operators._scalable import (cardinality_fence,
+                                                 exclusive_prefix_sum)
     v = F.floor(F.col(value_col).cast("double") * scale + 0.5) \
          .cast("long")
     dist = (df.where(F.col(value_col).isNotNull())
               .groupBy(v.alias("v")).agg(F.count(F.lit(1)).alias("c")))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     total = dist.groupBy().agg(F.sum("c").alias("__tot"))
-    binned = (dist.withColumn("cum", F.coalesce(F.sum("c").over(w),
-                                                F.lit(0)))
-                  .crossJoin(F.broadcast(total))
-                  .withColumn("bin", F.expr(
-                      f"(cum * {n_bins}) div __tot").cast("long")))
+    # Persist around the fence count so choosing the path costs one
+    # cached pass of the distinct-value table, not a recomputation of
+    # the data-sized groupBy (the abc_classes discipline; the
+    # above-fence branch localCheckpoints off the cache inside
+    # exclusive_prefix_sum, leaving no blocks pinned after return).
+    dist = dist.persist()
+    try:
+        if dist.count() <= cardinality_fence(df.sparkSession):
+            w = (Window.orderBy("v")
+                       .rowsBetween(Window.unboundedPreceding, -1))
+            cum = dist.withColumn(
+                "cum", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        else:
+            cum = exclusive_prefix_sum(dist, [F.col("v")], "c", "cum")
+    finally:
+        dist.unpersist()
+    binned = (cum.crossJoin(F.broadcast(total))
+                 .withColumn("bin", F.expr(
+                     f"(cum * {n_bins}) div __tot").cast("long")))
     return (binned.groupBy("bin")
                   .agg(F.min("v").alias("lo_cents"),
                        F.max("v").alias("hi_cents"),

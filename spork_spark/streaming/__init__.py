@@ -227,6 +227,15 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
     re-merges idempotently because merge_upsert is idempotent for a
     fixed batch.
 
+    Crash-safety covers the WRITER only: between the two renames the
+    snapshot path transiently does not exist, so an external reader
+    concurrent with a swap must tolerate (retry on) a missing
+    directory. Reader-atomic publication needs a pointer swap — a
+    symlink or manifest file naming the current snapshot dir, updated
+    with an atomic rename — layered on top; plain-parquet readers that
+    only run between batches (the availableNow backfill pattern here)
+    never observe the window.
+
     Scale: cost per batch ∝ snapshot size for the rewrite — the plain-
     parquet trade (Delta rewrites only touched files); partition the
     snapshot and prune by the batch's partition keys when that bites.
@@ -291,6 +300,11 @@ def stream_upsert_parquet(stream_df: DataFrame, snapshot_path: str,
         if os.path.isdir(old):
             shutil.rmtree(old)
 
+    # Repair a crashed swap BEFORE the query starts, not only inside
+    # apply_batch: a restart whose trigger delivers no batches (or only
+    # empty ones) would otherwise leave the live snapshot missing with
+    # the history stranded in `.old-*`.
+    recover_snapshot()
     q = (stream_df.writeStream
          .foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint)

@@ -343,6 +343,29 @@ def test_pareto_frontier_min_orientation(spark):
     assert {r.id for r in out.collect()} == {1, 2, 3}
 
 
+def test_pareto_frontier_tree_merge_no_coalesce1(spark):
+    """The global merge is an iterated fan-in tree, never a narrow
+    coalesce(1): the plan carries shuffling round-robin repartitions
+    (so stage 1 keeps its parallelism) and no Coalesce node, and the
+    fan_in knob changes the round count, not the answer."""
+    from spork_spark.operators import pareto_frontier
+    import random
+    rng = random.Random(11)
+    rows = [(i, rng.uniform(0, 1), rng.uniform(0, 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double") \
+              .repartition(16)
+    dims = {"a": "max", "b": "max"}
+    out = pareto_frontier(df, dims)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" not in plan
+    assert "RoundRobinPartitioning" in plan
+    base = {r.id for r in out.collect()}
+    assert base == {r.id for r in pareto_frontier(df, dims, fan_in=2)
+                    .collect()}
+    assert base == {r.id for r in pareto_frontier(df, dims, fan_in=64)
+                    .collect()}
+
+
 def test_pareto_frontier_partition_invariant(spark):
     from spork_spark.operators import pareto_frontier
     import random

@@ -575,6 +575,26 @@ def test_equifreq_bins_window_over_distinct_only(spark):
         "no aggregate below the window: it would scan raw rows"
 
 
+def test_equifreq_bins_above_fence_no_global_window(spark):
+    """Above the cardinality fence the cumulative count must take the
+    range-partitioned two-pass prefix sum: every Window in the plan is
+    partitioned by __pid (no single-task global window), and the
+    offsets arrive as a broadcast join, not a literal map."""
+    from spork_spark.operators import equifreq_bins
+    df = spark.createDataFrame([(float(i),) for i in range(50)],
+                               "value double")
+    spark.conf.set("spark.spork.prefixSum.cardinalityFence", "3")
+    try:
+        plan = _raw_plan(equifreq_bins(df, "value", 5))
+    finally:
+        spark.conf.unset("spark.spork.prefixSum.cardinalityFence")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, f"unpartitioned window: {line}"
+    assert "BroadcastHashJoin [__pid" in plan \
+        or "BroadcastHashJoin [cast(__pid" in plan
+
+
 def test_bigram_lm_no_self_join_on_docs(spark):
     """The bigram stream is built by arrays_zip of two slices inside one
     projection — no join of the doc table to itself, no Python."""

@@ -79,6 +79,25 @@ def test_equifreq_bins_value_is_deterministic_under_ties(spark):
     assert sum(r.cnt for r in out.values()) == 100
 
 
+def test_equifreq_bins_scalable_path_parity(spark):
+    """Fence forced low: equifreq_bins must route the cumulative count
+    through the range-partitioned prefix sum and return byte-identical
+    bins to the single-window path."""
+    from spork_spark.operators import equifreq_bins
+    rows = [(float(i % 37),) for i in range(500)] + [(1.0,)] * 40
+    df = spark.createDataFrame(rows, "value double")
+    key = lambda r: (r.bin, r.lo_cents, r.hi_cents, r.n_values, r.cnt)  # noqa: E731
+    small = sorted(key(r) for r in equifreq_bins(df, "value", 7).collect())
+    spark.conf.set("spark.spork.prefixSum.cardinalityFence", "3")
+    try:
+        big = sorted(key(r) for r in
+                     equifreq_bins(df, "value", 7).collect())
+    finally:
+        spark.conf.unset("spark.spork.prefixSum.cardinalityFence")
+    assert big == small
+    assert sum(c for *_, c in small) == 540
+
+
 def test_group_mode_long_with_tiebreak(spark):
     from spork_spark.operators import group_mode
     rows = [("a", 5), ("a", 5), ("a", 9), ("a", 9), ("a", 1),  # tie 5/9 -> 5

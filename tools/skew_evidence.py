@@ -73,10 +73,18 @@ def main() -> None:
     right = (li.select(F.col("l_orderkey").alias("k")).distinct()
                .withColumn("w", F.col("k") * 2)
                .union(spark.createDataFrame([(0, 0)], "k long, w long")))
-    left.write.mode("overwrite").parquet("/tmp/skew_left.parquet")
-    right.write.mode("overwrite").parquet("/tmp/skew_right.parquet")
-    left = spark.read.parquet("/tmp/skew_left.parquet")
-    right = spark.read.parquet("/tmp/skew_right.parquet")
+    # per-run scratch dir (mkdtemp, like soak_streaming.py): fixed
+    # /tmp paths let concurrent or stale runs clobber each other's
+    # fixtures and poison the measurement
+    import atexit
+    import shutil
+    import tempfile
+    scratch = tempfile.mkdtemp(prefix="spork-skew-fixture-")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    left.write.mode("overwrite").parquet(f"{scratch}/skew_left.parquet")
+    right.write.mode("overwrite").parquet(f"{scratch}/skew_right.parquet")
+    left = spark.read.parquet(f"{scratch}/skew_left.parquet")
+    right = spark.read.parquet(f"{scratch}/skew_right.parquet")
     n_left = left.count()
     hot = left.where(F.col("k") == 0).count()
 
