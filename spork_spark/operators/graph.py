@@ -32,11 +32,16 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 30) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 30,
+                         stats: dict | None = None) -> DataFrame:
     """(src, dst) undirected edges → (node, component), component = the
     smallest node id reachable from the node. Isolated endpoints appear
     with themselves; nodes absent from `edges` are absent from the output
-    (union the full node set afterwards if needed)."""
+    (union the full node set afterwards if needed).
+
+    ``stats``: pass a dict to receive {"iterations": n, "converged":
+    bool} — the scale-evidence numbers (convergence needs ~log2 of the
+    graph diameter rounds) without re-instrumenting the loop."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                 .union(edges.select(F.col(dst).alias("a"),
                                     F.col(src).alias("b")))
@@ -48,7 +53,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .withColumn("comp", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
     prev_sum: object = object()          # sentinel: never equals a sum
+    n_rounds = 0
+    converged = False
     for _ in range(max_iter):
+        n_rounds += 1
         # 1. min neighbor label
         nbr_min = (sym.join(labels.withColumnRenamed("node", "b"), on="b")
                       .groupBy(F.col("a").alias("node"))
@@ -73,6 +81,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = jumped
         old.unpersist()
         if s == prev_sum:        # labels are non-increasing ⇒ fixpoint
+            converged = True
             break
         prev_sum = s
     else:
@@ -82,6 +91,9 @@ def connected_components(edges: DataFrame, src: str = "src",
             f"iterations; labels are an upper bound (some components may "
             f"still be split). Raise max_iter — convergence needs "
             f"~log2(graph diameter) rounds.", RuntimeWarning, stacklevel=2)
+    if stats is not None:
+        stats["iterations"] = n_rounds
+        stats["converged"] = converged
     return labels
 
 

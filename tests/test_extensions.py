@@ -40,6 +40,29 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(3 not in p and 4 not in p for p in got)
 
 
+def test_minhash_collapse_exact_output_identical(spark):
+    """The exact-dup pre-collapse (LSH on distinct texts + member
+    expansion) must return the SAME pair set and jaccards as the direct
+    pipeline on a dup-heavy corpus — within-group pairs at 1.0, cross-
+    group pairs at the rep pair's jaccard, interleaved ids re-oriented."""
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy cat again and again",
+            "completely unrelated text about spark physical plans and io"]
+    rows = []
+    # interleave member ids across groups so least/greatest matters
+    for i in range(12):
+        rows.append((i, base[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(shingle_n=5, num_hashes=32, bands=8, threshold=0.5)
+    fast = {(r.id_a, r.id_b): r.jaccard for r in
+            minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()}
+    slow = {(r.id_a, r.id_b): r.jaccard for r in
+            minhash_lsh_pairs(df, "doc_id", "text", collapse_exact=False,
+                              **kw).collect()}
+    assert fast == slow and len(fast) > 10
+    assert fast[(0, 3)] == 1.0              # same-group pair
+
+
 def test_ngram_jaccard_exact(docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
     exact = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
