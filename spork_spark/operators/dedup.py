@@ -81,6 +81,56 @@ def minhash_signature(shingle_col, num_hashes: int = 64,
     return F.array(*sig)
 
 
+def _exact_text_groups(df: DataFrame, id_col: str, text_col: str):
+    """Group ids by EXACT text equality — the pre-collapse every pair
+    generator here shares. Null texts are excluded (they never shingle,
+    so the direct pipelines never pair them). The grouping key is
+    (md5(text), length) — the raw text never travels on the shuffle.
+    Returns (members, uniq): members = (id, __gid = min id of the
+    group, __gn = group size); uniq = (id, text) of one representative
+    per distinct text."""
+    nn = df.where(F.col(text_col).isNotNull())
+    tkey = [F.md5(F.col(text_col)).alias("__tk"),
+            F.length(text_col).alias("__tl")]
+    members = nn.select(F.col(id_col), *tkey)
+    groups = members.groupBy("__tk", "__tl").agg(
+        F.min(id_col).alias("__gid"),
+        F.count(F.lit(1)).alias("__gn"))
+    members = (members.join(groups, on=["__tk", "__tl"])
+                      .select(id_col, "__gid", "__gn"))
+    reps = members.where(F.col(id_col) == F.col("__gid")).select(id_col)
+    uniq = nn.select(F.col(id_col), F.col(text_col)).join(reps, on=id_col)
+    return members, uniq
+
+
+def _within_group_pairs(members: DataFrame, id_col: str) -> DataFrame:
+    """(id_a < id_b, __gid) — every pair inside an exact-dup group.
+    Quadratic in group size, which is exactly the OUTPUT size (those
+    pairs are all true duplicates), so it cannot be avoided, only kept
+    off the candidate path."""
+    wm = members.where(F.col("__gn") > 1)
+    return (wm.select("__gid", F.col(id_col).alias("id_a"))
+              .join(wm.select("__gid", F.col(id_col).alias("id_b")),
+                    on="__gid")
+              .where(F.col("id_a") < F.col("id_b")))
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
+                      id_col: str, payload: list) -> DataFrame:
+    """Expand representative-level pairs to member-level pairs, carrying
+    ``payload`` columns unchanged (similarity depends only on the texts,
+    which are identical within a group). Member ids can interleave
+    across groups, so the output pair is re-oriented (least, greatest)."""
+    ma = members.select(F.col("__gid").alias("id_a"),
+                        F.col(id_col).alias("__ia"))
+    mb = members.select(F.col("__gid").alias("id_b"),
+                        F.col(id_col).alias("__ib"))
+    return (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+            .select(F.least("__ia", "__ib").alias("id_a"),
+                    F.greatest("__ia", "__ib").alias("id_b"),
+                    *payload))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 5, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.7,
@@ -120,42 +170,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     min() HashAggregates, narrow banding rows, post-hoc jaccard verify.
     """
     if collapse_exact:
-        tkey = [F.md5(F.col(text_col)).alias("__tk"),
-                F.length(text_col).alias("__tl")]
-        members = df.select(F.col(id_col), *tkey)
-        groups = members.groupBy("__tk", "__tl").agg(
-            F.min(id_col).alias("__gid"),
-            F.count(F.lit(1)).alias("__gn"))
-        members = (members.join(groups, on=["__tk", "__tl"])
-                          .select(id_col, "__gid", "__gn"))
-        reps = members.where(F.col(id_col) == F.col("__gid")) \
-                      .select(id_col)
-        uniq = df.select(F.col(id_col), F.col(text_col)) \
-                 .join(reps, on=id_col)
+        members, uniq = _exact_text_groups(df, id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
             uniq, id_col, text_col, shingle_n=shingle_n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
             seed=seed, hash_fn=hash_fn, collapse_exact=False)
         # within-group: all member pairs, jaccard exactly 1.0
-        wm = members.where(F.col("__gn") > 1)
-        within = (wm.select(F.col("__gid"), F.col(id_col).alias("id_a"))
-                    .join(wm.select(F.col("__gid"),
-                                    F.col(id_col).alias("id_b")),
-                          on="__gid")
-                    .where(F.col("id_a") < F.col("id_b"))
-                    .select("id_a", "id_b",
-                            F.lit(1.0).alias("jaccard"))
-                    .where(F.lit(1.0) >= F.lit(threshold)))
-        # cross-group: each rep pair expands to members_a × members_b;
-        # member ids can interleave across groups, so re-orient
-        ma = members.select(F.col("__gid").alias("id_a"),
-                            F.col(id_col).alias("__ia"))
-        mb = members.select(F.col("__gid").alias("id_b"),
-                            F.col(id_col).alias("__ib"))
-        cross = (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
-                 .select(F.least("__ia", "__ib").alias("id_a"),
-                         F.greatest("__ia", "__ib").alias("id_b"),
-                         "jaccard"))
+        within = (_within_group_pairs(members, id_col)
+                  .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+                  .where(F.lit(1.0) >= F.lit(threshold)))
+        cross = _expand_rep_pairs(rep_pairs, members, id_col,
+                                  ["jaccard"])
         return within.unionByName(cross)
     banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
                              num_hashes=num_hashes, bands=bands, seed=seed,
@@ -515,7 +540,8 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
 def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                          shingle_n: int = 5,
-                         threshold: float = 0.6) -> DataFrame:
+                         threshold: float = 0.6,
+                         collapse_exact: bool = True) -> DataFrame:
     """EXACT Jaccard set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     WWW'08): every pair with Jaccard(shingles_a, shingles_b) >=
@@ -554,7 +580,34 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     pick shingle_n long enough that document frequencies are small
     (the registered query uses 12-gram shingles for exactly this
     reason), or use minhash_lsh_pairs.
+
+    ``collapse_exact`` (default on): identical texts share their whole
+    prefix, so an exact-dup group of m docs floods the prefix buckets
+    with m² candidates AND inflates every shared token's document
+    frequency (pushing it rarer docs' prefixes too). Like
+    minhash_lsh_pairs, the join runs on the DISTINCT texts and expands
+    afterwards — provably identical output (within-group pairs have
+    inter = uni = |shingle set| by definition).
     """
+    if collapse_exact:
+        members, uniq = _exact_text_groups(df, id_col, text_col)
+        rep_pairs = set_similarity_pairs(uniq, id_col, text_col,
+                                         shingle_n=shingle_n,
+                                         threshold=threshold,
+                                         collapse_exact=False)
+        ppm = int(round(threshold * 1_000_000))
+        sz = uniq.select(F.col(id_col).alias("__gid"),
+                         F.size(shingles(text_col, shingle_n))
+                         .alias("__sz"))
+        within = (_within_group_pairs(members, id_col)
+                  .join(sz, on="__gid")
+                  .select("id_a", "id_b",
+                          F.col("__sz").cast("long").alias("inter"),
+                          F.col("__sz").cast("long").alias("uni"))
+                  .where(F.lit(1_000_000) >= F.lit(ppm)))
+        cross = _expand_rep_pairs(rep_pairs, members, id_col,
+                                  ["inter", "uni"])
+        return within.unionByName(cross)
     cand, base, ppm = set_similarity_candidates(
         df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
     sets = base.select("__id", "__sh")

@@ -63,6 +63,40 @@ def test_minhash_collapse_exact_output_identical(spark):
     assert fast[(0, 3)] == 1.0              # same-group pair
 
 
+def test_minhash_collapse_ignores_null_texts(spark):
+    """Null texts never shingle, so the direct pipeline never pairs
+    them; the collapse path must not invent jaccard-1.0 pairs for the
+    null group."""
+    rows = [(0, "shared text body for the pair"),
+            (1, "shared text body for the pair"),
+            (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5,
+                             num_hashes=16, bands=4).collect()}
+    assert got == {(0, 1)}
+
+
+def test_setsim_collapse_exact_output_identical(spark):
+    """set_similarity_pairs' exact-dup pre-collapse must reproduce the
+    direct PPJoin output exactly — including the (inter, uni) set sizes
+    on within-group (identical-text) pairs."""
+    from spork_spark.operators.dedup import set_similarity_pairs
+    base = ["aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+            "aaaa bbbb cccc dddd eeee ffff gggg zzzz",
+            "totally different words qqqq wwww rrrr tttt yyyy"]
+    rows = [(i, base[i % 3]) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(shingle_n=4, threshold=0.5)
+    fast = {(r.id_a, r.id_b): (r.inter, r.uni) for r in
+            set_similarity_pairs(df, "doc_id", "text", **kw).collect()}
+    slow = {(r.id_a, r.id_b): (r.inter, r.uni) for r in
+            set_similarity_pairs(df, "doc_id", "text",
+                                 collapse_exact=False, **kw).collect()}
+    assert fast == slow and len(fast) >= 9
+    assert fast[(0, 3)][0] == fast[(0, 3)][1]   # identical texts: inter == uni
+
+
 def test_ngram_jaccard_exact(docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
     exact = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
