@@ -8,9 +8,17 @@ Spark-first equivalents, in order:
 
 1. `spark.sql.adaptive.skewJoin.enabled` (on in the engine session) —
    AQE splits oversized shuffle partitions at runtime. Zero code.
-2. `salted_join` below — deterministic pre-shuffle salting when the skew
-   is known or AQE's post-shuffle splitting can't help (e.g. a single key
-   larger than an executor).
+   PREFER THIS: on the measured 20%-hot-key fixture (SKEW_r06.json,
+   sf1) AQE's split join costs 0.52 s where salted_join costs 3.87 s —
+   the salt's right-side replication is pure overhead whenever AQE can
+   split the partition.
+2. `salted_join` below — deterministic pre-shuffle salting for the
+   cases AQE's OptimizeSkewedJoin skips: sessions without AQE, join
+   modes it won't split (full outer), and plans where splitting would
+   break a downstream distribution requirement (the rule bails rather
+   than insert an extra shuffle). The trade is measured and real —
+   reach for it only when the AQE plan provably didn't split
+   (no `skew=true` in the final adaptive plan).
 
 salted_join replicates the RIGHT side `salt` times (explode over a
 literal range — cheap when right is the smaller input, as in the
