@@ -222,8 +222,18 @@ def main():
     print(f"\n{'ALL GREEN' if not failures else f'{failures} FAILURES'}")
     if json_out:
         import json
+        # Fingerprint the registry source so a sweep artifact can be
+        # checked for staleness: tests/test_sweep_gate.py fails the
+        # suite if __spark_entry__.py changes without a re-sweep.
+        import hashlib
+        entry_path = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py")
+        with open(entry_path, "rb") as fh:
+            registry_sha = hashlib.sha256(fh.read()).hexdigest()
         with open(json_out, 'w') as fh:
             json.dump({'sf': sf, 'n_queries': len(results),
+                       'registry_sha256': registry_sha,
                        'n_pass': sum(r['status'] == 'PASS' for r in results),
                        'n_rows_only': sum(r['status'] == 'ROWS_ONLY' for r in results),
                        'n_fail': failures,
