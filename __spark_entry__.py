@@ -3736,6 +3736,51 @@ def q_compaction_plan(spark, sf):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_containment(spark, sf):
+    """Directed containment near-dup pairs (operators/dedup.py
+    containment_pairs): |S(a) ∩ S(b)| / |S(a)| over 8-gram shingles —
+    the asymmetric quote/subset duplication Jaccard structurally
+    misses. Inverted-index join (Σ df² over the capped vocabulary),
+    never all-pairs; exact duplicates pre-collapse through the shared
+    _exact_text_groups machinery.
+
+    The informative-shingle cap is CORPUS-RELATIVE — df ≤ max(50,
+    10% of docs) — because an absolute cap does not transfer across
+    corpus sizes (a shared shingle's df grows linearly with the
+    corpus, so a fixed cap that works at 500 docs blacks out the
+    same duplication structure at 5,000; measured 2,721 → 0 pairs
+    before this was made relative). One count() action feeds the
+    cap; the oracle replays it as a scalar subquery."""
+    from spork_spark.operators import containment_pairs
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    n_docs = docs.where(F.col("text").isNotNull()).count()
+    return containment_pairs(docs, "doc_id", "text",
+                             n=8, threshold=0.6,
+                             max_df=max(50, n_docs // 10)) \
+        .orderBy("id_a", "id_b")
+
+
+def q_shard_plan(spark, sf):
+    """Training-export shard manifest (operators/layout.py shard_plan):
+    documents in reproducible md5(seed:id) shuffle order, next-fit cut
+    into 2000-token shards by the range-partitioned two-pass exclusive
+    prefix sum (no fence — the input is the corpus, so a single-task
+    window is never safe), then one groupBy for the per-shard manifest.
+    The oracle replays the whole plan with one SQL window function."""
+    from spork_spark.operators import shard_plan
+    from spork_spark.operators.text import token_count as _tc
+    eng = _eng(spark)
+    docs = _t(eng, sf, "documents").df()
+    d = (docs.where(F.col("text").isNotNull())
+             .withColumn("__tok", _tc("text")))
+    plan = shard_plan(d, "doc_id", "__tok", tokens_per_shard=2000, seed=7)
+    return (plan.groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("__tok").alias("n_tokens"))
+                .orderBy("shard_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_q1": q_agg_q1,
@@ -3876,6 +3921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_table": q_fingerprint_table,
         "leakage_safe_split": q_leakage_safe_split,
         "compaction_plan": q_compaction_plan,
+        "containment": q_containment,
+        "shard_plan": q_shard_plan,
         "k_anonymity": q_k_anonymity,
         "profile_events": q_profile_events,
         "weighted_sample": q_weighted_sample,
@@ -7208,6 +7255,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 8
             ORDER BY group_size, c_nationkey, c_mktsegment
+        """,
+        "containment": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct([substring(text, i, 8)
+                      for i in generate_series(
+                          1, greatest(length(text) - 7, 1))]) AS s
+              FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cap AS (SELECT greatest(50, count(*) // 10) AS c
+                    FROM documents WHERE text IS NOT NULL),
+            dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+            kept AS (SELECT e.doc_id, e.g
+                     FROM ex e JOIN dfreq d USING (g), cap
+                     WHERE d.df <= cap.c),
+            sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM kept a JOIN kept b USING (g)
+              WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / sa.n, 4) AS containment
+            FROM shared JOIN sz sa ON sa.doc_id = shared.id_a
+            WHERE CAST(c AS DOUBLE) / sa.n >= 0.6
+            ORDER BY id_a, id_b
+        """,
+        "shard_plan": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          x -> x != '')) AS BIGINT) AS n,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents WHERE text IS NOT NULL),
+            p AS (
+              SELECT doc_id, n,
+                     CAST(FLOOR(COALESCE(SUM(n) OVER (
+                           ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                          / 2000.0) AS BIGINT) AS shard_id
+              FROM t)
+            SELECT shard_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM p GROUP BY shard_id ORDER BY shard_id
         """,
         "compaction_plan": """
             WITH inv AS (

@@ -342,6 +342,100 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.8,
+                      max_df: int | None = 50) -> DataFrame:
+    """DIRECTED containment near-dup pairs: (id_a, id_b, containment)
+    with containment(a→b) = |S(a) ∩ S(b)| / |S(a)| over character
+    n-gram shingle sets — the asymmetric complement of Jaccard. A short
+    document quoted wholesale inside a long one scores ~1.0 here while
+    its Jaccard ≈ |a|/|b| can be arbitrarily small: wire stories
+    embedded in pages, license blocks, quoted posts — the duplication
+    class every Jaccard-thresholded pass structurally misses.
+
+    Scale shape — inverted index, never all-pairs: distinct
+    (id, shingle) rows aggregate to document frequency; candidates come
+    from a self-equi-join ON THE SHINGLE (cost Σ df² over the kept
+    vocabulary — the pmi_pairs/item_cooccurrence contract), then one
+    (a, b) groupBy counts shared shingles exactly.
+
+    ``max_df`` is the join's cost ceiling AND part of the semantics:
+    shingles appearing in more than ``max_df`` documents (counting
+    exact duplicates) are dropped from BOTH the intersection and the
+    denominator — containment is defined over the informative-shingle
+    space (boilerplate n-grams should not certify quotation), which
+    keeps the definition deterministic and oracle-replayable rather
+    than an approximation of an uncapped number. df is weighted by
+    exact-duplicate multiplicity so the capped vocabulary is identical
+    with and without the collapse below.
+
+    Exact duplicates pre-collapse through the shared
+    _exact_text_groups machinery (minhash_lsh_pairs' rationale: an
+    m-doc identical group floods every shared shingle's posting list);
+    shared counts and sizes are functions of the texts alone, so
+    representative-level results expand to members unchanged —
+    parity with the direct path is pinned in tests. Null texts never
+    shingle and never pair.
+    """
+    members, uniq = _exact_text_groups(df, id_col, text_col)
+    gsz = members.where(F.col(id_col) == F.col("__gid")) \
+                 .select(F.col(id_col), F.col("__gn"))
+    ex = (uniq.select(F.col(id_col),
+                      F.explode(shingles(text_col, n)).alias("__g"))
+              .join(gsz, on=id_col))
+    # __df = corpus document frequency (duplicate-weighted);
+    # __rdf = distinct-text frequency — shingles in one rep only can
+    # never produce a cross-rep candidate, so they skip the join (a
+    # cost prune, not a semantic one: same-rep rows are excluded
+    # below anyway).
+    dfreq = ex.groupBy("__g").agg(F.sum("__gn").alias("__df"),
+                                  F.count(F.lit(1)).alias("__rdf"))
+    kept = ex.join(dfreq, on="__g")
+    if max_df is not None:
+        kept = kept.where(F.col("__df") <= F.lit(int(max_df)))
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    joinable = kept.where(F.col("__rdf") >= 2)
+    a = joinable.select("__g", F.col(id_col).alias("id_a"))
+    b = joinable.select("__g", F.col(id_col).alias("id_b"))
+    shared = (a.join(b, on="__g")
+               .where(F.col("id_a") < F.col("id_b"))
+               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__c")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
+    rp = shared.join(sa, on="id_a").join(sb, on="id_b")
+    fwd = rp.select("id_a", "id_b",
+                    (F.col("__c") / F.col("__sa")).alias("__ct"))
+    rev = rp.select(F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    (F.col("__c") / F.col("__sb")).alias("__ct"))
+    rep_pairs = fwd.unionByName(rev).where(F.col("__ct") >= F.lit(threshold))
+    # directed expansion — _expand_rep_pairs reorients to (least,
+    # greatest), which would erase the containment direction
+    ma = members.select(F.col("__gid").alias("id_a"),
+                        F.col(id_col).alias("__ia"))
+    mb = members.select(F.col("__gid").alias("id_b"),
+                        F.col(id_col).alias("__ib"))
+    cross = (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+             .select(F.col("__ia").alias("id_a"),
+                     F.col("__ib").alias("id_b"), "__ct"))
+    # exact duplicates contain each other fully — but only while their
+    # kept-shingle set is nonempty (a group whose every shingle
+    # exceeds max_df has an undefined ratio and emits nothing, same
+    # as the direct path)
+    within = (_within_group_pairs(members, id_col)
+              .join(sizes.select(F.col(id_col).alias("__gid")), on="__gid")
+              .select("id_a", "id_b"))
+    within = (within.unionByName(
+                  within.select(F.col("id_b").alias("id_a"),
+                                F.col("id_a").alias("id_b")))
+              .select("id_a", "id_b",
+                      F.lit(1.0).alias("__ct"))
+              .where(F.lit(1.0) >= F.lit(threshold)))
+    return (cross.unionByName(within)
+            .select("id_a", "id_b",
+                    F.round("__ct", 4).alias("containment")))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             shingle_n: int = 4, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, fully vectorized:

@@ -122,3 +122,48 @@ def compaction_plan(inventory: DataFrame, size_col: str,
             .withColumn(out_col,
                         F.floor(prefix / F.lit(target_bytes))
                          .cast("long")))
+
+
+def shard_plan(df: DataFrame, id_col: str, count_col: str,
+               tokens_per_shard: int, seed: int = 42,
+               out_col: str = "shard_id") -> DataFrame:
+    """Deterministic training-export shard assignment: rows are laid
+    out in a reproducible pseudo-random order — md5("{seed}:{id}"),
+    the engine-portable shuffle — and cut into shards of
+    ``tokens_per_shard`` by exact next-fit (floor of the exclusive
+    running ``count_col`` total over the budget): compaction_plan's
+    layout rule applied to the webdataset/TFRecord export step every
+    training run starts with.
+
+    Why a HASH order and not sample()/rand(): the shuffle must be
+    replayable (resume a failed export, regenerate one lost shard,
+    audit which shard holds a document) and identical on any engine;
+    md5 of the key gives all three, and changing ``seed`` is a fresh
+    epoch permutation.
+
+    Scale shape: goes STRAIGHT to the range-partitioned two-pass
+    exclusive prefix sum (operators/_scalable.py) — no cardinality
+    fence, because the input is the corpus itself, so the single-task
+    global-window path is never safe here. One range shuffle on the
+    shuffle key plus one row-per-partition driver collect at any data
+    size; shard ids then come from pure Column arithmetic. Downstream,
+    each shard is written by an independent job (partitionBy on
+    ``out_col``), so a lost shard regenerates alone.
+
+    Next-fit semantics (identical to compaction_plan): a document is
+    never split (sequence packing is pack_sequences' job), shards can
+    exceed the budget by at most one document's tail, and a document
+    at or above the budget occupies its shard range alone.
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    from ._scalable import exclusive_prefix_sum
+    staged = (df.withColumn("__k", F.md5(F.concat(
+                  F.lit(f"{seed}:"), F.col(id_col).cast("string"))))
+                .withColumn("__n", F.col(count_col).cast("long")))
+    out = exclusive_prefix_sum(staged, ["__k", id_col], "__n", "__pre")
+    return (out.withColumn(out_col,
+                           F.floor(F.col("__pre")
+                                   / F.lit(tokens_per_shard))
+                            .cast("long"))
+               .drop("__k", "__n", "__pre"))

@@ -1170,3 +1170,92 @@ def test_item_cooccurrence_caps_power_baskets(spark):
     out = item_cooccurrence(df, "b", "i", min_support=2, min_pair=2,
                             max_basket=10).collect()
     assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}
+
+
+def test_containment_asymmetric_quote(spark):
+    """The quote case Jaccard misses: a short document embedded
+    wholesale in a much longer one — containment(a→b) = 1.0 while the
+    symmetric Jaccard stays far below any dedup threshold."""
+    from spork_spark.operators import containment_pairs, ngram_jaccard_pairs
+    quote = "the quarterly numbers show a strong rise in revenue"
+    page = ("corporate newsletter volume nine " + quote +
+            " further commentary follows with an extended outlook "
+            "section discussing markets products hiring and the "
+            "usual closing remarks from the editorial desk")
+    df = spark.createDataFrame([(1, quote), (2, page)],
+                               "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.containment for r in
+           containment_pairs(df, "doc_id", "text", n=3, threshold=0.8,
+                             max_df=None).collect()}
+    assert got.get((1, 2)) == 1.0           # quote fully contained
+    assert (2, 1) not in got                # page not contained in quote
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                              threshold=0.8).collect()
+    assert jac == []                        # Jaccard never sees it
+
+
+def test_containment_matches_direct_reference(spark):
+    """The collapsed inverted-index path must equal a direct
+    (no-collapse, all-shared-shingles) reference on a frame with
+    interleaved exact-duplicate groups — including duplicate-weighted
+    document frequencies under max_df."""
+    from spork_spark.operators import containment_pairs
+    from spork_spark.operators.dedup import shingles
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta",
+             "unrelated words entirely here now",
+             "alpha beta gamma"]
+    rows = [(i, texts[i % 4]) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(n=3, threshold=0.5, max_df=9)
+
+    nn = df.where(F.col("text").isNotNull())
+    ex = nn.select("doc_id", F.explode(shingles("text", 3)).alias("__g"))
+    dfreq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    kept = ex.join(dfreq, on="__g").where(F.col("__df") <= 9)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = kept.select("__g", F.col("doc_id").alias("id_a"))
+    b = kept.select("__g", F.col("doc_id").alias("id_b"))
+    direct = (a.join(b, on="__g").where(F.col("id_a") != F.col("id_b"))
+               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__c"))
+               .join(sizes.select(F.col("doc_id").alias("id_a"),
+                                  F.col("__sz").alias("__sa")), on="id_a")
+               .withColumn("__ct", F.col("__c") / F.col("__sa"))
+               .where(F.col("__ct") >= 0.5)
+               .select("id_a", "id_b",
+                       F.round("__ct", 4).alias("containment")))
+    slow = {(r.id_a, r.id_b): r.containment for r in direct.collect()}
+    fast = {(r.id_a, r.id_b): r.containment for r in
+            containment_pairs(df, "doc_id", "text", **kw).collect()}
+    assert fast == slow and len(fast) > 20
+    assert fast[(0, 4)] == 1.0              # exact-dup directed pair
+
+
+def test_containment_maxdf_blacks_out_oversized_groups(spark):
+    """Duplicate-weighted df: a group of identical docs LARGER than
+    max_df pushes every one of its shingles over the cap, so the
+    group's kept-shingle space is empty and it emits nothing — same
+    as the direct semantics. Without the cap the group pairs fully."""
+    from spork_spark.operators import containment_pairs
+    rows = [(i, "same text repeated in every document here")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = containment_pairs(df, "doc_id", "text", n=3,
+                               threshold=0.5, max_df=5).collect()
+    assert capped == []
+    full = containment_pairs(df, "doc_id", "text", n=3,
+                             threshold=0.5, max_df=None).collect()
+    assert len(full) == 8 * 7               # all directed pairs, both ways
+    assert all(r.containment == 1.0 for r in full)
+
+
+def test_containment_ignores_null_texts(spark):
+    from spork_spark.operators import containment_pairs
+    rows = [(0, "shared text body for the pair"),
+            (1, "shared text body for the pair"),
+            (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b) for r in
+           containment_pairs(df, "doc_id", "text", n=3, threshold=0.5,
+                             max_df=None).collect()}
+    assert got == {(0, 1), (1, 0)}

@@ -146,3 +146,58 @@ def test_zorder_data_skipping_beats_single_column_sort(spark, tmp_path):
     assert z_p < n_files           # bounded z-ranges bound BOTH dims
     # correctness: same rows either way
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_shard_plan_partitions_corpus_next_fit(spark):
+    """shard_plan assigns every row exactly once, preserves token
+    totals, numbers shards contiguously from 0, and respects next-fit:
+    a shard stops growing only once its running total crosses the
+    budget, so no shard's total (minus its last doc) reaches it."""
+    from spork_spark.operators import shard_plan
+    from pyspark.sql import functions as F
+    rows = [(i, (i * 37) % 90 + 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    out = shard_plan(df, "doc_id", "n", tokens_per_shard=500, seed=3)
+    assert out.count() == 400 and out.select("doc_id").distinct().count() == 400
+    man = out.groupBy("shard_id").agg(F.sum("n").alias("tot"),
+                                      F.max("n").alias("mx")).collect()
+    sids = sorted(r.shard_id for r in man)
+    assert sids == list(range(len(sids)))
+    assert sum(r.tot for r in man) == sum(n for _, n in rows)
+    for r in man:
+        assert r.tot - r.mx < 500           # next-fit overshoot bound
+
+
+def test_shard_plan_deterministic_and_seeded(spark):
+    """Identical calls replay the identical assignment (resumable
+    export); a different seed is a different permutation."""
+    from spork_spark.operators import shard_plan
+    rows = [(i, 20 + i % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    a = {r.doc_id: r.shard_id for r in
+         shard_plan(df, "doc_id", "n", 300, seed=1).collect()}
+    b = {r.doc_id: r.shard_id for r in
+         shard_plan(df, "doc_id", "n", 300, seed=1).collect()}
+    c = {r.doc_id: r.shard_id for r in
+         shard_plan(df, "doc_id", "n", 300, seed=2).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_shard_plan_oversized_doc_isolated(spark):
+    """A document at or above the budget occupies its prefix range
+    alone — neighbors in shuffle order land in other shards."""
+    from pyspark.sql import functions as F
+    from spork_spark.operators import shard_plan
+    rows = [(i, 10) for i in range(50)] + [(99, 5000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    out = shard_plan(df, "doc_id", "n", tokens_per_shard=100, seed=5)
+    big = out.where(F.col("doc_id") == 99).first().shard_id
+    mates = out.where((F.col("shard_id") == big) &
+                      (F.col("doc_id") != 99)).count()
+    # next-fit: docs BEFORE the big one in its window may share the
+    # shard it starts in, but nothing lands in the 50-shard range the
+    # big doc's token mass spans after it
+    spanned = out.where(F.col("shard_id").between(big + 1, big + 49)).count()
+    assert spanned == 0
+    assert mates * 10 < 100                 # at most the leading sliver
