@@ -3781,6 +3781,34 @@ def q_shard_plan(spark, sf):
                 .orderBy("shard_id"))
 
 
+def q_shard_plan_incremental(spark, sf):
+    """Append-only export extension (operators/layout.py
+    shard_plan_incremental): a new batch (doc_id % 5 == 0) joins an
+    already-shipped export (the other docs' shard_plan manifest) —
+    the running token total continues from the manifest's one-row
+    aggregate, so shipped shards stay immutable and the part-filled
+    last shard tops up first. History cost is manifest-sized; the
+    batch pays the same two-pass prefix sum as shard_plan."""
+    from spork_spark.operators import shard_plan, shard_plan_incremental
+    from spork_spark.operators.text import token_count as _tc
+    eng = _eng(spark)
+    docs = (_t(eng, sf, "documents").df()
+            .where(F.col("text").isNotNull())
+            .withColumn("__tok", _tc("text")))
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    manifest = (shard_plan(old, "doc_id", "__tok", 2000, seed=7)
+                .groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("__tok").alias("n_tokens")))
+    inc = shard_plan_incremental(batch, manifest, "doc_id", "__tok",
+                                 2000, seed=7)
+    return (inc.groupBy("shard_id")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__tok").alias("n_tokens"))
+               .orderBy("shard_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_q1": q_agg_q1,
@@ -3923,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "containment": q_containment,
         "shard_plan": q_shard_plan,
+        "shard_plan_incremental": q_shard_plan_incremental,
         "k_anonymity": q_k_anonymity,
         "profile_events": q_profile_events,
         "weighted_sample": q_weighted_sample,
@@ -7296,6 +7325,29 @@ def oracle_sql() -> dict[str, str]:
                                     AND 1 PRECEDING), 0)
                           / 2000.0) AS BIGINT) AS shard_id
               FROM t)
+            SELECT shard_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM p GROUP BY shard_id ORDER BY shard_id
+        """,
+        "shard_plan_incremental": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          x -> x != '')) AS BIGINT) AS n,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+              FROM documents WHERE text IS NOT NULL),
+            base AS (SELECT COALESCE(SUM(n), 0) AS b
+                     FROM t WHERE doc_id % 5 != 0),
+            p AS (
+              SELECT doc_id, n,
+                     CAST(FLOOR((COALESCE(SUM(n) OVER (
+                           ORDER BY k, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                           + (SELECT b FROM base))
+                          / 2000.0) AS BIGINT) AS shard_id
+              FROM t WHERE doc_id % 5 = 0)
             SELECT shard_id, COUNT(*) AS n_docs,
                    CAST(SUM(n) AS BIGINT) AS n_tokens
             FROM p GROUP BY shard_id ORDER BY shard_id

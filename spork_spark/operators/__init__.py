@@ -42,7 +42,7 @@ from .diff import (fingerprint_compare, row_digest, snapshot_diff,
 from .behavior import (cohort_retention, conversion_times, funnel, growth_accounting, rfm_segments, scd2_from_log,
                        sessionize, transition_matrix)
 from .reshape import pivot_table, unpivot
-from .layout import compaction_plan, shard_plan, zorder_by, zorder_key
+from .layout import compaction_plan, shard_plan, shard_plan_incremental, zorder_by, zorder_key
 from .splits import consistent_sample, leakage_safe_split
 from .timeseries import ewma, gap_fill, group_ols, ohlc, rolling_sum, theil_sen, twap
 from .linalg import embedding_covariance, pca_project, rademacher_projection
@@ -63,7 +63,7 @@ __all__ = [
     "snapshot_diff", "table_fingerprint", "fingerprint_compare",
     "row_digest",
     "asof_join", "range_join", "merge_upsert", "funnel", "scd2_from_log", "cohort_retention", "sessionize", "growth_accounting", "rfm_segments", "conversion_times", "pivot_table", "unpivot", "edit_distance_pairs",
-    "zorder_by", "zorder_key", "compaction_plan", "shard_plan", "containment_pairs", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
+    "zorder_by", "zorder_key", "compaction_plan", "shard_plan", "shard_plan_incremental", "containment_pairs", "leakage_safe_split", "consistent_sample", "set_similarity_pairs", "sorted_neighborhood_pairs", "cc_incremental",
     "gap_fill", "group_ols", "rolling_sum", "ewma", "ohlc", "twap", "theil_sen", "embedding_covariance", "pca_project",
     "pareto_frontier", "benford_digits", "rademacher_projection", "hard_negatives", "hard_negatives_ivf", "normalize_text",
     "group_mode", "group_mad", "group_gini", "abc_classes", "item_cooccurrence", "boilerplate_density",

@@ -157,13 +157,61 @@ def shard_plan(df: DataFrame, id_col: str, count_col: str,
     """
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be positive")
-    from ._scalable import exclusive_prefix_sum
-    staged = (df.withColumn("__k", F.md5(F.concat(
-                  F.lit(f"{seed}:"), F.col(id_col).cast("string"))))
-                .withColumn("__n", F.col(count_col).cast("long")))
-    out = exclusive_prefix_sum(staged, ["__k", id_col], "__n", "__pre")
+    out = _ordered_token_prefix(df, id_col, count_col, seed)
     return (out.withColumn(out_col,
                            F.floor(F.col("__pre")
                                    / F.lit(tokens_per_shard))
                             .cast("long"))
                .drop("__k", "__n", "__pre"))
+
+
+def _ordered_token_prefix(df: DataFrame, id_col: str, count_col: str,
+                          seed: int) -> DataFrame:
+    """Exclusive running token total in md5(seed:id) shuffle order —
+    shard_plan's core, shared with the incremental append path."""
+    from ._scalable import exclusive_prefix_sum
+    staged = (df.withColumn("__k", F.md5(F.concat(
+                  F.lit(f"{seed}:"), F.col(id_col).cast("string"))))
+                .withColumn("__n", F.col(count_col).cast("long")))
+    return exclusive_prefix_sum(staged, ["__k", id_col], "__n", "__pre")
+
+
+def shard_plan_incremental(batch: DataFrame, manifest: DataFrame,
+                           id_col: str, count_col: str,
+                           tokens_per_shard: int, seed: int = 42,
+                           out_col: str = "shard_id") -> DataFrame:
+    """Append-only extension of shard_plan: assign a NEW batch of
+    documents to shards without touching anything already exported —
+    the dedup_incremental contract (new-vs-history, history never
+    recomputed) applied to the export step.
+
+    The running token total CONTINUES from the shipped manifest
+    (base = Σ manifest.n_tokens), so shipped shards are immutable by
+    construction and the last, possibly part-filled shard tops up
+    first — next-fit, continued. The batch orders by the same
+    md5(seed:id) key, so re-running the same batch replays the
+    identical assignment.
+
+    Deliberately NOT equal to re-running shard_plan on the union: a
+    full re-plan interleaves old and new ids in one global order,
+    i.e. reshuffles shards that already shipped. It IS exactly
+    shard_plan over the old-then-batch concatenated order (pinned by
+    test), and degrades to plain shard_plan on an empty manifest.
+
+    Scale: the batch pays one range shuffle + a row-per-partition
+    collect (∝ batch size); history costs ONE manifest aggregate
+    broadcast as a single row — shard-count-sized, never
+    corpus-sized.
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    base = manifest.agg(
+        F.coalesce(F.sum(F.col("n_tokens").cast("long")), F.lit(0))
+         .cast("long").alias("__base"))
+    out = (_ordered_token_prefix(batch, id_col, count_col, seed)
+           .crossJoin(F.broadcast(base)))
+    return (out.withColumn(out_col,
+                           F.floor((F.col("__pre") + F.col("__base"))
+                                   / F.lit(tokens_per_shard))
+                            .cast("long"))
+               .drop("__k", "__n", "__pre", "__base"))

@@ -201,3 +201,52 @@ def test_shard_plan_oversized_doc_isolated(spark):
     spanned = out.where(F.col("shard_id").between(big + 1, big + 49)).count()
     assert spanned == 0
     assert mates * 10 < 100                 # at most the leading sliver
+
+
+def test_shard_plan_incremental_appends_without_touching_history(spark):
+    """The batch continues the shipped running total: the part-filled
+    last shard tops up first, nothing lands below it, and the combined
+    result equals shard_plan over the old-then-batch concatenated
+    order (the documented contract — NOT a union re-plan)."""
+    from pyspark.sql import functions as F
+    from spork_spark.operators import shard_plan, shard_plan_incremental
+    rows = [(i, 30 + i % 17) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    old = df.where(F.col("doc_id") < 350)
+    batch = df.where(F.col("doc_id") >= 350)
+    oldplan = shard_plan(old, "doc_id", "n", 400, seed=11)
+    manifest = oldplan.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    inc = shard_plan_incremental(batch, manifest, "doc_id", "n", 400,
+                                 seed=11)
+    last = max(r.shard_id for r in manifest.collect())
+    base = sum(r.n_tokens for r in manifest.collect())
+    got = {r.doc_id: r.shard_id for r in inc.collect()}
+    assert min(got.values()) >= last        # history immutable
+    if base % 400:                          # part-filled → top up first
+        assert min(got.values()) == last
+    # reference: exclusive prefix over the batch in its md5 order + base
+    order = sorted((r.doc_id for _, r in
+                    enumerate(batch.collect())),
+                   key=lambda i: (__import__("hashlib").md5(
+                       f"11:{i}".encode()).hexdigest(), i))
+    n_of = dict(rows)
+    run = base
+    for i in order:
+        assert got[i] == run // 400
+        run += n_of[i]
+
+
+def test_shard_plan_incremental_empty_manifest_is_shard_plan(spark):
+    """base = 0 on an empty manifest: the incremental path must equal
+    plain shard_plan exactly."""
+    from spork_spark.operators import shard_plan, shard_plan_incremental
+    rows = [(i, 25 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n bigint")
+    empty = spark.createDataFrame([], "shard_id long, n_docs long, n_tokens long")
+    a = {r.doc_id: r.shard_id for r in
+         shard_plan(df, "doc_id", "n", 300, seed=2).collect()}
+    b = {r.doc_id: r.shard_id for r in
+         shard_plan_incremental(df, empty, "doc_id", "n", 300,
+                                seed=2).collect()}
+    assert a == b

@@ -56,6 +56,7 @@ CROSS_OK = {
     "covisitation": "same 1-row basket-count broadcast (composition of item_cooccurrence)",
     "rfm": "1-row max-date and per-metric 1-row total broadcasts (score maps themselves are equi-joins, fence-guarded)",
     "abc_suppliers": "1-row grand-total broadcast for the class boundary ppm comparison",
+    "shard_plan_incremental": "1-row shipped-manifest total broadcast (the append base offset)",
 }
 
 # name -> reason Python row-crossing is intrinsic
