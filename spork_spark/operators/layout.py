@@ -153,7 +153,11 @@ def shard_plan(df: DataFrame, id_col: str, count_col: str,
     Next-fit semantics (identical to compaction_plan): a document is
     never split (sequence packing is pack_sequences' job), shards can
     exceed the budget by at most one document's tail, and a document
-    at or above the budget occupies its shard range alone.
+    at or above the budget occupies its shard range alone. A
+    consequence of the floor-based cut: a document whose token mass
+    spans multiple budget multiples CONSUMES the intermediate shard
+    ids without emitting them, so shard ids may have gaps — manifest
+    readers and partitionBy writers must not assume dense ids.
     """
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be positive")

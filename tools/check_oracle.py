@@ -147,6 +147,17 @@ def main():
     sf = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
     only = [a for a in argv if "/" not in a]
 
+    # Fingerprint the registry source BEFORE any query executes (a
+    # sweep takes ~45 min at sf0.1; hashing at the end would stamp a
+    # post-edit hash onto pre-edit results and let the staleness gate
+    # pass on a stale sweep — round-8 advisor finding).
+    import hashlib
+    entry_path = os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py")
+    with open(entry_path, "rb") as fh:
+        registry_sha = hashlib.sha256(fh.read()).hexdigest()
+
     import __spark_entry__ as entrymod
     from spork_spark import get_spark
     spark = get_spark(master="local[8]")
@@ -222,15 +233,9 @@ def main():
     print(f"\n{'ALL GREEN' if not failures else f'{failures} FAILURES'}")
     if json_out:
         import json
-        # Fingerprint the registry source so a sweep artifact can be
-        # checked for staleness: tests/test_sweep_gate.py fails the
-        # suite if __spark_entry__.py changes without a re-sweep.
-        import hashlib
-        entry_path = os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))),
-            "__spark_entry__.py")
-        with open(entry_path, "rb") as fh:
-            registry_sha = hashlib.sha256(fh.read()).hexdigest()
+        # registry_sha was captured at startup (pre-sweep) so
+        # tests/test_sweep_gate.py cannot be satisfied by a sweep whose
+        # registry was edited mid-run.
         with open(json_out, 'w') as fh:
             json.dump({'sf': sf, 'n_queries': len(results),
                        'registry_sha256': registry_sha,
