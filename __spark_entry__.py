@@ -3811,6 +3811,169 @@ def q_shard_plan_incremental(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Order is the driver-gate sampling order: the per-round
+        # correctness gate checks the FIRST 50 insertion keys, so
+        # never-yet-driver-checked queries lead (rotated each round —
+        # r8 leads with 50 keys absent from CORRECTNESS_r01-r07).
+        # entry() calls q_agg_q1 directly; nothing reads this order
+        # except the gate and the sweeps, which cover all keys.
+        # --- never driver-checked (r8 rotation, first 50)
+        "containment": q_containment,
+        "shard_plan": q_shard_plan,
+        "shard_plan_incremental": q_shard_plan_incremental,
+        "equifreq_bins": q_equifreq_bins,
+        "setsim_pairs": q_setsim_pairs,
+        "similarity_ivf_trained": q_similarity_ivf_trained,
+        "pareto": q_pareto,
+        "bm25": q_bm25,
+        "heavy_hitters": q_heavy_hitters,
+        "zorder": q_zorder,
+        "asof_join": q_asof_join,
+        "group_apply": q_group_apply,
+        "collected_group": q_collected_group,
+        "join_full": q_join_full,
+        "pagerank": q_pagerank,
+        "shortest_paths": q_shortest_paths,
+        "label_spreading": q_label_spreading,
+        "weighted_paths": q_weighted_paths,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_index_roundtrip": q_dedup_index_roundtrip,
+        "dedup_incremental_clusters": q_dedup_incremental_clusters,
+        "dedup_embedding": q_dedup_embedding,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "similarity_ivf": q_similarity_ivf,
+        "quantize_embeddings": q_quantize_embeddings,
+        "jl_sketch": q_jl_sketch,
+        "embedding_covariance": q_embedding_covariance,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans": q_kmeans,
+        "hard_negatives": q_hard_negatives,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_phash": q_multimodal_phash,
+        "multimodal_near_dedup": q_multimodal_near_dedup,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "gopher_filter": q_gopher_filter,
+        "scrub_pii": q_scrub_pii,
+        "token_count": q_token_count,
+        "normalize_text": q_normalize_text,
+        "decontaminate": q_decontaminate,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "text_signals": q_text_signals,
+        "boilerplate": q_boilerplate,
+        "bigram_lm": q_bigram_lm,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_quantiles": q_sketch_quantiles,
+        # --- never driver-checked (queued for the r9/r10 rotations)
+        "dedup_lines": q_dedup_lines,
+        "resample_mixture": q_resample_mixture,
+        "time_rollup": q_time_rollup,
+        "trending": q_trending,
+        "inverted_index": q_inverted_index,
+        "events_interval_join": q_events_interval_join,
+        "top_n": q_top_n,
+        "rank_by": q_rank_by,
+        "rank_dense": q_rank_dense,
+        "assert_op": q_assert_op,
+        "stream_through": q_stream_through,
+        "multimodal_decode_pnm": q_multimodal_decode_pnm,
+        "multimodal_resize": q_multimodal_resize,
+        "bloom_join": q_bloom_join,
+        "map_funcs": q_map_funcs,
+        "diff_bags": q_diff_bags,
+        "udf_python": q_udf_python,
+        "events_sliding": q_events_sliding,
+        "join_merge": q_join_merge,
+        "join_merge_sparse": q_join_merge_sparse,
+        "join_skewed": q_join_skewed,
+        "pluck": q_pluck,
+        "pigstorage_roundtrip": q_pigstorage_roundtrip,
+        "corpus_pipeline": q_corpus_pipeline,
+        "per_source_cap": q_per_source_cap,
+        "blocklist_filter": q_blocklist_filter,
+        "classifier_score": q_classifier_score,
+        "corpus_stats": q_corpus_stats,
+        "stream_dedup": q_streaming_dedup,
+        "stream_upsert": q_stream_upsert,
+        "ngram_logcount": q_ngram_logcount,
+        "regex_funcs": q_regex_funcs,
+        "string_funcs2": q_string_funcs2,
+        "datetime_funcs2": q_datetime_funcs2,
+        "bag_string": q_bag_string,
+        "tuple_construct": q_tuple_construct,
+        "macro_params_script": q_macro_params_script,
+        "json_roundtrip": q_json_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "text_loader": q_text_loader,
+        "stats_agg": q_stats_agg,
+        "skew_salted": q_skew_salted,
+        "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "fingerprint_table": q_fingerprint_table,
+        "leakage_safe_split": q_leakage_safe_split,
+        "compaction_plan": q_compaction_plan,
+        "k_anonymity": q_k_anonymity,
+        "profile_events": q_profile_events,
+        "weighted_sample": q_weighted_sample,
+        "outliers": q_outliers,
+        "sessionize": q_sessionize,
+        "rollup_incremental": q_rollup_incremental,
+        "pmi": q_pmi,
+        "winsorize_events": q_winsorize,
+        "chi2_lang_source": q_chi2,
+        "histogram_events": q_histogram,
+        "gap_fill": q_gap_fill,
+        "group_ols": q_group_ols,
+        "covisitation": q_covisitation,
+        "theil_sen": q_theil_sen,
+        "timeseries_report": q_timeseries_report,
+        "keywords": q_keywords,
+        "conversion_times": q_conversion_times,
+        "anomaly_days": q_anomaly_days,
+        "rfm": q_rfm,
+        "abc_suppliers": q_abc_suppliers,
+        "growth": q_growth,
+        "group_gini": q_group_gini,
+        "group_mad": q_group_mad,
+        "group_mode": q_group_mode,
+        "item_cooccurrence": q_item_cooccurrence,
+        "consistent_sample": q_consistent_sample,
+        "ohlc": q_ohlc,
+        "twap": q_twap,
+        "rolling_sum": q_rolling_sum,
+        "ewma": q_ewma,
+        "benford": q_benford,
+        "cc_incremental": q_cc_incremental,
+        "transitions": q_transitions,
+        "dq_events": q_dq,
+        "dq_embeddings": q_dq_embeddings,
+        "asof_nearest": q_asof_nearest,
+        "funnel": q_funnel,
+        "scd2": q_scd2,
+        "pivot_events": q_pivot_events,
+        "unpivot_events": q_unpivot_events,
+        "cohort": q_cohort,
+        "partitioned_pruning": q_partitioned_pruning,
+        "strsplittobag": q_strsplittobag,
+        "range_join": q_range_join,
+        "window_frames": q_window_frames,
+        "window_ranks": q_window_ranks,
+        "cube_grouping": q_cube_grouping,
+        "bucketed_join": q_bucketed_join,
+        "events_json_struct": q_events_json_struct,
+        "stratified_sample": q_stratified_sample,
+        "partition_by_custom": q_partition_by_custom,
+        "schema_merge": q_schema_merge,
+        "cogroup_3way": q_cogroup_3way,
+        "join_right": q_join_right,
+        # --- rows-only (RNG, no oracle by design)
+        "sample": q_sample,
+        "unique_id": q_unique_id,
+        # --- driver-checked green in r1-r7
         "agg_q1": q_agg_q1,
         "join_3way": q_join_3way,
         "filter_expr": q_filter_expr,
@@ -3861,171 +4024,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_spans": q_dedup_spans,
         "triangles": q_triangles,
-        "pagerank": q_pagerank,
-        "setsim_pairs": q_setsim_pairs,
         "connected_components": q_connected_components,
         "dedup_near_full": q_dedup_near_full,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_index_roundtrip": q_dedup_index_roundtrip,
-        "dedup_incremental_clusters": q_dedup_incremental_clusters,
-        "shortest_paths": q_shortest_paths,
-        "label_spreading": q_label_spreading,
-        "weighted_paths": q_weighted_paths,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_bruteforce": q_similarity_bruteforce,
-        "quantize_embeddings": q_quantize_embeddings,
         "similarity_lsh": q_similarity_lsh,
         "text_quality": q_text_quality,
-        "gopher_filter": q_gopher_filter,
-        "dedup_lines": q_dedup_lines,
-        "scrub_pii": q_scrub_pii,
-        "resample_mixture": q_resample_mixture,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "tfidf": q_tfidf,
-        "time_rollup": q_time_rollup,
-        "bm25": q_bm25,
-        "sketch_distinct": q_sketch_distinct,
-        "sketch_quantiles": q_sketch_quantiles,
-        "trending": q_trending,
-        "inverted_index": q_inverted_index,
         "events_tumbling": q_events_tumbling,
         "events_session_window": q_events_session_window,
-        "events_interval_join": q_events_interval_join,
-        "top_n": q_top_n,
-        "rank_by": q_rank_by,
-        "rank_dense": q_rank_dense,
-        "sample": q_sample,
-        "assert_op": q_assert_op,
-        "stream_through": q_stream_through,
-        "token_count": q_token_count,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_ivf": q_similarity_ivf,
-        "similarity_ivf_trained": q_similarity_ivf_trained,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_decode_pnm": q_multimodal_decode_pnm,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_phash": q_multimodal_phash,
-        "multimodal_near_dedup": q_multimodal_near_dedup,
-        "bloom_join": q_bloom_join,
-        "map_funcs": q_map_funcs,
-        "diff_bags": q_diff_bags,
-        "udf_python": q_udf_python,
-        "events_sliding": q_events_sliding,
-        "join_merge": q_join_merge,
-        "join_merge_sparse": q_join_merge_sparse,
-        "join_skewed": q_join_skewed,
-        "pluck": q_pluck,
-        "pigstorage_roundtrip": q_pigstorage_roundtrip,
-        "corpus_pipeline": q_corpus_pipeline,
-        "per_source_cap": q_per_source_cap,
-        "blocklist_filter": q_blocklist_filter,
-        "classifier_score": q_classifier_score,
-        "corpus_stats": q_corpus_stats,
-        "kmeans": q_kmeans,
-        "semantic_dedup": q_semantic_dedup,
-        "stream_dedup": q_streaming_dedup,
-        "stream_upsert": q_stream_upsert,
-        "ngram_logcount": q_ngram_logcount,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "regex_funcs": q_regex_funcs,
-        "string_funcs2": q_string_funcs2,
-        "datetime_funcs2": q_datetime_funcs2,
-        "bag_string": q_bag_string,
-        "tuple_construct": q_tuple_construct,
-        "macro_params_script": q_macro_params_script,
-        "json_roundtrip": q_json_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "text_loader": q_text_loader,
-        "stats_agg": q_stats_agg,
-        "skew_salted": q_skew_salted,
-        "heavy_hitters": q_heavy_hitters,
-        "merge_upsert": q_merge_upsert,
-        "snapshot_diff": q_snapshot_diff,
-        "fingerprint_table": q_fingerprint_table,
-        "leakage_safe_split": q_leakage_safe_split,
-        "compaction_plan": q_compaction_plan,
-        "containment": q_containment,
-        "shard_plan": q_shard_plan,
-        "shard_plan_incremental": q_shard_plan_incremental,
-        "k_anonymity": q_k_anonymity,
-        "profile_events": q_profile_events,
-        "weighted_sample": q_weighted_sample,
-        "outliers": q_outliers,
-        "sessionize": q_sessionize,
-        "rollup_incremental": q_rollup_incremental,
-        "pmi": q_pmi,
-        "winsorize_events": q_winsorize,
-        "chi2_lang_source": q_chi2,
-        "histogram_events": q_histogram,
-        "gap_fill": q_gap_fill,
-        "group_ols": q_group_ols,
-        "covisitation": q_covisitation,
-        "theil_sen": q_theil_sen,
-        "boilerplate": q_boilerplate,
-        "timeseries_report": q_timeseries_report,
-        "keywords": q_keywords,
-        "conversion_times": q_conversion_times,
-        "anomaly_days": q_anomaly_days,
-        "rfm": q_rfm,
-        "abc_suppliers": q_abc_suppliers,
-        "growth": q_growth,
-        "group_gini": q_group_gini,
-        "group_mad": q_group_mad,
-        "group_mode": q_group_mode,
-        "item_cooccurrence": q_item_cooccurrence,
-        "equifreq_bins": q_equifreq_bins,
-        "consistent_sample": q_consistent_sample,
-        "jl_sketch": q_jl_sketch,
-        "embedding_covariance": q_embedding_covariance,
-        "hard_negatives": q_hard_negatives,
-        "normalize_text": q_normalize_text,
-        "ohlc": q_ohlc,
-        "twap": q_twap,
-        "rolling_sum": q_rolling_sum,
-        "ewma": q_ewma,
-        "pareto": q_pareto,
-        "benford": q_benford,
-        "bigram_lm": q_bigram_lm,
-        "cc_incremental": q_cc_incremental,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "transitions": q_transitions,
-        "dq_events": q_dq,
-        "dq_embeddings": q_dq_embeddings,
-        "asof_nearest": q_asof_nearest,
-        "zorder": q_zorder,
-        "funnel": q_funnel,
-        "scd2": q_scd2,
-        "pivot_events": q_pivot_events,
-        "unpivot_events": q_unpivot_events,
-        "cohort": q_cohort,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "partitioned_pruning": q_partitioned_pruning,
-        "strsplittobag": q_strsplittobag,
-        "unique_id": q_unique_id,
-        "decontaminate": q_decontaminate,
-        "chunk_documents": q_chunk_documents,
-        "text_signals": q_text_signals,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "pack_sequences": q_pack_sequences,
-        "group_apply": q_group_apply,
-        "window_frames": q_window_frames,
-        "window_ranks": q_window_ranks,
-        "cube_grouping": q_cube_grouping,
-        "bucketed_join": q_bucketed_join,
-        "events_json_struct": q_events_json_struct,
-        "stratified_sample": q_stratified_sample,
-        "collected_group": q_collected_group,
-        "partition_by_custom": q_partition_by_custom,
-        "schema_merge": q_schema_merge,
-        "cogroup_3way": q_cogroup_3way,
-        "join_right": q_join_right,
-        "join_full": q_join_full,
     }
 
 
@@ -7286,27 +7296,59 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY group_size, c_nationkey, c_mktsegment
         """,
         "containment": """
-            WITH sh AS (
-              SELECT doc_id, list_distinct([substring(text, i, 8)
+            -- Replays the engine's exact-dup PRE-COLLAPSE (dedup.py
+            -- _exact_text_groups): shingle + self-join over one
+            -- representative per DISTINCT text, df weighted by group
+            -- size, then expand rep-level directed pairs to members.
+            -- Semantically identical to the direct 50k-doc replay
+            -- (containment depends only on the texts) but the join is
+            -- sigma df^2 over distinct texts — this is what makes the
+            -- sf1 oracle runnable (the un-collapsed replay spilled
+            -- >79 GB in DuckDB at sf1; r7 verdict item 4).
+            WITH nn AS (SELECT doc_id, text FROM documents
+                        WHERE text IS NOT NULL),
+            grp AS (SELECT text, MIN(doc_id) AS gid, COUNT(*) AS gn
+                    FROM nn GROUP BY text),
+            mem AS (SELECT n.doc_id, g.gid, g.gn
+                    FROM nn n JOIN grp g USING (text)),
+            sh AS (SELECT gid, gn, list_distinct([substring(text, i, 8)
                       for i in generate_series(
                           1, greatest(length(text) - 7, 1))]) AS s
-              FROM documents WHERE text IS NOT NULL),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-            cap AS (SELECT greatest(50, count(*) // 10) AS c
-                    FROM documents WHERE text IS NOT NULL),
-            dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
-            kept AS (SELECT e.doc_id, e.g
+                   FROM grp),
+            ex AS (SELECT gid, gn, unnest(s) AS g FROM sh),
+            cap AS (SELECT greatest(50, count(*) // 10) AS c FROM nn),
+            dfreq AS (SELECT g, SUM(gn) AS df, COUNT(*) AS rdf
+                      FROM ex GROUP BY g),
+            kept AS (SELECT e.gid, e.g, d.rdf
                      FROM ex e JOIN dfreq d USING (g), cap
                      WHERE d.df <= cap.c),
-            sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            sz AS (SELECT gid, count(*) AS n FROM kept GROUP BY gid),
             shared AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              SELECT a.gid AS ra, b.gid AS rb, count(*) AS c
               FROM kept a JOIN kept b USING (g)
-              WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   ROUND(CAST(c AS DOUBLE) / sa.n, 4) AS containment
-            FROM shared JOIN sz sa ON sa.doc_id = shared.id_a
-            WHERE CAST(c AS DOUBLE) / sa.n >= 0.6
+              WHERE a.rdf >= 2 AND a.gid < b.gid GROUP BY 1, 2),
+            directed AS (
+              SELECT ra, rb, CAST(c AS DOUBLE) / sa.n AS ct
+              FROM shared JOIN sz sa ON sa.gid = shared.ra
+              UNION ALL
+              SELECT rb, ra, CAST(c AS DOUBLE) / sb.n
+              FROM shared JOIN sz sb ON sb.gid = shared.rb),
+            cross_pairs AS (
+              SELECT ma.doc_id AS id_a, mb.doc_id AS id_b, d.ct
+              FROM directed d JOIN mem ma ON ma.gid = d.ra
+                              JOIN mem mb ON mb.gid = d.rb
+              WHERE d.ct >= 0.6),
+            within AS (
+              SELECT m1.doc_id AS id_a, m2.doc_id AS id_b,
+                     CAST(1.0 AS DOUBLE) AS ct
+              FROM mem m1 JOIN mem m2
+                   ON m1.gid = m2.gid AND m1.doc_id <> m2.doc_id
+              JOIN (SELECT DISTINCT gid FROM kept) kk
+                   ON kk.gid = m1.gid
+              WHERE m1.gn > 1)
+            SELECT id_a, id_b, ROUND(ct, 4) AS containment
+            FROM (SELECT * FROM cross_pairs
+                  UNION ALL SELECT * FROM within)
             ORDER BY id_a, id_b
         """,
         "shard_plan": r"""

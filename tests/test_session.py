@@ -11,6 +11,15 @@ from spork_spark.session import _input_bytes, autosize_conf, get_spark
 SF1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "testdata_sf1")
 
 
+def _sf1() -> str:
+    """Self-provision the gitignored sf1 fixture instead of silently
+    skipping on a fresh boot (round-8 verdict item 6; ~2 min once)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(SF1), "tools"))
+    from make_scale import ensure_sf1
+    return ensure_sf1(SF1)
+
+
 def test_autosize_small_input_floors_at_cores():
     # sf0.1-sized input (~15 MB): upper bound floors at the core count;
     # AQE coalesces the actual count down at runtime.
@@ -41,8 +50,7 @@ def test_autosize_capped_and_empty():
 
 
 def test_input_bytes_picks_largest_table():
-    if not os.path.isdir(SF1):
-        pytest.skip("sf1 fixture not present")
+    _sf1()
     b = _input_bytes(SF1)
     line = os.path.join(SF1, "lineitem.parquet")
     expect = (sum(os.path.getsize(os.path.join(line, f))
@@ -52,8 +60,7 @@ def test_input_bytes_picks_largest_table():
 
 
 def test_get_spark_applies_autosize_at_runtime(spark):
-    if not os.path.isdir(SF1):
-        pytest.skip("sf1 fixture not present")
+    _sf1()
     if "SPARK_GRAFT_SHUFFLE" in os.environ:
         pytest.skip("explicit override active")
     before = spark.conf.get("spark.sql.shuffle.partitions")

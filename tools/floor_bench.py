@@ -65,47 +65,10 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def t(name):
-        return spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
-
-    li = t("lineitem")
-    orders = t("orders")
-    events = t("events")
-
-    # per-query floor plans: (scan_df, exchange_keys_or_None)
-    # scan = the exact ReadSchema + pushed filter of the query's plan;
-    # exchange keys = the query's widest shuffle (None -> no wide
-    # shuffle of the full row set in the plan shape).
-    floors = {
-        "agg_q1": (
-            li.where(F.col("l_shipdate") <= "1998-09-02")
-              .select("l_returnflag", "l_linestatus", "l_quantity",
-                      "l_extendedprice", "l_discount"),
-            None,            # post-partial-agg exchange moves ~6 rows
-        ),
-        "join_3way": (
-            li.select("l_orderkey", "l_extendedprice"),
-            ["l_orderkey"],  # fact side of the widest join shuffle
-        ),
-        "orderby_limit": (
-            li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
-            None,            # TakeOrderedAndProject: per-task top-k,
-                             # driver merges k*tasks rows — no exchange
-        ),
-        "distinct": (
-            li.select("l_orderkey", "l_partkey"),
-            ["l_orderkey", "l_partkey"],
-        ),
-        "window_rank": (
-            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
-            ["o_custkey"],
-        ),
-        "events_session": (
-            events.select("user_id", "ts", "value"),
-            None,            # post-partial-agg exchange (user x hour
-                             # groups ~ tens of k rows) + top-50
-        ),
-    }
+    # per-query floor plans: (scan_df, exchange_keys_or_None) — the
+    # single source of truth lives in bench.floor_plans (bench.py also
+    # stamps these floors into its own JSON line each round).
+    floors = bench.floor_plans(spark, SF_DIR)
 
     qs = entrymod.queries()
     q_dfs = {n: qs[bench.HEADLINE[n]](spark, SF_DIR) for n in floors}
