@@ -3749,15 +3749,16 @@ def q_containment(spark, sf):
     corpus sizes (a shared shingle's df grows linearly with the
     corpus, so a fixed cap that works at 500 docs blacks out the
     same duplication structure at 5,000; measured 2,721 → 0 pairs
-    before this was made relative). One count() action feeds the
-    cap; the oracle replays it as a scalar subquery."""
+    before this was made relative). The cap is computed INSIDE the
+    plan (max_df_frac: 1-row count aggregate broadcast — r7 advisor:
+    no eager action at query-construction time); the oracle replays
+    it as a scalar subquery."""
     from spork_spark.operators import containment_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    n_docs = docs.where(F.col("text").isNotNull()).count()
     return containment_pairs(docs, "doc_id", "text",
                              n=8, threshold=0.6,
-                             max_df=max(50, n_docs // 10)) \
+                             max_df_frac=0.1, max_df_floor=50) \
         .orderBy("id_a", "id_b")
 
 

@@ -344,7 +344,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, threshold: float = 0.8,
-                      max_df: int | None = 50) -> DataFrame:
+                      max_df: int | None = 50,
+                      max_df_frac: float | None = None,
+                      max_df_floor: int = 50) -> DataFrame:
     """DIRECTED containment near-dup pairs: (id_a, id_b, containment)
     with containment(a→b) = |S(a) ∩ S(b)| / |S(a)| over character
     n-gram shingle sets — the asymmetric complement of Jaccard. A short
@@ -376,6 +378,15 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     representative-level results expand to members unchanged —
     parity with the direct path is pinned in tests. Null texts never
     shingle and never pair.
+
+    ``max_df_frac`` makes the cap CORPUS-RELATIVE *inside the plan*:
+    cap = greatest(``max_df_floor``, floor(frac * non-null docs)),
+    computed as a 1-row count aggregate broadcast into the df filter —
+    no eager action at query-construction time, so a caller who never
+    materializes the result pays nothing (an absolute cap does not
+    transfer across corpus sizes: a shared shingle's df grows linearly
+    with the corpus, so a fixed cap that keeps structure at 500 docs
+    blacks it out at 5,000). When set, ``max_df`` is ignored.
     """
     members, uniq = _exact_text_groups(df, id_col, text_col)
     gsz = members.where(F.col(id_col) == F.col("__gid")) \
@@ -391,7 +402,20 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     dfreq = ex.groupBy("__g").agg(F.sum("__gn").alias("__df"),
                                   F.count(F.lit(1)).alias("__rdf"))
     kept = ex.join(dfreq, on="__g")
-    if max_df is not None:
+    if max_df_frac is not None:
+        # 1-row lazy cap: greatest(floor, floor(frac * N)) over non-null
+        # texts, duplicate-inclusive — identical to the eager
+        # max(floor, N // (1/frac)) a caller would precompute, but the
+        # count runs inside the job (broadcast of one row, AQE turns the
+        # crossJoin into a BroadcastNestedLoopJoin of a scalar).
+        cap = (df.where(F.col(text_col).isNotNull())
+                 .agg(F.greatest(
+                     F.lit(int(max_df_floor)).cast("long"),
+                     F.floor(F.count(F.lit(1)) * F.lit(float(max_df_frac)))
+                 ).alias("__cap")))
+        kept = kept.crossJoin(F.broadcast(cap)) \
+                   .where(F.col("__df") <= F.col("__cap")).drop("__cap")
+    elif max_df is not None:
         kept = kept.where(F.col("__df") <= F.lit(int(max_df)))
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     joinable = kept.where(F.col("__rdf") >= 2)

@@ -1249,6 +1249,39 @@ def test_containment_maxdf_blacks_out_oversized_groups(spark):
     assert all(r.containment == 1.0 for r in full)
 
 
+def test_containment_lazy_frac_cap_matches_eager_int_cap(spark):
+    """max_df_frac computes the corpus-relative cap INSIDE the plan
+    (1-row count broadcast); it must equal the eager max(floor,
+    N // 10) int path bit-for-bit, including on a corpus small enough
+    that the floor dominates, and must not fire any job at
+    query-construction time."""
+    from spork_spark.operators import containment_pairs
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta",
+             "unrelated words entirely here now",
+             "alpha beta gamma", None]
+    rows = [(i, texts[i % 5]) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    n_docs = 20                                   # non-null rows
+    eager = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5,
+                              max_df=max(4, n_docs // 10))
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    lazy = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5,
+                             max_df_frac=0.1, max_df_floor=4)
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before
+    key = lambda r: (r.id_a, r.id_b, r.containment)
+    assert sorted(map(key, lazy.collect())) == \
+           sorted(map(key, eager.collect()))
+    # floor-dominated corpus: frac gives 2, floor lifts to 50 == max_df=50
+    small_eager = containment_pairs(df, "doc_id", "text", n=3,
+                                    threshold=0.5, max_df=50)
+    small_lazy = containment_pairs(df, "doc_id", "text", n=3,
+                                   threshold=0.5, max_df_frac=0.1)
+    assert sorted(map(key, small_lazy.collect())) == \
+           sorted(map(key, small_eager.collect()))
+
+
 def test_containment_ignores_null_texts(spark):
     from spork_spark.operators import containment_pairs
     rows = [(0, "shared text body for the pair"),

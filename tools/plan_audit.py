@@ -57,6 +57,7 @@ CROSS_OK = {
     "rfm": "1-row max-date and per-metric 1-row total broadcasts (score maps themselves are equi-joins, fence-guarded)",
     "abc_suppliers": "1-row grand-total broadcast for the class boundary ppm comparison",
     "shard_plan_incremental": "1-row shipped-manifest total broadcast (the append base offset)",
+    "containment": "1-row corpus-count broadcast for the relative df cap (lazy max_df_frac)",
 }
 
 # name -> reason Python row-crossing is intrinsic
