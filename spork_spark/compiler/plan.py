@@ -1346,10 +1346,16 @@ class PlanCompiler:
         keys = [ctx.compile(k).asc_nulls_first() if asc
                 else ctx.compile(k).desc_nulls_last()
                 for k, asc in pairs]
-        out = df.orderBy(*keys)
         if node.parallel:
-            out = out.repartition(node.parallel)   # PARALLEL n post-sort
-        return out
+            # Pig ORDER ... PARALLEL n = n reducers for the range sort;
+            # the output stays TOTALLY ordered across partitions. A
+            # round-robin repartition after orderBy would destroy that
+            # (caught by the PigMix L9 golden): range-partition on the
+            # sort keys, then sort within — partition ids carry the
+            # global order.
+            return (df.repartitionByRange(node.parallel, *keys)
+                      .sortWithinPartitions(*keys))
+        return df.orderBy(*keys)
 
     def _c_rank(self, node: L.Rank) -> DataFrame:
         df = self._compile(node.child)

@@ -360,7 +360,10 @@ REGISTRY: dict = {
 
     # -- type / structure -------------------------------------------------------
     "TOTUPLE": lambda *cs: F.struct(*cs),
-    "TOBAG": lambda *cs: F.array(*[F.struct(c) for c in cs]),
+    # Pig TOBAG({(x),(y),...}): each arg becomes a 1-field tuple. The
+    # struct field name must be uniform or array() rejects the mix
+    # (a bare column keeps its name, an expression gets colN).
+    "TOBAG": lambda *cs: F.array(*[F.struct(c.alias("t0")) for c in cs]),
     "TOMAP": lambda *cs: F.create_map(*cs),
     "ISEMPTY": _is_empty,
     "DIFF": _diff,

@@ -1181,6 +1181,14 @@ class PigParser:
                         fields.append(lower_inner_expr(g, var))
                 bag_env[name] = E.Func("TRANSFORM_BAG", [
                     bag, E.Lambda(["t"], E.Func("TOTUPLE", fields))])
+            elif kw.text in bag_env:
+                # bare bag-projection alias (the PigMix L4 idiom:
+                # `aleph = B.action;` — no operator keyword, just a
+                # projected bag reference bound to an inner name)
+                bag = bag_env[kw.text]
+                while self.accept("op", "."):
+                    bag = E.Deref(bag, self.expect("ident").text)
+                bag_env[name] = bag
             else:
                 raise PigSyntaxError(
                     f"unsupported inner operator {kw.text.upper()}")

@@ -1,0 +1,203 @@
+"""Generate + verify the PigMix L1-L17 golden TSVs INDEPENDENTLY.
+
+The golden harness (tests/test_golden_scripts.py) pins engine output
+against checked-in TSVs; this tool derives those TSVs for the PigMix
+ports from DuckDB SQL replays (the same independence rule as the
+oracle_sql() registry), and refuses to write a golden unless the
+engine output and the DuckDB replay agree cell-for-cell under the
+harness's own formatting. Reference analog: the PigMix suite itself
+(`pig:test/perf/pigmix/`), whose shapes docs/PIGMIX.md maps; these
+scripts are those shapes run through the parser at sf0.001.
+
+Usage: python tools/gen_pigmix_goldens.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+GOLDEN = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
+
+# Pig ROUND is floor(x + 0.5) returning a long — replayed literally.
+R = "CAST(FLOOR({} + 0.5) AS BIGINT)"
+
+ORACLES: dict[str, str] = {
+    "pigmix_l01": f"""
+        WITH b AS (
+          SELECT user_id, event_type, value,
+                 unnest([value, value + 1.0]) AS page_links
+          FROM events),
+        c AS (SELECT user_id,
+                     CASE WHEN event_type = 'click' THEN value
+                          ELSE page_links END AS header
+              FROM b)
+        SELECT user_id AS uid, COUNT(*) AS cnt,
+               {R.format('SUM(header) * 100.0')} AS header_cents
+        FROM c GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l02": f"""
+        SELECT e.user_id AS uid, c.c_mktsegment AS seg, COUNT(*) AS n,
+               {R.format('SUM(e.value) * 100.0')} AS cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1
+    """,
+    "pigmix_l03": f"""
+        SELECT o.o_orderpriority AS prio, COUNT(*) AS n,
+               {R.format('SUM(l.l_extendedprice) * 100.0')} AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l04": """
+        SELECT user_id AS uid, COUNT(DISTINCT event_type) AS n_actions
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l05": """
+        SELECT c_custkey AS cust FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0)
+        ORDER BY 1
+    """,
+    "pigmix_l06": """
+        WITH b AS (
+          SELECT CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS big_qty,
+                 l_orderkey % 10 AS okmod,
+                 CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS price_r
+          FROM lineitem)
+        SELECT big_qty, okmod, COUNT(*) AS n,
+               CAST(SUM(price_r) AS BIGINT) AS tot
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "pigmix_l07": """
+        SELECT user_id AS uid,
+               COUNT(*) FILTER (value < 150.0) AS n_am,
+               COUNT(*) FILTER (value >= 150.0) AS n_pm
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l08": f"""
+        SELECT COUNT(*) AS n,
+               {R.format('SUM(l_quantity)')} AS qty,
+               {R.format('SUM(l_extendedprice) * 100.0')} AS cents
+        FROM lineitem
+    """,
+    "pigmix_l09": """
+        SELECT event_id, event_type, value FROM events
+        ORDER BY event_type, event_id
+    """,
+    "pigmix_l10": """
+        SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey
+    """,
+    "pigmix_l11": """
+        SELECT DISTINCT k FROM (
+          SELECT user_id AS k FROM events
+          UNION ALL SELECT o_custkey % 20 FROM orders)
+        ORDER BY k
+    """,
+    "pigmix_l12": """
+        WITH s AS (SELECT o_orderpriority AS prio,
+                          CASE WHEN o_totalprice >= 200000.0
+                               THEN 'hi' ELSE 'lo' END AS side
+                   FROM orders)
+        SELECT prio, side, COUNT(*) AS n
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "pigmix_l13": """
+        SELECT c.c_custkey AS cust,
+               CAST(SUM(CASE WHEN b.o_orderkey IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_big
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) b
+               ON c.c_custkey = b.o_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l14": f"""
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+               {R.format('SUM(o.o_totalprice) * 100.0')} AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l15": """
+        SELECT o_orderpriority AS prio,
+               COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(DISTINCT o_orderstatus) AS n_status
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l16": f"""
+        WITH r AS (
+          SELECT o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rn
+          FROM orders)
+        SELECT o_custkey AS cust,
+               {R.format('SUM(o_totalprice) * 100.0')} AS top3_cents
+        FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1
+    """,
+    "pigmix_l17": f"""
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(l_shipdate AS VARCHAR) AS sd, l_linenumber AS ln,
+               COUNT(*) AS n, {R.format('SUM(l_quantity)')} AS qty
+        FROM lineitem
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 1
+        ORDER BY 1, 2, 3, 4
+    """,
+}
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _fmt_cell(v):
+    # mirror of tests/test_golden_scripts._fmt_cell (the comparison is
+    # only meaningful under the harness's own formatting)
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.4f}"
+    return str(v)
+
+
+def main() -> None:
+    from spork_spark import Engine, get_spark
+    from spork_spark.parser import run_script
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark)
+
+    n_bad = 0
+    for stem, sql in ORACLES.items():
+        script = GOLDEN / f"{stem}.pig"
+        rels = run_script(eng, script.read_text(), params={"sf": SF})
+        df = rels["out"].df()
+        cols = df.columns
+        got = [[_fmt_cell(v) for v in row] for row in df.collect()]
+        want = [[_fmt_cell(v) for v in row] for row in con.sql(sql).fetchall()]
+        if got != want:
+            n_bad += 1
+            print(f"MISMATCH {stem}: engine {len(got)} rows, duck {len(want)}")
+            for g, w in list(zip(got, want))[:5]:
+                if g != w:
+                    print(f"  engine={g}\n  duck  ={w}")
+            continue
+        assert len(got) > 0, f"{stem}: empty result is not a useful golden"
+        lines = ["\t".join(cols)] + ["\t".join(r) for r in want]
+        (GOLDEN / f"{stem}.expected.tsv").write_text("\n".join(lines) + "\n")
+        print(f"ok {stem}: {len(want)} rows (engine == duckdb)")
+    if n_bad:
+        sys.exit(f"{n_bad} scripts disagree with their DuckDB replay")
+
+
+if __name__ == "__main__":
+    main()
