@@ -222,17 +222,30 @@ def main() -> None:
         for df in fplans.values():
             run(df)
 
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        run(df)
+        return time.perf_counter() - t0
+
     def median_of(df, n):
         run(df)  # re-warm directly before timing
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            run(df)
-            times.append(time.perf_counter() - t0)
-        return round(statistics.median(times), 4)
+        return round(statistics.median(timed(df) for _ in range(n)), 4)
 
-    results = {name: median_of(df, 7) for name, df in dfs.items()}
-    floors = {name: median_of(df, 5) for name, df in fplans.items()}
+    # Query and floor are sampled INTERLEAVED, one (floor, query) pair
+    # per iteration, and the ratio is the median of per-pair ratios:
+    # adjacent runs share host conditions, so slow-phase drift inside a
+    # run cancels out of the ratio (measured: phase-separated medians
+    # moved the join_3way ratio 1.9 -> 2.9 between two back-to-back
+    # runs on one boot; paired ratios hold).
+    results, floors, ratios = {}, {}, {}
+    for name, df in dfs.items():
+        fdf = fplans[name]
+        run(fdf); run(df)  # re-warm the pair directly before timing
+        pairs = [(timed(fdf), timed(df)) for _ in range(7)]
+        floors[name] = round(statistics.median(f for f, _ in pairs), 4)
+        results[name] = round(statistics.median(q for _, q in pairs), 4)
+        ratios[name] = round(statistics.median(
+            q / f for f, q in pairs if f > 0), 2)
     fixed = median_of(empty, 5)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -247,9 +260,7 @@ def main() -> None:
         # rounds, not the raw seconds.
         "floor": floors,
         "fixed_job_overhead_sec": fixed,
-        "ratio_to_floor": {
-            n: round(results[n] / floors[n], 2) if floors[n] else None
-            for n in results},
+        "ratio_to_floor": ratios,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
