@@ -363,6 +363,29 @@ def test_mixed_cube_rollup(eng):
     assert "collect_list" not in plan   # fused, no bag
 
 
+def test_order_parallel_keeps_total_order(eng):
+    """ORDER ... PARALLEL n sets the reducer count but the output stays
+    TOTALLY ordered (Pig's range-sort contract; caught by the PigMix L9
+    golden): n range partitions whose ids carry the global order, never
+    a round-robin repartition after the sort."""
+    rels = run_script(eng, f"""
+        o = LOAD '{SF}/orders.parquet';
+        p = FOREACH o GENERATE o_orderpriority, o_orderkey;
+        srt = ORDER p BY o_orderpriority DESC, o_orderkey PARALLEL 4;
+    """)
+    df = rels["srt"].df()
+    assert df.rdd.getNumPartitions() == 4
+    rows = [(r.o_orderpriority, r.o_orderkey) for r in df.collect()]
+    assert rows == sorted(rows, key=lambda t: (_desc_key(t[0]), t[1]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobin" not in plan
+
+
+def _desc_key(s):
+    # invert string ordering for the DESC leading key
+    return tuple(-ord(c) for c in s)
+
+
 def test_literals_and_escapes(eng, tmp_path):
     r"""Scientific-notation integers (1e6), string escapes (\t \n \uXXXX),
     unknown escapes pass through (regex '\d+' keeps its backslash), and
