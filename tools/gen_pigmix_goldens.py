@@ -1,4 +1,5 @@
-"""Generate + verify the PigMix L1-L17 golden TSVs INDEPENDENTLY.
+"""Generate + verify DuckDB-derived golden TSVs INDEPENDENTLY
+(the PigMix L1-L17 ports plus other scripted-surface goldens).
 
 The golden harness (tests/test_golden_scripts.py) pins engine output
 against checked-in TSVs; this tool derives those TSVs for the PigMix
@@ -147,6 +148,52 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 1
         ORDER BY 1, 2, 3, 4
+    """,
+    # --- non-PigMix scripted-surface goldens (same independence rule) ---
+    "join_skewed_agg": f"""
+        SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+               {R.format('SUM(l.l_extendedprice) * 100.0')} AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "join_merge_sparse_agg": """
+        SELECT c.c_custkey AS cust, b.o_orderkey AS ok
+        FROM customer c
+        JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) b
+          ON c.c_custkey = b.o_custkey
+        ORDER BY 1, 2
+    """,
+    "rank_variants": """
+        SELECT kind, rnk, o_orderkey FROM (
+          SELECT 'rank' AS kind,
+                 RANK() OVER (ORDER BY o_orderpriority) AS rnk,
+                 o_orderkey
+          FROM orders
+          UNION ALL
+          SELECT 'dense',
+                 DENSE_RANK() OVER (ORDER BY o_orderpriority),
+                 o_orderkey
+          FROM orders)
+        ORDER BY kind, o_orderkey
+    """,
+    "datetime_mix": """
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               weekofyear(o_orderdate) AS wk,
+               strftime(o_orderdate, '%Y-%m-%d') AS ds,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        ORDER BY o_orderkey
+    """,
+    "cast_edges": """
+        SELECT n_nationkey,
+               CAST(TRUNC(CAST(n_nationkey - 30 AS DOUBLE) / 7) AS INT)
+                   AS intdiv,
+               CAST(NULL AS INT) AS divzero,
+               CAST(NULL AS INT) AS badcast,
+               regexp_full_match(n_name, 'NATION_1.') AS m1
+        FROM nation ORDER BY n_nationkey
     """,
 }
 
