@@ -11,6 +11,11 @@ harness's own formatting. Reference analog: the PigMix suite itself
 scripts are those shapes run through the parser at sf0.001.
 
 Usage: python tools/gen_pigmix_goldens.py [sf_dir]
+       python tools/gen_pigmix_goldens.py --check [sf_dir] [--json out]
+           compare-only at an arbitrary scale (no goldens written) —
+           script-level parity at the scale the goldens don't pin,
+           the reference e2e's full-data diff model
+           (pig:test/e2e/pig/drivers/TestDriverPig.pm).
 """
 
 from __future__ import annotations
@@ -23,7 +28,16 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ARGS = sys.argv[1:]
+CHECK = "--check" in ARGS
+if CHECK:
+    ARGS.remove("--check")
+JSON_OUT = None
+if "--json" in ARGS:
+    i = ARGS.index("--json")
+    JSON_OUT = ARGS[i + 1]
+    ARGS = ARGS[:i] + ARGS[i + 2:]
+SF = ARGS[0] if ARGS else "/root/testdata/sf0.001"
 GOLDEN = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
 
 # Pig ROUND is floor(x + 0.5) returning a long — replayed literally.
@@ -223,7 +237,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark)
 
-    n_bad = 0
+    n_bad, report = 0, []
     for stem, sql in ORACLES.items():
         script = GOLDEN / f"{stem}.pig"
         rels = run_script(eng, script.read_text(), params={"sf": SF})
@@ -233,15 +247,28 @@ def main() -> None:
         want = [[_fmt_cell(v) for v in row] for row in con.sql(sql).fetchall()]
         if got != want:
             n_bad += 1
+            report.append({"script": stem, "status": "FAIL",
+                           "rows": len(got), "oracle_rows": len(want)})
             print(f"MISMATCH {stem}: engine {len(got)} rows, duck {len(want)}")
             for g, w in list(zip(got, want))[:5]:
                 if g != w:
                     print(f"  engine={g}\n  duck  ={w}")
             continue
-        assert len(got) > 0, f"{stem}: empty result is not a useful golden"
-        lines = ["\t".join(cols)] + ["\t".join(r) for r in want]
-        (GOLDEN / f"{stem}.expected.tsv").write_text("\n".join(lines) + "\n")
+        report.append({"script": stem, "status": "PASS", "rows": len(got)})
+        if not CHECK:
+            assert len(got) > 0, f"{stem}: empty result is not a useful golden"
+            lines = ["\t".join(cols)] + ["\t".join(r) for r in want]
+            (GOLDEN / f"{stem}.expected.tsv").write_text("\n".join(lines) + "\n")
         print(f"ok {stem}: {len(want)} rows (engine == duckdb)")
+    if JSON_OUT:
+        import json
+        with open(JSON_OUT, "w") as fh:
+            json.dump({"sf": SF, "mode": "check" if CHECK else "generate",
+                       "n_scripts": len(ORACLES), "n_fail": n_bad,
+                       "protocol": ("full parse->lower->compile per script; "
+                                    "engine vs DuckDB replay, cell-exact "
+                                    "under the golden-harness formatting"),
+                       "results": report}, fh, indent=1)
     if n_bad:
         sys.exit(f"{n_bad} scripts disagree with their DuckDB replay")
 
