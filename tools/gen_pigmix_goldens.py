@@ -98,7 +98,8 @@ ORACLES: dict[str, str] = {
     "pigmix_l08": f"""
         SELECT COUNT(*) AS n,
                {R.format('SUM(l_quantity)')} AS qty,
-               {R.format('SUM(l_extendedprice) * 100.0')} AS cents
+               CAST(SUM({R.format('l_extendedprice * 100.0')}) AS BIGINT)
+                   AS cents
         FROM lineitem
     """,
     "pigmix_l09": """
@@ -231,7 +232,9 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        p = f"{SF}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
