@@ -37,6 +37,11 @@ if "--json" in ARGS:
     i = ARGS.index("--json")
     JSON_OUT = ARGS[i + 1]
     ARGS = ARGS[:i] + ARGS[i + 2:]
+SKIP: set[str] = set()
+if "--skip" in ARGS:
+    i = ARGS.index("--skip")
+    SKIP = set(ARGS[i + 1].split(","))
+    ARGS = ARGS[:i] + ARGS[i + 2:]
 SF = ARGS[0] if ARGS else "/root/testdata/sf0.001"
 GOLDEN = pathlib.Path(__file__).resolve().parent.parent / "tests" / "golden"
 
@@ -210,6 +215,230 @@ ORACLES: dict[str, str] = {
                regexp_full_match(n_name, 'NATION_1.') AS m1
         FROM nation ORDER BY n_nationkey
     """,
+    # --- legacy golden corpus, upgraded to DuckDB-derived (round 8) ----
+    # TOK = the engine's TOKENIZE delimiter class (builtins._tokenize,
+    # Pig StringTokenizer " \t\n\r\f\",()*").
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               l_quantity * (1.0 - l_discount) AS net
+        FROM lineitem
+        WHERE l_quantity >= 49.0 AND regexp_full_match(l_returnflag, '[AR]')
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "group_agg": """
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "case_when": """
+        SELECT DISTINCT l_returnflag,
+               CASE WHEN l_quantity >= 25.0 THEN 'big' ELSE 'small' END
+                   AS bucket
+        FROM lineitem ORDER BY l_returnflag, bucket
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus AS status, o_orderpriority AS prio,
+               COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, prio NULLS FIRST
+    """,
+    "cube_mixed": """
+        SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag), ROLLUP (l_linestatus)
+        ORDER BY rf NULLS FIRST, ls NULLS FIRST, n
+    """,
+    "split_union": """
+        SELECT o_orderkey, 'hi' AS tag FROM orders
+        WHERE o_totalprice > 300000.0 ORDER BY o_orderkey
+    """,
+    "scalar_rel": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice >
+              1.9 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+    """,
+    "range_proj": """
+        SELECT n_nationkey, n_name, 1 AS tag, 'x' AS src
+        FROM nation ORDER BY n_nationkey
+    """,
+    "rank_filter": """
+        SELECT rnk AS rank_o, o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice,
+                 RANK() OVER (ORDER BY o_totalprice DESC) AS rnk
+          FROM orders)
+        WHERE rnk <= 5 ORDER BY rank_o
+    """,
+    "cogroup_isempty": """
+        WITH rk AS (SELECT r_regionkey AS k, COUNT(*) AS n_regions
+                    FROM region GROUP BY 1),
+        fk AS (SELECT n_regionkey AS k, COUNT(*) AS n_matched
+               FROM nation WHERE n_nationkey < 3 GROUP BY 1)
+        SELECT COALESCE(rk.k, fk.k) AS rkey,
+               COALESCE(n_regions, 0) AS n_regions,
+               COALESCE(n_matched, 0) AS n_matched,
+               CASE WHEN COALESCE(n_matched, 0) = 0 THEN 1 ELSE 0 END
+                   AS is_anti
+        FROM rk FULL JOIN fk ON rk.k = fk.k ORDER BY rkey
+    """,
+    "cogroup_flags": """
+        WITH fk AS (SELECT n_regionkey AS k, COUNT(*) AS n_f
+                    FROM nation WHERE n_nationkey < 3 GROUP BY 1),
+        rk AS (SELECT r_regionkey AS k, COUNT(*) AS n_r
+               FROM region GROUP BY 1)
+        SELECT fk.k, fk.n_f, COALESCE(rk.n_r, 0) AS n_r
+        FROM fk LEFT JOIN rk ON fk.k = rk.k ORDER BY fk.k
+    """,
+    "cogroup_cross": """
+        WITH nk AS (SELECT n_regionkey AS k, COUNT(*) AS n_nations
+                    FROM nation GROUP BY 1),
+        sk AS (SELECT s_nationkey % 5 AS k, COUNT(*) AS n_supps
+               FROM supplier GROUP BY 1)
+        SELECT COALESCE(nk.k, sk.k) AS k,
+               CAST(COALESCE(n_nations, 0) * COALESCE(n_supps, 0) AS BIGINT)
+                   AS n_pairs,
+               COALESCE(n_nations, 0) AS n_nations,
+               COALESCE(n_supps, 0) AS n_supps
+        FROM nk FULL JOIN sk ON nk.k = sk.k ORDER BY k
+    """,
+    "flatten_map": """
+        WITH lim AS (SELECT event_id, user_id FROM events
+                     WHERE event_id < 5),
+        kv AS (SELECT event_id, 'uid' AS key, user_id AS value FROM lim
+               UNION ALL
+               SELECT event_id, 'double_uid', user_id * 2 FROM lim)
+        SELECT event_id, key, value FROM kv ORDER BY event_id, key
+    """,
+    "fr_join_two_repl": """
+        SELECT n.n_name AS nation, COUNT(*) AS n_pairs,
+               MIN(c.c_custkey) AS min_cust
+        FROM customer c
+        JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "join_group": """
+        SELECT n.n_name AS nation, COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "nway_join": """
+        SELECT n.n_name AS nation, COUNT(*) AS n_pairs
+        FROM customer c
+        JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "macro_wordcount": r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(
+              regexp_split_to_array(text, '[ \t\n\r\f",()*]+'),
+              x -> x != '')) AS token
+          FROM documents WHERE text IS NOT NULL)
+        SELECT token AS word, COUNT(*) AS n FROM toks
+        GROUP BY 1 ORDER BY n DESC, word LIMIT 5
+    """,
+    "nested_block": """
+        SELECT o_orderpriority AS prio,
+               COUNT(*) FILTER (o_totalprice > 200000.0) AS n_big,
+               MAX(o_totalprice) AS best
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "nested_cross": """
+        SELECT o_orderpriority AS pri,
+               CAST(COUNT(*) FILTER (o_totalprice > 250000.0)
+                    * COUNT(*) FILTER (o_totalprice < 5000.0) AS BIGINT)
+                   AS n_pairs,
+               CASE WHEN COUNT(*) FILTER (o_totalprice > 250000.0) > 0
+                     AND COUNT(*) FILTER (o_totalprice < 5000.0) > 0
+                    THEN MAX(o_totalprice) FILTER (o_totalprice > 250000.0)
+                       - MIN(o_totalprice) FILTER (o_totalprice < 5000.0)
+               END AS max_spread
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "union_onschema": """
+        SELECT name, src, rkey FROM (
+          SELECT r_name AS name, 'region' AS src, CAST(NULL AS INT) AS rkey
+          FROM region
+          UNION ALL
+          SELECT n_name, NULL, n_regionkey FROM nation)
+        ORDER BY name, src NULLS FIRST
+    """,
+    "union_widening": """
+        SELECT name, v FROM (
+          SELECT n_name AS name, CAST(n_nationkey AS DOUBLE) AS v
+          FROM nation
+          UNION ALL
+          SELECT r_name, 0.5 FROM region)
+        ORDER BY name, v
+    """,
+    "flatten_join": r"""
+        WITH fe AS (
+          SELECT o_custkey, unnest(list_filter(
+              regexp_split_to_array(o_orderpriority, '[ \t\n\r\f",()*]+'),
+              x -> x != '')) AS tok
+          FROM orders)
+        SELECT c.c_mktsegment AS seg, fe.tok, COUNT(*) AS cnt
+        FROM fe JOIN customer c ON fe.o_custkey = c.c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "kitchen_sink": """
+        WITH rb AS (
+          SELECT o_custkey AS cust,
+                 FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS rev,
+                 'big' AS src
+          FROM orders WHERE o_totalprice >= 200000.0 GROUP BY 1),
+        rs AS (
+          SELECT o_custkey,
+                 FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0,
+                 'small'
+          FROM orders WHERE NOT (o_totalprice >= 200000.0) GROUP BY 1)
+        SELECT cust, rev, src
+        FROM (SELECT * FROM rb UNION ALL SELECT * FROM rs)
+        WHERE rev > 300000.0 ORDER BY src, cust
+    """,
+    "analytics_mix": """
+        WITH per AS (
+          SELECT o_custkey AS cust, COUNT(*) AS n_ord,
+                 MAX(o_totalprice) AS best
+          FROM orders GROUP BY 1 HAVING COUNT(*) >= 14),
+        rk AS (SELECT *, DENSE_RANK() OVER (ORDER BY n_ord DESC) AS r
+               FROM per),
+        t1 AS (SELECT 'rank' AS kind, CAST(cust AS VARCHAR) AS k1,
+                      CAST(n_ord AS VARCHAR) AS k2, best AS val
+               FROM rk WHERE r <= 2),
+        cagg AS (
+          SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                 COUNT(*) AS n
+          FROM orders WHERE o_totalprice >= 100000.0
+          GROUP BY CUBE (o_orderpriority, o_orderstatus)),
+        t2 AS (SELECT 'cube', COALESCE(prio, 'ALL'),
+                      COALESCE(status, 'ALL'), CAST(n AS DOUBLE)
+               FROM cagg WHERE n > 150)
+        SELECT kind, k1, k2, val
+        FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+        ORDER BY kind, k1, k2
+    """,
+    "nightly_pipeline": """
+        WITH u AS (
+          SELECT o_orderpriority AS prio,
+                 CASE WHEN o_totalprice >= 150000.0
+                      THEN 'big' ELSE 'small' END AS seg,
+                 COUNT(*) AS n, FLOOR(SUM(o_totalprice)) AS tot
+          FROM orders GROUP BY 1, 2),
+        st AS (SELECT prio, seg, n, tot, n * 2 AS n2 FROM u),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY seg ORDER BY tot DESC, prio) AS rn
+              FROM st),
+        agg AS (SELECT seg, COUNT(DISTINCT prio) AS n_prio,
+                       FLOOR(SUM(tot) FILTER (rn <= 3)) AS top_tot,
+                       MAX(n2) AS max_n2
+                FROM r GROUP BY 1),
+        hot AS (SELECT * FROM st WHERE n > 100)
+        SELECT agg.seg, hot.prio, agg.n_prio, agg.top_tot,
+               agg.max_n2, hot.n AS n_hot
+        FROM agg JOIN hot ON agg.seg = hot.seg
+        ORDER BY 1, 2
+    """,
 }
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -242,12 +471,22 @@ def main() -> None:
 
     n_bad, report = 0, []
     for stem, sql in ORACLES.items():
+        if stem in SKIP:
+            report.append({"script": stem, "status": "SKIPPED"})
+            print(f"skip {stem} (--skip)")
+            continue
         script = GOLDEN / f"{stem}.pig"
         rels = run_script(eng, script.read_text(), params={"sf": SF})
         df = rels["out"].df()
         cols = df.columns
         got = [[_fmt_cell(v) for v in row] for row in df.collect()]
         want = [[_fmt_cell(v) for v in row] for row in con.sql(sql).fetchall()]
+        if CHECK:
+            # order-insensitive at non-golden scales (check_oracle's
+            # protocol): a script's final ORDER BY need not be a total
+            # order, and the 10x-replicated sf1 fixture turns benign
+            # ties into engine-vs-DuckDB row-order differences
+            got, want = sorted(got), sorted(want)
         if got != want:
             n_bad += 1
             report.append({"script": stem, "status": "FAIL",
