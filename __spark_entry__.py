@@ -1141,12 +1141,19 @@ def q_quantize_embeddings(spark, sf):
     4× storage reduction for 100 TB embedding columns): per-vector scale
     max|v|/127, half-up rounding, clamp to ±127 — all Column HOFs. The
     oracle replays the identical double arithmetic on the same float32
-    inputs, so codes and scales hash-match exactly."""
+    inputs, so codes and scales hash-match exactly. The driver-facing
+    projection serializes q_vec to a canonical CSV string (the driver's
+    pandas canonicalizer cannot sort list-typed cells — r8 lesson); the
+    operator itself still returns the typed array."""
     from spork_spark.operators import quantize_embeddings
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
     return (quantize_embeddings(emb)
-            .select("vec_id", "q_vec", "q_scale").orderBy("vec_id"))
+            .select("vec_id",
+                    F.array_join(F.transform("q_vec",
+                                             lambda x: x.cast("string")),
+                                 ",").alias("q_vec"),
+                    "q_scale").orderBy("vec_id"))
 
 
 def q_similarity_bruteforce(spark, sf):
@@ -2013,7 +2020,8 @@ def q_multimodal_features(spark, sf):
     return feats.select(
         "item_id",
         F.size("embedding").alias("n_dims"),
-        F.expr("transform(embedding, x -> CAST(round(x * 255) AS INT))")
+        F.expr("array_join(transform(embedding, "
+               "x -> CAST(CAST(round(x * 255) AS INT) AS STRING)), ',')")
          .alias("emb_bytes")).orderBy("item_id")
 
 
@@ -2025,18 +2033,25 @@ def _r6(e):
 
 def q_regex_funcs(spark, sf):
     """REGEX_EXTRACT / REGEX_EXTRACT_ALL (full-match anchored, null on
-    no-match — PORegexp matcher.matches semantics) and STRSPLIT."""
+    no-match — PORegexp matcher.matches semantics) and STRSPLIT. The
+    REGEX_EXTRACT_ALL tuple and STRSPLIT tuple are still constructed by
+    the engine; the driver-facing projection dereferences the struct
+    fields and CSV-joins the split array to scalar columns (the driver's
+    canonicalizer cannot hash struct/list cells — r8 lesson)."""
     eng = _eng(spark)
     orders = _t(eng, sf, "orders")
     pr = col("o_orderpriority")
-    return (orders.foreach(
+    ag = fn("REGEX_EXTRACT_ALL", pr, "([0-9])-(.*)")
+    out = (orders.foreach(
         col("o_orderkey").alias("o_orderkey"),
         fn("REGEX_EXTRACT", pr, "([0-9])-(.*)", 1).alias("pri_num"),
         fn("REGEX_EXTRACT", pr, "([0-9])-(.*)", 2).alias("pri_word"),
         fn("REGEX_EXTRACT", pr, "URGENT-(.*)", 1).alias("no_match"),
-        fn("REGEX_EXTRACT_ALL", pr, "([0-9])-(.*)").alias("all_groups"),
+        ag.get("group_1").alias("ag_1"),
+        ag.get("group_2").alias("ag_2"),
         fn("STRSPLIT", pr, "-").alias("parts"))
         .order_by(col("o_orderkey"))).df()
+    return out.withColumn("parts", F.array_join("parts", "|"))
 
 
 def q_string_funcs2(spark, sf):
@@ -2102,12 +2117,16 @@ def q_bag_string(spark, sf):
 
 def q_tuple_construct(spark, sf):
     """TOTUPLE → struct column; field access back out of it (POProject
-    dereference on a constructed tuple)."""
+    dereference on a constructed tuple). Both fields of the constructed
+    tuple are dereferenced back to scalar columns for the driver-facing
+    projection (scalar harness contract) — the round trip through the
+    struct is what's under test."""
     eng = _eng(spark)
     region = _t(eng, sf, "region")
     t = fn("TOTUPLE", col("r_regionkey"), col("r_name"))
     return (region.foreach(col("r_regionkey").alias("r_regionkey"),
-                           t.alias("pair"),
+                           t.get("r_regionkey").alias("pair_key"),
+                           t.get("r_name").alias("pair_name"),
                            t.get("r_name").alias("name_again"))
                   .order_by(col("r_regionkey"))).df()
 
@@ -2754,12 +2773,18 @@ def q_jl_sketch(spark, sf):
     unlike Gaussian planes the sketch is exact integers the oracle
     replays digit-for-digit). Pure Column HOFs over k·dim inline sign
     literals — no Python, no shuffle, fuses into the scan; any worker
-    regenerates the matrix from the seed."""
+    regenerates the matrix from the seed. Driver-facing projection
+    serializes the integer sketch to a canonical CSV string (scalar
+    harness contract, r8 lesson); the operator keeps the typed array."""
     from spork_spark.operators import rademacher_projection
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
     return (rademacher_projection(emb, out_dim=16, seed=42)
-            .select("vec_id", "sketch").orderBy("vec_id"))
+            .select("vec_id",
+                    F.array_join(F.transform("sketch",
+                                             lambda x: x.cast("string")),
+                                 ",").alias("sketch"))
+            .orderBy("vec_id"))
 
 
 def q_embedding_covariance(spark, sf):
@@ -3814,11 +3839,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order is the driver-gate sampling order: the per-round
         # correctness gate checks the FIRST 50 insertion keys, so
-        # never-yet-driver-checked queries lead (rotated each round —
-        # r8 leads with 50 keys absent from CORRECTNESS_r01-r07).
+        # never-yet-driver-checked queries lead (rotated each round).
         # entry() calls q_agg_q1 directly; nothing reads this order
         # except the gate and the sweeps, which cover all keys.
-        # --- never driver-checked (r8 rotation, first 50)
+        # --- r9 re-checks: driver-red in r8 (array-typed output columns
+        #     the driver's canonicalizer could not hash; now reshaped to
+        #     scalar CSV projections) — must stay at the head until a
+        #     green CORRECTNESS row proves them.
+        "quantize_embeddings": q_quantize_embeddings,
+        "jl_sketch": q_jl_sketch,
+        "multimodal_features": q_multimodal_features,
+        # --- never driver-checked (r9 rotation, next 47; IO/parser/
+        #     builtin families lead — they have never seen a driver row)
+        "pigstorage_roundtrip": q_pigstorage_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "text_loader": q_text_loader,
+        "macro_params_script": q_macro_params_script,
+        "udf_python": q_udf_python,
+        "stream_through": q_stream_through,
+        "rank_by": q_rank_by,
+        "rank_dense": q_rank_dense,
+        "join_merge": q_join_merge,
+        "join_merge_sparse": q_join_merge_sparse,
+        "join_skewed": q_join_skewed,
+        "join_right": q_join_right,
+        "skew_salted": q_skew_salted,
+        "regex_funcs": q_regex_funcs,
+        "string_funcs2": q_string_funcs2,
+        "datetime_funcs2": q_datetime_funcs2,
+        "bag_string": q_bag_string,
+        "tuple_construct": q_tuple_construct,
+        "map_funcs": q_map_funcs,
+        "diff_bags": q_diff_bags,
+        "pluck": q_pluck,
+        "strsplittobag": q_strsplittobag,
+        "assert_op": q_assert_op,
+        "bloom_join": q_bloom_join,
+        "stats_agg": q_stats_agg,
+        "top_n": q_top_n,
+        "events_sliding": q_events_sliding,
+        "events_interval_join": q_events_interval_join,
+        "time_rollup": q_time_rollup,
+        "resample_mixture": q_resample_mixture,
+        "dedup_lines": q_dedup_lines,
+        "trending": q_trending,
+        "inverted_index": q_inverted_index,
+        "multimodal_decode_pnm": q_multimodal_decode_pnm,
+        "multimodal_resize": q_multimodal_resize,
+        "stream_dedup": q_streaming_dedup,
+        "stream_upsert": q_stream_upsert,
+        "merge_upsert": q_merge_upsert,
+        "scd2": q_scd2,
+        "funnel": q_funnel,
+        "gap_fill": q_gap_fill,
+        "ewma": q_ewma,
+        "k_anonymity": q_k_anonymity,
+        "chi2_lang_source": q_chi2,
+        "partition_by_custom": q_partition_by_custom,
+        "schema_merge": q_schema_merge,
+        # --- never driver-checked (queued for the r10 rotation, 54)
+        "corpus_pipeline": q_corpus_pipeline,
+        "per_source_cap": q_per_source_cap,
+        "blocklist_filter": q_blocklist_filter,
+        "classifier_score": q_classifier_score,
+        "corpus_stats": q_corpus_stats,
+        "ngram_logcount": q_ngram_logcount,
+        "snapshot_diff": q_snapshot_diff,
+        "fingerprint_table": q_fingerprint_table,
+        "leakage_safe_split": q_leakage_safe_split,
+        "compaction_plan": q_compaction_plan,
+        "profile_events": q_profile_events,
+        "weighted_sample": q_weighted_sample,
+        "outliers": q_outliers,
+        "sessionize": q_sessionize,
+        "rollup_incremental": q_rollup_incremental,
+        "pmi": q_pmi,
+        "winsorize_events": q_winsorize,
+        "histogram_events": q_histogram,
+        "group_ols": q_group_ols,
+        "covisitation": q_covisitation,
+        "theil_sen": q_theil_sen,
+        "timeseries_report": q_timeseries_report,
+        "keywords": q_keywords,
+        "conversion_times": q_conversion_times,
+        "anomaly_days": q_anomaly_days,
+        "rfm": q_rfm,
+        "abc_suppliers": q_abc_suppliers,
+        "growth": q_growth,
+        "group_gini": q_group_gini,
+        "group_mad": q_group_mad,
+        "group_mode": q_group_mode,
+        "item_cooccurrence": q_item_cooccurrence,
+        "consistent_sample": q_consistent_sample,
+        "ohlc": q_ohlc,
+        "twap": q_twap,
+        "rolling_sum": q_rolling_sum,
+        "benford": q_benford,
+        "cc_incremental": q_cc_incremental,
+        "transitions": q_transitions,
+        "dq_events": q_dq,
+        "dq_embeddings": q_dq_embeddings,
+        "asof_nearest": q_asof_nearest,
+        "pivot_events": q_pivot_events,
+        "unpivot_events": q_unpivot_events,
+        "cohort": q_cohort,
+        "partitioned_pruning": q_partitioned_pruning,
+        "range_join": q_range_join,
+        "window_frames": q_window_frames,
+        "window_ranks": q_window_ranks,
+        "cube_grouping": q_cube_grouping,
+        "bucketed_join": q_bucketed_join,
+        "events_json_struct": q_events_json_struct,
+        "stratified_sample": q_stratified_sample,
+        "cogroup_3way": q_cogroup_3way,
+        # --- rows-only (RNG, no oracle by design)
+        "sample": q_sample,
+        "unique_id": q_unique_id,
+        # --- driver-checked green in r8
         "containment": q_containment,
         "shard_plan": q_shard_plan,
         "shard_plan_incremental": q_shard_plan_incremental,
@@ -3844,8 +3982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "fuzzy_pairs": q_fuzzy_pairs,
         "similarity_ivf": q_similarity_ivf,
-        "quantize_embeddings": q_quantize_embeddings,
-        "jl_sketch": q_jl_sketch,
         "embedding_covariance": q_embedding_covariance,
         "semantic_dedup": q_semantic_dedup,
         "kmeans": q_kmeans,
@@ -3856,7 +3992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "multimodal_near_dedup": q_multimodal_near_dedup,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
         "gopher_filter": q_gopher_filter,
         "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
@@ -3869,111 +4004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
-        # --- never driver-checked (queued for the r9/r10 rotations)
-        "dedup_lines": q_dedup_lines,
-        "resample_mixture": q_resample_mixture,
-        "time_rollup": q_time_rollup,
-        "trending": q_trending,
-        "inverted_index": q_inverted_index,
-        "events_interval_join": q_events_interval_join,
-        "top_n": q_top_n,
-        "rank_by": q_rank_by,
-        "rank_dense": q_rank_dense,
-        "assert_op": q_assert_op,
-        "stream_through": q_stream_through,
-        "multimodal_decode_pnm": q_multimodal_decode_pnm,
-        "multimodal_resize": q_multimodal_resize,
-        "bloom_join": q_bloom_join,
-        "map_funcs": q_map_funcs,
-        "diff_bags": q_diff_bags,
-        "udf_python": q_udf_python,
-        "events_sliding": q_events_sliding,
-        "join_merge": q_join_merge,
-        "join_merge_sparse": q_join_merge_sparse,
-        "join_skewed": q_join_skewed,
-        "pluck": q_pluck,
-        "pigstorage_roundtrip": q_pigstorage_roundtrip,
-        "corpus_pipeline": q_corpus_pipeline,
-        "per_source_cap": q_per_source_cap,
-        "blocklist_filter": q_blocklist_filter,
-        "classifier_score": q_classifier_score,
-        "corpus_stats": q_corpus_stats,
-        "stream_dedup": q_streaming_dedup,
-        "stream_upsert": q_stream_upsert,
-        "ngram_logcount": q_ngram_logcount,
-        "regex_funcs": q_regex_funcs,
-        "string_funcs2": q_string_funcs2,
-        "datetime_funcs2": q_datetime_funcs2,
-        "bag_string": q_bag_string,
-        "tuple_construct": q_tuple_construct,
-        "macro_params_script": q_macro_params_script,
-        "json_roundtrip": q_json_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "text_loader": q_text_loader,
-        "stats_agg": q_stats_agg,
-        "skew_salted": q_skew_salted,
-        "merge_upsert": q_merge_upsert,
-        "snapshot_diff": q_snapshot_diff,
-        "fingerprint_table": q_fingerprint_table,
-        "leakage_safe_split": q_leakage_safe_split,
-        "compaction_plan": q_compaction_plan,
-        "k_anonymity": q_k_anonymity,
-        "profile_events": q_profile_events,
-        "weighted_sample": q_weighted_sample,
-        "outliers": q_outliers,
-        "sessionize": q_sessionize,
-        "rollup_incremental": q_rollup_incremental,
-        "pmi": q_pmi,
-        "winsorize_events": q_winsorize,
-        "chi2_lang_source": q_chi2,
-        "histogram_events": q_histogram,
-        "gap_fill": q_gap_fill,
-        "group_ols": q_group_ols,
-        "covisitation": q_covisitation,
-        "theil_sen": q_theil_sen,
-        "timeseries_report": q_timeseries_report,
-        "keywords": q_keywords,
-        "conversion_times": q_conversion_times,
-        "anomaly_days": q_anomaly_days,
-        "rfm": q_rfm,
-        "abc_suppliers": q_abc_suppliers,
-        "growth": q_growth,
-        "group_gini": q_group_gini,
-        "group_mad": q_group_mad,
-        "group_mode": q_group_mode,
-        "item_cooccurrence": q_item_cooccurrence,
-        "consistent_sample": q_consistent_sample,
-        "ohlc": q_ohlc,
-        "twap": q_twap,
-        "rolling_sum": q_rolling_sum,
-        "ewma": q_ewma,
-        "benford": q_benford,
-        "cc_incremental": q_cc_incremental,
-        "transitions": q_transitions,
-        "dq_events": q_dq,
-        "dq_embeddings": q_dq_embeddings,
-        "asof_nearest": q_asof_nearest,
-        "funnel": q_funnel,
-        "scd2": q_scd2,
-        "pivot_events": q_pivot_events,
-        "unpivot_events": q_unpivot_events,
-        "cohort": q_cohort,
-        "partitioned_pruning": q_partitioned_pruning,
-        "strsplittobag": q_strsplittobag,
-        "range_join": q_range_join,
-        "window_frames": q_window_frames,
-        "window_ranks": q_window_ranks,
-        "cube_grouping": q_cube_grouping,
-        "bucketed_join": q_bucketed_join,
-        "events_json_struct": q_events_json_struct,
-        "stratified_sample": q_stratified_sample,
-        "partition_by_custom": q_partition_by_custom,
-        "schema_merge": q_schema_merge,
-        "cogroup_3way": q_cogroup_3way,
-        "join_right": q_join_right,
-        # --- rows-only (RNG, no oracle by design)
-        "sample": q_sample,
-        "unique_id": q_unique_id,
         # --- driver-checked green in r1-r7
         "agg_q1": q_agg_q1,
         "join_3way": q_join_3way,
@@ -5064,13 +5094,14 @@ def oracle_sql() -> dict[str, str]:
                          embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
               FROM embeddings)
             SELECT vec_id,
+                   array_to_string(
                    CASE WHEN s > 0 THEN
                         list_transform(embedding, x ->
                             CAST(greatest(-127, least(127,
                                  CAST(floor(CAST(x AS DOUBLE) / s + 0.5)
                                       AS INT))) AS TINYINT))
                    ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
-                   END AS q_vec,
+                   END, ',') AS q_vec,
                    s AS q_scale
             FROM q ORDER BY vec_id
         """,
@@ -5581,9 +5612,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT doc_id AS item_id,
                    CAST(64 AS INT) AS n_dims,
-                   CAST(list_transform(range(1, 65),
-                        j -> ascii(substring(s64, CAST(j AS INT), 1)))
-                        AS INTEGER[]) AS emb_bytes
+                   array_to_string(
+                        CAST(list_transform(range(1, 65),
+                             j -> ascii(substring(s64, CAST(j AS INT), 1)))
+                             AS INTEGER[]), ',') AS emb_bytes
             FROM s ORDER BY item_id
         """,
         "bloom_join": """
@@ -6194,7 +6226,9 @@ def oracle_sql() -> dict[str, str]:
             d AS (
               SELECT q.vec_id, sg.k, SUM(sg.s * q.qv) AS c
               FROM q JOIN sg ON sg.i = q.i GROUP BY 1, 2)
-            SELECT vec_id, list(CAST(c AS BIGINT) ORDER BY k) AS sketch
+            SELECT vec_id,
+                   array_to_string(list(CAST(c AS BIGINT) ORDER BY k), ',')
+                       AS sketch
             FROM d GROUP BY vec_id ORDER BY vec_id
         """,
         "embedding_covariance": """
@@ -7000,13 +7034,15 @@ def oracle_sql() -> dict[str, str]:
                                             '^(?:URGENT-(.*))$', 1)
                    END AS no_match,
                    CASE WHEN regexp_full_match(o_orderpriority, '([0-9])-(.*)')
-                        THEN struct_pack(
-                          group_1 := regexp_extract(o_orderpriority,
-                                         '^(?:([0-9])-(.*))$', 1),
-                          group_2 := regexp_extract(o_orderpriority,
-                                         '^(?:([0-9])-(.*))$', 2))
-                   END AS all_groups,
-                   string_split(o_orderpriority, '-') AS parts
+                        THEN regexp_extract(o_orderpriority,
+                                            '^(?:([0-9])-(.*))$', 1)
+                   END AS ag_1,
+                   CASE WHEN regexp_full_match(o_orderpriority, '([0-9])-(.*)')
+                        THEN regexp_extract(o_orderpriority,
+                                            '^(?:([0-9])-(.*))$', 2)
+                   END AS ag_2,
+                   array_to_string(string_split(o_orderpriority, '-'), '|')
+                       AS parts
             FROM orders ORDER BY o_orderkey
         """,
         "string_funcs2": """
@@ -7057,8 +7093,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tuple_construct": """
             SELECT r_regionkey,
-                   struct_pack(r_regionkey := r_regionkey,
-                               r_name := r_name) AS pair,
+                   r_regionkey AS pair_key,
+                   r_name AS pair_name,
                    r_name AS name_again
             FROM region ORDER BY r_regionkey
         """,

@@ -35,3 +35,29 @@ def test_registry_is_consistent():
         by_fn[f].append(k)
     shared = {f.__name__: ks for f, ks in by_fn.items() if len(ks) > 1}
     assert not shared, f"registry keys share one function: {shared}"
+
+
+def test_registry_outputs_are_scalar_columns(spark):
+    """Driver harness-shape gate (the r8 lesson): the driver's
+    correctness gate canonicalizes each result by sorting a pandas frame
+    over ALL columns before hashing — a top-level ArrayType/StructType/
+    MapType column raises `TypeError: unhashable type: 'list'` and reds
+    the row even when the values are correct (r8: quantize_embeddings,
+    jl_sketch, multimodal_features). Every registry output must
+    therefore project complex values to scalar columns (CSV-join arrays,
+    dereference struct fields) in its driver-facing SELECT. Lazy build
+    at sf0.001 — schemas only, nothing is collected."""
+    from pyspark.sql import types as T
+    import __spark_entry__ as m
+
+    complex_types = (T.ArrayType, T.StructType, T.MapType)
+    bad = {}
+    for name, q in m.queries().items():
+        df = q(spark, "/root/testdata/sf0.001")
+        offenders = [f.name for f in df.schema.fields
+                     if isinstance(f.dataType, complex_types)]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        "non-scalar top-level output columns (driver canonicalizer "
+        f"cannot hash them): {bad}")
