@@ -244,8 +244,9 @@ def main() -> None:
         pairs = [(timed(fdf), timed(df)) for _ in range(7)]
         floors[name] = round(statistics.median(f for f, _ in pairs), 4)
         results[name] = round(statistics.median(q for _, q in pairs), 4)
-        ratios[name] = round(statistics.median(
-            q / f for f, q in pairs if f > 0), 2)
+        usable = [q / f for f, q in pairs if f > 0]
+        ratios[name] = round(statistics.median(usable), 2) if usable \
+            else None
     fixed = median_of(empty, 5)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

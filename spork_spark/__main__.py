@@ -16,14 +16,84 @@ import re
 import sys
 
 
-def _statement_complete(buf: str) -> bool:
-    """True when the buffer holds >= 1 complete statement: every {...}
-    block closed, no open string, and the last significant character is
-    ';' ('--' comments ignored)."""
-    depth, in_s, last_sig = 0, None, ""
-    i, n = 0, len(buf)
+def _strip_comments(buf: str) -> tuple[str, bool]:
+    """Blank '--' line comments and '/* */' block comments to spaces
+    (newlines and overall length preserved, so line-anchored regexes and
+    match spans keep working), string-aware — mirrors the tokenizer's
+    comment handling (parser/pig.py). Returns (stripped, open_block):
+    open_block is True when the buffer ends inside an unterminated
+    '/*' (the statement cannot be complete yet)."""
+    out = list(buf)
+    i, n, in_s = 0, len(buf), None
+    open_block = False
     while i < n:
         c = buf[i]
+        if in_s:
+            if c == "\\":
+                i += 2
+                continue
+            if c == in_s:
+                in_s = None
+            i += 1
+        elif c in ("'", '"'):
+            in_s = c
+            i += 1
+        elif c == "-" and buf[i:i + 2] == "--":
+            j = buf.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif buf[i:i + 2] == "/*":
+            j = buf.find("*/", i + 2)
+            end = n if j < 0 else j + 2
+            open_block = j < 0
+            for k in range(i, end):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = end
+        else:
+            i += 1
+    return "".join(out), open_block
+
+
+def _blank_strings(s: str) -> str:
+    """Blank string-literal CONTENTS to spaces (quotes kept) so textual
+    scans (macro/%declare harvesting, brace counting) cannot be fooled
+    by keywords or braces inside literals. Length-preserving: match
+    spans on the blanked copy index into the original text."""
+    out = list(s)
+    i, n, in_s = 0, len(s), None
+    while i < n:
+        c = s[i]
+        if in_s:
+            if c == "\\":
+                out[i] = " "
+                if i + 1 < n:
+                    out[i + 1] = " "
+                i += 2
+                continue
+            if c == in_s:
+                in_s = None
+            else:
+                out[i] = " "
+        elif c in ("'", '"'):
+            in_s = c
+        i += 1
+    return "".join(out)
+
+
+def _statement_complete(buf: str) -> bool:
+    """True when the buffer holds >= 1 complete statement: every {...}
+    block closed, no open string or block comment, and the last
+    significant character is ';' (comments ignored)."""
+    stripped, open_block = _strip_comments(buf)
+    if open_block:
+        return False
+    depth, in_s, last_sig = 0, None, ""
+    i, n = 0, len(stripped)
+    while i < n:
+        c = stripped[i]
         if in_s:
             if c == "\\":
                 i += 2
@@ -34,10 +104,6 @@ def _statement_complete(buf: str) -> bool:
         elif c in ("'", '"'):
             in_s = c
             last_sig = c
-        elif c == "-" and buf[i:i + 2] == "--":
-            j = buf.find("\n", i)
-            i = n if j < 0 else j
-            continue
         else:
             if c == "{":
                 depth += 1
@@ -56,8 +122,11 @@ _MACRO_START_RE = re.compile(
 
 def _only_preproc(buf: str) -> bool:
     """%declare/%default are LINE-terminated (no ';' required)."""
-    lines = [ln.strip() for ln in buf.splitlines()]
-    lines = [ln for ln in lines if ln and not ln.startswith("--")]
+    stripped, open_block = _strip_comments(buf)
+    if open_block:
+        return False
+    lines = [ln.strip() for ln in stripped.splitlines()]
+    lines = [ln for ln in lines if ln]
     return bool(lines) and all(ln.startswith("%") for ln in lines)
 
 
@@ -66,21 +135,26 @@ def _textual_state(chunk: str) -> list[str]:
     DEFINEs (brace-scanned, nested blocks included) and
     %declare/%default lines — so they can be replayed before later
     statements (macro expansion and param substitution are pure text
-    passes; replaying them is idempotent)."""
-    out = [m.group(0) + "\n" for m in _DECL_RE.finditer(chunk)]
-    for m in _MACRO_START_RE.finditer(chunk):
+    passes; replaying them is idempotent). Scanning runs on a comment-
+    stripped, string-blanked copy (a commented-out or quoted DEFINE
+    must NOT be harvested); extraction indexes back into the comment-
+    stripped text, so harvested macro bodies keep their literals."""
+    text, _ = _strip_comments(chunk)
+    scan = _blank_strings(text)
+    out = [text[m.start():m.end()] + "\n" for m in _DECL_RE.finditer(scan)]
+    for m in _MACRO_START_RE.finditer(scan):
         depth, i = 1, m.end()
-        while i < len(chunk) and depth:
-            if chunk[i] == "{":
+        while i < len(scan) and depth:
+            if scan[i] == "{":
                 depth += 1
-            elif chunk[i] == "}":
+            elif scan[i] == "}":
                 depth -= 1
             i += 1
-        while i < len(chunk) and chunk[i] in " \t\n;":
+        while i < len(scan) and scan[i] in " \t\n;":
             i += 1
-            if chunk[i - 1] == ";":
+            if scan[i - 1] == ";":
                 break
-        out.append(chunk[m.start():i] + "\n")
+        out.append(text[m.start():i] + "\n")
     return out
 
 
@@ -104,6 +178,17 @@ def grunt(engine, params: dict) -> int:
             line = input("grunt> " if not buf.strip() else "    >> ") \
                 if interactive else input()
         except EOFError:
+            # A piped session may end without the final ';' — silently
+            # dropping the trailing statement (and exiting 0) would
+            # diverge from file mode, which parses whatever is there.
+            leftover, _ = _strip_comments(buf)
+            if not leftover.strip():
+                return 0
+            try:
+                p.run("".join(prelude) + buf, params)
+            except Exception as exc:
+                print(f"ERROR: {exc}", file=sys.stderr)
+                return 1
             return 0
         if not buf.strip() and line.strip().rstrip(";").lower() in (
                 "quit", "exit"):

@@ -72,3 +72,82 @@ def test_parser_state_persists_across_runs(eng):
     rels = p.run("d = FOREACH b GENERATE n_name;")
     assert "c" not in rels
     assert rels["d"].df().count() == 3
+
+
+def test_statement_complete_block_comments():
+    """/* */ spans are skipped like '--' lines (ADVICE r8): a trailing
+    block comment does not hold the statement open, a ';' or '{' inside
+    one is not significant, and an UNTERMINATED /* keeps accumulating."""
+    assert _statement_complete("a = LOAD 'x'; /* done */")
+    assert _statement_complete("/* lead-in */ a = LOAD 'x';")
+    assert not _statement_complete("a = LOAD 'x' /* ; not a terminator */")
+    # a '{' inside a block comment must not poison the brace depth
+    assert _statement_complete("/* { */ a = LOAD 'x';")
+    assert _statement_complete(
+        "r = FOREACH g { /* { nested } comment */ GENERATE group; };")
+    # unterminated block comment: keep reading lines
+    assert not _statement_complete("a = LOAD 'x'; /* to be continued")
+    # '/*' inside a string literal is just text
+    assert _statement_complete("a = FILTER x BY s == '/*';")
+
+
+def test_textual_state_ignores_comments_and_strings():
+    """A macro DEFINE inside a comment or a string literal must NOT be
+    harvested into the persistent prelude (ADVICE r8: a malformed
+    commented macro would poison every later run in the session)."""
+    commented = (
+        "-- DEFINE m(rel) RETURNS out { $out = FILTER $rel BY 1 == 1; };\n"
+        "/* DEFINE m2(rel) RETURNS out { $out = $rel; }; */\n"
+        "-- %declare DEAD 1\n"
+        "a = FILTER b BY s == 'DEFINE m3(x) RETURNS y {';\n"
+        "x = LOAD 'p';\n")
+    assert _textual_state(commented) == []
+    # a live macro next to a commented one: only the live one harvested,
+    # with its string literals intact
+    mixed = (
+        "-- DEFINE dead(r) RETURNS o { $o = $r; };\n"
+        "DEFINE live(rel) RETURNS out {\n"
+        "  $out = FILTER $rel BY tag == '{brace}';\n"
+        "};\n")
+    got = _textual_state(mixed)
+    assert len(got) == 1 and got[0].startswith("DEFINE live")
+    assert "'{brace}'" in got[0]
+    assert "dead" not in got[0]
+
+
+def test_grunt_eof_trailing_statement_not_silently_dropped(
+        eng, tmp_path, monkeypatch, capsys):
+    """Piped mode: an incomplete trailing statement (no final ';') is
+    handed to the parser at EOF, not silently discarded (ADVICE r8) —
+    parity with file mode, where the same text raises the same
+    missing-';' parse error. Before the fix this exited 0 with the
+    statement dropped."""
+    from spork_spark import __main__ as cli
+    out = tmp_path / "eof_store"
+    lines = iter([
+        f"a = LOAD '{SF}/nation.parquet';",
+        f"STORE a INTO '{out}' USING PigStorage()",   # <- no ';'
+    ])
+    monkeypatch.setattr("builtins.input",
+                        lambda *a: next(lines, None) or (_ for _ in ()).throw(EOFError()))
+    monkeypatch.setattr("sys.stdin", type("T", (), {"isatty": lambda s: False})())
+    assert cli.grunt(eng, {}) == 1
+    err = capsys.readouterr().err
+    assert "ERROR" in err and "expected ;" in err
+    # pure-whitespace/comment leftovers still exit clean
+    lines2 = iter(["-- just a comment", "/* and a block */"])
+    monkeypatch.setattr("builtins.input",
+                        lambda *a: next(lines2, None) or (_ for _ in ()).throw(EOFError()))
+    assert cli.grunt(eng, {}) == 0
+
+
+def test_grunt_eof_trailing_error_is_nonzero(eng, monkeypatch, capsys):
+    """A malformed trailing statement at EOF surfaces as exit 1 with an
+    ERROR line, not a silent 0."""
+    from spork_spark import __main__ as cli
+    lines = iter(["zz = FROBNICATE nothing"])
+    monkeypatch.setattr("builtins.input",
+                        lambda *a: next(lines, None) or (_ for _ in ()).throw(EOFError()))
+    monkeypatch.setattr("sys.stdin", type("T", (), {"isatty": lambda s: False})())
+    assert cli.grunt(eng, {}) == 1
+    assert "ERROR" in capsys.readouterr().err
