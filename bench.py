@@ -137,6 +137,25 @@ if os.path.isdir("/dev/shm"):
     LATENCY_PROFILE["spark.local.dir"] = "/dev/shm/spork-bench-shuffle"
 
 
+def duck_connect(sf_dir: str):
+    """DuckDB connection with the fixture tables viewed in — the paired
+    same-session baseline (BASELINE.md engine). Handles both single-file
+    tables (driver fixtures) and directory tables (tools/make_scale.py
+    output). Shared with tools/duck_baseline.py."""
+    import glob as _glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if _glob.glob(src) or os.path.isfile(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
 def floor_plans(spark, sf_dir: str) -> dict:
     """Per-query lower-bound plans, measured in the SAME session as the
     wall times so the artifact is self-normalizing across boots (the
@@ -231,22 +250,47 @@ def main() -> None:
         run(df)  # re-warm directly before timing
         return round(statistics.median(timed(df) for _ in range(n)), 4)
 
-    # Query and floor are sampled INTERLEAVED, one (floor, query) pair
-    # per iteration, and the ratio is the median of per-pair ratios:
-    # adjacent runs share host conditions, so slow-phase drift inside a
-    # run cancels out of the ratio (measured: phase-separated medians
-    # moved the join_3way ratio 1.9 -> 2.9 between two back-to-back
-    # runs on one boot; paired ratios hold).
+    # DuckDB baseline in the SAME process and boot (BASELINE.md engine;
+    # r8 verdict: the artifact could not adjudicate the 2x criterion
+    # alone because its only DuckDB pairing was a 3-day-old measurement
+    # behind ±60% boot noise). Results consumed via .arrow() — full
+    # computation + vectorized materialization, the honest analog of the
+    # Spark side's noop sink.
+    con = duck_connect(SF_DIR)
+    oracle = entrymod.oracle_sql()
+    duck_sql = {name: oracle[qname] for name, qname in HEADLINE.items()}
+
+    def duck_timed(sql) -> float:
+        t0 = time.perf_counter()
+        con.sql(sql).arrow()
+        return time.perf_counter() - t0
+
+    for sql in duck_sql.values():  # warm: page cache + plan cache
+        con.sql(sql).arrow()
+
+    # Floor, query, and DuckDB are sampled INTERLEAVED, one
+    # (floor, query, duck) triple per iteration, and each ratio is the
+    # median of per-triple ratios: adjacent runs share host conditions,
+    # so slow-phase drift inside a run cancels out of the ratio
+    # (measured: phase-separated medians moved the join_3way
+    # floor-ratio 1.9 -> 2.9 between two back-to-back runs on one
+    # boot; paired ratios hold).
     results, floors, ratios = {}, {}, {}
+    ducks, duck_ratios = {}, {}
     for name, df in dfs.items():
         fdf = fplans[name]
-        run(fdf); run(df)  # re-warm the pair directly before timing
-        pairs = [(timed(fdf), timed(df)) for _ in range(7)]
-        floors[name] = round(statistics.median(f for f, _ in pairs), 4)
-        results[name] = round(statistics.median(q for _, q in pairs), 4)
-        usable = [q / f for f, q in pairs if f > 0]
+        run(fdf); run(df); duck_timed(duck_sql[name])  # re-warm the triple
+        pairs = [(timed(fdf), timed(df), duck_timed(duck_sql[name]))
+                 for _ in range(7)]
+        floors[name] = round(statistics.median(f for f, _, _ in pairs), 4)
+        results[name] = round(statistics.median(q for _, q, _ in pairs), 4)
+        ducks[name] = round(statistics.median(d for _, _, d in pairs), 4)
+        usable = [q / f for f, q, _ in pairs if f > 0]
         ratios[name] = round(statistics.median(usable), 2) if usable \
             else None
+        dusable = [q / d for _, q, d in pairs if d > 0]
+        duck_ratios[name] = round(statistics.median(dusable), 2) \
+            if dusable else None
     fixed = median_of(empty, 5)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -257,11 +301,15 @@ def main() -> None:
         "queries": results,
         # Same-session floors: 'floor' = scan(+widest exchange) of each
         # query's plan shape; 'fixed_job_overhead_sec' = empty noop write.
-        # ratio_to_floor is boot-noise-invariant — compare IT across
-        # rounds, not the raw seconds.
+        # ratio_to_floor and ratio_to_duckdb are boot-noise-invariant
+        # (paired medians, same session) — compare THEM across rounds
+        # and against BASELINE.md's 2x criterion, not the raw seconds.
         "floor": floors,
         "fixed_job_overhead_sec": fixed,
         "ratio_to_floor": ratios,
+        "duckdb": ducks,
+        "duckdb_total": round(sum(ducks.values()), 4),
+        "ratio_to_duckdb": duck_ratios,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

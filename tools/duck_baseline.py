@@ -8,33 +8,24 @@ Usage: python tools/duck_baseline.py [sf_dir]   # prints one JSON line
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import statistics
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
-
-from bench import HEADLINE  # single source of truth for the query set
+# single source of truth for the query set and the view setup (bench.py
+# runs the same baseline inline, paired per-triple with the engine)
+from bench import HEADLINE, duck_connect
 
 
 def main() -> None:
     import __spark_entry__ as entrymod
 
     d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(d, f"{t}.parquet")
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        if glob.glob(src) or os.path.isfile(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    con = duck_connect(d)
 
     # Results are consumed via .arrow(): full computation + vectorized
     # materialization, no per-row Python tuple conversion — the honest
