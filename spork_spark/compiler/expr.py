@@ -71,12 +71,17 @@ class ExprCompiler:
     relation), with access to the engine's UDF registry."""
 
     def __init__(self, df: DataFrame, udfs: dict[str, Any] | None = None,
-                 udafs: dict[str, Any] | None = None):
+                 udafs: dict[str, Any] | None = None,
+                 probes: list | None = None):
         self.df = df
         self.udfs = udfs or {}
         self.udafs = udafs or {}
         self._schema: T.StructType | None = None   # lazy, one RPC
         self._lambda_env: dict[str, Column] = {}   # bag-HOF variable bindings
+        # cast-failure warning probes (spork_spark.warnings): when not
+        # None, _c_cast appends (label, discarded-row condition) for the
+        # plan compiler to attach as observe metrics. None = disabled.
+        self.probes = probes
 
     # -- type resolution ------------------------------------------------------
     @property
@@ -292,7 +297,16 @@ class ExprCompiler:
         spark_t = PIG_TO_SPARK_TYPE.get(e.pig_type, e.pig_type)
         # ANSI is off in the engine session → cast is null-on-failure,
         # exactly POCast semantics.
-        return self.compile(e.child).cast(spark_t)
+        child = self.compile(e.child)
+        out = child.cast(spark_t)
+        if self.probes is not None:
+            # POCast warn(): a non-null input discarded to null counts
+            # into FIELD_DISCARDED_TYPE_CONVERSION_FAILED (PigWarning
+            # aggregation; spork_spark/warnings.py).
+            src = e.child.name if isinstance(e.child, E.Col) else "expr"
+            self.probes.append(
+                (f"{src} -> {e.pig_type}", child.isNotNull() & out.isNull()))
+        return out
 
     def _c_bincond(self, e: E.BinCond) -> Column:
         return F.when(self.compile(e.cond), self.compile(e.iftrue)) \

@@ -42,11 +42,13 @@ GROUP_COL = "group"
 class PlanCompiler:
     def __init__(self, spark: SparkSession, udfs: dict[str, Any] | None = None,
                  udafs: dict[str, Any] | None = None,
-                 partitioners: dict[str, Any] | None = None):
+                 partitioners: dict[str, Any] | None = None,
+                 warnings=None):
         self.spark = spark
         self.udfs = udfs if udfs is not None else {}
         self.udafs = udafs if udafs is not None else {}
         self.partitioners = partitioners if partitioners is not None else {}
+        self.warnings = warnings    # CastWarningCollector | None
         self._cache: dict[int, DataFrame] = {}
         self._consumers: dict[int, int] = {}
 
@@ -78,7 +80,22 @@ class PlanCompiler:
         return df
 
     def _ctx(self, df: DataFrame) -> ExprCompiler:
-        return ExprCompiler(df, self.udfs, self.udafs)
+        return ExprCompiler(df, self.udfs, self.udafs,
+                            probes=[] if self._warnings_on() else None)
+
+    def _warnings_on(self) -> bool:
+        """Cast-failure warning counters (spork_spark/warnings.py),
+        default off. Probes are collected per-expression-context and
+        attached as observe metrics on the FOREACH/FILTER input —
+        other cast sites (join/group keys, sort keys) stay uncounted,
+        a documented subset of Pig's every-POCast coverage."""
+        return self.warnings is not None and self._conf(
+            "spark.spork.warnings.enabled", "false") == "true"
+
+    def _attach_probes(self, df: DataFrame, ctx: ExprCompiler) -> DataFrame:
+        if ctx.probes:
+            return self.warnings.attach(df, ctx.probes)
+        return df
 
     def _conf(self, key: str, default: str) -> str:
         try:
@@ -126,7 +143,9 @@ class PlanCompiler:
     # -------------------------------------------------------------- row ops
     def _c_filter(self, node: L.Filter) -> DataFrame:
         df = self._compile(node.child)
-        return df.filter(self._ctx(df).compile(node.predicate))
+        ctx = self._ctx(df)
+        pred = ctx.compile(node.predicate)
+        return self._attach_probes(df, ctx).filter(pred)
 
     def _c_sample(self, node: L.Sample) -> DataFrame:
         return self._compile(node.child).sample(fraction=node.fraction,
@@ -305,7 +324,7 @@ class PlanCompiler:
             c = ctx.compile(inner)
             cols.append(c.alias(alias) if alias else
                         c.alias(self._default_name(inner, i)))
-        out = df.select(*cols)
+        out = self._attach_probes(df, ctx).select(*cols)
         for name, alias in flatten_names:
             out = self._explode_one(out, name, alias)
         return out

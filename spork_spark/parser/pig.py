@@ -435,6 +435,11 @@ class PigParser:
         self.toks, self.i = tokenize(src), 0
         while self.peek().kind != "eof":
             self.statement()
+        # Pig's end-of-job aggregated warnings (PigWarning): STORE/DUMP
+        # actions above completed their observe metrics; surface any
+        # new cast-discard counts. No-op when the flag is off (nothing
+        # was attached) or the run was clean.
+        self.engine.warnings.report()
         return self.rels
 
     def rel(self, name: str) -> Relation:
@@ -692,8 +697,14 @@ class PigParser:
         sub.run(src, params=params or None)
 
     def st_set(self) -> None:
+        """SET key value; — keys are dotted identifiers in real scripts
+        (`set mapred.job.queue.name q;`, `set spark.spork.*`), which
+        tokenize as ident (. ident)* — consume the whole path."""
         self.expect("kw", "set")
         key = self.next().text
+        while self.peek().kind == "op" and self.peek().text == ".":
+            self.next()
+            key += "." + self.next().text
         val = self.next().text.strip("'")
         try:
             self.engine.spark.conf.set(key, val)

@@ -34,12 +34,17 @@ class Engine:
     (DEFINE/REGISTER, SURVEY.md §2.1 #27–28) and plan compilation cache."""
 
     def __init__(self, spark: SparkSession | None = None):
+        from ..warnings import CastWarningCollector
         self.spark = spark or get_spark()
         self.udfs: dict[str, Any] = {}
         self.udafs: dict[str, Any] = {}
         self.partitioners: dict[str, Any] = {}
+        # Pig's aggregated cast-failure counters (SURVEY.md §1.3);
+        # active only under spark.spork.warnings.enabled=true
+        self.warnings = CastWarningCollector()
         self._compiler = PlanCompiler(self.spark, self.udfs, self.udafs,
-                                      self.partitioners)
+                                      self.partitioners,
+                                      warnings=self.warnings)
 
     # -- sources -----------------------------------------------------------
     def load(self, path: str, fmt: str = "parquet", schema=None,

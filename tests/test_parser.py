@@ -601,3 +601,17 @@ def test_grunt_kill_is_warned_noop(eng, capsys):
     from spork_spark.parser import run_script
     run_script(eng, "kill job_123;")
     assert "kill" in capsys.readouterr().err
+
+
+def test_set_statement_dotted_key(eng):
+    """SET with a dotted conf key — the common real-script idiom
+    (`set mapred.job.queue.name q;` / `set spark.spork.*`). The key
+    tokenizes as ident (. ident)*; st_set must consume the whole path
+    (found by driving the grunt shell with
+    `SET spark.spork.warnings.enabled 'true';`, which previously died
+    with \"expected ;, got 'spork'\")."""
+    from spork_spark.parser import run_script
+    key = "spark.spork.test.dotted_set_key"
+    run_script(eng, f"SET {key} 'hello';")
+    assert eng.spark.conf.get(key) == "hello"
+    run_script(eng, "SET default_parallel 10;")  # single-token still fine

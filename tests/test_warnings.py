@@ -1,0 +1,80 @@
+"""Aggregated cast-failure warning counters (SURVEY.md §1.3 —
+pig:src/org/apache/pig/PigWarning.java FIELD_DISCARDED_TYPE_CONVERSION_
+FAILED, counted by POCast.warn() and aggregated at job end). The engine
+rides them on Dataset.observe metrics behind
+spark.spork.warnings.enabled; spork_spark/warnings.py."""
+
+import pytest
+
+from spork_spark import Engine, col
+
+
+@pytest.fixture()
+def warn_eng(spark):
+    spark.conf.set("spark.spork.warnings.enabled", "true")
+    eng = Engine(spark)  # fresh engine: isolated collector + plan cache
+    yield eng
+    spark.conf.set("spark.spork.warnings.enabled", "false")
+
+
+def _dirty(spark):
+    # 2 discards ("2x", "nope"); the null input must NOT count (Pig
+    # warns on DISCARDED values, null in -> null out is not a discard)
+    return spark.createDataFrame(
+        [("1",), ("2x",), ("3",), (None,), ("nope",)], "s string")
+
+
+def test_foreach_cast_discards_counted(spark, warn_eng):
+    rel = warn_eng.from_df(_dirty(spark))
+    out = rel.foreach(col("s").cast("int").alias("v"))
+    assert out.df().count() == 5          # discards null, rows survive
+    delta = warn_eng.warnings.harvest()
+    assert delta == {"s -> int": 2}
+    assert warn_eng.warnings.counts["s -> int"] == 2
+
+
+def test_filter_cast_discards_counted(spark, warn_eng):
+    rel = warn_eng.from_df(_dirty(spark))
+    out = rel.filter(col("s").cast("int") > 1)
+    assert out.df().count() == 1          # only "3"
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
+def test_unmaterialized_plan_stays_pending(spark, warn_eng):
+    rel = warn_eng.from_df(_dirty(spark))
+    rel.foreach(col("s").cast("int").alias("v")).df()  # built, never run
+    assert warn_eng.warnings.harvest() == {}            # non-blocking
+    assert len(warn_eng.warnings._pending) == 1
+
+
+def test_flag_off_attaches_nothing(spark):
+    spark.conf.set("spark.spork.warnings.enabled", "false")
+    eng = Engine(spark)
+    rel = eng.from_df(_dirty(spark))
+    df = rel.foreach(col("s").cast("int").alias("v")).df()
+    assert df.count() == 5
+    assert "CollectMetrics" not in df._jdf.queryExecution().toString()
+    assert eng.warnings.harvest() == {}
+
+
+def test_run_script_reports_at_end(spark, warn_eng, tmp_path, capsys):
+    """The surfacing PigParser.run gives scripts and the grunt shell:
+    Pig's end-of-job aggregate warning line, printed after the STORE
+    action completes."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    run_script(warn_eng, f"""
+        b = FOREACH a GENERATE (int)s AS v;
+        STORE b INTO '{tmp_path}/out';
+    """, relations={"a": rel})
+    err = capsys.readouterr().err
+    assert "Encountered Warning FIELD_DISCARDED_TYPE_CONVERSION_FAILED" \
+        in err
+    assert "2 time(s)" in err
+    # a clean second run prints nothing new
+    run_script(warn_eng, f"""
+        c = FOREACH a GENERATE s;
+        STORE c INTO '{tmp_path}/out2';
+    """, relations={"a": rel})
+    assert "Encountered Warning" not in capsys.readouterr().err

@@ -65,9 +65,12 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # per-query floor plans: (scan_df, exchange_keys_or_None) — the
+    # per-query floor plans: (base_df, exchange_keys_or_None) — the
     # single source of truth lives in bench.floor_plans (bench.py also
-    # stamps these floors into its own JSON line each round).
+    # stamps these floors into its own JSON line each round). Note:
+    # events_session's base is its bare AGGREGATE, not a scan (the agg
+    # is the dominant unavoidable cost — AB_EVENTS_SESSION_SF1), so its
+    # scan_sec field below reads as "agg floor".
     floors = bench.floor_plans(spark, SF_DIR)
 
     qs = entrymod.queries()
