@@ -1368,6 +1368,12 @@ def q_time_rollup(spark, sf):
     ev = _t(eng, sf, "events").df()
     return (time_rollup(ev, ts_col="ts", dims=("event_type",),
                         value_col="value", grains=("hour", "day"))
+            # driver-facing projection: decimal(38,2) -> double (exact
+            # here: sums of 2-decimal values, |N| << 2^53). The two
+            # engines' pandas pipelines normalize decimals differently
+            # (Decimal('179.60') vs float 179.6) — the same
+            # type-divergence class as the r3 HUGEINT lesson.
+            .withColumn("sum_value", F.col("sum_value").cast("double"))
             .orderBy("grain", "bucket", "event_type"))
 
 
@@ -2457,6 +2463,9 @@ def q_rollup_incremental(spark, sf):
                         dims=("event_type",), value_col="value",
                         grains=("hour", "day"))
     return (rollup_merge(snap, delta)
+            # same driver-facing decimal->double projection as
+            # q_time_rollup (exact; see the note there)
+            .withColumn("sum_value", F.col("sum_value").cast("double"))
             .orderBy("grain", "bucket", "event_type"))
 
 
@@ -3698,7 +3707,12 @@ def q_fingerprint_table(spark, sf):
     return table_fingerprint(
         orders,
         cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
-        num_buckets=64)
+        num_buckets=64) \
+        .withColumn("sum_digest", F.col("sum_digest").cast("string"))
+    # ^ driver-facing projection: decimal(38,0) digit string — sums of
+    #   60-bit digests exceed double precision, so unlike the rollup
+    #   sums this one must stay exact as text (both engines render
+    #   decimal->string as plain digits).
 
 
 def q_leakage_safe_split(spark, sf):
@@ -4598,13 +4612,24 @@ def oracle_sql() -> dict[str, str]:
             WITH hi AS (SELECT o_orderpriority AS pri, o_totalprice AS hv
                         FROM orders WHERE o_totalprice > 400000.0),
                  lo AS (SELECT o_orderpriority AS pri, o_totalprice AS lv
-                        FROM orders WHERE o_totalprice < 2000.0)
-            SELECT hi.pri AS pri, COUNT(*) AS n_pairs,
-                   FLOOR(CAST(SUM(CAST(CAST(hi.hv - lo.lv AS VARCHAR)
-                                       AS DECIMAL(38,18)))
-                              AS DOUBLE)*100 + 0.5)/100 AS spread_total
-            FROM hi JOIN lo ON hi.pri = lo.pri
-            GROUP BY hi.pri ORDER BY pri
+                        FROM orders WHERE o_totalprice < 2000.0),
+            -- one row PER GROUP, like Pig's nested FOREACH: an empty
+            -- inner CROSS still emits (pri, 0, null) — an inner-join
+            -- shape silently drops such groups (caught by the sf0.001
+            -- driver-shape sim, where two priorities have no pairs)
+                 pairs AS (
+                   SELECT hi.pri AS pri, COUNT(*) AS n_pairs,
+                          FLOOR(CAST(SUM(CAST(CAST(hi.hv - lo.lv AS VARCHAR)
+                                              AS DECIMAL(38,18)))
+                                     AS DOUBLE)*100 + 0.5)/100 AS spread_total
+                   FROM hi JOIN lo ON hi.pri = lo.pri
+                   GROUP BY hi.pri)
+            SELECT g.pri AS pri,
+                   COALESCE(p.n_pairs, 0) AS n_pairs,
+                   p.spread_total AS spread_total
+            FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders) g
+            LEFT JOIN pairs p ON g.pri = p.pri
+            ORDER BY pri
         """,
         "scalar_of_relation": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -5333,7 +5358,10 @@ def oracle_sql() -> dict[str, str]:
                          MIN(min_value) AS min_value,
                          MAX(max_value) AS max_value
                   FROM base GROUP BY 2, 3)
-            SELECT * FROM h UNION ALL SELECT * FROM d
+            SELECT grain, bucket, event_type, cnt,
+                   CAST(sum_value AS DOUBLE) AS sum_value,
+                   min_value, max_value
+            FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
             ORDER BY grain, bucket, event_type
         """,
         "inverted_index": """
@@ -5975,7 +6003,10 @@ def oracle_sql() -> dict[str, str]:
                          MIN(min_value) AS min_value,
                          MAX(max_value) AS max_value
                   FROM base GROUP BY 2, 3)
-            SELECT * FROM h UNION ALL SELECT * FROM d
+            SELECT grain, bucket, event_type, cnt,
+                   CAST(sum_value AS DOUBLE) AS sum_value,
+                   min_value, max_value
+            FROM (SELECT * FROM h UNION ALL SELECT * FROM d)
             ORDER BY grain, bucket, event_type
         """,
         "pmi": """
@@ -7454,7 +7485,8 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
             SELECT CAST(dv % 64 AS INT) AS bucket,
                    COUNT(*) AS n_rows,
-                   CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   CAST(CAST(SUM(CAST(dv AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS VARCHAR)
                      AS sum_digest,
                    bit_xor(dv) AS xor_digest
             FROM d GROUP BY 1 ORDER BY bucket

@@ -45,19 +45,29 @@ def test_registry_outputs_are_scalar_columns(spark):
     the row even when the values are correct (r8: quantize_embeddings,
     jl_sketch, multimodal_features). Every registry output must
     therefore project complex values to scalar columns (CSV-join arrays,
-    dereference struct fields) in its driver-facing SELECT. Lazy build
-    at sf0.001 — schemas only, nothing is collected."""
+    dereference struct fields) in its driver-facing SELECT.
+
+    DecimalType is banned too: the two engines' pandas pipelines
+    normalize decimals differently (Spark toPandas keeps
+    Decimal('179.60'); DuckDB .df() converts DECIMAL to float 179.6),
+    so a decimal output column hash-diverges on correct values — the
+    r3 HUGEINT lesson at the frame level (caught by
+    tools/driver_gate_sim.py on time_rollup). Driver-facing
+    projections cast to double when exact (magnitude-bounded sums) or
+    to the digit string when not (fingerprint_table's 60-bit digest
+    sums). Lazy build at sf0.001 — schemas only, nothing collected."""
     from pyspark.sql import types as T
     import __spark_entry__ as m
 
-    complex_types = (T.ArrayType, T.StructType, T.MapType)
+    banned = (T.ArrayType, T.StructType, T.MapType, T.DecimalType)
     bad = {}
     for name, q in m.queries().items():
         df = q(spark, "/root/testdata/sf0.001")
         offenders = [f.name for f in df.schema.fields
-                     if isinstance(f.dataType, complex_types)]
+                     if isinstance(f.dataType, banned)]
         if offenders:
             bad[name] = offenders
     assert not bad, (
-        "non-scalar top-level output columns (driver canonicalizer "
-        f"cannot hash them): {bad}")
+        "driver-hazardous top-level output columns (unhashable in the "
+        "driver's canonicalizer, or decimal frame-normalization "
+        f"divergence): {bad}")
