@@ -299,7 +299,7 @@ class ExprCompiler:
         # exactly POCast semantics.
         child = self.compile(e.child)
         out = child.cast(spark_t)
-        if self.probes is not None:
+        if self.probes is not None and self._probe_safe(e.child):
             # POCast warn(): a non-null input discarded to null counts
             # into FIELD_DISCARDED_TYPE_CONVERSION_FAILED (PigWarning
             # aggregation; spork_spark/warnings.py).
@@ -307,6 +307,29 @@ class ExprCompiler:
             self.probes.append(
                 (f"{src} -> {e.pig_type}", child.isNotNull() & out.isNull()))
         return out
+
+    # Builtins whose value differs per evaluation: the observe metric
+    # re-evaluates the cast child (child.isNotNull() & out.isNull()), so
+    # probing them would (a) miscount against the projected value and
+    # (b) re-run a Python UDF per row. Such casts stay silently
+    # null-on-failure — a documented subset of POCast's warn() coverage.
+    _NONDET_BUILTINS = frozenset({"RANDOM", "UNIQUEID"})
+
+    def _probe_safe(self, e: E.Expr) -> bool:
+        """True when the cast child is deterministic and JVM-side —
+        plain columns, literals, and deterministic builtin trees."""
+        if isinstance(e, E.Func):
+            name = e.name.upper()
+            if name in self._NONDET_BUILTINS or name in self.udfs:
+                return False
+        for v in vars(e).values():
+            if isinstance(v, E.Expr) and not self._probe_safe(v):
+                return False
+            if isinstance(v, list) and any(
+                    isinstance(x, E.Expr) and not self._probe_safe(x)
+                    for x in v):
+                return False
+        return True
 
     def _c_bincond(self, e: E.BinCond) -> Column:
         return F.when(self.compile(e.cond), self.compile(e.iftrue)) \

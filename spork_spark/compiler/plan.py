@@ -86,9 +86,11 @@ class PlanCompiler:
     def _warnings_on(self) -> bool:
         """Cast-failure warning counters (spork_spark/warnings.py),
         default off. Probes are collected per-expression-context and
-        attached as observe metrics on the FOREACH/FILTER input —
-        other cast sites (join/group keys, sort keys) stay uncounted,
-        a documented subset of Pig's every-POCast coverage."""
+        attached as observe metrics on the operator's input: FOREACH/
+        FILTER expressions (_attach_probes) and JOIN/GROUP/COGROUP/
+        ORDER/RANK key expressions (_probe_keys) — POCast warns at
+        every cast site (pig:…/expressionOperators/POCast.java warn()),
+        including the local-rearrange key casts this covers."""
         return self.warnings is not None and self._conf(
             "spark.spork.warnings.enabled", "false") == "true"
 
@@ -96,6 +98,21 @@ class PlanCompiler:
         if ctx.probes:
             return self.warnings.attach(df, ctx.probes)
         return df
+
+    def _probe_keys(self, df: DataFrame, keys) -> DataFrame:
+        """Plant cast-discard probes for JOIN/GROUP/ORDER key
+        expressions on the operator's INPUT (Pig warns at the
+        local-rearrange cast, i.e. once per input row). Keys are
+        compiled once in a throwaway context so the caller's own
+        compilation never double-registers a probe; flag-off returns
+        the input untouched (plans stay byte-identical)."""
+        if not self._warnings_on() or not keys:
+            return df
+        kctx = ExprCompiler(df, self.udfs, self.udafs, probes=[])
+        for k in keys:
+            k = k[0] if isinstance(k, tuple) else k   # (expr, asc) pairs
+            kctx.compile(k)
+        return self._attach_probes(df, kctx)
 
     def _conf(self, key: str, default: str) -> str:
         try:
@@ -480,6 +497,14 @@ class PlanCompiler:
         if not saw_agg:
             return None
 
+        # group-KEY cast discards ride the aggregation input (one probe
+        # context, compiled once — the rows still exist per-input-row
+        # there). Generator-expression casts stay uncounted in the
+        # fused path: a cast WRAPPING an aggregate ((long)SUM(..)) would
+        # nest an aggregate inside the observe metric — illegal — and
+        # the stored Column cannot tell that apart from a row-level
+        # cast, so the fused FOREACH keeps POCast-subset coverage.
+        child_df = self._probe_keys(child_df, keys)
         agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)
 
         # Re-project to the requested generator shape/order.
@@ -1018,6 +1043,7 @@ class PlanCompiler:
                 F.lit("all").alias(GROUP_COL), F.col(bag_alias))
         keys = self._expand_star_keys(df, node.keys)
         key_cols = self._group_key_cols(ctx, keys)
+        df = self._probe_keys(df, keys)     # group-key cast discards
         if node.mode == "cube":
             grouped = df.cube(*key_cols).agg(bag)
         elif node.mode == "rollup":
@@ -1083,6 +1109,7 @@ class PlanCompiler:
             key_cols = [ctx.compile(k).alias(f"__k{i}")
                         for i, k in enumerate(keys)]
             bag_type = T.ArrayType(df.schema)
+            df = self._probe_keys(df, keys)  # cogroup-key cast discards
             g = df.groupBy(*key_cols).agg(
                 F.collect_list(F.struct(*[F.col(c) for c in df.columns]))
                  .alias(bag_name))
@@ -1151,8 +1178,14 @@ class PlanCompiler:
         dfs = self._disambiguate(dfs, node)
         left = dfs[0]
         lkeys = [self._ctx(left).compile(k) for k in node.keys[0]]
+        # key-cast discard probes ride each join INPUT (POCast warns at
+        # the local-rearrange cast). raw_left stays un-observed: the
+        # merge-sparse semi-prune re-reads the left subtree, and a
+        # shared observe node there would fold its accumulator twice.
+        raw_left = left
+        left = self._probe_keys(left, node.keys[0])
         for i in range(1, len(dfs)):
-            right = dfs[i]
+            right = self._probe_keys(dfs[i], node.keys[i])
             if node.strategy == "replicated":
                 # USING 'replicated' → POFRJoin → broadcast hash join
                 right = F.broadcast(right)
@@ -1171,7 +1204,12 @@ class PlanCompiler:
                 # or sort. Inner-join only (Pig's own restriction); other
                 # hows fall back to the plain merge hint.
                 if node.how == "inner":
-                    probe = left.select(
+                    # built from the un-observed left (see raw_left
+                    # above); for n-way tails the running join result
+                    # is the only available source — Pig's merge join
+                    # is 2-way, so that branch is theoretical.
+                    probe_src = raw_left if i == 1 else left
+                    probe = probe_src.select(
                         *[k.alias(f"__msk{j}")
                           for j, k in enumerate(lkeys)]).distinct()
                     rk = [self._ctx(dfs[i]).compile(k)
@@ -1365,6 +1403,7 @@ class PlanCompiler:
         keys = [ctx.compile(k).asc_nulls_first() if asc
                 else ctx.compile(k).desc_nulls_last()
                 for k, asc in pairs]
+        df = self._probe_keys(df, pairs)    # sort-key cast discards
         if node.parallel:
             # Pig ORDER ... PARALLEL n = n reducers for the range sort;
             # the output stays TOTALLY ordered across partitions. A
@@ -1403,6 +1442,7 @@ class PlanCompiler:
         key_names = [f"__rk{i}" for i in range(len(node.keys))]
         key_cols = [ctx.compile(k).alias(n)
                     for (k, _), n in zip(node.keys, key_names)]
+        df = self._probe_keys(df, node.keys)  # rank-key cast discards
         kdf = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
         order = [F.col(n).asc_nulls_first() if asc
                  else F.col(n).desc_nulls_last()

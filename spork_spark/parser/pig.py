@@ -705,7 +705,12 @@ class PigParser:
         while self.peek().kind == "op" and self.peek().text == ".":
             self.next()
             key += "." + self.next().text
+        # values are dotted identifiers too in real scripts
+        # (`set mapred.job.queue.name root.prod;`) — same consumption
         val = self.next().text.strip("'")
+        while self.peek().kind == "op" and self.peek().text == ".":
+            self.next()
+            val += "." + self.next().text
         try:
             self.engine.spark.conf.set(key, val)
         except Exception:
@@ -1251,7 +1256,15 @@ class PigParser:
         return rng if rng is not None else self.expression()
 
     def _key_list(self) -> list[E.Expr]:
-        if self.accept("op", "("):
+        # `(` opens either a key TUPLE — `BY (k1, k2)` — or a CAST on a
+        # single key — `BY (int)s`, legal Pig (POCast at the local
+        # rearrange). Disambiguate with _unary's exact cast lookahead.
+        is_cast = (self.peek().kind == "op" and self.peek().text == "("
+                   and self.peek(1).kind == "ident"
+                   and self.peek(1).text.lower() in _PIG_TYPES
+                   and self.peek(2).kind == "op"
+                   and self.peek(2).text == ")")
+        if not is_cast and self.accept("op", "("):
             keys = [self._key_expr()]
             while self.accept("op", ","):
                 keys.append(self._key_expr())

@@ -73,8 +73,17 @@ class CastWarningCollector:
         delta: Counter = Counter()
         still = []
         for obs, labels in self._pending:
-            jo = obs._jo
-            if jo is None or jo.getRowOrEmpty().isEmpty():
+            try:
+                # PySpark-private surface (Observation._jo + the JVM
+                # getRowOrEmpty) — present on classic 4.x runtimes, absent
+                # under Spark Connect / subject to rename. A runtime
+                # without it degrades to "still pending" (no warning
+                # surface), never a harvest() crash.
+                jo = obs._jo
+                resolved = jo is not None and not jo.getRowOrEmpty().isEmpty()
+            except Exception:
+                resolved = False
+            if not resolved:
                 still.append((obs, labels))
                 continue
             row = obs.get  # resolved — returns immediately

@@ -6,6 +6,9 @@ import os
 
 ENTRY = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "__spark_entry__.py")
+# the driver's smallest fixture scale (TESTDATA.md); skip the live
+# build test when absent rather than hard-failing on another machine
+SF = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
 def test_no_duplicate_toplevel_function_names():
@@ -56,13 +59,16 @@ def test_registry_outputs_are_scalar_columns(spark):
     projections cast to double when exact (magnitude-bounded sums) or
     to the digit string when not (fingerprint_table's 60-bit digest
     sums). Lazy build at sf0.001 — schemas only, nothing collected."""
+    import pytest
     from pyspark.sql import types as T
     import __spark_entry__ as m
 
+    if not os.path.isdir(SF):
+        pytest.skip(f"driver fixture dir {SF} not present")
     banned = (T.ArrayType, T.StructType, T.MapType, T.DecimalType)
     bad = {}
     for name, q in m.queries().items():
-        df = q(spark, "/root/testdata/sf0.001")
+        df = q(spark, SF)
         offenders = [f.name for f in df.schema.fields
                      if isinstance(f.dataType, banned)]
         if offenders:

@@ -615,3 +615,13 @@ def test_set_statement_dotted_key(eng):
     run_script(eng, f"SET {key} 'hello';")
     assert eng.spark.conf.get(key) == "hello"
     run_script(eng, "SET default_parallel 10;")  # single-token still fine
+
+
+def test_set_statement_dotted_value(eng):
+    """SET with a dotted UNQUOTED value — real Pig accepts
+    `set mapred.job.queue.name root.prod;` (the value tokenizes as
+    ident (. ident)* exactly like the key)."""
+    from spork_spark.parser import run_script
+    key = "spark.spork.test.dotted_set_value"
+    run_script(eng, f"SET {key} root.prod;")
+    assert eng.spark.conf.get(key) == "root.prod"

@@ -57,6 +57,72 @@ def test_flag_off_attaches_nothing(spark):
     assert eng.warnings.harvest() == {}
 
 
+def test_join_key_cast_discards_counted(spark, warn_eng):
+    """POCast warns at EVERY cast site, including the local-rearrange
+    key cast feeding a join (pig:…/expressionOperators/POCast.java
+    warn()); r9 counted only FOREACH/FILTER expression casts — a dirty
+    script joining on a cast key lost the discard signal."""
+    left = warn_eng.from_df(_dirty(spark))
+    right = warn_eng.from_df(
+        spark.createDataFrame([(1,), (3,)], "k int"))
+    out = left.join([col("s").cast("int")], right, [col("k")])
+    assert out.df().count() == 2          # "1" and "3" match
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
+def test_group_key_cast_discards_counted(spark, warn_eng, tmp_path):
+    """Group-key casts count in BOTH the fused (FOREACH-aggregate) and
+    unfused (bag-escapes) GROUP paths."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    run_script(warn_eng, f"""
+        b = GROUP a BY (int)s;
+        c = FOREACH b GENERATE group, COUNT(a) AS n;
+        STORE c INTO '{tmp_path}/fused';
+    """, relations={"a": rel})
+    assert warn_eng.warnings.counts["s -> int"] == 2    # fused path
+    bag = rel.group_by(col("s").cast("int"))            # unfused path
+    assert bag.df().count() == 3          # groups: 1, 3, null(merged)
+    warn_eng.warnings.harvest()
+    assert warn_eng.warnings.counts["s -> int"] == 4
+
+
+def test_order_key_cast_discards_counted(spark, warn_eng):
+    rel = warn_eng.from_df(_dirty(spark))
+    out = rel.order_by(col("s").cast("int"))
+    assert out.df().count() == 5          # rows survive, order by null-first
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
+def test_nondeterministic_cast_child_not_probed(spark):
+    """The observe metric re-evaluates the cast child; probing a
+    non-deterministic child (RANDOM, a Python UDF) would miscount
+    against the projected value and re-run the UDF per row — such
+    casts stay silently null-on-failure (documented POCast subset)."""
+    from spork_spark.compiler.expr import ExprCompiler
+    from spork_spark.plans import expressions as E
+
+    df = spark.range(3).selectExpr("cast(id as string) s")
+    ctx = ExprCompiler(df, probes=[])
+    ctx.compile(E.Cast("int", E.Func("RANDOM", [])))
+    assert ctx.probes == []               # nondeterministic builtin: skip
+    ctx.compile(E.Cast("int", E.Col("s")))
+    assert len(ctx.probes) == 1           # plain column: probed
+
+
+def test_harvest_without_private_api_stays_pending(warn_eng):
+    """Observation._jo / getRowOrEmpty are PySpark-private (absent
+    under Spark Connect, rename-prone): a runtime without them must
+    degrade to 'still pending' (no warnings), never crash harvest()."""
+    class _NoJo:                          # no _jo attribute at all
+        pass
+
+    warn_eng.warnings._pending = [(_NoJo(), ["s -> int"])]
+    assert warn_eng.warnings.harvest() == {}
+    assert len(warn_eng.warnings._pending) == 1   # kept, not dropped
+
+
 def test_run_script_reports_at_end(spark, warn_eng, tmp_path, capsys):
     """The surfacing PigParser.run gives scripts and the grunt shell:
     Pig's end-of-job aggregate warning line, printed after the STORE

@@ -14,7 +14,14 @@ row count, sorted column names, and a value hash on stringified cells
 before each round's close over the first-50 rotation so a harness-
 shape regression cannot reach the driver unseen.
 
-Usage: python tools/driver_gate_sim.py [sf_dir] [n_keys]   # default sf0.01, 50
+Usage: python tools/driver_gate_sim.py [sf_dir] [n_keys] [--json out.json]
+       # default sf0.01, 50; n_keys 0 = full registry
+
+With --json the result is stamped into an artifact keyed by the
+sha256 of __spark_entry__.py (the SWEEP_r*.json pattern):
+tests/test_gatesim_gate.py fails the suite when the registry changes
+without a fresh full-registry replay, so a harness-shape hazard can
+never reach the driver behind a stale artifact.
 """
 
 from __future__ import annotations
@@ -44,14 +51,22 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from spork_spark import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    n = int(argv[1]) if len(argv) > 1 else 50
 
     spark = get_spark(master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if n <= 0:
+        n = len(qs)
     report, n_fail = {}, 0
     for name in list(qs)[:n]:
         entry = {"rows_match": None, "schema_match": None,
@@ -79,6 +94,17 @@ def main() -> None:
         print(("PASS" if ok else "FAIL"), name,
               "" if ok else json.dumps(entry))
     print(f"\n{n - n_fail}/{n} driver-shape green")
+    if json_out:
+        entry_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py")
+        with open(entry_path, "rb") as fh:
+            sha = hashlib.sha256(fh.read()).hexdigest()
+        with open(json_out, "w") as fh:
+            json.dump({"registry_sha256": sha, "sf_dir": sf,
+                       "n_queries": n, "n_fail": n_fail,
+                       "results": report}, fh, indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
