@@ -87,10 +87,12 @@ class PlanCompiler:
         """Cast-failure warning counters (spork_spark/warnings.py),
         default off. Probes are collected per-expression-context and
         attached as observe metrics on the operator's input: FOREACH/
-        FILTER expressions (_attach_probes) and JOIN/GROUP/COGROUP/
-        ORDER/RANK key expressions (_probe_keys) — POCast warns at
-        every cast site (pig:…/expressionOperators/POCast.java warn()),
-        including the local-rearrange key casts this covers."""
+        FILTER expressions (_attach_probes), JOIN/GROUP/COGROUP/
+        ORDER/RANK key expressions, and fused-aggregate ARGUMENT casts
+        (_probe_keys / _agg_arg_casts) — POCast warns at every cast
+        site (pig:…/expressionOperators/POCast.java warn()); the
+        uncounted remainder is agg-WRAPPING and post-agg group-ref
+        casts (per-output-row sites, see _agg_arg_casts)."""
         return self.warnings is not None and self._conf(
             "spark.spork.warnings.enabled", "false") == "true"
 
@@ -100,12 +102,13 @@ class PlanCompiler:
         return df
 
     def _probe_keys(self, df: DataFrame, keys) -> DataFrame:
-        """Plant cast-discard probes for JOIN/GROUP/ORDER key
-        expressions on the operator's INPUT (Pig warns at the
-        local-rearrange cast, i.e. once per input row). Keys are
-        compiled once in a throwaway context so the caller's own
-        compilation never double-registers a probe; flag-off returns
-        the input untouched (plans stay byte-identical)."""
+        """Plant cast-discard probes for row-level expressions (JOIN/
+        GROUP/ORDER keys, fused-aggregate arguments) on the operator's
+        INPUT (Pig warns at the local-rearrange / per-row cast, i.e.
+        once per input row). Expressions are compiled once in a
+        throwaway context so the caller's own compilation never
+        double-registers a probe; flag-off returns the input untouched
+        (plans stay byte-identical)."""
         if not self._warnings_on() or not keys:
             return df
         kctx = ExprCompiler(df, self.udfs, self.udafs, probes=[])
@@ -113,6 +116,32 @@ class PlanCompiler:
             k = k[0] if isinstance(k, tuple) else k   # (expr, asc) pairs
             kctx.compile(k)
         return self._attach_probes(df, kctx)
+
+    def _agg_arg_casts(self, e: E.Expr, inside_agg: bool = False,
+                       out: list | None = None) -> list:
+        """Collect Cast subexpressions that sit INSIDE an aggregate's
+        arguments — those evaluate once per input row, so their
+        discard probes are row-level (probe-safe on the aggregation
+        input). Casts OUTSIDE any aggregate in a fused generator
+        either wrap the aggregate itself (nesting an aggregate inside
+        an observe metric is illegal) or evaluate per OUTPUT row
+        (probing them on the input would over-count) — skipped, the
+        remaining documented subset of POCast's warn() coverage."""
+        if out is None:
+            out = []
+        if isinstance(e, E.Cast) and inside_agg:
+            out.append(e)                  # nested casts each warn
+        if isinstance(e, E.Func) and (e.name.upper() in ALGEBRAIC_AGGS
+                                      or e.name.upper() in self.udafs):
+            inside_agg = True
+        for v in vars(e).values():
+            if isinstance(v, E.Expr):
+                self._agg_arg_casts(v, inside_agg, out)
+            elif isinstance(v, list):
+                for x in v:
+                    if isinstance(x, E.Expr):
+                        self._agg_arg_casts(x, inside_agg, out)
+        return out
 
     def _conf(self, key: str, default: str) -> str:
         try:
@@ -474,6 +503,7 @@ class PlanCompiler:
         ctx = self._ctx(child_df)
         keys = self._expand_star_keys(child_df, group.keys)
         agg_cols, out_cols, saw_agg = [], [], False
+        row_casts: list[E.Expr] = []       # casts inside aggregate args
 
         for i, g in enumerate(gens):
             alias, inner = None, g
@@ -492,19 +522,21 @@ class PlanCompiler:
                 agg_cols.append((col, name, self._mentions_udaf(rewritten)))
                 out_cols.append(("agg", name, None))
                 saw_agg = True
+                if self._warnings_on():
+                    row_casts.extend(self._agg_arg_casts(rewritten))
             else:
                 return None
         if not saw_agg:
             return None
 
-        # group-KEY cast discards ride the aggregation input (one probe
-        # context, compiled once — the rows still exist per-input-row
-        # there). Generator-expression casts stay uncounted in the
-        # fused path: a cast WRAPPING an aggregate ((long)SUM(..)) would
-        # nest an aggregate inside the observe metric — illegal — and
-        # the stored Column cannot tell that apart from a row-level
-        # cast, so the fused FOREACH keeps POCast-subset coverage.
+        # Cast discards in the fused plan ride the aggregation input,
+        # where the rows still exist per-input-row: group-KEY casts +
+        # casts inside aggregate ARGUMENTS (SUM((int)x)) — both
+        # compiled once in a throwaway probe context. Agg-WRAPPING
+        # casts ((long)SUM(..)) and post-agg group-ref casts stay
+        # uncounted (see _agg_arg_casts).
         child_df = self._probe_keys(child_df, keys)
+        child_df = self._probe_keys(child_df, row_casts)
         agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)
 
         # Re-project to the requested generator shape/order.

@@ -88,6 +88,24 @@ def test_group_key_cast_discards_counted(spark, warn_eng, tmp_path):
     assert warn_eng.warnings.counts["s -> int"] == 4
 
 
+def test_fused_agg_arg_cast_discards_counted(spark, warn_eng):
+    """Casts INSIDE fused-aggregate arguments (SUM((int)s)) evaluate
+    per input row — probed. Casts WRAPPING an aggregate
+    ((long)COUNT_STAR) cannot ride an observe metric (nested
+    aggregate) and evaluate per output row anyway — skipped, and the
+    plan must not crash with warnings on."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    rels = run_script(warn_eng, """
+        b = GROUP a ALL;
+        c = FOREACH b GENERATE SUM((int)s) AS t, (long)COUNT_STAR(a) AS n;
+    """, relations={"a": rel})
+    row = rels["c"].df().collect()[0]
+    assert (row.t, row.n) == (4, 5)       # 1+3; all 5 rows counted
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
 def test_order_key_cast_discards_counted(spark, warn_eng):
     rel = warn_eng.from_df(_dirty(spark))
     out = rel.order_by(col("s").cast("int"))
