@@ -51,6 +51,7 @@ class PlanCompiler:
         self.warnings = warnings    # CastWarningCollector | None
         self._cache: dict[int, DataFrame] = {}
         self._consumers: dict[int, int] = {}
+        self._persisted: set[int] = set()   # node ids already track()ed
 
     # ------------------------------------------------------------------ api
     def compile(self, node: L.LogicalOp) -> DataFrame:
@@ -66,6 +67,20 @@ class PlanCompiler:
 
     def _compile(self, node: L.LogicalOp) -> DataFrame:
         if node._id in self._cache:
+            # Late persist upgrade: parse-time schema resolution can
+            # compile a node before all of its consumers are even
+            # constructed (e.g. scalar binding reads .columns while the
+            # script is still being parsed), so the >1-consumer persist
+            # below is missed at first compile. Reuse is the moment the
+            # count is known to have grown — persist() on the cached
+            # lazy DataFrame still precedes its first materialization
+            # in the batched-store flow, so the computation stays
+            # single. Idempotent via _persisted (no storageLevel RPC).
+            if (node._id not in self._persisted
+                    and self._consumers.get(node._id, 0) > 1
+                    and not isinstance(node, (L.Load, L.InMemory))):
+                self._cache[node._id] = track(self._cache[node._id])
+                self._persisted.add(node._id)
             return self._cache[node._id]
         df = getattr(self, f"_c_{type(node).__name__.lower()}")(node)
         # MultiQueryOptimizer role: persist subplans consumed >1× so SPLIT /
@@ -76,6 +91,7 @@ class PlanCompiler:
             # entry (caching.release_cached / Engine.release_cache) —
             # an untracked Dataset.persist leaks until session end
             df = track(df)
+            self._persisted.add(node._id)
         self._cache[node._id] = df
         return df
 

@@ -400,6 +400,13 @@ class PigParser:
         self.i = 0
         self.stored: list[tuple[str, str]] = []   # (alias, path) of STOREs
         self.dumped: list[str] = []
+        # Pig batch semantics: STOREs queue during the parse and execute
+        # together at end-of-run (MultiQueryOptimizer's batch half —
+        # SURVEY.md §4.2). Each entry is (path, thunk); barriers that
+        # force an early flush mirror Pig's documented multiquery
+        # execution points: DUMP, exec/run, grunt fs/sh commands, and a
+        # LOAD whose path overlaps a pending STORE's output.
+        self._pending_stores: list[tuple[str, object]] = []
 
     # -- token helpers -------------------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -435,12 +442,45 @@ class PigParser:
         self.toks, self.i = tokenize(src), 0
         while self.peek().kind != "eof":
             self.statement()
+        # Pig batch execution point: all statements are parsed and all
+        # STORE plans built (consumer counts complete, so shared
+        # parents persist once) — now run the queued writes in script
+        # order. Interactive grunt calls run() per statement, so a
+        # store there still executes immediately.
+        self._flush_stores()
         # Pig's end-of-job aggregated warnings (PigWarning): STORE/DUMP
         # actions above completed their observe metrics; surface any
         # new cast-discard counts. No-op when the flag is off (nothing
         # was attached) or the run was clean.
         self.engine.warnings.report()
         return self.rels
+
+    def _flush_stores(self) -> None:
+        pending, self._pending_stores = self._pending_stores, []
+        for _, thunk in pending:
+            thunk()
+
+    def _flush_if_overlaps(self, load_path: str) -> None:
+        """Pig's implicit store→load dependency: a LOAD that reads a
+        path a pending STORE will write must run after that store
+        (pig:…/MultiQueryOptimizer store/load same-file handling).
+        Globs flush on their fixed prefix; over-flushing only costs
+        batching, never correctness."""
+        if not self._pending_stores:
+            return
+        probe = load_path
+        for g in "*?[{":
+            i = probe.find(g)
+            if i >= 0:
+                probe = probe[:i]
+        probe = probe.rstrip("/")
+        for p, _ in self._pending_stores:
+            p = p.rstrip("/")
+            if (p == probe or p.startswith(probe + "/")
+                    or probe.startswith(p + "/") or probe == ""
+                    or (probe and p.startswith(probe))):
+                self._flush_stores()
+                return
 
     def rel(self, name: str) -> Relation:
         if name not in self.rels:
@@ -519,6 +559,7 @@ class PigParser:
         schema = None
         if self.accept("kw", "as"):
             schema = self._schema_ddl()
+        self._flush_if_overlaps(path)   # implicit store→load dependency
         return self.engine.load(path, fmt=fmt, schema=schema, **options)
 
     def st_store(self) -> None:
@@ -536,13 +577,30 @@ class PigParser:
                 fmt, args = d["fn"], list(d["args"])
             if fmt.lower() == "pigstorage" and args:
                 store_opts["sep"] = args[0]
-        self.rel(alias).store(path, fmt=fmt, **store_opts)
+        thunk = self.rel(alias).store_plan(path, fmt=fmt, **store_opts)
+        if self._multiquery_on():
+            self._pending_stores.append((path, thunk))
+        else:
+            thunk()
         self.stored.append((alias, path))
         self.expect("op", ";")
+
+    def _multiquery_on(self) -> bool:
+        """Pig's -no_multiquery switch as a conf: off → every STORE
+        executes at its statement (pre-r10 behavior), on (default) →
+        STOREs batch to end-of-script (Pig's default)."""
+        try:
+            return self.engine.spark.conf.get(
+                "spark.spork.multiquery.enabled", "true") == "true"
+        except Exception:
+            return True
 
     def st_dump(self) -> None:
         self.expect("kw", "dump")
         alias = self.expect("ident").text
+        # Pig: DUMP is an execution barrier that disables multiquery
+        # batching across it — pending stores run first, in order.
+        self._flush_stores()
         self.rel(alias).dump()
         self.dumped.append(alias)
         self.expect("op", ";")
@@ -631,6 +689,12 @@ class PigParser:
         self.expect("op", ";")
         cmdline = self._grunt[idx]
         head = cmdline.split(None, 1)[0].lower()
+        # fs/sh/exec touch the filesystem the queued STOREs will write:
+        # flush first so `STORE x INTO 'out'; cat out;` reads the data.
+        # (Real Pig is stricter — fs commands run during the parse and
+        # such a cat fails until an `exec` — so flushing is a forgiving
+        # superset: every script that works in Pig works here.)
+        self._flush_stores()
         if head in ("exec", "run", "kill"):
             self._grunt_script(cmdline)
         else:

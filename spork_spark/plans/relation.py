@@ -336,11 +336,23 @@ class Relation:
             else:
                 print("    (no example rows reach this operator)")
 
-    def store(self, path: str, fmt: str = "parquet",
-              partition_by: list[str] | None = None, **options) -> None:
+    def store_plan(self, path: str, fmt: str = "parquet",
+                   partition_by: list[str] | None = None, **options):
+        """Build the STORE node — consumer-counted NOW, so a parent
+        shared by several stores is seen as multi-consumer before the
+        first compile and gets persisted once — and return a thunk
+        that executes the write. This is the batch half of Pig's
+        MultiQueryOptimizer (SURVEY.md §4.2): the script parser queues
+        these and flushes at end-of-script (pig:…/tools/pigscript/
+        parser — STOREs execute as one batch, not statement by
+        statement)."""
         node = L.Store(self.node, path, fmt, options, partition_by or [])
         self.engine._compiler.note_consumers(node)   # multi-store → persist
-        self.engine.compile(node)
+        return lambda: self.engine.compile(node)
+
+    def store(self, path: str, fmt: str = "parquet",
+              partition_by: list[str] | None = None, **options) -> None:
+        self.store_plan(path, fmt, partition_by, **options)()
 
     def to_view(self, name: str) -> "Relation":
         """Register this relation as a temp view so `spark.sql` can query
