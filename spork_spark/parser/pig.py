@@ -525,6 +525,57 @@ class PigParser:
         rel.as_alias(alias)
         self.rels[alias] = rel
         self.expect("op", ";")
+        self._eager_validate(alias, rel)
+
+    def _eager_validate(self, alias: str, rel: Relation) -> None:
+        """Pig surfaces schema/name errors at the DEFINING statement —
+        grunt rejects `b = FILTER a BY no_such_col;` at the prompt, and
+        batch mode builds every statement's logical plan before any job
+        runs (pig:…/parser/QueryParserDriver + schema validation pass).
+        Compile the new relation now: driver-side Catalyst analysis
+        only, no job — combined with end-of-script store batching this
+        gives Pig's batch property that an invalid statement ANYWHERE
+        fails the script before any STORE writes output.
+
+        Exempt from eager compile (stay lazy until first use):
+        - RANK plans — their compile runs a real job (the two-pass
+          partition-offsets collect), which Pig's statement-time
+          validation never does;
+        - mixed CUBE/ROLLUP (gsets) groups — the standalone node
+          refuses to compile by design (the bag cannot escape; only
+          the fused FOREACH consumes it), but the statement is valid
+          Pig.
+        A failed statement leaves the alias undefined (Pig rejects the
+        statement). Gate: spark.spork.validate.eager (default on)."""
+        try:
+            on = self.engine.spark.conf.get(
+                "spark.spork.validate.eager", "true") == "true"
+        except Exception:
+            on = True
+        if not on or self._validation_exempt(rel.node):
+            return
+        try:
+            rel.df()                 # analysis RPC; memoized for later use
+        except Exception:
+            del self.rels[alias]
+            raise
+
+    @staticmethod
+    def _validation_exempt(node) -> bool:
+        from ..plans import logical as L
+        seen = set()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if id(n) in seen:
+                continue
+            seen.add(id(n))
+            if isinstance(n, L.Rank):
+                return True
+            if isinstance(n, L.Group) and getattr(n, "mode", None) == "gsets":
+                return True
+            stack.extend(getattr(n, "children", []))
+        return False
 
     def operator(self, alias: str) -> Relation:
         t = self.next()

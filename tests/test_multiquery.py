@@ -86,6 +86,20 @@ def test_grunt_command_flushes_pending_stores(eng, tmp_path, capsys):
     assert set(out.split()) == {"0", "1", "2", "3", "4"}
 
 
+def test_invalid_statement_fails_batch_before_any_store(eng, tmp_path):
+    """Pig batch semantics: every statement's plan is validated before
+    execution, so an invalid statement ANYWHERE fails the script with
+    no partial output — even when a STORE precedes it."""
+    import pytest
+    with pytest.raises(Exception, match="no_such_col"):
+        run_script(eng, f"""
+            a = LOAD '{SF}/region.parquet';
+            STORE a INTO '{tmp_path}/out';
+            b = FILTER a BY no_such_col > 1;
+        """)
+    assert not os.path.exists(f"{tmp_path}/out")
+
+
 def test_multiquery_off_restores_inline_stores(eng, tmp_path):
     """spark.spork.multiquery.enabled=false = Pig's -no_multiquery:
     every STORE executes at its statement. (The late persist upgrade

@@ -617,6 +617,38 @@ def test_set_statement_dotted_key(eng):
     run_script(eng, "SET default_parallel 10;")  # single-token still fine
 
 
+def test_schema_errors_surface_at_the_defining_statement(eng):
+    """Pig rejects `b = FILTER a BY no_such_col;` AT THE STATEMENT
+    (grunt prompt or batch plan pass), not at first DUMP/STORE. The
+    failed alias stays undefined, and the session keeps working."""
+    import pytest
+    from spork_spark.parser import run_script
+
+    rel = eng.from_df(eng.spark.createDataFrame([(1,)], "x int"))
+    p_rels = {}
+    with pytest.raises(Exception, match="no_such_col"):
+        p_rels = run_script(eng, "b = FILTER a BY no_such_col > 1;",
+                            relations={"a": rel})
+    assert "b" not in p_rels
+    out = run_script(eng, "c = FILTER a BY x > 0;", relations={"a": rel})
+    assert out["c"].df().count() == 1
+
+
+def test_rank_statement_stays_lazy(eng):
+    """RANK's compile runs a real job (two-pass offsets), which Pig's
+    statement-time validation never does — defining a RANK must not
+    trigger execution (its errors surface at first use instead)."""
+    from spork_spark.parser import run_script
+
+    rel = eng.from_df(eng.spark.createDataFrame([(1,), (2,)], "x int"))
+    before = eng.spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    rels = run_script(eng, "r = RANK a BY x;", relations={"a": rel})
+    after = eng.spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)      # no job at definition
+    assert [tuple(r) for r in rels["r"].df().orderBy("x").collect()] == \
+        [(1, 1), (2, 2)]
+
+
 def test_set_statement_dotted_value(eng):
     """SET with a dotted UNQUOTED value — real Pig accepts
     `set mapred.job.queue.name root.prod;` (the value tokenizes as
