@@ -207,6 +207,9 @@ def grunt(engine, params: dict) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Mirrors the reference launcher's flag surface (pig:src/org/apache/
+    pig/Main.java): -param/-param_file, -e(xecute), -c(heck), -r(dryrun),
+    -M(no_multiquery) — plus this engine's --master/--explain."""
     ap = argparse.ArgumentParser(
         prog="spork_spark",
         description="Run a Pig Latin script on the PySpark-native engine "
@@ -214,28 +217,83 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("script", nargs="?", default=None,
                     help="path to .pig script ('-' for stdin); omit for "
                          "the interactive grunt shell")
-    ap.add_argument("-p", "--param", action="append", default=[],
-                    metavar="NAME=VALUE", help="parameter substitution")
+    ap.add_argument("-p", "-param", "--param", action="append", default=[],
+                    metavar="NAME=VALUE", help="parameter substitution "
+                    "(overrides -param_file values of the same name)")
+    ap.add_argument("-param_file", "--param_file", action="append",
+                    default=[], metavar="FILE",
+                    help="file of NAME=VALUE lines ('#' comments allowed)")
+    ap.add_argument("-e", "-execute", "--execute", default=None,
+                    metavar="CMDS", help="execute the given statement(s) "
+                    "and exit (instead of a script file)")
+    ap.add_argument("-c", "-check", "--check", action="store_true",
+                    help="syntax/plan check only: validate every "
+                    "statement, execute nothing")
+    ap.add_argument("-r", "-dryrun", "--dryrun", action="store_true",
+                    help="write <script>.substituted (parameters "
+                    "substituted, macros expanded) without running")
+    ap.add_argument("-M", "-no_multiquery", "--no_multiquery",
+                    action="store_true",
+                    help="execute every STORE at its statement instead "
+                    "of batching to end-of-script")
     ap.add_argument("--master", default=None, help="Spark master override")
     ap.add_argument("--explain", action="store_true",
                     help="print the physical plan of every defined alias")
     args = ap.parse_args(argv)
 
-    params = dict(p.split("=", 1) for p in args.param)
+    if args.execute is not None and args.script is not None:
+        ap.error("give either a script file or -e CMDS, not both")
+
+    from .parser import preprocess, read_param_file
+
+    params: dict[str, str] = {}
+    for f in args.param_file:
+        params.update(read_param_file(f))
+    params.update(dict(p.split("=", 1) for p in args.param))
+
+    def read_source() -> str:
+        if args.execute is not None:
+            return args.execute
+        if args.script == "-":
+            return sys.stdin.read()
+        return open(args.script).read()
+
+    if args.dryrun:
+        # pure text pass — no SparkSession needed
+        if args.execute is None and args.script not in (None, "-"):
+            out_path = args.script + ".substituted"
+            with open(out_path, "w") as fh:
+                fh.write(preprocess(read_source(), params))
+            print(f"dry run completed; substituted script at {out_path}")
+        else:
+            sys.stdout.write(preprocess(read_source(), params))
+        return 0
 
     from . import Engine, get_spark
-    from .parser import run_script
+    from .parser import check_script, run_script
 
     spark = get_spark(app_name=f"spork:{args.script or 'grunt'}",
                       master=args.master)
     spark.sparkContext.setLogLevel("WARN")
+    if args.no_multiquery:
+        spark.conf.set("spark.spork.multiquery.enabled", "false")
     engine = Engine(spark)
 
-    if args.script is None:
+    if args.check:
+        if args.script is None and args.execute is None:
+            ap.error("-c/--check needs a script file or -e CMDS")
+        try:
+            check_script(engine, read_source(), params=params)
+        except Exception as exc:
+            print(f"ERROR: {exc}", file=sys.stderr)
+            return 1
+        print(f"{args.script or '-e command'}: syntax OK")
+        return 0
+
+    if args.script is None and args.execute is None:
         return grunt(engine, params)
 
-    src = sys.stdin.read() if args.script == "-" else open(args.script).read()
-    rels = run_script(engine, src, params=params)
+    rels = run_script(engine, read_source(), params=params)
     if args.explain:
         for name, rel in rels.items():
             print(f"-- {name} " + "-" * 50)

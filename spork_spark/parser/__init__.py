@@ -1,3 +1,5 @@
-from .pig import PigParser, PigSyntaxError, run_script, substitute_params
+from .pig import (PigParser, PigSyntaxError, check_script, preprocess,
+                  read_param_file, run_script, substitute_params)
 
-__all__ = ["PigParser", "PigSyntaxError", "run_script", "substitute_params"]
+__all__ = ["PigParser", "PigSyntaxError", "check_script", "preprocess",
+           "read_param_file", "run_script", "substitute_params"]

@@ -140,6 +140,22 @@ _DECLARE_RE = re.compile(r"^\s*%(declare|default)\s+(\w+)\s+(.+?)\s*;?\s*$",
                          re.MULTILINE)
 
 
+def read_param_file(path: str) -> dict[str, str]:
+    """Pig's -param_file format (pig:src/org/apache/pig/tools/parameters/
+    ParamLoader): one name=value per line, '#' comments and blank lines
+    skipped, values may be quoted. Shared by the CLI flag and grunt
+    `exec -param_file`."""
+    params: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            k, _, v = line.partition("=")
+            params[k.strip()] = v.strip().strip("'\"")
+    return params
+
+
 def substitute_params(src: str, params: dict[str, str] | None) -> str:
     params = dict(params or {})
     def grab(m):
@@ -400,6 +416,11 @@ class PigParser:
         self.i = 0
         self.stored: list[tuple[str, str]] = []   # (alias, path) of STOREs
         self.dumped: list[str] = []
+        # Pig's `-check` mode (pig:src/org/apache/pig/Main.java -c):
+        # parse and build every statement's plan — eager validation
+        # forced on, so schema/name errors surface — but execute
+        # NOTHING: no store, no dump output, no fs/sh side effects.
+        self.check = False
         # Pig batch semantics: STOREs queue during the parse and execute
         # together at end-of-run (MultiQueryOptimizer's batch half —
         # SURVEY.md §4.2). Each entry is (path, thunk); barriers that
@@ -436,7 +457,7 @@ class PigParser:
 
     # -- entry ----------------------------------------------------------------
     def run(self, src: str, params: dict | None = None) -> dict[str, Relation]:
-        src = expand_macros(substitute_params(src, params))
+        src = preprocess(src, params)
         src, self._grunt = _extract_grunt_statements(src)
         self.src = src
         self.toks, self.i = tokenize(src), 0
@@ -446,8 +467,10 @@ class PigParser:
         # STORE plans built (consumer counts complete, so shared
         # parents persist once) — now run the queued writes in script
         # order. Interactive grunt calls run() per statement, so a
-        # store there still executes immediately.
-        self._flush_stores()
+        # store there still executes immediately. -check stops here:
+        # everything is validated, nothing runs.
+        if not self.check:
+            self._flush_stores()
         # Pig's end-of-job aggregated warnings (PigWarning): STORE/DUMP
         # actions above completed their observe metrics; surface any
         # new cast-discard counts. No-op when the flag is off (nothing
@@ -547,11 +570,14 @@ class PigParser:
           Pig.
         A failed statement leaves the alias undefined (Pig rejects the
         statement). Gate: spark.spork.validate.eager (default on)."""
-        try:
-            on = self.engine.spark.conf.get(
-                "spark.spork.validate.eager", "true") == "true"
-        except Exception:
-            on = True
+        if self.check:
+            on = True           # -check IS the validation pass
+        else:
+            try:
+                on = self.engine.spark.conf.get(
+                    "spark.spork.validate.eager", "true") == "true"
+            except Exception:
+                on = True
         if not on or self._validation_exempt(rel.node):
             return
         try:
@@ -629,7 +655,9 @@ class PigParser:
             if fmt.lower() == "pigstorage" and args:
                 store_opts["sep"] = args[0]
         thunk = self.rel(alias).store_plan(path, fmt=fmt, **store_opts)
-        if self._multiquery_on():
+        if self.check:
+            pass                # plan built + validated; nothing writes
+        elif self._multiquery_on():
             self._pending_stores.append((path, thunk))
         else:
             thunk()
@@ -649,26 +677,32 @@ class PigParser:
     def st_dump(self) -> None:
         self.expect("kw", "dump")
         alias = self.expect("ident").text
-        # Pig: DUMP is an execution barrier that disables multiquery
-        # batching across it — pending stores run first, in order.
-        self._flush_stores()
-        self.rel(alias).dump()
+        if self.check:
+            self.rel(alias).df()      # analysis only, no job, no output
+        else:
+            # Pig: DUMP is an execution barrier that disables multiquery
+            # batching across it — pending stores run first, in order.
+            self._flush_stores()
+            self.rel(alias).dump()
         self.dumped.append(alias)
         self.expect("op", ";")
 
     def st_describe(self) -> None:
         self.expect("kw", "describe")
-        self.rel(self.expect("ident").text).describe()
+        rel = self.rel(self.expect("ident").text)
+        rel.df() if self.check else rel.describe()
         self.expect("op", ";")
 
     def st_explain(self) -> None:
         self.expect("kw", "explain")
-        self.rel(self.expect("ident").text).explain()
+        rel = self.rel(self.expect("ident").text)
+        rel.df() if self.check else rel.explain()
         self.expect("op", ";")
 
     def st_illustrate(self) -> None:
         self.expect("kw", "illustrate")
-        self.rel(self.expect("ident").text).illustrate()
+        rel = self.rel(self.expect("ident").text)
+        rel.df() if self.check else rel.illustrate()
         self.expect("op", ";")
 
     def st_define(self) -> None:
@@ -740,6 +774,12 @@ class PigParser:
         self.expect("op", ";")
         cmdline = self._grunt[idx]
         head = cmdline.split(None, 1)[0].lower()
+        if self.check:
+            # -check: fs/sh side effects are skipped; nested scripts
+            # still get checked (exec/run propagate the flag).
+            if head in ("exec", "run"):
+                self._grunt_script(cmdline)
+            return
         # fs/sh/exec touch the filesystem the queued STOREs will write:
         # flush first so `STORE x INTO 'out'; cat out;` reads the data.
         # (Real Pig is stricter — fs commands run during the parse and
@@ -776,6 +816,9 @@ class PigParser:
                 f"grunt: kill {' '.join(rest)} ignored — no async job "
                 "tracker in this engine\n")
             return
+        # -param beats -param_file regardless of argument order
+        # (pig:…/tools/parameters/ParameterSubstitutionPreprocessor)
+        cli_params: dict[str, str] = {}
         params: dict[str, str] = {}
         script = None
         i = 0
@@ -783,16 +826,10 @@ class PigParser:
             a = rest[i]
             if a in ("-param", "-p") and i + 1 < len(rest):
                 k, _, v = rest[i + 1].partition("=")
-                params[k.strip()] = v
+                cli_params[k.strip()] = v
                 i += 2
             elif a == "-param_file" and i + 1 < len(rest):
-                with open(_strip_scheme(rest[i + 1])) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if not line or line.startswith("#"):
-                            continue
-                        k, _, v = line.partition("=")
-                        params[k.strip()] = v.strip().strip("'\"")
+                params.update(read_param_file(_strip_scheme(rest[i + 1])))
                 i += 2
             else:
                 script = _strip_scheme(a)
@@ -801,7 +838,9 @@ class PigParser:
             raise PigSyntaxError(f"{cmd} needs a script path: {cmdline!r}")
         with open(script) as fh:
             src = fh.read()
+        params.update(cli_params)
         sub = PigParser(self.engine)
+        sub.check = self.check           # -check covers nested scripts too
         if cmd == "run":
             # shared-context execution: the nested parser mutates THIS
             # session's dicts in place, so its aliases/DEFINEs persist
@@ -841,7 +880,10 @@ class PigParser:
         msg = "assertion failed"
         if self.accept("op", ","):
             msg = self._string()
-        src.assert_(cond, msg)
+        if self.check:
+            src.filter(cond).df()     # validate the condition, no scan
+        else:
+            src.assert_(cond, msg)
         self.expect("op", ";")
 
     def st_split(self) -> None:
@@ -1721,6 +1763,25 @@ class PigParser:
         if "." in text or "e" in text or "E" in text:
             return float(text)
         return int(text)
+
+
+def preprocess(script: str, params: dict | None = None) -> str:
+    """Parameter substitution + IMPORT/macro expansion — the exact text
+    the parser executes. This is Pig's -dryrun output
+    (<script>.substituted; pig:src/org/apache/pig/Main.java -r)."""
+    return expand_macros(substitute_params(script, params))
+
+
+def check_script(engine: Engine, script: str,
+                 params: dict | None = None) -> dict[str, Relation]:
+    """Pig's -check: parse the script and build/analyze every
+    statement's plan (schema and name errors raise) without executing
+    anything — no store writes, no dump output, no fs/sh side effects.
+    LOAD inputs must be readable (schemas come from file footers when
+    no AS clause is given), but no Spark job runs."""
+    p = PigParser(engine)
+    p.check = True
+    return p.run(script, params)
 
 
 def run_script(engine: Engine, script: str,
