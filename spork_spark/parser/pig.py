@@ -166,7 +166,11 @@ def substitute_params(src: str, params: dict[str, str] | None) -> str:
         return ""
     src = _DECLARE_RE.sub(grab, src)
     for k, v in params.items():
-        src = re.sub(rf"\$\{{{k}\}}|\${k}\b", str(v), src)
+        # function replacement: values are TEXT, not re templates — a
+        # regex value like '\d+' must neither crash ("bad escape") nor
+        # have its backslashes eaten
+        src = re.sub(rf"\$\{{{re.escape(k)}\}}|\${re.escape(k)}\b",
+                     lambda m, v=str(v): v, src)
     return src
 
 
@@ -234,9 +238,12 @@ def expand_macros(src: str) -> str:
         counter[0] += 1
         text = body
         for p, a in zip(params, args):
-            text = re.sub(rf"\$\{{{p}\}}|\${p}\b", a, text)
+            # function replacement: macro args are TEXT (often regex
+            # string literals like '\d+') — never re templates
+            text = re.sub(rf"\$\{{{re.escape(p)}\}}|\${re.escape(p)}\b",
+                          lambda m, a=a: a, text)
         # the return alias is referenced as $name inside the body (Pig form)
-        text = re.sub(rf"\${ret}\b", lhs, text)
+        text = re.sub(rf"\${ret}\b", lambda m: lhs, text)
         # prefix macro-internal aliases to avoid clobbering outer scope
         internal = set(re.findall(r"^\s*(\w+)\s*=", text, re.MULTILINE))
         internal.discard(lhs)

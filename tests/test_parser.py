@@ -163,6 +163,27 @@ def test_param_substitution(eng):
     assert rels2["f"].df().count() < rels["f"].df().count()
 
 
+def test_param_values_are_text_not_re_templates():
+    r"""Parameter values and macro arguments are plain text: a regex
+    value like '\d+' must not crash re.sub ("bad escape") or lose its
+    backslashes, and '\n' in a path must stay two characters."""
+    from spork_spark.parser import preprocess, substitute_params
+
+    out = substitute_params("f = FILTER a BY s matches '$RE';",
+                            {"RE": r"\d+"})
+    assert r"'\d+'" in out
+    out = substitute_params("a = LOAD '$P';", {"P": r"dir\new\table.csv"})
+    assert r"'dir\new\table.csv'" in out and "\n" not in out
+    # macro argument carrying a regex string literal
+    out = preprocess(r"""
+        DEFINE sel(rel, pat) RETURNS out {
+          $out = FILTER $rel BY s matches $pat;
+        };
+        x = sel(a, '\\d+');
+    """, None)
+    assert r"matches '\\d+'" in out
+
+
 def test_syntax_error_reporting(eng):
     with pytest.raises(PigSyntaxError):
         run_script(eng, "x = FILTER nosuchrel BY a > 1;")
