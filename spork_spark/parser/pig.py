@@ -160,7 +160,17 @@ def substitute_params(src: str, params: dict[str, str] | None) -> str:
     params = dict(params or {})
     def grab(m):
         kind, name, val = m.groups()
-        val = val.strip("'\"")
+        if len(val) >= 2 and val[0] == "`" and val[-1] == "`":
+            # Pig command substitution (pig:…/tools/parameters/
+            # PreprocessorContext processShellCmd): `%declare DATE
+            # `date +%F`` runs the command and uses its stdout —
+            # the standard idiom for dated output paths.
+            import subprocess
+            val = subprocess.run(
+                val[1:-1], shell=True, capture_output=True,
+                text=True, check=True).stdout.strip()
+        else:
+            val = val.strip("'\"")
         if kind == "declare" or name not in params:
             params[name] = val
         return ""
@@ -223,18 +233,30 @@ def expand_macros(src: str) -> str:
     if not macros:
         return src
 
+    names = "|".join(re.escape(k) for k in macros)
     call_re = re.compile(
-        r"^(\s*)(\w+)\s*=\s*(" + "|".join(re.escape(k) for k in macros) +
-        r")\s*\(([^)]*)\)\s*;", re.IGNORECASE | re.MULTILINE)
+        r"^(\s*)(\w+)\s*=\s*(" + names + r")\s*\(([^)]*)\)\s*;",
+        re.IGNORECASE | re.MULTILINE)
+    # RETURNS void macros are called as bare statements — `cleanup(a);`
+    # (pig:…/parser/QueryParserDriver: macro with no return alias)
+    void_re = re.compile(
+        r"^(\s*)(" + names + r")\s*\(([^)]*)\)\s*;",
+        re.IGNORECASE | re.MULTILINE)
     counter = [0]
 
-    def expand(m):
-        indent, lhs, name, argstr = m.groups()
+    def expand_body(name: str, argstr: str, lhs: str | None,
+                    indent: str) -> str:
         params, ret, body = macros[name.lower()]
         args = [a.strip() for a in argstr.split(",")] if argstr.strip() else []
         if len(args) != len(params):
             raise PigSyntaxError(
                 f"macro {name} expects {len(params)} args, got {len(args)}")
+        if (ret.lower() == "void") != (lhs is None):
+            raise PigSyntaxError(
+                f"macro {name} RETURNS {ret}: "
+                + ("call it as a bare statement, not an assignment"
+                   if ret.lower() == "void" else
+                   "assign its result to an alias"))
         counter[0] += 1
         text = body
         for p, a in zip(params, args):
@@ -242,8 +264,9 @@ def expand_macros(src: str) -> str:
             # string literals like '\d+') — never re templates
             text = re.sub(rf"\$\{{{re.escape(p)}\}}|\${re.escape(p)}\b",
                           lambda m, a=a: a, text)
-        # the return alias is referenced as $name inside the body (Pig form)
-        text = re.sub(rf"\${ret}\b", lambda m: lhs, text)
+        if lhs is not None:
+            # the return alias is referenced as $name inside the body
+            text = re.sub(rf"\${ret}\b", lambda m: lhs, text)
         # prefix macro-internal aliases to avoid clobbering outer scope
         internal = set(re.findall(r"^\s*(\w+)\s*=", text, re.MULTILINE))
         internal.discard(lhs)
@@ -251,10 +274,19 @@ def expand_macros(src: str) -> str:
             text = re.sub(rf"\b{alias}\b", f"__m{counter[0]}_{alias}", text)
         return indent + text
 
+    def expand(m):
+        indent, lhs, name, argstr = m.groups()
+        return expand_body(name, argstr, lhs, indent)
+
+    def expand_void(m):
+        indent, name, argstr = m.groups()
+        return expand_body(name, argstr, None, indent)
+
     prev = None
     while prev != src:
         prev = src
         src = call_re.sub(expand, src)
+        src = void_re.sub(expand_void, src)
     return src
 
 

@@ -184,6 +184,48 @@ def test_param_values_are_text_not_re_templates():
     assert r"matches '\\d+'" in out
 
 
+def test_declare_command_substitution():
+    """%declare with a backticked shell command uses its stdout — the
+    standard Pig idiom for dated output paths (`%declare DATE `date
+    +%F``)."""
+    from spork_spark.parser import substitute_params
+    out = substitute_params(
+        "%declare WHO `echo spork_user`\na = LOAD '/tmp/$WHO/in';", None)
+    assert "/tmp/spork_user/in" in out and "`" not in out
+
+
+def test_void_macro_called_as_bare_statement(eng, tmp_path):
+    """DEFINE … RETURNS void macros are called as statements, not
+    assignments — typical for STORE-side helpers."""
+    out = tmp_path / "snap"
+    run_script(eng, f"""
+        DEFINE snapshot(rel, dest) RETURNS void {{
+          f = FILTER $rel BY n_regionkey > 0;
+          STORE f INTO $dest;
+        }};
+        a = LOAD '{SF}/nation.parquet';
+        snapshot(a, '{out}');
+    """)
+    assert out.exists()
+
+
+def test_macro_call_form_must_match_returns(eng, tmp_path):
+    """Assigning a void macro's 'result' (or bare-calling a returning
+    macro) is rejected with a clear message."""
+    with pytest.raises(PigSyntaxError, match="bare statement"):
+        run_script(eng, f"""
+            DEFINE v(rel) RETURNS void {{ STORE $rel INTO '{tmp_path}/x'; }};
+            a = LOAD '{SF}/nation.parquet';
+            b = v(a);
+        """)
+    with pytest.raises(PigSyntaxError, match="assign"):
+        run_script(eng, f"""
+            DEFINE r(rel) RETURNS out {{ $out = FILTER $rel BY n_regionkey > 0; }};
+            a = LOAD '{SF}/nation.parquet';
+            r(a);
+        """)
+
+
 def test_syntax_error_reporting(eng):
     with pytest.raises(PigSyntaxError):
         run_script(eng, "x = FILTER nosuchrel BY a > 1;")
