@@ -474,6 +474,11 @@ class PigParser:
 
     def next(self) -> Tok:
         t = self.toks[self.i]
+        if t.kind == "eof":
+            # nothing legitimately consumes eof (the statement loop
+            # peeks) — a next() here is always a truncated statement,
+            # and must be a clean parse error, not an IndexError
+            raise PigSyntaxError(f"unexpected end of script at {t.pos}")
         self.i += 1
         return t
 
@@ -747,6 +752,10 @@ class PigParser:
     def st_define(self) -> None:
         self.expect("kw", "define")
         name = self.expect("ident").text
+        if self.peek().kind == "op" and self.peek().text == ";":
+            raise PigSyntaxError(
+                f"DEFINE {name} needs a function, `command`, or macro "
+                f"body at {self.peek().pos}")
         t = self.next()                      # `cmd` or fn name (+ args)
         # DEFINE alias SomeFunc('args') — a named load/store/stream-func
         # instance (SURVEY.md §2.1 #27); resolved at USING sites.

@@ -1,0 +1,147 @@
+"""Script-text fuzzing (beyond the reference — SURVEY.md §5.1 notes Pig
+has no randomized tests). Two properties over the TEXT layer, where the
+real-user bugs of past rounds lived (comment scanning, string handling,
+keyword case, statement termination):
+
+1. metamorphic: injecting comments / whitespace / keyword-case changes
+   at token boundaries of a known-good script must not change its
+   result;
+2. crash-class: arbitrary garbage input must fail with a parse/analysis
+   error, never an internal Python error (IndexError, KeyError, ...).
+"""
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spork_spark.parser import PigSyntaxError, run_script
+
+SF = "/root/testdata/sf0.001"
+
+SLOW = settings(
+    max_examples=int(os.environ.get("SPORK_FUZZ_EXAMPLES", "12")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture])
+
+# one statement per line; string literals contain no spaces, so every
+# space is a safe injection point
+BASE = [
+    f"li = LOAD '{SF}/lineitem.parquet';",
+    "f = FILTER li BY l_quantity >= 25.0 AND l_returnflag != 'X';",
+    "g = GROUP f BY l_returnflag;",
+    "s = FOREACH g GENERATE group AS flag, COUNT(f) AS n,"
+    " SUM(f.l_quantity) AS qty;",
+    "o = ORDER s BY flag;",
+]
+
+# keywords are case-insensitive in Pig; aliases and builtin fn names are
+# case-sensitive — only flip the former
+KEYWORDS = {"LOAD", "FILTER", "BY", "AND", "GROUP", "FOREACH", "GENERATE",
+            "AS", "ORDER"}
+
+fillers = st.sampled_from(
+    [" ", "  ", "\n", "\n\t", " /* c */ ", " /*;{'*/ ", " -- t ;{\n",
+     "\n-- full line comment\n"])
+case_mode = st.sampled_from(["keep", "lower", "title"])
+
+
+def flip(tok: str, mode: str) -> str:
+    if tok.upper() in KEYWORDS:
+        return {"keep": tok, "lower": tok.lower(),
+                "title": tok.title()}[mode]
+    return tok
+
+
+@pytest.fixture(scope="module")
+def golden(eng):
+    rels = run_script(eng, "\n".join(BASE))
+    return sorted(map(tuple, rels["o"].collect()))
+
+
+@given(data=st.data())
+@SLOW
+def test_comment_whitespace_case_invariance(eng, golden, data):
+    """A script rewritten with random token-boundary comments, blank
+    runs, and keyword-case changes parses to the same plan and returns
+    the same rows."""
+    out_lines = []
+    for line in BASE:
+        toks = line.split(" ")
+        toks = [flip(t, data.draw(case_mode)) for t in toks]
+        glue = [data.draw(fillers) for _ in range(len(toks) - 1)]
+        buf = toks[0]
+        for g, t in zip(glue, toks[1:]):
+            buf += g + t
+        out_lines.append(buf + data.draw(fillers))
+    mutated = "\n".join(out_lines)
+    rels = run_script(eng, mutated)
+    assert sorted(map(tuple, rels["o"].collect())) == golden
+
+
+# letters deliberately exclude anything that can spell a shell-reaching
+# form (%declare needs 'declare'; grunt fs/sh need those words)
+_GARBAGE = "abXY01=;'(){}.,$-/*%\n \t\"\\:<>[]#&|"
+
+
+@given(txt=st.text(alphabet=_GARBAGE, max_size=80))
+@settings(max_examples=int(os.environ.get("SPORK_FUZZ_EXAMPLES", "12")) * 4,
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_garbage_never_raises_internal_errors(eng, txt):
+    """Malformed input must surface as a parse/analysis error with a
+    message — never an internal Python crash class."""
+    try:
+        run_script(eng, txt)
+    except (IndexError, KeyError, AttributeError, TypeError,
+            UnboundLocalError, RecursionError) as exc:
+        raise AssertionError(
+            f"internal {type(exc).__name__} on input {txt!r}: {exc}")
+    except Exception:
+        pass        # typed engine/Spark errors are the contract
+
+
+# near-valid fragments: real keywords in wrong orders hit the deep
+# parser paths garbage can't reach (this fuzz found DEFINE-at-EOF
+# raising IndexError instead of PigSyntaxError)
+_POOL = ["LOAD", "FILTER", "GROUP", "COGROUP", "BY", "FOREACH", "GENERATE",
+         "ORDER", "LIMIT", "JOIN", "UNION", "SPLIT", "INTO", "IF", "AS",
+         "OTHERWISE", "CROSS", "DISTINCT", "RANK", "DEFINE", "RETURNS",
+         "STORE", "DUMP", "DESCRIBE", "SAMPLE", "STREAM", "THROUGH",
+         "USING", "PARALLEL", "FLATTEN", "ALL", "a", "b", "li",
+         f"'{SF}/nation.parquet'", "'out'", "123", "3.14", "(", ")", "{",
+         "}", ";", ",", "==", ">", "<=", "$x", "$0", "group", "COUNT",
+         "SUM", "a.b", "a::b", "*", "=", "#", "[", "]", "-", "+", "/",
+         "(int)", "(chararray)", "NOT", "AND", "OR", "IS", "NULL",
+         "MATCHES", r"'\\d+'"]
+
+
+@given(toks=st.lists(st.sampled_from(_POOL), min_size=1, max_size=14),
+       assign=st.booleans(), semi=st.booleans())
+@settings(max_examples=int(os.environ.get("SPORK_FUZZ_EXAMPLES", "12")) * 4,
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_near_valid_fragments_never_raise_internal_errors(
+        eng, toks, assign, semi):
+    txt = ("r = " if assign else "") + " ".join(toks) + (" ;" if semi else "")
+    try:
+        run_script(eng, txt)
+    except (IndexError, KeyError, AttributeError, TypeError,
+            UnboundLocalError, RecursionError) as exc:
+        raise AssertionError(
+            f"internal {type(exc).__name__} on input {txt!r}: {exc}")
+    except Exception:
+        pass
+
+
+def test_truncated_define_is_a_parse_error(eng):
+    """`DEFINE a;` / `DEFINE a` (EOF) must be clean PigSyntaxErrors —
+    found by the near-valid fuzz as raw IndexErrors."""
+    with pytest.raises(PigSyntaxError, match="DEFINE a needs"):
+        run_script(eng, "DEFINE a ;")
+    with pytest.raises(PigSyntaxError, match="end of script"):
+        run_script(eng, "DEFINE li")
