@@ -239,7 +239,14 @@ class ExprCompiler:
         return F.col(name)
 
     def _c_pos(self, e: E.Pos) -> Column:
-        return F.col(self.df.columns[e.index])
+        cols = self.df.columns
+        if e.index >= len(cols):
+            # Pig's "Out of bound access" (pig:…/newplan/logical/
+            # expression/ProjectExpression setColumnNumberFromAlias)
+            raise ValueError(
+                f"Out of bound access: ${e.index} on a {len(cols)}-column "
+                f"schema {cols}")
+        return F.col(cols[e.index])
 
     def _c_star(self, e: E.Star) -> Column:
         return F.col("*")

@@ -138,6 +138,67 @@ def test_near_valid_fragments_never_raise_internal_errors(
         pass
 
 
+# expression-tree fuzz: random (often ill-typed) expressions inside
+# FOREACH/FILTER/GROUP over a real table exercise the expression
+# compiler's dispatch + Catalyst analysis (this found $9 on a 3-column
+# schema raising raw IndexError)
+_LEAF = st.sampled_from(
+    ["n_nationkey", "n_name", "n_regionkey", "missing_col", "$0", "$1",
+     "$9", "1", "3.14", "'abc'", "''", "null", "true", "-5", "1L"])
+_FN = st.sampled_from(
+    ["SUBSTRING", "ROUND", "CONCAT", "SIZE", "TOKENIZE", "TOMAP",
+     "TOTUPLE", "UPPER", "TRIM", "INDEXOF", "ABS", "STRSPLIT",
+     "IsEmpty", "COUNT", "SUM", "FROBNICATE"])
+_BIN = st.sampled_from(["+", "-", "*", "/", "%", "==", "!=", "<", ">",
+                        "AND", "OR", "MATCHES"])
+_CAST = st.sampled_from(["(int)", "(long)", "(double)", "(chararray)",
+                         "(map[])", "(boolean)"])
+
+
+def _exprs(children):
+    return st.one_of(
+        st.tuples(_FN, st.lists(children, max_size=3)).map(
+            lambda t: f"{t[0]}({', '.join(t[1])})"),
+        st.tuples(children, _BIN, children).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        st.tuples(_CAST, children).map(lambda t: t[0] + t[1]),
+        st.tuples(children, children, children).map(
+            lambda t: f"({t[0]} ? {t[1]} : {t[2]})"),
+        children.map(lambda c: c + "#'k'"),
+        children.map(lambda c: c + ".x"),
+    )
+
+
+expr_tree = st.recursive(_LEAF, _exprs, max_leaves=12)
+
+
+@given(e=expr_tree, stmt=st.sampled_from(["FOREACH a GENERATE", "FILTER a BY",
+                                          "GROUP a BY"]))
+@settings(max_examples=int(os.environ.get("SPORK_FUZZ_EXAMPLES", "12")) * 4,
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_random_expressions_never_raise_internal_errors(eng, e, stmt):
+    txt = (f"a = LOAD '{SF}/nation.parquet'; "
+           f"r = {stmt} {e};")
+    try:
+        run_script(eng, txt)
+    except (IndexError, KeyError, AttributeError, UnboundLocalError,
+            RecursionError) as exc:
+        raise AssertionError(
+            f"internal {type(exc).__name__} on {e!r}: {exc}")
+    except Exception:
+        pass
+
+
+def test_positional_ref_out_of_bounds_is_a_clean_error(eng):
+    """$9 on a 3-column schema: Pig's 'Out of bound access' error, not
+    a raw IndexError — found by the expression fuzz."""
+    with pytest.raises(ValueError, match="Out of bound access"):
+        run_script(eng, f"a = LOAD '{SF}/nation.parquet';"
+                        "r = FILTER a BY $9 == 1;")
+
+
 def test_truncated_define_is_a_parse_error(eng):
     """`DEFINE a;` / `DEFINE a` (EOF) must be clean PigSyntaxErrors —
     found by the near-valid fuzz as raw IndexErrors."""
