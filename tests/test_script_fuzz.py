@@ -191,6 +191,95 @@ def test_random_expressions_never_raise_internal_errors(eng, e, stmt):
         pass
 
 
+def _space_split_points(s: str) -> list[int]:
+    """Indices of spaces OUTSIDE string literals — positions where a
+    newline (a grunt line break) may replace the space without changing
+    the script. (The base text has no '--' comments, which a newline
+    would terminate early.)"""
+    pts, in_s, i = [], None, 0
+    while i < len(s):
+        c = s[i]
+        if in_s:
+            if c == "\\":
+                i += 2
+                continue
+            if c == in_s:
+                in_s = None
+        elif c in ("'", '"'):
+            in_s = c
+        elif c == " ":
+            pts.append(i)
+        i += 1
+    return pts
+
+
+@given(data=st.data())
+@settings(max_examples=int(os.environ.get("SPORK_FUZZ_EXAMPLES", "12")) // 2
+          or 1,
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_grunt_line_splitting_matches_file_mode(eng, tmp_path_factory,
+                                                data, golden_grunt):
+    """Metamorphic: the interactive grunt accumulator must execute a
+    script split at ANY legal line boundaries — including inside block
+    comments and around strings containing ';' and '{' — identically
+    to file mode. Targets _statement_complete, where past real bugs
+    lived."""
+    import duckdb
+    from unittest import mock
+    from spork_spark import Engine
+    from spork_spark import __main__ as cli
+
+    out = str(tmp_path_factory.mktemp("grunt_fuzz") / "out")
+    txt = _grunt_base(out)
+    pts = _space_split_points(txt)
+    k = data.draw(st.integers(1, min(12, len(pts))))
+    cuts = sorted(data.draw(
+        st.lists(st.sampled_from(pts), min_size=k, max_size=k,
+                 unique=True)))
+    lines, prev = [], 0
+    for c in cuts:
+        lines.append(txt[prev:c])
+        prev = c + 1
+    lines.append(txt[prev:])
+
+    feed = iter(lines)
+
+    def fake_input(*a):
+        try:
+            return next(feed)
+        except StopIteration:
+            raise EOFError
+
+    with mock.patch("builtins.input", fake_input), \
+         mock.patch("sys.stdin",
+                    type("T", (), {"isatty": lambda s: False})()):
+        rc = cli.grunt(Engine(eng.spark), {})
+    assert rc == 0
+    got = sorted(duckdb.sql(f"SELECT * FROM '{out}/*.parquet'").fetchall())
+    assert got == golden_grunt
+
+
+def _grunt_base(out: str) -> str:
+    return (f"li = LOAD '{SF}/lineitem.parquet'; "
+            "f = FILTER li BY l_quantity >= 25.0 AND l_linestatus != 'a;b{'; "
+            "/* block ; { comment */ "
+            "g = GROUP f BY l_returnflag; "
+            "s = FOREACH g { o = ORDER f BY l_quantity; t = LIMIT o 3; "
+            "GENERATE group AS flag, COUNT(f) AS n, SUM(t.l_quantity) AS q3;"
+            " }; "
+            f"STORE s INTO '{out}';")
+
+
+@pytest.fixture(scope="module")
+def golden_grunt(eng, tmp_path_factory):
+    import duckdb
+    out = str(tmp_path_factory.mktemp("grunt_gold") / "out")
+    run_script(eng, _grunt_base(out))
+    return sorted(duckdb.sql(f"SELECT * FROM '{out}/*.parquet'").fetchall())
+
+
 def test_positional_ref_out_of_bounds_is_a_clean_error(eng):
     """$9 on a 3-column schema: Pig's 'Out of bound access' error, not
     a raw IndexError — found by the expression fuzz."""
