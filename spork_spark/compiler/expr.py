@@ -324,10 +324,17 @@ class ExprCompiler:
 
     def _probe_safe(self, e: E.Expr) -> bool:
         """True when the cast child is deterministic and JVM-side —
-        plain columns, literals, and deterministic builtin trees."""
+        plain columns, literals, and deterministic builtin trees.
+        Children containing an AGGREGATE are excluded too: the probe is
+        itself an observe aggregate, and nesting aggregates in observed
+        metrics is illegal (casts over fused aggregates are instead
+        peeled and probed post-agg — compiler/plan.py
+        _try_fuse_group_agg)."""
         if isinstance(e, E.Func):
             name = e.name.upper()
-            if name in self._NONDET_BUILTINS or name in self.udfs:
+            from ..functions.builtins import ALGEBRAIC_AGGS
+            if name in self._NONDET_BUILTINS or name in self.udfs \
+                    or name in ALGEBRAIC_AGGS or name in self.udafs:
                 return False
         for v in vars(e).values():
             if isinstance(v, E.Expr) and not self._probe_safe(v):

@@ -104,11 +104,13 @@ class PlanCompiler:
         default off. Probes are collected per-expression-context and
         attached as observe metrics on the operator's input: FOREACH/
         FILTER expressions (_attach_probes), JOIN/GROUP/COGROUP/
-        ORDER/RANK key expressions, and fused-aggregate ARGUMENT casts
-        (_probe_keys / _agg_arg_casts) — POCast warns at every cast
-        site (pig:…/expressionOperators/POCast.java warn()); the
-        uncounted remainder is agg-WRAPPING and post-agg group-ref
-        casts (per-output-row sites, see _agg_arg_casts)."""
+        ORDER/RANK key expressions, fused-aggregate ARGUMENT casts
+        (_probe_keys / _agg_arg_casts), and fused agg-WRAPPING casts
+        (peeled and probed on the aggregated frame,
+        _try_fuse_group_agg) — POCast warns at every cast site
+        (pig:…/expressionOperators/POCast.java warn()); the uncounted
+        remainder is casts in INTERIOR post-agg scalar positions
+        (ROUND((double)SUM(x))) and post-agg group-ref casts."""
         return self.warnings is not None and self._conf(
             "spark.spork.warnings.enabled", "false") == "true"
 
@@ -139,10 +141,12 @@ class PlanCompiler:
         arguments — those evaluate once per input row, so their
         discard probes are row-level (probe-safe on the aggregation
         input). Casts OUTSIDE any aggregate in a fused generator
-        either wrap the aggregate itself (nesting an aggregate inside
-        an observe metric is illegal) or evaluate per OUTPUT row
-        (probing them on the input would over-count) — skipped, the
-        remaining documented subset of POCast's warn() coverage."""
+        evaluate per OUTPUT row: TOP-LEVEL wrapping casts are peeled
+        and probed on the aggregated frame (_try_fuse_group_agg);
+        interior post-agg scalar casts (ROUND((double)SUM(x))) are
+        skipped — probing them on the input would over-count, and on
+        the output would nest an aggregate in the observe metric —
+        the remaining documented subset of POCast's warn() coverage."""
         if out is None:
             out = []
         if isinstance(e, E.Cast) and inside_agg:
@@ -531,12 +535,24 @@ class PlanCompiler:
             if kind == "group":
                 out_cols.append(("group", inner, alias))
             elif kind == "agg":
+                # Casts WRAPPING the aggregate ((long)SUM(x)): with
+                # warnings on, peel them off, compile the bare aggregate,
+                # and re-apply post-agg where the probe sees one row per
+                # group — POCast warns at the cast site, which Pig
+                # evaluates after the combine. Flag-off plans keep the
+                # single fused expression (byte-identical).
+                agg_expr, post_casts = inner, []
+                while self._warnings_on() and isinstance(agg_expr, E.Cast):
+                    post_casts.append(agg_expr.pig_type)
+                    agg_expr = agg_expr.child
+                post_casts.reverse()          # innermost re-applied first
                 rewritten = self._rewrite_bag_refs(
-                    inner, child_df.columns[0] if child_df.columns else None)
+                    agg_expr,
+                    child_df.columns[0] if child_df.columns else None)
                 name = alias or f"col_{i}"
                 col = ctx.compile(rewritten).alias(name)
                 agg_cols.append((col, name, self._mentions_udaf(rewritten)))
-                out_cols.append(("agg", name, None))
+                out_cols.append(("agg", (name, post_casts), None))
                 saw_agg = True
                 if self._warnings_on():
                     row_casts.extend(self._agg_arg_casts(rewritten))
@@ -549,21 +565,32 @@ class PlanCompiler:
         # where the rows still exist per-input-row: group-KEY casts +
         # casts inside aggregate ARGUMENTS (SUM((int)x)) — both
         # compiled once in a throwaway probe context. Agg-WRAPPING
-        # casts ((long)SUM(..)) and post-agg group-ref casts stay
-        # uncounted (see _agg_arg_casts).
+        # casts were peeled above and probe on the aggregated frame;
+        # interior post-agg scalar casts and post-agg group-ref casts
+        # stay uncounted (see _agg_arg_casts).
         child_df = self._probe_keys(child_df, keys)
         child_df = self._probe_keys(child_df, row_casts)
         agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)
 
-        # Re-project to the requested generator shape/order.
+        # Re-project to the requested generator shape/order. Peeled
+        # agg-wrapping casts re-apply here through a probe-collecting
+        # context on the aggregated frame (one probe row per group).
+        post_ctx = self._ctx(agg_df)
         final = []
         for kind, payload, alias in out_cols:
             if kind == "agg":
-                final.append(F.col(payload))
+                name, post_casts = payload
+                if post_casts:
+                    cast_e: E.Expr = E.Col(name)
+                    for t in post_casts:
+                        cast_e = E.Cast(t, cast_e)
+                    final.append(post_ctx.compile(cast_e).alias(name))
+                else:
+                    final.append(F.col(name))
             else:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))
-        result = agg_df.select(*final)
+        result = self._attach_probes(agg_df, post_ctx).select(*final)
         if getattr(group, "partitioner", None):
             key_cols = self._partitioner_key_cols(out_cols, keys,
                                                   result.columns)

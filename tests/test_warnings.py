@@ -90,10 +90,9 @@ def test_group_key_cast_discards_counted(spark, warn_eng, tmp_path):
 
 def test_fused_agg_arg_cast_discards_counted(spark, warn_eng):
     """Casts INSIDE fused-aggregate arguments (SUM((int)s)) evaluate
-    per input row — probed. Casts WRAPPING an aggregate
-    ((long)COUNT_STAR) cannot ride an observe metric (nested
-    aggregate) and evaluate per output row anyway — skipped, and the
-    plan must not crash with warnings on."""
+    per input row — probed on the aggregation input. Casts WRAPPING an
+    aggregate ((long)COUNT_STAR) are peeled and re-applied post-agg
+    with their own probe (here the long cast never discards)."""
     from spork_spark.parser import run_script
 
     rel = warn_eng.from_df(_dirty(spark))
@@ -104,6 +103,21 @@ def test_fused_agg_arg_cast_discards_counted(spark, warn_eng):
     row = rels["c"].df().collect()[0]
     assert (row.t, row.n) == (4, 5)       # 1+3; all 5 rows counted
     assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
+def test_fused_agg_wrapping_cast_discards_counted(spark, warn_eng):
+    """A cast WRAPPING a fused aggregate that actually discards
+    ((int)MAX(s) where MAX returns 'nope') counts once per group —
+    POCast warns at the cast site, evaluated post-combine in Pig."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    rels = run_script(warn_eng, """
+        b = GROUP a ALL;
+        c = FOREACH b GENERATE (int)MAX(s) AS m;
+    """, relations={"a": rel})
+    assert rels["c"].df().collect()[0].m is None   # 'nope' -> null
+    assert warn_eng.warnings.harvest() == {"m -> int": 1}
 
 
 def test_order_key_cast_discards_counted(spark, warn_eng):
