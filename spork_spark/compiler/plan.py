@@ -105,12 +105,13 @@ class PlanCompiler:
         attached as observe metrics on the operator's input: FOREACH/
         FILTER expressions (_attach_probes), JOIN/GROUP/COGROUP/
         ORDER/RANK key expressions, fused-aggregate ARGUMENT casts
-        (_probe_keys / _agg_arg_casts), and fused agg-WRAPPING casts
-        (peeled and probed on the aggregated frame,
-        _try_fuse_group_agg) — POCast warns at every cast site
-        (pig:…/expressionOperators/POCast.java warn()); the uncounted
-        remainder is casts in INTERIOR post-agg scalar positions
-        (ROUND((double)SUM(x))) and post-agg group-ref casts."""
+        (_probe_keys / _agg_arg_casts), and post-agg casts in fused
+        generators — wrapping ((long)SUM(x)) or interior
+        (ROUND((double)SUM(x))) — via the aggregate/remainder split
+        (_split_post_agg), probed on the aggregated frame — POCast
+        warns at every cast site (pig:…/expressionOperators/
+        POCast.java warn()); the uncounted remainder is post-agg
+        group-ref casts."""
         return self.warnings is not None and self._conf(
             "spark.spork.warnings.enabled", "false") == "true"
 
@@ -135,18 +136,49 @@ class PlanCompiler:
             kctx.compile(k)
         return self._attach_probes(df, kctx)
 
+    def _split_post_agg(self, e: E.Expr, prefix: str) \
+            -> tuple[list[tuple[str, E.Expr]], E.Expr] | None:
+        """Split a fused generator into (aggregate parts, post-agg
+        scalar remainder): each MAXIMAL aggregate-rooted subtree is
+        replaced by a Col ref to a temp agg alias. Returns None when
+        the generator is a bare aggregate (nothing evaluates post-agg
+        — keep the plain fused compile). Warnings-on only: gives
+        post-agg cast probes a per-group row to ride."""
+        import copy
+
+        parts: list[tuple[str, E.Expr]] = []
+
+        def walk(n: E.Expr) -> E.Expr:
+            if isinstance(n, E.Func) and (n.name.upper() in ALGEBRAIC_AGGS
+                                          or n.name.upper() in self.udafs):
+                nm = prefix if not parts else f"{prefix}__{len(parts)}"
+                parts.append((nm, n))
+                return E.Col(nm)
+            out = copy.copy(n)
+            for k, v in vars(n).items():
+                if isinstance(v, E.Expr):
+                    setattr(out, k, walk(v))
+                elif isinstance(v, list):
+                    setattr(out, k, [walk(x) if isinstance(x, E.Expr)
+                                     else x for x in v])
+            return out
+
+        remainder = walk(e)
+        if len(parts) == 1 and isinstance(remainder, E.Col) \
+                and remainder.name == parts[0][0]:
+            return None                     # bare aggregate — no split
+        return parts, remainder
+
     def _agg_arg_casts(self, e: E.Expr, inside_agg: bool = False,
                        out: list | None = None) -> list:
         """Collect Cast subexpressions that sit INSIDE an aggregate's
         arguments — those evaluate once per input row, so their
         discard probes are row-level (probe-safe on the aggregation
         input). Casts OUTSIDE any aggregate in a fused generator
-        evaluate per OUTPUT row: TOP-LEVEL wrapping casts are peeled
-        and probed on the aggregated frame (_try_fuse_group_agg);
-        interior post-agg scalar casts (ROUND((double)SUM(x))) are
-        skipped — probing them on the input would over-count, and on
-        the output would nest an aggregate in the observe metric —
-        the remaining documented subset of POCast's warn() coverage."""
+        evaluate per OUTPUT row and ride the aggregate/remainder split
+        instead (_split_post_agg): probed on the aggregated frame,
+        one row per group, no aggregate ever nests inside an observe
+        metric."""
         if out is None:
             out = []
         if isinstance(e, E.Cast) and inside_agg:
@@ -535,24 +567,34 @@ class PlanCompiler:
             if kind == "group":
                 out_cols.append(("group", inner, alias))
             elif kind == "agg":
-                # Casts WRAPPING the aggregate ((long)SUM(x)): with
-                # warnings on, peel them off, compile the bare aggregate,
-                # and re-apply post-agg where the probe sees one row per
-                # group — POCast warns at the cast site, which Pig
-                # evaluates after the combine. Flag-off plans keep the
+                # Casts OUTSIDE the aggregates ((long)SUM(x),
+                # ROUND((double)SUM(x))) evaluate per OUTPUT row; a
+                # discard probe there would nest an aggregate in the
+                # observe metric (illegal). With warnings on, split the
+                # generator: each maximal aggregate subtree compiles
+                # into the agg under a temp alias, the scalar remainder
+                # re-applies in the post-agg projection where its cast
+                # probes see one row per group — POCast warns at the
+                # cast site, post-combine. Flag-off plans keep the
                 # single fused expression (byte-identical).
-                agg_expr, post_casts = inner, []
-                while self._warnings_on() and isinstance(agg_expr, E.Cast):
-                    post_casts.append(agg_expr.pig_type)
-                    agg_expr = agg_expr.child
-                post_casts.reverse()          # innermost re-applied first
-                rewritten = self._rewrite_bag_refs(
-                    agg_expr,
-                    child_df.columns[0] if child_df.columns else None)
                 name = alias or f"col_{i}"
+                first = child_df.columns[0] if child_df.columns else None
+                split = self._split_post_agg(inner, name) \
+                    if self._warnings_on() else None
+                if split is not None:
+                    parts, remainder = split
+                    for tmp, sub in parts:
+                        rw = self._rewrite_bag_refs(sub, first)
+                        agg_cols.append((ctx.compile(rw).alias(tmp), tmp,
+                                         self._mentions_udaf(rw)))
+                        row_casts.extend(self._agg_arg_casts(rw))
+                    out_cols.append(("agg_post", (remainder, name), None))
+                    saw_agg = True
+                    continue
+                rewritten = self._rewrite_bag_refs(inner, first)
                 col = ctx.compile(rewritten).alias(name)
                 agg_cols.append((col, name, self._mentions_udaf(rewritten)))
-                out_cols.append(("agg", (name, post_casts), None))
+                out_cols.append(("agg", name, None))
                 saw_agg = True
                 if self._warnings_on():
                     row_casts.extend(self._agg_arg_casts(rewritten))
@@ -564,29 +606,26 @@ class PlanCompiler:
         # Cast discards in the fused plan ride the aggregation input,
         # where the rows still exist per-input-row: group-KEY casts +
         # casts inside aggregate ARGUMENTS (SUM((int)x)) — both
-        # compiled once in a throwaway probe context. Agg-WRAPPING
-        # casts were peeled above and probe on the aggregated frame;
-        # interior post-agg scalar casts and post-agg group-ref casts
-        # stay uncounted (see _agg_arg_casts).
+        # compiled once in a throwaway probe context. Post-agg casts
+        # (wrapping or interior) were split out above and probe on the
+        # aggregated frame; post-agg group-ref casts stay uncounted
+        # (see _agg_arg_casts).
         child_df = self._probe_keys(child_df, keys)
         child_df = self._probe_keys(child_df, row_casts)
         agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)
 
-        # Re-project to the requested generator shape/order. Peeled
-        # agg-wrapping casts re-apply here through a probe-collecting
-        # context on the aggregated frame (one probe row per group).
+        # Re-project to the requested generator shape/order. Split
+        # post-agg scalar remainders re-compile here through a
+        # probe-collecting context on the aggregated frame (one probe
+        # row per group).
         post_ctx = self._ctx(agg_df)
         final = []
         for kind, payload, alias in out_cols:
             if kind == "agg":
-                name, post_casts = payload
-                if post_casts:
-                    cast_e: E.Expr = E.Col(name)
-                    for t in post_casts:
-                        cast_e = E.Cast(t, cast_e)
-                    final.append(post_ctx.compile(cast_e).alias(name))
-                else:
-                    final.append(F.col(name))
+                final.append(F.col(payload))
+            elif kind == "agg_post":
+                remainder, name = payload
+                final.append(post_ctx.compile(remainder).alias(name))
             else:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))

@@ -120,6 +120,24 @@ def test_fused_agg_wrapping_cast_discards_counted(spark, warn_eng):
     assert warn_eng.warnings.harvest() == {"m -> int": 1}
 
 
+def test_fused_agg_interior_post_cast_discards_counted(spark, warn_eng):
+    """Casts in INTERIOR post-agg scalar positions —
+    (int)CONCAT(MIN(s),'zz') — ride the aggregate/remainder split too,
+    alongside per-input-row argument casts in the same FOREACH."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    rels = run_script(warn_eng, """
+        b = GROUP a ALL;
+        c = FOREACH b GENERATE (int)CONCAT(MIN(s), 'zz') AS m,
+                               SUM((int)s) / COUNT_STAR(a) AS r;
+    """, relations={"a": rel})
+    row = rels["c"].df().collect()[0]
+    assert row.m is None                  # '1zz' -> int discards
+    assert row.r == 0                     # 4 / 5 truncating long division
+    assert warn_eng.warnings.harvest() == {"s -> int": 2, "expr -> int": 1}
+
+
 def test_order_key_cast_discards_counted(spark, warn_eng):
     rel = warn_eng.from_df(_dirty(spark))
     out = rel.order_by(col("s").cast("int"))
