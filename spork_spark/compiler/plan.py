@@ -598,6 +598,9 @@ class PlanCompiler:
                 saw_agg = True
                 if self._warnings_on():
                     row_casts.extend(self._agg_arg_casts(rewritten))
+            elif kind == "keyexpr":
+                out_cols.append(("key_post", (inner, alias or f"col_{i}"),
+                                 None))
             else:
                 return None
         if not saw_agg:
@@ -626,6 +629,10 @@ class PlanCompiler:
             elif kind == "agg_post":
                 remainder, name = payload
                 final.append(post_ctx.compile(remainder).alias(name))
+            elif kind == "key_post":
+                expr_e, name = payload
+                rewritten = self._rewrite_key_refs(expr_e, keys)
+                final.append(post_ctx.compile(rewritten).alias(name))
             else:
                 final.append(self._compile_group_ref(payload, keys, alias,
                                                      agg_df))
@@ -956,7 +963,69 @@ class PlanCompiler:
             return "group"
         if self._is_algebraic_agg(e):
             return "agg"
+        if self._is_key_scalar(e, keys):
+            return "keyexpr"
         return "other"
+
+    def _is_key_scalar(self, e: E.Expr, keys: list[E.Expr]) -> bool:
+        """True for a scalar expression over group-KEY references,
+        literals, and scalar functions only — (chararray)group,
+        group.a + 1, CONCAT(group.a, '-') — which evaluates post-agg
+        from the key columns. Without this, one cast on the group key
+        de-fuses the whole FOREACH into collect_list materialization:
+        the worst possible trade for the commonest key idiom. A
+        whole-`group` ref qualifies only under zero keys (GROUP ALL →
+        'all') or a single key; a multi-key struct rebuild is left to
+        the unfused path."""
+        def ok(n: E.Expr) -> bool:
+            if isinstance(n, E.Col):
+                return n.name == GROUP_COL and len(keys) <= 1
+            if isinstance(n, E.Deref):
+                return isinstance(n.child, E.Col) and \
+                    n.child.name == GROUP_COL
+            if isinstance(n, E.Lambda) or isinstance(n, E.Star):
+                return False
+            if isinstance(n, E.Func):
+                nm = n.name.upper()
+                if nm in ALGEBRAIC_AGGS or nm in self.udafs \
+                        or nm in self._HOF_NAMES:
+                    return False
+            for v in vars(n).values():
+                if isinstance(v, E.Expr) and not ok(v):
+                    return False
+                if isinstance(v, list) and any(
+                        isinstance(x, E.Expr) and not ok(x) for x in v):
+                    return False
+            return True
+
+        return ok(e)
+
+    def _rewrite_key_refs(self, e: E.Expr, keys: list[E.Expr]) -> E.Expr:
+        """Rewrite group-key references in a keyexpr generator to the
+        aggregated frame's key columns (GROUP ALL → the literal
+        'all')."""
+        import copy
+
+        key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
+
+        def walk(n: E.Expr) -> E.Expr:
+            if isinstance(n, E.Col) and n.name == GROUP_COL:
+                return E.Col(key_names[0]) if keys else E.Lit("all")
+            if isinstance(n, E.Deref) and isinstance(n.child, E.Col) \
+                    and n.child.name == GROUP_COL:
+                fld = n.field
+                return E.Col(fld if isinstance(fld, str)
+                             else key_names[fld])
+            out = copy.copy(n)
+            for k, v in vars(n).items():
+                if isinstance(v, E.Expr):
+                    setattr(out, k, walk(v))
+                elif isinstance(v, list):
+                    setattr(out, k, [walk(x) if isinstance(x, E.Expr)
+                                     else x for x in v])
+            return out
+
+        return walk(e)
 
     _HOF_NAMES = {"FILTER_BAG", "TRANSFORM_BAG", "FOREACH_BAG", "SORT_BAG",
                   "LIMIT_BAG", "DISTINCT_BAG", "CROSS_BAG", "TOP"}

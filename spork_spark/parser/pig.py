@@ -1844,5 +1844,11 @@ def run_script(engine: Engine, script: str,
     PigTest.java): inject in-memory inputs, run a script over them."""
     p = PigParser(engine)
     if relations:
-        p.rels.update(relations)
+        # the script knows each relation by its dict key: seed an
+        # aliased COPY (same plan node) so Pig's bag naming (GROUP x →
+        # bag column named after x) and the column-shadows-relation
+        # scalar rule see the script-side name — without mutating the
+        # caller's Relation, which may be shared
+        p.rels.update({name: Relation(rel.engine, rel.node, name)
+                       for name, rel in relations.items()})
     return p.run(script, params)

@@ -50,6 +50,30 @@ def test_fused_group_agg_is_partial_hash_agg(eng, li):
     assert "HashAggregate" in p and "ObjectHashAggregate" not in p
 
 
+def test_key_scalar_generator_keeps_fusion(eng, li):
+    """A scalar expression over the group KEY ((chararray)group,
+    CONCAT(group,'!')) must not de-fuse the FOREACH into collect_list
+    materialization — it evaluates post-agg from the key column. At
+    scale the difference is the exchange carrying one partial-agg
+    triple per map-side group vs every input row as a struct
+    (docs/AB_KEYEXPR_FUSION.json: 1.3x at sf0.1, plan facts pinned)."""
+    from spork_spark.parser import run_script
+    rels = run_script(eng, """
+        s = FOREACH (GROUP a BY l_returnflag)
+            GENERATE (chararray)group AS flag, CONCAT(group, '!') AS tag,
+                     COUNT(a) AS n;
+        m = FOREACH (GROUP a BY (l_returnflag, l_linestatus))
+            GENERATE UPPER(group.l_linestatus) AS ls,
+                     SUM(a.l_quantity) AS q;
+    """, relations={"a": li})
+    for r in (rels["s"], rels["m"]):
+        p = plan_of(r)
+        assert "partial_count" in p or "partial_sum" in p
+        assert "collect_list" not in p
+    row = rels["s"].df().orderBy("flag").collect()[0]
+    assert (row.flag, row.tag) == ("A", "A!") and row.n > 0
+
+
 def test_escaping_bag_materializes(eng, li):
     r = (li.group_by(col("l_returnflag"))
            .foreach(col("group").alias("f"),
