@@ -588,7 +588,7 @@ class PlanCompiler:
                         agg_cols.append((ctx.compile(rw).alias(tmp), tmp,
                                          self._mentions_udaf(rw)))
                         row_casts.extend(self._agg_arg_casts(rw))
-                    out_cols.append(("agg_post", (remainder, name), None))
+                    out_cols.append(("post", (remainder, name), None))
                     saw_agg = True
                     continue
                 rewritten = self._rewrite_bag_refs(inner, first)
@@ -599,10 +599,34 @@ class PlanCompiler:
                 if self._warnings_on():
                     row_casts.extend(self._agg_arg_casts(rewritten))
             elif kind == "keyexpr":
-                out_cols.append(("key_post", (inner, alias or f"col_{i}"),
+                out_cols.append(("post", (inner, alias or f"col_{i}"),
                                  None))
             else:
-                return None
+                # MIXED generator — scalar over keys AND aggregates in
+                # one expression (CONCAT((chararray)group, ':',
+                # (chararray)COUNT(x))): split the aggregates into the
+                # agg and evaluate the remainder post-agg. Without
+                # this, one such generator de-fuses the whole FOREACH.
+                name = alias or f"col_{i}"
+                first = child_df.columns[0] if child_df.columns else None
+                split = self._split_post_agg(inner, name)
+                if split is None:
+                    return None
+                parts, remainder = split
+                if not parts \
+                        or any(not self._is_algebraic_agg(p)
+                               for _, p in parts) \
+                        or not self._is_key_scalar(
+                            remainder, keys, extra={p[0] for p in parts}):
+                    return None
+                for tmp, sub in parts:
+                    rw = self._rewrite_bag_refs(sub, first)
+                    agg_cols.append((ctx.compile(rw).alias(tmp), tmp,
+                                     self._mentions_udaf(rw)))
+                    if self._warnings_on():
+                        row_casts.extend(self._agg_arg_casts(rw))
+                out_cols.append(("post", (remainder, name), None))
+                saw_agg = True
         if not saw_agg:
             return None
 
@@ -626,10 +650,7 @@ class PlanCompiler:
         for kind, payload, alias in out_cols:
             if kind == "agg":
                 final.append(F.col(payload))
-            elif kind == "agg_post":
-                remainder, name = payload
-                final.append(post_ctx.compile(remainder).alias(name))
-            elif kind == "key_post":
+            elif kind == "post":
                 expr_e, name = payload
                 rewritten = self._rewrite_key_refs(expr_e, keys)
                 final.append(post_ctx.compile(rewritten).alias(name))
@@ -967,7 +988,8 @@ class PlanCompiler:
             return "keyexpr"
         return "other"
 
-    def _is_key_scalar(self, e: E.Expr, keys: list[E.Expr]) -> bool:
+    def _is_key_scalar(self, e: E.Expr, keys: list[E.Expr],
+                       extra: frozenset | set = frozenset()) -> bool:
         """True for a scalar expression over group-KEY references,
         literals, and scalar functions only — (chararray)group,
         group.a + 1, CONCAT(group.a, '-') — which evaluates post-agg
@@ -979,6 +1001,8 @@ class PlanCompiler:
         the unfused path."""
         def ok(n: E.Expr) -> bool:
             if isinstance(n, E.Col):
+                if n.name in extra:       # split-out aggregate temp col
+                    return True
                 return n.name == GROUP_COL and len(keys) <= 1
             if isinstance(n, E.Deref):
                 return isinstance(n.child, E.Col) and \

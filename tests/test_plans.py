@@ -74,6 +74,23 @@ def test_key_scalar_generator_keeps_fusion(eng, li):
     assert (row.flag, row.tag) == ("A", "A!") and row.n > 0
 
 
+def test_mixed_key_agg_generator_keeps_fusion(eng, li):
+    """One generator mixing the group key AND aggregates
+    (CONCAT((chararray)group, ':', (chararray)COUNT(x))) splits into
+    agg temps + a post-agg remainder instead of de-fusing the FOREACH."""
+    from spork_spark.parser import run_script
+    rels = run_script(eng, """
+        s = FOREACH (GROUP a BY l_returnflag)
+            GENERATE CONCAT((chararray)group,
+                            CONCAT(':', (chararray)COUNT(a))) AS tag,
+                     SUM(a.l_quantity) AS q;
+    """, relations={"a": li})
+    p = plan_of(rels["s"])
+    assert "partial_count" in p and "collect_list" not in p
+    tags = sorted(r.tag for r in rels["s"].df().collect())
+    assert all(":" in t and t.split(":")[1].isdigit() for t in tags)
+
+
 def test_escaping_bag_materializes(eng, li):
     r = (li.group_by(col("l_returnflag"))
            .foreach(col("group").alias("f"),

@@ -120,6 +120,24 @@ def test_fused_agg_wrapping_cast_discards_counted(spark, warn_eng):
     assert warn_eng.warnings.harvest() == {"m -> int": 1}
 
 
+def test_mixed_key_agg_generator_cast_discards_counted(spark, warn_eng):
+    """A mixed key+aggregate generator's post-agg casts count once per
+    group: CONCAT(group, (chararray)(int)MIN(s)) — MIN is 'nope'-free
+    here ('1'), so the int cast succeeds for group '1' and discards
+    for non-numeric groups."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    rels = run_script(warn_eng, """
+        b = GROUP a BY s;
+        c = FOREACH b GENERATE CONCAT(group, (chararray)(int)MIN(s)) AS x;
+    """, relations={"a": rel})
+    assert rels["c"].df().count() == 5    # groups: 1, 2x, 3, nope, null
+    # discards: '2x' and 'nope' fail (int)MIN(s); '1'/'3' pass; the
+    # null-key group's MIN is null (null in -> null out, no discard)
+    assert warn_eng.warnings.harvest() == {"x -> int": 2}
+
+
 def test_fused_agg_interior_post_cast_discards_counted(spark, warn_eng):
     """Casts in INTERIOR post-agg scalar positions —
     (int)CONCAT(MIN(s),'zz') — ride the aggregate/remainder split too,
