@@ -294,8 +294,17 @@ class Relation:
     def dump(self, n: int = 20) -> None:               # DUMP
         self.df().show(n, truncate=False)
 
-    def describe(self) -> None:                         # DESCRIBE
-        self.df().printSchema()
+    def describe(self) -> str:                          # DESCRIBE
+        """Print the schema in Pig's own syntax (pig:src/org/apache/pig/
+        newplan/logical/relational/LogicalSchema.java toString):
+        ``b: {group: chararray, a: {(x: int, s: chararray)}}`` — bags as
+        {(…)}, tuples as (…), maps as map[valtype], Spark↔Pig scalar
+        names translated (string→chararray, bigint→long, …)."""
+        fields = ", ".join(f"{f.name}: {_pig_type_str(f.dataType)}"
+                           for f in self.df().schema.fields)
+        s = f"{self.alias}: {{{fields}}}"
+        print(s)
+        return s
 
     def explain(self, mode: str = "formatted") -> None:  # EXPLAIN
         self.df().explain(mode)
@@ -388,3 +397,31 @@ class Relation:
         if isinstance(self.node, L.Group):
             pass  # bag_alias was fixed at group time (input relation's name)
         return self
+
+
+# Spark type → Pig schema-syntax name (SURVEY.md §1.2 type system;
+# pig:…/newplan/logical/relational/LogicalSchema.java toString)
+_PIG_SCALAR = {"bigint": "long", "int": "int", "integer": "int",
+               "tinyint": "int", "smallint": "int", "string": "chararray",
+               "double": "double", "float": "float", "boolean": "boolean",
+               "binary": "bytearray", "timestamp": "datetime",
+               "timestamp_ntz": "datetime", "date": "datetime"}
+
+
+def _pig_type_str(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, T.ArrayType):
+        inner = dt.elementType
+        if isinstance(inner, T.StructType):
+            body = ", ".join(f"{f.name}: {_pig_type_str(f.dataType)}"
+                             for f in inner.fields)
+            return "{(" + body + ")}"
+        return "{(item: " + _pig_type_str(inner) + ")}"
+    if isinstance(dt, T.StructType):
+        return "(" + ", ".join(f"{f.name}: {_pig_type_str(f.dataType)}"
+                               for f in dt.fields) + ")"
+    if isinstance(dt, T.MapType):
+        return f"map[{_pig_type_str(dt.valueType)}]"
+    if isinstance(dt, T.DecimalType):
+        return "bigdecimal"
+    return _PIG_SCALAR.get(dt.simpleString(), dt.simpleString())

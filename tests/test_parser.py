@@ -184,6 +184,19 @@ def test_param_values_are_text_not_re_templates():
     assert r"matches '\\d+'" in out
 
 
+def test_describe_prints_pig_schema_syntax(eng):
+    """DESCRIBE renders Pig's schema syntax — bags as {(…)}, Spark↔Pig
+    scalar names translated — not Spark's printSchema tree."""
+    rels = run_script(eng, f"""
+        a = LOAD '{SF}/nation.parquet';
+        g = GROUP a BY n_regionkey;
+    """)
+    assert rels["a"].describe() == \
+        "a: {n_nationkey: int, n_name: chararray, n_regionkey: int}"
+    assert rels["g"].describe() == ("g: {group: int, a: {(n_nationkey: int,"
+                                    " n_name: chararray, n_regionkey: int)}}")
+
+
 def test_declare_command_substitution():
     """%declare with a backticked shell command uses its stdout — the
     standard Pig idiom for dated output paths (`%declare DATE `date
