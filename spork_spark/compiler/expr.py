@@ -311,6 +311,8 @@ class ExprCompiler:
             # into FIELD_DISCARDED_TYPE_CONVERSION_FAILED (PigWarning
             # aggregation; spork_spark/warnings.py).
             src = e.child.name if isinstance(e.child, E.Col) else "expr"
+            while src.startswith("__post_"):   # key-collision temp alias
+                src = src[len("__post_"):]
             self.probes.append(
                 (f"{src} -> {e.pig_type}", child.isNotNull() & out.isNull()))
         return out

@@ -136,22 +136,27 @@ class PlanCompiler:
             kctx.compile(k)
         return self._attach_probes(df, kctx)
 
-    def _split_post_agg(self, e: E.Expr, prefix: str) \
+    def _split_post_agg(self, e: E.Expr, prefix: str,
+                        reserved: set | frozenset = frozenset()) \
             -> tuple[list[tuple[str, E.Expr]], E.Expr] | None:
         """Split a fused generator into (aggregate parts, post-agg
         scalar remainder): each MAXIMAL aggregate-rooted subtree is
         replaced by a Col ref to a temp agg alias. Returns None when
         the generator is a bare aggregate (nothing evaluates post-agg
-        — keep the plain fused compile). Warnings-on only: gives
-        post-agg cast probes a per-group row to ride."""
+        — keep the plain fused compile). ``reserved`` holds the group
+        key names: a temp named like a key would be ambiguous on the
+        aggregated frame."""
         import copy
 
+        base = prefix
+        while base in reserved:
+            base = f"__post_{base}"
         parts: list[tuple[str, E.Expr]] = []
 
         def walk(n: E.Expr) -> E.Expr:
             if isinstance(n, E.Func) and (n.name.upper() in ALGEBRAIC_AGGS
                                           or n.name.upper() in self.udafs):
-                nm = prefix if not parts else f"{prefix}__{len(parts)}"
+                nm = base if not parts else f"{base}__{len(parts)}"
                 parts.append((nm, n))
                 return E.Col(nm)
             out = copy.copy(n)
@@ -554,6 +559,10 @@ class PlanCompiler:
             child_df = self._compile(group.child)
         ctx = self._ctx(child_df)
         keys = self._expand_star_keys(child_df, group.keys)
+        # an agg output named like a group key would be ambiguous on
+        # the aggregated frame — such columns compute under a safe
+        # name and alias back in the final projection
+        key_names = {self._key_name(k, i) for i, k in enumerate(keys)}
         agg_cols, out_cols, saw_agg = [], [], False
         row_casts: list[E.Expr] = []       # casts inside aggregate args
 
@@ -579,7 +588,7 @@ class PlanCompiler:
                 # single fused expression (byte-identical).
                 name = alias or f"col_{i}"
                 first = child_df.columns[0] if child_df.columns else None
-                split = self._split_post_agg(inner, name) \
+                split = self._split_post_agg(inner, name, key_names) \
                     if self._warnings_on() else None
                 if split is not None:
                     parts, remainder = split
@@ -592,9 +601,12 @@ class PlanCompiler:
                     saw_agg = True
                     continue
                 rewritten = self._rewrite_bag_refs(inner, first)
-                col = ctx.compile(rewritten).alias(name)
-                agg_cols.append((col, name, self._mentions_udaf(rewritten)))
-                out_cols.append(("agg", name, None))
+                safe = name
+                while safe in key_names:
+                    safe = f"__post_{safe}"
+                col = ctx.compile(rewritten).alias(safe)
+                agg_cols.append((col, safe, self._mentions_udaf(rewritten)))
+                out_cols.append(("agg", (safe, name), None))
                 saw_agg = True
                 if self._warnings_on():
                     row_casts.extend(self._agg_arg_casts(rewritten))
@@ -609,7 +621,7 @@ class PlanCompiler:
                 # this, one such generator de-fuses the whole FOREACH.
                 name = alias or f"col_{i}"
                 first = child_df.columns[0] if child_df.columns else None
-                split = self._split_post_agg(inner, name)
+                split = self._split_post_agg(inner, name, key_names)
                 if split is None:
                     return None
                 parts, remainder = split
@@ -649,7 +661,9 @@ class PlanCompiler:
         final = []
         for kind, payload, alias in out_cols:
             if kind == "agg":
-                final.append(F.col(payload))
+                safe, name = payload
+                final.append(F.col(safe).alias(name) if safe != name
+                             else F.col(name))
             elif kind == "post":
                 expr_e, name = payload
                 rewritten = self._rewrite_key_refs(expr_e, keys)

@@ -91,6 +91,23 @@ def test_mixed_key_agg_generator_keeps_fusion(eng, li):
     assert all(":" in t and t.split(":")[1].isdigit() for t in tags)
 
 
+def test_agg_alias_colliding_with_key_name(eng, li):
+    """An aggregate (or mixed generator) ALIASED like a group key must
+    not produce an ambiguous column on the aggregated frame — the agg
+    computes under a safe temp and aliases back."""
+    from spork_spark.parser import run_script
+    rels = run_script(eng, """
+        s = FOREACH (GROUP a BY l_returnflag)
+            GENERATE COUNT(a) AS l_returnflag;
+        m = FOREACH (GROUP a BY l_returnflag)
+            GENERATE CONCAT((chararray)group,
+                            (chararray)COUNT(a)) AS l_returnflag;
+    """, relations={"a": li})
+    assert sorted(r.l_returnflag for r in rels["s"].df().collect()) == \
+        sorted(int(t.l_returnflag[1:]) for t in rels["m"].df().collect())
+    assert "collect_list" not in plan_of(rels["m"])
+
+
 def test_escaping_bag_materializes(eng, li):
     r = (li.group_by(col("l_returnflag"))
            .foreach(col("group").alias("f"),
