@@ -1019,8 +1019,12 @@ class PlanCompiler:
                     return True
                 return n.name == GROUP_COL and len(keys) <= 1
             if isinstance(n, E.Deref):
-                return isinstance(n.child, E.Col) and \
-                    n.child.name == GROUP_COL
+                if not (isinstance(n.child, E.Col)
+                        and n.child.name == GROUP_COL):
+                    return False
+                # positional key deref must be in range (group.$5 with
+                # 2 keys falls back to the unfused path's own error)
+                return not isinstance(n.field, int) or n.field < len(keys)
             if isinstance(n, E.Lambda) or isinstance(n, E.Star):
                 return False
             if isinstance(n, E.Func):
