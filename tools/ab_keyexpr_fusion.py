@@ -89,8 +89,10 @@ def main() -> None:
                 "row as a struct; the fused exchange carries one "
                 "(key,count,sum) triple per map-side group.",
     }
+    tag = "_SF1" if "sf1" in os.path.basename(SF.rstrip("/")) else ""
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "AB_KEYEXPR_FUSION.json")
+        os.path.abspath(__file__))), "docs",
+        f"AB_KEYEXPR_FUSION{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, indent=1))
