@@ -293,7 +293,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.script is None and args.execute is None:
         return grunt(engine, params)
 
-    rels = run_script(engine, read_source(), params=params)
+    try:
+        rels = run_script(engine, read_source(), params=params)
+    except Exception as exc:
+        # batch mode fails with Pig's clean ERROR line + exit 2
+        # (pig:src/org/apache/pig/Main.java ReturnCode.PIG_EXCEPTION),
+        # not a Python traceback
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 2
     if args.explain:
         for name, rel in rels.items():
             print(f"-- {name} " + "-" * 50)

@@ -103,6 +103,20 @@ def test_no_multiquery_flag_sets_conf(eng, tmp_path):
         spark.conf.set("spark.spork.multiquery.enabled", "true")
 
 
+def test_script_failure_exits_2_with_error_line(eng, tmp_path, capsys):
+    """Batch-mode failure prints Pig's clean ERROR line and exits 2 —
+    no Python traceback."""
+    script = tmp_path / "boom.pig"
+    script.write_text(f"a = LOAD '{SF}/region.parquet';\n"
+                      "b = FILTER a BY nope > 1;\n")
+    assert cli.main([str(script)]) == 2
+    err = capsys.readouterr().err
+    # Spark's own structured-log lines may precede ours (and under
+    # pytest capture pyspark's logging handler can emit its own
+    # traceback noise) — the contract is OUR clean line + exit code
+    assert "ERROR:" in err and "nope" in err
+
+
 def test_check_mode_covers_nested_exec(eng, tmp_path, capsys):
     """-check follows grunt `exec child.pig` into the nested script and
     skips fs/sh side effects."""
