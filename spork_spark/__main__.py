@@ -168,6 +168,7 @@ def grunt(engine, params: dict) -> int:
 
     p = PigParser(engine)
     prelude: list[str] = []
+    history: list[str] = []        # executed statements, for `history`
     interactive = sys.stdin.isatty()
     if interactive:
         print("spork_spark grunt shell — end statements with ';', "
@@ -190,14 +191,23 @@ def grunt(engine, params: dict) -> int:
                 print(f"ERROR: {exc}", file=sys.stderr)
                 return 1
             return 0
-        if not buf.strip() and line.strip().rstrip(";").lower() in (
-                "quit", "exit"):
-            return 0
+        if not buf.strip():
+            bare = line.strip().rstrip(";").lower()
+            if bare in ("quit", "exit"):
+                return 0
+            if bare == "history":      # GruntParser processHistory
+                for i, h in enumerate(history, 1):
+                    print(f"{i}   {h}")
+                continue
+            if bare == "clear":        # GruntParser processClear
+                print("\033[2J\033[H", end="")
+                continue
         buf += line + "\n"
         if not (_statement_complete(buf) or _only_preproc(buf)):
             continue
         chunk, buf = buf, ""
-        try:
+        history.append(chunk.strip())  # Pig records what was typed,
+        try:                           # including failing statements
             p.run("".join(prelude) + chunk, params)
         except Exception as exc:  # grunt survives bad statements
             print(f"ERROR: {exc}", file=sys.stderr)

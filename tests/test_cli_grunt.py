@@ -141,6 +141,26 @@ def test_grunt_eof_trailing_statement_not_silently_dropped(
     assert cli.grunt(eng, {}) == 0
 
 
+def test_grunt_history_and_clear(eng, monkeypatch, capsys):
+    """`history` lists entered statements numbered (failing ones too,
+    like GruntParser); `clear` emits an ANSI clear; both work bare."""
+    from spork_spark import __main__ as cli
+    lines = iter([
+        f"a = LOAD '{SF}/region.parquet';",
+        "b = FILTER a BY ghost > 1;",      # fails, still in history
+        "history",
+        "clear",
+        "quit",
+    ])
+    monkeypatch.setattr("builtins.input",
+                        lambda *a: next(lines, None) or (_ for _ in ()).throw(EOFError()))
+    monkeypatch.setattr("sys.stdin", type("T", (), {"isatty": lambda s: False})())
+    assert cli.grunt(eng, {}) == 0
+    out = capsys.readouterr().out
+    assert "1   a = LOAD" in out and "2   b = FILTER" in out
+    assert "\033[2J" in out
+
+
 def test_grunt_eof_trailing_error_is_nonzero(eng, monkeypatch, capsys):
     """A malformed trailing statement at EOF surfaces as exit 1 with an
     ERROR line, not a silent 0."""
