@@ -84,6 +84,28 @@ def test_order_limit_matches_duckdb(eng, duck, k, n, col, desc):
     assert got == want
 
 
+@given(k2=st.sampled_from(["l_linestatus", "l_suppkey"]),
+       agg=st.sampled_from(AGGS), ac=st.sampled_from(NUM_COLS),
+       c=st.integers(1, 50))
+@SLOW
+def test_flatten_group_having_matches_duckdb(eng, duck, k2, agg, ac, c):
+    """Multi-key GROUP + FLATTEN(group) + post-agg FILTER — Pig's
+    HAVING idiom."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY (l_returnflag, {k2});
+        s = FOREACH g GENERATE FLATTEN(group) AS (k1, k2),
+                               {agg}(li.{ac}) AS a, COUNT_STAR(li) AS n;
+        h = FILTER s BY n > {c};
+    """)
+    got = norm(tuple(r) for r in rels["h"].df().collect())
+    want = norm(duck.sql(
+        f"SELECT l_returnflag AS k1, {k2} AS k2, {agg}({ac}) AS a, "
+        f"COUNT(*) AS n FROM li GROUP BY 1, 2 HAVING COUNT(*) > {c}"
+    ).fetchall())
+    assert got == want
+
+
 @given(op=st.sampled_from(CMP), c=st.integers(0, 30000),
        agg=st.sampled_from(AGGS))
 @SLOW
