@@ -246,6 +246,14 @@ def main(argv: list[str] | None = None) -> int:
                     action="store_true",
                     help="execute every STORE at its statement instead "
                     "of batching to end-of-script")
+    ap.add_argument("-F", "-stop_on_failure", "--stop_on_failure",
+                    action="store_true",
+                    help="abort at the first failed STORE instead of "
+                    "running the remaining ones (Pig -F)")
+    ap.add_argument("-P", "-propertyFile", "--property_file",
+                    action="append", default=[], metavar="FILE",
+                    help="key=value property file applied to the Spark "
+                    "session conf (Pig -P)")
     ap.add_argument("--master", default=None, help="Spark master override")
     ap.add_argument("--explain", action="store_true",
                     help="print the physical plan of every defined alias")
@@ -287,6 +295,15 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     if args.no_multiquery:
         spark.conf.set("spark.spork.multiquery.enabled", "false")
+    if args.stop_on_failure:
+        spark.conf.set("spark.spork.stopOnFailure", "true")
+    for f in args.property_file:
+        for k, v in read_param_file(f).items():
+            try:
+                spark.conf.set(k, v)
+            except Exception as exc:       # static confs can't be set late
+                print(f"WARN: property {k!r} ignored: {exc}",
+                      file=sys.stderr)
     engine = Engine(spark)
 
     if args.check:

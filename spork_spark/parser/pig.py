@@ -523,9 +523,39 @@ class PigParser:
         return self.rels
 
     def _flush_stores(self) -> None:
+        """Run queued stores in script order. Pig's default keeps
+        running the REMAINING jobs when one fails and reports the
+        batch result at the end (pig:…/tools/grunt/GruntParser
+        executeBatch / Main.java -F, -stop_on_failure);
+        spark.spork.stopOnFailure=true restores fail-fast."""
         pending, self._pending_stores = self._pending_stores, []
-        for _, thunk in pending:
-            thunk()
+        if not pending:
+            return
+        stop = self._conf_bool("spark.spork.stopOnFailure", False)
+        failures: list[tuple[str, Exception]] = []
+        for path, thunk in pending:
+            try:
+                thunk()
+            except Exception as exc:
+                if stop:
+                    raise
+                failures.append((path, exc))
+                sys.stderr.write(
+                    f"ERROR: STORE into {path!r} failed: {exc} — "
+                    "continuing with remaining stores "
+                    "(set spark.spork.stopOnFailure=true / -F to stop)\n")
+        if failures:
+            raise RuntimeError(
+                f"{len(failures)} of {len(pending)} stores failed: "
+                + "; ".join(f"{p!r}: {type(e).__name__}"
+                            for p, e in failures))
+
+    def _conf_bool(self, key: str, default: bool) -> bool:
+        try:
+            return self.engine.spark.conf.get(
+                key, str(default).lower()) == "true"
+        except Exception:
+            return default
 
     def _flush_if_overlaps(self, load_path: str) -> None:
         """Pig's implicit store→load dependency: a LOAD that reads a

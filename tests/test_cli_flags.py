@@ -117,6 +117,21 @@ def test_script_failure_exits_2_with_error_line(eng, tmp_path, capsys):
     assert "ERROR:" in err and "nope" in err
 
 
+def test_property_file_sets_conf(eng, tmp_path):
+    """-P FILE applies key=value properties to the session conf."""
+    pf = tmp_path / "job.properties"
+    pf.write_text("# job props\nspark.spork.test.flag=hello\n")
+    spark = eng.spark
+    try:
+        assert cli.main(
+            ["-P", str(pf), "-e",
+             f"a = LOAD '{SF}/region.parquet'; "
+             f"STORE a INTO '{tmp_path}/p_out';"]) == 0
+        assert spark.conf.get("spark.spork.test.flag") == "hello"
+    finally:
+        spark.conf.unset("spark.spork.test.flag")
+
+
 def test_check_mode_covers_nested_exec(eng, tmp_path, capsys):
     """-check follows grunt `exec child.pig` into the nested script and
     skips fs/sh side effects."""

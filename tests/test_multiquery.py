@@ -100,6 +100,40 @@ def test_invalid_statement_fails_batch_before_any_store(eng, tmp_path):
     assert not os.path.exists(f"{tmp_path}/out")
 
 
+def test_failed_store_does_not_abort_remaining_stores(eng, tmp_path):
+    """Pig batch default: when one STORE job fails at runtime, the
+    remaining stores still run and the batch reports the failure at
+    the end (-F / spark.spork.stopOnFailure=true restores
+    fail-fast)."""
+    import pytest
+    blocker = tmp_path / "blocker"
+    blocker.write_text("a file where a directory is needed")
+    bad = f"{blocker}/out"                 # fails at write, not analysis
+    good = tmp_path / "good"
+    with pytest.raises(RuntimeError, match="1 of 2 stores failed"):
+        run_script(eng, f"""
+            a = LOAD '{SF}/region.parquet';
+            STORE a INTO '{bad}';
+            STORE a INTO '{good}';
+        """)
+    assert good.exists()                   # the second store still ran
+
+    eng.spark.conf.set("spark.spork.stopOnFailure", "true")
+    try:
+        good2 = tmp_path / "good2"
+        with pytest.raises(Exception) as ei:
+            run_script(eng, f"""
+                a = LOAD '{SF}/region.parquet';
+                STORE a INTO '{bad}';
+                STORE a INTO '{good2}';
+            """)
+        assert not isinstance(ei.value, RuntimeError) or \
+            "stores failed" not in str(ei.value)   # fail-fast: original error
+        assert not good2.exists()          # second store never attempted
+    finally:
+        eng.spark.conf.set("spark.spork.stopOnFailure", "false")
+
+
 def test_multiquery_off_restores_inline_stores(eng, tmp_path):
     """spark.spork.multiquery.enabled=false = Pig's -no_multiquery:
     every STORE executes at its statement. (The late persist upgrade
