@@ -106,12 +106,15 @@ class PlanCompiler:
         FILTER expressions (_attach_probes), JOIN/GROUP/COGROUP/
         ORDER/RANK key expressions, fused-aggregate ARGUMENT casts
         (_probe_keys / _agg_arg_casts), and post-agg casts in fused
-        generators — wrapping ((long)SUM(x)) or interior
-        (ROUND((double)SUM(x))) — via the aggregate/remainder split
-        (_split_post_agg), probed on the aggregated frame — POCast
-        warns at every cast site (pig:…/expressionOperators/
-        POCast.java warn()); the uncounted remainder is post-agg
-        group-ref casts."""
+        generators — wrapping ((long)SUM(x)), interior
+        (ROUND((double)SUM(x))), and group-ref ((int)group — the
+        keyexpr/remainder projections compile through the probing
+        post-agg context, one probe row per group, matching POForEach's
+        post-combine evaluation) — via the aggregate/remainder split
+        (_split_post_agg). POCast warns at every cast site
+        (pig:…/expressionOperators/POCast.java warn()); every site is
+        now counted (test_post_agg_group_ref_casts_counted pins the
+        fused/nested/de-fused group-ref shapes)."""
         return self.warnings is not None and self._conf(
             "spark.spork.warnings.enabled", "false") == "true"
 
@@ -646,9 +649,9 @@ class PlanCompiler:
         # where the rows still exist per-input-row: group-KEY casts +
         # casts inside aggregate ARGUMENTS (SUM((int)x)) — both
         # compiled once in a throwaway probe context. Post-agg casts
-        # (wrapping or interior) were split out above and probe on the
-        # aggregated frame; post-agg group-ref casts stay uncounted
-        # (see _agg_arg_casts).
+        # (wrapping, interior, and group-ref — keyexpr generators and
+        # split remainders alike) compile through post_ctx below and
+        # probe on the aggregated frame, one row per group.
         child_df = self._probe_keys(child_df, keys)
         child_df = self._probe_keys(child_df, row_casts)
         agg_df = self._grouped_agg(group, child_df, ctx, keys, agg_cols)

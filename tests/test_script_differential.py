@@ -129,3 +129,202 @@ def test_join_group_matches_duckdb(eng, duck, op, c, agg):
         f"WHERE o_custkey {sql_op} {c} GROUP BY o_orderpriority"
     ).fetchall())
     assert got == want
+
+
+@given(pc=st.sampled_from(NUM_COLS), op=st.sampled_from(CMP),
+       c=st.integers(0, 40), k=st.sampled_from(["l_returnflag",
+                                                "l_linestatus",
+                                                "l_suppkey"]),
+       dc=st.sampled_from(KEY_COLS), ac=st.sampled_from(NUM_COLS))
+@SLOW
+def test_nested_filter_distinct_matches_duckdb(eng, duck, pc, op, c, k,
+                                               dc, ac):
+    """Nested FOREACH block — inner FILTER, projection, DISTINCT —
+    through the PARSER (the builder-API twin lives in
+    test_property_differential). Groups whose bag filters empty must
+    still appear with COUNT 0 / SUM null."""
+    sql_op = "=" if op == "==" else ("<>" if op == "!=" else op)
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY {k};
+        s = FOREACH g {{
+            f = FILTER li BY {pc} {op} {c}.0;
+            p = f.{dc};
+            d = DISTINCT p;
+            GENERATE group AS k, COUNT(d) AS nd, SUM(f.{ac}) AS a,
+                     COUNT_STAR(f) AS n;
+        }};
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT {k} AS k,
+               COUNT(DISTINCT {dc}) FILTER (WHERE {pc} {sql_op} {c}) AS nd,
+               SUM({ac}) FILTER (WHERE {pc} {sql_op} {c}) AS a,
+               COUNT(*) FILTER (WHERE {pc} {sql_op} {c}) AS n
+        FROM li GROUP BY {k}
+    """).fetchall())
+    assert got == want
+
+
+@given(k=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]),
+       ac=st.sampled_from(NUM_COLS), n=st.integers(1, 5),
+       desc=st.booleans())
+@SLOW
+def test_nested_order_limit_matches_duckdb(eng, duck, k, ac, n, desc):
+    """Nested FOREACH inner ORDER (deterministic composite) + LIMIT:
+    per-group top-n, against a row_number() window oracle."""
+    d = "DESC" if desc else "ASC"
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li BY {k};
+        s = FOREACH g {{
+            o = ORDER li BY {ac} {d}, l_orderkey, l_linenumber;
+            t = LIMIT o {n};
+            GENERATE group AS k, SUM(t.{ac}) AS a, COUNT_STAR(t) AS cnt;
+        }};
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT k, SUM({ac}) AS a, COUNT(*) AS cnt FROM (
+            SELECT {k} AS k, {ac}, row_number() OVER (
+                PARTITION BY {k}
+                ORDER BY {ac} {d}, l_orderkey, l_linenumber) AS rn
+            FROM li) WHERE rn <= {n} GROUP BY k
+    """).fetchall())
+    assert got == want
+
+
+@given(c=st.integers(0, 45), agg=st.sampled_from(AGGS))
+@SLOW
+def test_cogroup_matches_duckdb(eng, duck, c, agg):
+    """COGROUP through the parser: one side filtered so bags go empty —
+    COUNT_STAR over an empty bag is 0, SUM is null; the group row
+    survives when EITHER side is non-empty (full-outer oracle)."""
+    duck.sql(f"CREATE VIEW IF NOT EXISTS ords AS "
+             f"SELECT * FROM '{SF}/orders.parquet'")
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        fl = FILTER li BY l_quantity > {c}.0;
+        cg = COGROUP fl BY l_orderkey, o BY o_orderkey;
+        s = FOREACH cg GENERATE group AS k, COUNT_STAR(fl) AS nl,
+                                COUNT_STAR(o) AS no,
+                                {agg}(fl.l_extendedprice) AS a;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS nl,
+                          {agg}(l_extendedprice) AS a
+                   FROM li WHERE l_quantity > {c} GROUP BY 1),
+             b AS (SELECT o_orderkey AS k, COUNT(*) AS no
+                   FROM ords GROUP BY 1)
+        SELECT COALESCE(a.k, b.k) AS k, COALESCE(nl, 0) AS nl,
+               COALESCE(no, 0) AS no, a.a AS a
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    """).fetchall())
+    assert got == want
+
+
+@given(shape=st.sampled_from(["CUBE", "ROLLUP"]), agg=st.sampled_from(AGGS),
+       ac=st.sampled_from(NUM_COLS))
+@SLOW
+def test_cube_rollup_matches_duckdb(eng, duck, shape, agg, ac):
+    """CUBE / ROLLUP through the parser vs SQL grouping sets (rolled-up
+    dimensions surface as NULL in both)."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        c = CUBE li BY {shape}(l_returnflag, l_linestatus);
+        s = FOREACH c GENERATE group.l_returnflag AS k1,
+                               group.l_linestatus AS k2,
+                               {agg}(li.{ac}) AS a, COUNT(li) AS n;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT l_returnflag AS k1, l_linestatus AS k2,
+               {agg}({ac}) AS a, COUNT(*) AS n
+        FROM li GROUP BY {shape}(l_returnflag, l_linestatus)
+    """).fetchall())
+    assert got == want
+
+
+@given(pc=st.sampled_from(NUM_COLS), c1=st.integers(0, 50),
+       c2=st.integers(0, 50), k=st.sampled_from(["l_returnflag",
+                                                 "l_linestatus"]),
+       ac=st.sampled_from(NUM_COLS))
+@SLOW
+def test_split_union_matches_duckdb(eng, duck, pc, c1, c2, k, ac):
+    """SPLIT conditions are INDEPENDENT (not if-else): overlapping
+    branches duplicate rows, and UNION keeps the duplicates."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        SPLIT li INTO a IF {pc} < {c1}.0, b IF {pc} >= {c2}.0,
+                      rest OTHERWISE;
+        u = UNION a, b;
+        g = GROUP u BY {k};
+        s = FOREACH g GENERATE group AS k, COUNT_STAR(u) AS n,
+                               SUM(u.{ac}) AS sm;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH u AS (SELECT * FROM li WHERE {pc} < {c1}
+                   UNION ALL SELECT * FROM li WHERE {pc} >= {c2})
+        SELECT {k} AS k, COUNT(*) AS n, SUM({ac}) AS sm FROM u GROUP BY {k}
+    """).fetchall())
+    assert got == want
+
+
+@given(c=st.integers(0, 45), d=st.integers(1, 9), m=st.integers(1, 7),
+       thr=st.integers(10, 40))
+@SLOW
+def test_expression_matrix_matches_duckdb(eng, duck, c, d, m, thr):
+    """bincond / CASE WHEN / truncating int division / MOD / CONCAT /
+    datetime extraction through the parser, in one projection."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        s = FOREACH li GENERATE l_orderkey AS k1, l_linenumber AS k2,
+            (l_quantity > {c}.0 ? l_extendedprice : l_discount) AS bc,
+            (CASE WHEN l_quantity >= {thr}.0 THEN 'big' ELSE 'small' END)
+                AS cs,
+            (int)l_partkey / {d} AS q,
+            l_partkey % {m} AS r,
+            CONCAT(l_returnflag, l_linestatus) AS cc,
+            GetYear(l_shipdate) AS y, GetMonth(l_shipdate) AS mo;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT l_orderkey AS k1, l_linenumber AS k2,
+               CASE WHEN l_quantity > {c} THEN l_extendedprice
+                    ELSE l_discount END AS bc,
+               CASE WHEN l_quantity >= {thr} THEN 'big' ELSE 'small' END
+                   AS cs,
+               CAST(l_partkey AS INT) // {d} AS q,
+               l_partkey % {m} AS r,
+               l_returnflag || l_linestatus AS cc,
+               CAST(year(l_shipdate) AS INT) AS y,
+               CAST(month(l_shipdate) AS INT) AS mo
+        FROM li
+    """).fetchall())
+    assert got == want
+
+
+@given(k=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]),
+       dense=st.booleans(), desc=st.booleans())
+@SLOW
+def test_rank_matches_duckdb(eng, duck, k, dense, desc):
+    """RANK BY with ties (rank) and DENSE (dense_rank) through the
+    parser vs SQL window ranks."""
+    d = "DESC" if desc else "ASC"
+    mode = "DENSE" if dense else ""
+    fn = "dense_rank" if dense else "rank"
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        r = RANK li BY {k} {d} {mode};
+        s = FOREACH r GENERATE rank_li AS rk, l_orderkey AS k1,
+                               l_linenumber AS k2;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT {fn}() OVER (ORDER BY {k} {d}) AS rk,
+               l_orderkey AS k1, l_linenumber AS k2 FROM li
+    """).fetchall())
+    assert got == want

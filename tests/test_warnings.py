@@ -212,3 +212,60 @@ def test_run_script_reports_at_end(spark, warn_eng, tmp_path, capsys):
         STORE c INTO '{tmp_path}/out2';
     """, relations={"a": rel})
     assert "Encountered Warning" not in capsys.readouterr().err
+
+
+def test_post_agg_group_ref_casts_counted(spark, warn_eng):
+    """Group-ref casts in post-agg positions count once per group —
+    the keyexpr/remainder projections compile through the probing
+    post-agg context (POCast parity is complete: no uncounted cast
+    site remains). Three shapes: fused keyexpr ((int)group), a de-fused
+    generator set ((int)group next to a bag projection), and a nested
+    FOREACH block."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+
+    # fused: (int)group is a key-scalar generator, probed per group
+    rels = run_script(warn_eng, """
+        b = GROUP a BY s;
+        c = FOREACH b GENERATE (int)group AS k, COUNT_STAR(a) AS n;
+    """, relations={"a": rel})
+    assert rels["c"].df().count() == 5
+    # groups 1,2x,3,nope,null: '2x' and 'nope' discard; null key no warn
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+    # de-fused (bag projection generator alongside): same counting
+    rels = run_script(warn_eng, """
+        b = GROUP a BY s;
+        c = FOREACH b GENERATE (int)group AS k, a.s AS bag;
+    """, relations={"a": rel})
+    assert rels["c"].df().count() == 5
+    assert warn_eng.warnings.harvest() == {"group -> int": 2}
+
+    # nested FOREACH block: group-ref cast in the GENERATE
+    rels = run_script(warn_eng, """
+        b = GROUP a BY s;
+        c = FOREACH b {
+            f = FILTER a BY s IS NOT NULL;
+            GENERATE (int)group AS k, COUNT_STAR(f) AS n;
+        };
+    """, relations={"a": rel})
+    assert rels["c"].df().count() == 5
+    assert warn_eng.warnings.harvest() == {"s -> int": 2}
+
+
+def test_split_condition_casts_counted(spark, warn_eng):
+    """SPLIT lowers to one filter per branch (OTHERWISE = none-of);
+    each branch evaluates its condition's casts per input row, so a
+    cast shared by N branches counts N times — matching Pig's
+    per-POFilter POCast instances."""
+    from spork_spark.parser import run_script
+
+    rel = warn_eng.from_df(_dirty(spark))
+    rels = run_script(warn_eng, """
+        SPLIT a INTO hi IF (int)s > 1, lo OTHERWISE;
+    """, relations={"a": rel})
+    assert rels["hi"].df().count() == 1        # only '3'
+    rels["lo"].df().count()
+    # 2 discards in the hi filter + 2 in the OTHERWISE complement
+    assert warn_eng.warnings.harvest() == {"s -> int": 4}
