@@ -251,6 +251,29 @@ def _diff(a: Column, b: Column) -> Column:
     return F.concat(F.array_except(a, b), F.array_except(b, a))
 
 
+def _bag_of(arr: Column) -> Column:
+    """Wrap each element of an array in a 1-field tuple — Pig bags are
+    bags OF TUPLES, so bag-returning builtins yield array<struct<t0>>
+    (same field naming as TOBAG)."""
+    return F.transform(arr, lambda x: F.struct(x.alias("t0")))
+
+
+def _inversemap(m: Column) -> Column:
+    """Pig INVERSEMAP (pig:src/org/apache/pig/builtin/INVERSEMAP.java,
+    PIG-2600): swap keys with values; values sharing a key collect into
+    a BAG of the original keys, and the output map's keys are the
+    chararray form of the values — INVERSEMAP([open#apache, 1#2, 11#2])
+    = [apache#{(open)}, 2#{(1),(11)}]. Null-valued entries group under
+    one key like Pig's HashMap does (eqNullSafe)."""
+    ents = F.map_entries(m)
+    vals = F.array_distinct(F.map_values(m))
+    return F.map_from_arrays(
+        F.transform(vals, lambda v: v.cast("string")),
+        F.transform(vals, lambda v: _bag_of(F.transform(
+            F.filter(ents, lambda e: e["value"].eqNullSafe(v)),
+            lambda e: e["key"]))))
+
+
 def _unique_id() -> Column:
     return F.concat(F.spark_partition_id().cast("string"), F.lit("-"),
                     F.monotonically_increasing_id().cast("string"))
@@ -366,6 +389,14 @@ REGISTRY: dict = {
     "TOBAG": lambda *cs: F.array(*[F.struct(c.alias("t0")) for c in cs]),
     "TOMAP": lambda *cs: F.create_map(*cs),
     "ISEMPTY": _is_empty,
+    # map builtins (PIG-2600, pig:src/org/apache/pig/builtin/{KEYSET,
+    # VALUELIST,VALUESET,INVERSEMAP}.java): bags of keys / values /
+    # distinct values, and the value→bag-of-keys inversion. All native
+    # higher-order Column expressions — no shuffle, no Python.
+    "KEYSET": lambda m: _bag_of(F.map_keys(m)),
+    "VALUELIST": lambda m: _bag_of(F.map_values(m)),
+    "VALUESET": lambda m: _bag_of(F.array_distinct(F.map_values(m))),
+    "INVERSEMAP": _inversemap,
     "DIFF": _diff,
     "SUBTRACT": lambda a, b: F.array_except(a, b),
     # BAGTOSTRING lives in TYPED_REGISTRY (needs the element type to

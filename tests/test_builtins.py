@@ -251,3 +251,30 @@ def test_bagtostring_single_field_projection(eng, spark):
                         fn("SORT_BAG", col("t"), "s", True).get("s"), ",")
                      .alias("joined")).df().collect())
     assert out[0].joined == "x,y"
+
+
+def test_map_keyset_valuelist_valueset(eng, spark):
+    """KEYSET / VALUELIST / VALUESET (PIG-2600,
+    pig:src/org/apache/pig/builtin/) — bags of keys, values (dupes
+    kept), and distinct values."""
+    from spork_spark import col, fn
+    data = [({"a": 1, "b": 2, "c": 2},)]
+    ddl = "m map<string,int>"
+    ks = one(eng, spark, fn("KEYSET", col("m")), data, ddl)
+    assert sorted(t[0] for t in ks) == ["a", "b", "c"]
+    vl = one(eng, spark, fn("VALUELIST", col("m")), data, ddl)
+    assert sorted(t[0] for t in vl) == [1, 2, 2]
+    vs = one(eng, spark, fn("VALUESET", col("m")), data, ddl)
+    assert sorted(t[0] for t in vs) == [1, 2]
+
+
+def test_map_inversemap(eng, spark):
+    """INVERSEMAP([open#apache, 1#2, 11#2]) = [apache#{(open)},
+    2#{(1),(11)}] — the documented Pig example: values become chararray
+    keys, colliding entries collect a bag of the original keys."""
+    from spork_spark import col, fn
+    data = [({"open": "apache", "1": "2", "11": "2"},)]
+    ddl = "m map<string,string>"
+    inv = one(eng, spark, fn("INVERSEMAP", col("m")), data, ddl)
+    got = {k: sorted(t[0] for t in bag) for k, bag in inv.items()}
+    assert got == {"apache": ["open"], "2": ["1", "11"]}
