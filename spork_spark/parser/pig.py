@@ -303,7 +303,8 @@ _PIG_TYPES = {"int", "long", "float", "double", "chararray", "bytearray",
 
 
 _GRUNT_CMDS = {"fs", "sh", "rmf", "cat", "mkdir", "rm", "cp", "mv", "ls",
-               "exec", "run", "kill"}
+               "exec", "run", "kill", "pwd", "cd", "copytolocal",
+               "copyfromlocal", "aliases", "help"}
 
 _GRUNT_HEAD = re.compile(r"^\s*([A-Za-z_]\w*)\b")
 
@@ -388,13 +389,26 @@ def run_grunt(cmdline: str) -> None:
             raise PigSyntaxError(f"fs needs a -command: {cmdline!r}")
         cmd, args = args[0].lstrip("-").lower(), args[1:]
         cmd = {"rmr": "rmf", "copy": "cp"}.get(cmd, cmd)
+    # copyToLocal/copyFromLocal (and fs -put/-get) are dfs↔local
+    # transfers; with local storage both sides are the local fs, so they
+    # are plain copies — same as Pig local mode.
+    cmd = {"copytolocal": "cp", "copyfromlocal": "cp", "put": "cp",
+           "get": "cp"}.get(cmd, cmd)
     # option flags (-r/-R/-p/-skipTrash…) are implied by the local
     # implementations (rm is recursive, mkdir -p); -f upgrades rm→rmf
     if cmd == "rm" and any(a in ("-f", "-force") for a in args):
         cmd = "rmf"
     args = [_strip_scheme(a.strip("'\""))
             for a in args if not a.startswith("-")]
-    if cmd == "ls":
+    if cmd == "pwd":
+        print(os.getcwd())
+    elif cmd == "cd":
+        # Pig's cd moves the dfs working directory that resolves
+        # relative LOAD/STORE paths; the local-mode equivalent is the
+        # process cwd. Bare `cd` goes home, like GruntParser.
+        os.chdir(os.path.expanduser(args[0]) if args
+                 else os.path.expanduser("~"))
+    elif cmd == "ls":
         for pat in args or ["."]:
             for p in sorted(_glob.glob(pat)) or [pat]:
                 print(p)
@@ -852,6 +866,18 @@ class PigParser:
         self.expect("op", ";")
         cmdline = self._grunt[idx]
         head = cmdline.split(None, 1)[0].lower()
+        if head == "aliases":      # GruntParser printAliases
+            print("aliases: [%s]" % ", ".join(sorted(self.rels)))
+            return
+        if head == "help":
+            print("Commands: <pig latin statement>; fs <fs arguments>; "
+                  "sh <shell command>; cat/cd/cp/copyFromLocal/"
+                  "copyToLocal/ls/mkdir/mv/pwd/rm/rmf <path>; "
+                  "exec|run [-param k=v] [-param_file f] <script>; "
+                  "kill <jobid>; aliases; history [n]; clear; "
+                  "describe|explain|illustrate|dump <alias>; "
+                  "set <key> <value>; quit")
+            return
         if self.check:
             # -check: fs/sh side effects are skipped; nested scripts
             # still get checked (exec/run propagate the flag).

@@ -46,6 +46,18 @@ _nano_cache: dict[str, list[str]] = {}
 _load_cache: dict[tuple, "DataFrame"] = {}
 
 
+def _resolve(path: str) -> str:
+    """Resolve a relative path against the PYTHON process cwd. Grunt's
+    `cd` (GruntParser processCD) moves the working directory that
+    relative LOAD/STORE paths resolve against; Spark would resolve them
+    against the JVM's user.dir, which is pinned at JVM start and never
+    follows os.chdir — so absolutize before the path reaches Spark."""
+    import os
+    if "://" in path or path.startswith("file:") or os.path.isabs(path):
+        return path
+    return os.path.join(os.getcwd(), path)
+
+
 def _nano_ts_fields(path: str) -> list[str]:
     if path in _nano_cache:
         return _nano_cache[path]
@@ -72,6 +84,7 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet",
     from pyspark.sql import functions as F
 
     fmt = _norm(fmt)
+    path = _resolve(path)
     options = dict(options or {})
     # Memoize loads per (session, path, fmt, options): repeated queries over
     # the same table reuse one analyzed scan (footer/schema work done once).
@@ -187,6 +200,7 @@ def write(df: DataFrame, path: str, fmt: str = "parquet",
           options: dict | None = None, partition_by: list[str] | None = None,
           mode: str = "overwrite") -> None:
     fmt = _norm(fmt)
+    path = _resolve(path)
     options = dict(options or {})
     sidecar = bool(options.pop("schema", False))
     if fmt == "csv":

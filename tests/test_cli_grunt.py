@@ -171,3 +171,58 @@ def test_grunt_eof_trailing_error_is_nonzero(eng, monkeypatch, capsys):
     monkeypatch.setattr("sys.stdin", type("T", (), {"isatty": lambda s: False})())
     assert cli.grunt(eng, {}) == 1
     assert "ERROR" in capsys.readouterr().err
+
+
+def test_grunt_pwd_cd_copy_aliases_help(eng, tmp_path, capsys):
+    """pwd/cd/copyToLocal/copyFromLocal/aliases/help — the remaining
+    GruntParser command surface (pig:…/tools/grunt/GruntParser.java).
+    cd moves the working directory that resolves relative paths (Pig's
+    dfs cwd = the process cwd in local mode); the copy commands are
+    plain copies with local storage, matching Pig local mode."""
+    import os
+
+    from spork_spark.parser import run_script
+
+    (tmp_path / "src.txt").write_text("payload\n")
+    old = os.getcwd()
+    try:
+        run_script(eng, f"""
+            a = LOAD '{SF}/region.parquet';
+            pwd;
+            cd {tmp_path};
+            pwd;
+            copyToLocal src.txt dst.txt;
+            copyFromLocal src.txt dst2.txt;
+            cat dst.txt;
+            aliases;
+            help;
+        """)
+        out = capsys.readouterr().out
+        assert old in out and str(tmp_path) in out
+        assert (tmp_path / "dst.txt").read_text() == "payload\n"
+        assert (tmp_path / "dst2.txt").read_text() == "payload\n"
+        assert "payload" in out
+        assert "aliases: [a]" in out
+        assert "copyToLocal" in out          # help text
+    finally:
+        os.chdir(old)
+
+
+def test_grunt_cd_resolves_relative_load(eng, tmp_path):
+    """After `cd`, a relative LOAD path resolves against the new
+    working directory — the reason Pig has cd at all."""
+    import os
+    import shutil
+
+    from spork_spark.parser import run_script
+
+    shutil.copy(f"{SF}/region.parquet", tmp_path / "r.parquet")
+    old = os.getcwd()
+    try:
+        rels = run_script(eng, f"""
+            cd {tmp_path};
+            a = LOAD 'r.parquet';
+        """)
+        assert rels["a"].df().count() == 5
+    finally:
+        os.chdir(old)
