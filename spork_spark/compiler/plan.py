@@ -1257,10 +1257,6 @@ class PlanCompiler:
         path by design (SURVEY.md §4.3) — the fusion above avoids it
         whenever the consumer is aggregate-only.
         """
-        if node.mode == "gsets":
-            raise NotImplementedError(
-                "the bag of a mixed CUBE/ROLLUP grouping cannot escape — "
-                "consume it with aggregate-only FOREACH generators")
         df = self._compile(node.child)
         ctx = self._ctx(df)
         bag_alias = getattr(node, "bag_alias", "bag")
@@ -1272,13 +1268,25 @@ class PlanCompiler:
         keys = self._expand_star_keys(df, node.keys)
         key_cols = self._group_key_cols(ctx, keys)
         df = self._probe_keys(df, keys)     # group-key cast discards
+        key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
         if node.mode == "cube":
             grouped = df.cube(*key_cols).agg(bag)
         elif node.mode == "rollup":
             grouped = df.rollup(*key_cols).agg(bag)
+        elif node.mode == "gsets":
+            # mixed CUBE/ROLLUP: the bag escapes through groupingSets
+            # too — same raw-expression grouping + rename as the fused
+            # path (groupingSets matches set members by expression
+            # equality, so aliased copies would group as all-null)
+            raw = [ctx.compile(k) for k in keys]
+            sets = [[raw[i] for i in s] for s in node.gsets]
+            grouped = df.groupingSets(sets, *raw).agg(bag)
+            for old, new in zip(grouped.columns[:len(key_names)],
+                                key_names):
+                if old != new:
+                    grouped = grouped.withColumnRenamed(old, new)
         else:
             grouped = df.groupBy(*key_cols).agg(bag)
-        key_names = [self._key_name(k, i) for i, k in enumerate(keys)]
         if len(key_names) == 1:
             group_col = F.col(key_names[0]).alias(GROUP_COL)
         else:

@@ -651,11 +651,7 @@ class PigParser:
         Exempt from eager compile (stay lazy until first use):
         - RANK plans — their compile runs a real job (the two-pass
           partition-offsets collect), which Pig's statement-time
-          validation never does;
-        - mixed CUBE/ROLLUP (gsets) groups — the standalone node
-          refuses to compile by design (the bag cannot escape; only
-          the fused FOREACH consumes it), but the statement is valid
-          Pig.
+          validation never does.
         A failed statement leaves the alias undefined (Pig rejects the
         statement). Gate: spark.spork.validate.eager (default on)."""
         if self.check:
@@ -685,8 +681,6 @@ class PigParser:
                 continue
             seen.add(id(n))
             if isinstance(n, L.Rank):
-                return True
-            if isinstance(n, L.Group) and getattr(n, "mode", None) == "gsets":
                 return True
             stack.extend(getattr(n, "children", []))
         return False

@@ -439,6 +439,31 @@ def test_mixed_cube_rollup(eng):
     assert "collect_list" not in plan   # fused, no bag
 
 
+
+def test_mixed_cube_bag_escapes(eng):
+    """The mixed-grouping bag can ESCAPE fusion too: DESCRIBE/nested
+    consumption of `c` itself compiles (groupingSets + collect_list),
+    with bag sizes matching the fused COUNT per grouping set. Until
+    r10 this path raised NotImplementedError — real Pig allows any
+    consumer of a CUBE relation."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        c = CUBE li BY CUBE(l_returnflag), ROLLUP(l_linestatus);
+        sizes = FOREACH c GENERATE group.l_returnflag AS rf,
+                                   group.l_linestatus AS ls,
+                                   SIZE(li) AS n;
+        p = FOREACH c GENERATE group.l_returnflag AS rf,
+                               group.l_linestatus AS ls, COUNT(li) AS n;
+    """)
+    # `sizes` consumes the bag unfused (SIZE of the bag column), `p`
+    # fuses; both must agree on every grouping set
+    got = {(r.rf, r.ls): r.n for r in rels["sizes"].df().collect()}
+    want = {(r.rf, r.ls): r.n for r in rels["p"].df().collect()}
+    assert got == want and len(got) == 12
+    plan = rels["sizes"].df()._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan      # genuinely the unfused bag path
+
+
 def test_order_parallel_keeps_total_order(eng):
     """ORDER ... PARALLEL n sets the reducer count but the output stays
     TOTALLY ordered (Pig's range-sort contract; caught by the PigMix L9

@@ -328,3 +328,80 @@ def test_rank_matches_duckdb(eng, duck, k, dense, desc):
                l_orderkey AS k1, l_linenumber AS k2 FROM li
     """).fetchall())
     assert got == want
+
+
+@given(how=st.sampled_from(["LEFT", "RIGHT", "FULL"]),
+       c=st.integers(0, 30000), agg=st.sampled_from(AGGS))
+@SLOW
+def test_outer_join_matches_duckdb(eng, duck, how, c, agg):
+    """LEFT/RIGHT/FULL OUTER JOIN through the parser, one side
+    filtered so unmatched rows exercise the null-padding, then grouped
+    over a nullable key."""
+    duck.sql(f"CREATE VIEW IF NOT EXISTS ords AS "
+             f"SELECT * FROM '{SF}/orders.parquet'")
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        fo = FILTER o BY o_custkey < {c};
+        j = JOIN li BY l_orderkey {how} OUTER, fo BY o_orderkey;
+        g = GROUP j BY o_orderpriority;
+        s = FOREACH g GENERATE group AS k, COUNT_STAR(j) AS n,
+                               {agg}(j.l_quantity) AS a;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH fo AS (SELECT * FROM ords WHERE o_custkey < {c})
+        SELECT o_orderpriority AS k, COUNT(*) AS n, {agg}(l_quantity) AS a
+        FROM li {how} OUTER JOIN fo ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """).fetchall())
+    assert got == want
+
+
+@given(n=st.integers(1, 40))
+@SLOW
+def test_tokenize_wordcount_matches_duckdb(eng, duck, n):
+    """The canonical Pig wordcount — TOKENIZE + FLATTEN + GROUP +
+    COUNT — over the documents fixture vs a DuckDB regexp split
+    (TOKENIZE delimiters: whitespace and " , ( ) *)."""
+    duck.sql(f"CREATE VIEW IF NOT EXISTS docs AS "
+             f"SELECT * FROM '{SF}/documents.parquet'")
+    rels = run_script(eng, f"""
+        d = LOAD '{SF}/documents.parquet';
+        lim = LIMIT d {n};
+        w = FOREACH lim GENERATE FLATTEN(TOKENIZE(text)) AS word;
+        g = GROUP w BY word;
+        s = FOREACH g GENERATE group AS word, COUNT_STAR(w) AS n;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH lim AS (SELECT * FROM docs ORDER BY doc_id LIMIT {n}),
+        toks AS (SELECT unnest(regexp_split_to_array(
+                     text, '[ \t\n\r\f",()*]+')) AS word FROM lim)
+        SELECT word, COUNT(*) AS n FROM toks WHERE word <> ''
+        GROUP BY word
+    """).fetchall())
+    assert got == want
+
+
+@given(k=st.sampled_from(["l_returnflag", "l_linestatus"]),
+       v=st.sampled_from(NUM_COLS))
+@SLOW
+def test_map_access_matches_duckdb(eng, duck, k, v):
+    """TOMAP + # access + KEYSET/VALUELIST SIZE through the parser —
+    map construction and projection round-trip."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        m = FOREACH li GENERATE l_orderkey AS k1, l_linenumber AS k2,
+                                TOMAP('k', {k}, 'v', (chararray){v}) AS mp;
+        s = FOREACH m GENERATE k1, k2, mp#'k' AS kv,
+                               (double)(mp#'v') AS vv, SIZE(mp) AS sz;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT l_orderkey AS k1, l_linenumber AS k2, {k} AS kv,
+               CAST(CAST({v} AS VARCHAR) AS DOUBLE) AS vv,
+               CAST(2 AS BIGINT) AS sz
+        FROM li
+    """).fetchall())
+    assert got == want
