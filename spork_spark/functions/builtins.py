@@ -263,14 +263,17 @@ def _inversemap(m: Column) -> Column:
     PIG-2600): swap keys with values; values sharing a key collect into
     a BAG of the original keys, and the output map's keys are the
     chararray form of the values — INVERSEMAP([open#apache, 1#2, 11#2])
-    = [apache#{(open)}, 2#{(1),(11)}]. Null-valued entries group under
-    one key like Pig's HashMap does (eqNullSafe)."""
-    ents = F.map_entries(m)
-    vals = F.array_distinct(F.map_values(m))
+    = [apache#{(open)}, 2#{(1),(11)}]. Divergence, documented: entries
+    with a NULL value are dropped — a null inverted key is legal in
+    Pig's backing HashMap but Spark's map type forbids null keys
+    (NULL_MAP_KEY), found by the property fuzz."""
+    ents = F.filter(F.map_entries(m), lambda e: e["value"].isNotNull())
+    vals = F.array_distinct(
+        F.transform(ents, lambda e: e["value"]))
     return F.map_from_arrays(
         F.transform(vals, lambda v: v.cast("string")),
         F.transform(vals, lambda v: _bag_of(F.transform(
-            F.filter(ents, lambda e: e["value"].eqNullSafe(v)),
+            F.filter(ents, lambda e: e["value"] == v),
             lambda e: e["key"]))))
 
 

@@ -278,3 +278,41 @@ def test_map_inversemap(eng, spark):
     inv = one(eng, spark, fn("INVERSEMAP", col("m")), data, ddl)
     got = {k: sorted(t[0] for t in bag) for k, bag in inv.items()}
     assert got == {"apache": ["open"], "2": ["1", "11"]}
+
+
+def test_map_builtins_property(eng, spark):
+    """Property check over generated maps (unicode keys, collisions,
+    empty map, null values): KEYSET/VALUELIST/VALUESET/INVERSEMAP match
+    a pure-Python model of the Pig semantics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spork_spark import col, fn
+
+    keys = st.text(min_size=1, max_size=6)
+    vals = st.one_of(st.none(), st.integers(-5, 5))
+    maps = st.dictionaries(keys, vals, max_size=6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(m=maps)
+    def check(m):
+        data, ddl = [(m,)], "m map<string,int>"
+        ks = one(eng, spark, fn("KEYSET", col("m")), data, ddl)
+        assert sorted(t[0] for t in ks) == sorted(m.keys())
+        vl = one(eng, spark, fn("VALUELIST", col("m")), data, ddl)
+        assert sorted((t[0] for t in vl), key=repr) \
+            == sorted(m.values(), key=repr)
+        vs = one(eng, spark, fn("VALUESET", col("m")), data, ddl)
+        assert sorted((t[0] for t in vs), key=repr) \
+            == sorted(set(m.values()), key=repr)
+        inv = one(eng, spark, fn("INVERSEMAP", col("m")), data, ddl)
+        # null-valued entries are dropped (Spark maps forbid null keys)
+        model = {}
+        for k, v in m.items():
+            if v is not None:
+                model.setdefault(str(v), []).append(k)
+        got = {k: sorted(t[0] for t in bag)
+               for k, bag in (inv or {}).items()}
+        assert got == {k: sorted(v) for k, v in model.items()}
+
+    check()
