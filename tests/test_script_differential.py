@@ -405,3 +405,81 @@ def test_map_access_matches_duckdb(eng, duck, k, v):
         FROM li
     """).fetchall())
     assert got == want
+
+
+@given(mult=st.floats(0.5, 2.0), agg=st.sampled_from(["AVG", "MAX", "MIN"]),
+       ac=st.sampled_from(NUM_COLS))
+@SLOW
+def test_scalar_of_relation_matches_duckdb(eng, duck, mult, agg, ac):
+    """Scalar-of-relation: a 1-row aggregate used per-row in a FILTER
+    (Pig's implicit scalar cast) vs a SQL scalar subquery."""
+    m = round(mult, 3)
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        g = GROUP li ALL;
+        s = FOREACH g GENERATE {agg}(li.{ac}) AS v;
+        f = FILTER li BY {ac} > {m} * s.v;
+        p = FOREACH f GENERATE l_orderkey AS k1, l_linenumber AS k2;
+    """)
+    got = norm(tuple(r) for r in rels["p"].df().collect())
+    want = norm(duck.sql(f"""
+        SELECT l_orderkey AS k1, l_linenumber AS k2 FROM li
+        WHERE {ac} > {m} * (SELECT {agg}({ac}) FROM li)
+    """).fetchall())
+    assert got == want
+
+
+@given(c=st.integers(20, 48))
+@SLOW
+def test_cogroup_inner_matches_duckdb(eng, duck, c):
+    """COGROUP a BY k INNER, b BY k: groups where a's bag is empty
+    DROP (inner side), while b-empty groups survive."""
+    duck.sql(f"CREATE VIEW IF NOT EXISTS ords AS "
+             f"SELECT * FROM '{SF}/orders.parquet'")
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        fl = FILTER li BY l_quantity > {c}.0;
+        cg = COGROUP fl BY l_orderkey INNER, o BY o_orderkey;
+        s = FOREACH cg GENERATE group AS k, COUNT_STAR(fl) AS nl,
+                                COUNT_STAR(o) AS no;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS nl
+                   FROM li WHERE l_quantity > {c} GROUP BY 1),
+             b AS (SELECT o_orderkey AS k, COUNT(*) AS no
+                   FROM ords GROUP BY 1)
+        SELECT a.k AS k, a.nl, COALESCE(b.no, 0) AS no
+        FROM a LEFT JOIN b ON a.k = b.k
+    """).fetchall())
+    assert got == want
+
+
+@given(c=st.integers(0, 25))
+@SLOW
+def test_union_onschema_matches_duckdb(eng, duck, c):
+    """UNION ONSCHEMA with differing column sets: missing columns fill
+    with null, matching positions by NAME (not position)."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        a = FOREACH li GENERATE l_orderkey AS k, l_quantity AS q;
+        fb = FILTER li BY l_quantity > {c}.0;
+        b = FOREACH fb GENERATE l_orderkey AS k, l_extendedprice AS p;
+        u = UNION ONSCHEMA a, b;
+        g = GROUP u BY k;
+        s = FOREACH g GENERATE group AS k, COUNT(u.q) AS nq,
+                               COUNT(u.p) AS np, SUM(u.q) AS sq;
+    """)
+    got = norm(tuple(r) for r in rels["s"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH u AS (
+            SELECT l_orderkey AS k, l_quantity AS q, NULL::DOUBLE AS p
+            FROM li
+            UNION ALL
+            SELECT l_orderkey AS k, NULL AS q, l_extendedprice AS p
+            FROM li WHERE l_quantity > {c})
+        SELECT k, COUNT(q) AS nq, COUNT(p) AS np, SUM(q) AS sq
+        FROM u GROUP BY k
+    """).fetchall())
+    assert got == want
