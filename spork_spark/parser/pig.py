@@ -963,6 +963,12 @@ class PigParser:
         while self.peek().kind == "op" and self.peek().text == ".":
             self.next()
             val += "." + self.next().text
+        # Pig's `set default_parallel N` is the default reducer count
+        # for every shuffle without an explicit PARALLEL
+        # (pig:src/org/apache/pig/PigServer.java setDefaultParallel);
+        # Spark's twin is the default shuffle-partition count.
+        if key.lower() == "default_parallel":
+            key = "spark.sql.shuffle.partitions"
         try:
             self.engine.spark.conf.set(key, val)
         except Exception:

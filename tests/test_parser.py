@@ -715,7 +715,14 @@ def test_set_statement_dotted_key(eng):
     key = "spark.spork.test.dotted_set_key"
     run_script(eng, f"SET {key} 'hello';")
     assert eng.spark.conf.get(key) == "hello"
-    run_script(eng, "SET default_parallel 10;")  # single-token still fine
+    # `set default_parallel N` maps to the Spark default shuffle
+    # partition count (PigServer.setDefaultParallel's role)
+    old = eng.spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        run_script(eng, "SET default_parallel 10;")
+        assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "10"
+    finally:
+        eng.spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_schema_errors_surface_at_the_defining_statement(eng):
