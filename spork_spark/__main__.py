@@ -219,7 +219,10 @@ def grunt(engine, params: dict) -> int:
 def main(argv: list[str] | None = None) -> int:
     """Mirrors the reference launcher's flag surface (pig:src/org/apache/
     pig/Main.java): -param/-param_file, -e(xecute), -c(heck), -r(dryrun),
-    -M(no_multiquery) — plus this engine's --master/--explain."""
+    -M(no_multiquery), -F(stop_on_failure), -P(propertyFile),
+    -x(exectype), -w(arning), -version, -l(ogfile), -v(erbose),
+    -d(ebug), -b(rief), -4(log4jconf), -t(optimizer_off) — plus this
+    engine's --master/--explain."""
     ap = argparse.ArgumentParser(
         prog="spork_spark",
         description="Run a Pig Latin script on the PySpark-native engine "
@@ -254,10 +257,55 @@ def main(argv: list[str] | None = None) -> int:
                     action="append", default=[], metavar="FILE",
                     help="key=value property file applied to the Spark "
                     "session conf (Pig -P)")
+    ap.add_argument("-x", "-exectype", "--exectype", default=None,
+                    metavar="TYPE",
+                    help="execution mode (Pig -x): 'local' runs "
+                    "local[*]; other modes (mapreduce/tez/spark) run on "
+                    "the session's Spark master — the only runtime here")
+    ap.add_argument("-w", "-warning", "--warning", action="store_true",
+                    help="aggregate warnings (Pig -w): count cast "
+                    "discards per type and print the totals at the end "
+                    "of the run")
+    ap.add_argument("-version", "--version", action="store_true",
+                    dest="show_version", help="print version and exit")
+    ap.add_argument("-l", "-logfile", "--logfile", default=None,
+                    metavar="FILE", help="append ERROR lines to FILE as "
+                    "well as stderr (Pig -l)")
+    ap.add_argument("-v", "-verbose", "--verbose", action="store_true",
+                    help="verbose logging (Spark log level INFO)")
+    ap.add_argument("-d", "-debug", "--debug", default=None,
+                    metavar="LEVEL", help="log level (DEBUG/INFO/WARN/"
+                    "ERROR — Pig -d)")
+    ap.add_argument("-b", "-brief", "--brief", action="store_true",
+                    help="brief logging (Spark log level ERROR)")
+    ap.add_argument("-4", "-log4jconf", "--log4jconf", default=None,
+                    metavar="FILE", help="accepted for launcher "
+                    "compatibility; logging is configured via -v/-b/-d")
+    ap.add_argument("-t", "-optimizer_off", "--optimizer_off",
+                    action="append", default=[], metavar="RULE",
+                    help="disable an optimizer rule (Pig -t): "
+                    "MultiQueryOptimizer maps to -M; other rules are "
+                    "Catalyst's and cannot be disabled individually")
     ap.add_argument("--master", default=None, help="Spark master override")
     ap.add_argument("--explain", action="store_true",
                     help="print the physical plan of every defined alias")
     args = ap.parse_args(argv)
+
+    if args.show_version:
+        from . import __version__
+        print(f"spork_spark version {__version__} "
+              "(Pig Latin on PySpark)")
+        return 0
+    if args.exectype and args.exectype.lower() == "local" \
+            and args.master is None:
+        args.master = "local[*]"
+    for rule in args.optimizer_off:
+        if rule == "MultiQueryOptimizer":
+            args.no_multiquery = True
+        else:
+            print(f"WARN: -t {rule}: not a rule of this engine "
+                  "(Catalyst optimizes the plan); ignored",
+                  file=sys.stderr)
 
     if args.execute is not None and args.script is not None:
         ap.error("give either a script file or -e CMDS, not both")
@@ -292,7 +340,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"spork:{args.script or 'grunt'}",
                       master=args.master)
-    spark.sparkContext.setLogLevel("WARN")
+    level = "WARN"
+    if args.verbose:
+        level = "INFO"
+    if args.brief:
+        level = "ERROR"
+    if args.debug:
+        level = args.debug.upper()
+    spark.sparkContext.setLogLevel(level)
+    if args.warning:
+        spark.conf.set("spark.spork.warnings.enabled", "true")
     if args.no_multiquery:
         spark.conf.set("spark.spork.multiquery.enabled", "false")
     if args.stop_on_failure:
@@ -306,13 +363,23 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
     engine = Engine(spark)
 
+    def log_error(msg: str) -> None:
+        print(msg, file=sys.stderr)
+        if args.logfile:                   # Pig -l: errors also to file
+            try:
+                with open(args.logfile, "a") as fh:
+                    fh.write(msg + "\n")
+            except OSError as exc:
+                print(f"WARN: cannot write logfile: {exc}",
+                      file=sys.stderr)
+
     if args.check:
         if args.script is None and args.execute is None:
             ap.error("-c/--check needs a script file or -e CMDS")
         try:
             check_script(engine, read_source(), params=params)
         except Exception as exc:
-            print(f"ERROR: {exc}", file=sys.stderr)
+            log_error(f"ERROR: {exc}")
             return 1
         print(f"{args.script or '-e command'}: syntax OK")
         return 0
@@ -326,7 +393,7 @@ def main(argv: list[str] | None = None) -> int:
         # batch mode fails with Pig's clean ERROR line + exit 2
         # (pig:src/org/apache/pig/Main.java ReturnCode.PIG_EXCEPTION),
         # not a Python traceback
-        print(f"ERROR: {exc}", file=sys.stderr)
+        log_error(f"ERROR: {exc}")
         return 2
     if args.explain:
         for name, rel in rels.items():

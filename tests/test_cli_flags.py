@@ -143,3 +143,64 @@ def test_check_mode_covers_nested_exec(eng, tmp_path, capsys):
                       f"exec {child};\n")
     assert cli.main(["-c", str(script)]) == 1
     assert "missing_col" in capsys.readouterr().err
+
+
+def test_version_flag(capsys):
+    """-version prints the version and exits 0 without a session."""
+    assert cli.main(["-version"]) == 0
+    assert "version" in capsys.readouterr().out
+
+
+def test_exectype_local_runs(eng, tmp_path):
+    """pig -x local script.pig — the tutorial invocation — must run
+    (local exectype maps to a local master)."""
+    script = tmp_path / "x.pig"
+    script.write_text(f"a = LOAD '{SF}/region.parquet';\n"
+                      f"STORE a INTO '{tmp_path}/xl';\n")
+    assert cli.main(["-x", "local", str(script)]) == 0
+    assert (tmp_path / "xl").exists()
+
+
+def test_warning_flag_prints_aggregate_counts(eng, tmp_path, capsys):
+    """-w turns on Pig's aggregate warning counters: a script with
+    failing casts ends with the Encountered Warning total lines."""
+    spark = eng.spark
+    script = tmp_path / "w.pig"
+    script.write_text(
+        f"a = LOAD '{SF}/region.parquet';\n"
+        f"b = FOREACH a GENERATE (int)r_name AS v;\n"
+        f"STORE b INTO '{tmp_path}/wout';\n")
+    try:
+        assert cli.main(["-w", str(script)]) == 0
+        err = capsys.readouterr().err
+        assert "Encountered Warning" in err
+        assert "FIELD_DISCARDED_TYPE_CONVERSION_FAILED" in err
+    finally:
+        spark.conf.set("spark.spork.warnings.enabled", "false")
+
+
+def test_logfile_collects_error_lines(eng, tmp_path, capsys):
+    """-l FILE appends the clean ERROR line to the logfile too."""
+    script = tmp_path / "boom.pig"
+    script.write_text(f"a = LOAD '{SF}/region.parquet';\n"
+                      "b = FILTER a BY nope > 1;\n")
+    log = tmp_path / "pig.log"
+    assert cli.main(["-l", str(log), str(script)]) == 2
+    assert "ERROR:" in log.read_text()
+    capsys.readouterr()
+
+
+def test_optimizer_off_multiquery_maps_to_no_multiquery(eng, tmp_path,
+                                                        capsys):
+    """-t MultiQueryOptimizer behaves like -M; other rule names warn
+    and are ignored (Catalyst owns those rewrites)."""
+    spark = eng.spark
+    try:
+        assert cli.main(
+            ["-t", "MultiQueryOptimizer", "-t", "PushUpFilter", "-e",
+             f"a = LOAD '{SF}/region.parquet'; "
+             f"STORE a INTO '{tmp_path}/topt';"]) == 0
+        assert spark.conf.get("spark.spork.multiquery.enabled") == "false"
+        assert "PushUpFilter" in capsys.readouterr().err
+    finally:
+        spark.conf.set("spark.spork.multiquery.enabled", "true")
