@@ -155,3 +155,56 @@ def test_multiquery_off_restores_inline_stores(eng, tmp_path):
     finally:
         eng.spark.conf.set("spark.spork.multiquery.enabled", "true")
         release_cached(eng.spark)
+
+
+def test_multiquery_on_off_equivalence_fuzz(eng, tmp_path):
+    """Metamorphic: for generated multi-STORE scripts, batched
+    (multiquery on) and inline (off) execution write byte-equal
+    result sets — the optimization must never change output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spork_spark.parser import run_script
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(c=st.integers(0, 40), k=st.sampled_from(
+               ["l_returnflag", "l_linestatus", "l_suppkey"]),
+           n=st.integers(1, 50))
+    def check(c, k, n):
+        counter[0] += 1
+        base = tmp_path / f"mq{counter[0]}"
+        script = f"""
+            li = LOAD '{SF}/lineitem.parquet';
+            f = FILTER li BY l_quantity > {c}.0;
+            g = GROUP f BY {k};
+            s = FOREACH g GENERATE group AS k, COUNT_STAR(f) AS n,
+                                   SUM(f.l_extendedprice) AS sm;
+            t = LIMIT s {n};
+            STORE s INTO '{{out}}/s' USING PigStorage(',', '-schema');
+            STORE t INTO '{{out}}/t' USING PigStorage(',', '-schema');
+            STORE f INTO '{{out}}/f';
+        """
+        outs = {}
+        for mode in ("true", "false"):
+            eng.spark.conf.set("spark.spork.multiquery.enabled", mode)
+            out = f"{base}_{mode}"
+            run_script(eng, script.replace("{out}", out))
+            rows = {}
+            for alias in ("s", "f"):
+                fmt = "csv" if alias == "s" else "parquet"
+                df = (eng.spark.read.options(sep=",")
+                      .format(fmt).load(f"{out}/{alias}"))
+                rows[alias] = sorted(map(tuple, df.collect()))
+            # t is a LIMIT without ORDER — row SET is nondeterministic,
+            # but its size is not
+            tdf = eng.spark.read.options(sep=",").csv(f"{base}_{mode}/t")
+            rows["t_count"] = tdf.count()
+            outs[mode] = rows
+        assert outs["true"] == outs["false"]
+
+    try:
+        check()
+    finally:
+        eng.spark.conf.set("spark.spork.multiquery.enabled", "true")
