@@ -291,8 +291,18 @@ class Relation:
     def collect(self):
         return self.df().collect()
 
-    def dump(self, n: int = 20) -> None:               # DUMP
-        self.df().show(n, truncate=False)
+    def dump(self, n: int | None = None) -> None:      # DUMP
+        """Print every tuple in Pig's TupleFormat —
+        ``(v1,{(b1),(b2)},[k#v])``, nulls empty, no header
+        (pig:src/org/apache/pig/data/utils/TupleFormat.java via
+        GruntParser processDump). Streams through toLocalIterator so
+        the relation never materializes on the driver at once; pass n
+        to cap the output (engine extension, Pig prints all)."""
+        it = self.df().toLocalIterator()
+        for i, row in enumerate(it):
+            if n is not None and i >= n:
+                break
+            print(_pig_tuple_str(row))
 
     def describe(self) -> str:                          # DESCRIBE
         """Print the schema in Pig's own syntax (pig:src/org/apache/pig/
@@ -425,3 +435,34 @@ def _pig_type_str(dt) -> str:
     if isinstance(dt, T.DecimalType):
         return "bigdecimal"
     return _PIG_SCALAR.get(dt.simpleString(), dt.simpleString())
+
+
+def _pig_cell_str(v) -> str:
+    """One value in Pig's TupleFormat: null → empty, chararray raw,
+    booleans lowercase, bags {(…),(…)}, inner tuples (…), maps [k#v],
+    datetimes ISO-8601 (DateTime.toString). Float formatting is
+    Python's repr — diverges from Java Double.toString only in
+    scientific-notation edge cases (1e+20 vs 1.0E20)."""
+    import datetime
+
+    from pyspark.sql import Row
+    if v is None:
+        return ""
+    if isinstance(v, Row):
+        return "(" + ",".join(_pig_cell_str(x) for x in v) + ")"
+    if isinstance(v, (list, tuple)):
+        return "{" + ",".join(_pig_cell_str(x) for x in v) + "}"
+    if isinstance(v, dict):
+        return "[" + ",".join(f"{k}#{_pig_cell_str(x)}"
+                              for k, x in v.items()) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _pig_tuple_str(row) -> str:
+    return "(" + ",".join(_pig_cell_str(v) for v in row) + ")"

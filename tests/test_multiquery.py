@@ -70,7 +70,8 @@ def test_dump_is_an_execution_barrier(eng, tmp_path, capsys):
         DUMP b;
     """)
     assert os.path.isdir(f"{tmp_path}/r")
-    assert "r_regionkey" in capsys.readouterr().out
+    # DUMP prints Pig TupleFormat, no header: (0,REGION_0)
+    assert "(0," in capsys.readouterr().out
 
 
 def test_grunt_command_flushes_pending_stores(eng, tmp_path, capsys):

@@ -765,3 +765,22 @@ def test_set_statement_dotted_value(eng):
     key = "spark.spork.test.dotted_set_value"
     run_script(eng, f"SET {key} root.prod;")
     assert eng.spark.conf.get(key) == "root.prod"
+
+
+def test_dump_prints_pig_tuple_format(eng, capsys):
+    """DUMP prints Pig's TupleFormat — (v1,{(b)},[k#v]), nulls empty,
+    no header, no Spark show table
+    (pig:src/org/apache/pig/data/utils/TupleFormat.java)."""
+    from spork_spark.parser import run_script
+    rel = eng.from_df(eng.spark.createDataFrame(
+        [(1, "x", None)], "a int, s string, z string"))
+    run_script(eng, """
+        g = GROUP t BY a;
+        p = FOREACH g GENERATE group, t, TOMAP('k', group) AS m;
+        DUMP t;
+        DUMP p;
+    """, relations={"t": rel})
+    out = capsys.readouterr().out
+    assert "(1,x,)" in out                 # null renders empty
+    assert "(1,{(1,x,)},[k#1])" in out     # bag + map forms
+    assert "+---" not in out               # not a show() table
