@@ -202,6 +202,14 @@ def grunt(engine, params: dict) -> int:
             if bare == "clear":        # GruntParser processClear
                 print("\033[2J\033[H", end="")
                 continue
+            # GruntParser's shell commands are LINE-oriented: `pwd`
+            # (no ';') executes at enter, it does not open a
+            # continuation that would swallow the next statement
+            head = line.strip().split(None, 1)[0].lower() \
+                if line.strip() else ""
+            from .parser.pig import _GRUNT_CMDS
+            if head in _GRUNT_CMDS and not line.rstrip().endswith(";"):
+                line = line.rstrip() + ";"
         buf += line + "\n"
         if not (_statement_complete(buf) or _only_preproc(buf)):
             continue

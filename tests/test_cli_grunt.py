@@ -226,3 +226,24 @@ def test_grunt_cd_resolves_relative_load(eng, tmp_path):
         assert rels["a"].df().count() == 5
     finally:
         os.chdir(old)
+
+
+def test_grunt_bare_commands_are_line_oriented(eng, monkeypatch, capsys):
+    """GruntParser's shell commands execute at ENTER without a ';' —
+    a bare `pwd` must not open a continuation that swallows the next
+    statement (previously `help⏎quit⏎` became one corrupt statement
+    and exited 1)."""
+    import os
+
+    from spork_spark import __main__ as cli
+    lines = iter(["pwd", "aliases", "help", "quit"])
+    monkeypatch.setattr(
+        "builtins.input",
+        lambda *a: next(lines, None) or (_ for _ in ()).throw(EOFError()))
+    monkeypatch.setattr("sys.stdin",
+                        type("T", (), {"isatty": lambda s: False})())
+    assert cli.grunt(eng, {}) == 0
+    out = capsys.readouterr().out
+    assert os.getcwd() in out
+    assert "aliases: []" in out
+    assert "Commands:" in out
