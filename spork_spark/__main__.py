@@ -208,7 +208,8 @@ def grunt(engine, params: dict) -> int:
             head = line.strip().split(None, 1)[0].lower() \
                 if line.strip() else ""
             from .parser.pig import _GRUNT_CMDS
-            if head in _GRUNT_CMDS and not line.rstrip().endswith(";"):
+            if (head in _GRUNT_CMDS or head == "set") \
+                    and not line.rstrip().endswith(";"):
                 line = line.rstrip() + ";"
         buf += line + "\n"
         if not (_statement_complete(buf) or _only_preproc(buf)):

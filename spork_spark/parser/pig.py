@@ -953,6 +953,13 @@ class PigParser:
         (`set mapred.job.queue.name q;`, `set spark.spork.*`), which
         tokenize as ident (. ident)* — consume the whole path."""
         self.expect("kw", "set")
+        if self.peek().kind == "op" and self.peek().text == ";":
+            # bare `set;` — GruntParser lists the session properties
+            self.next()
+            for k, v in sorted(
+                    self.engine.spark.sparkContext.getConf().getAll()):
+                print(f"{k}={v}")
+            return
         key = self.next().text
         while self.peek().kind == "op" and self.peek().text == ".":
             self.next()

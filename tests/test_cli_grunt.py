@@ -247,3 +247,22 @@ def test_grunt_bare_commands_are_line_oriented(eng, monkeypatch, capsys):
     assert os.getcwd() in out
     assert "aliases: []" in out
     assert "Commands:" in out
+
+
+def test_grunt_bare_set_lists_properties(eng, monkeypatch, capsys):
+    """`set` with no arguments lists session properties (GruntParser
+    processSet no-arg form); `set k v` without ';' works at the prompt
+    (line-oriented like the fs commands)."""
+    from spork_spark import __main__ as cli
+    lines = iter(["set spark.spork.test.bare barevalue", "set", "quit"])
+    monkeypatch.setattr(
+        "builtins.input",
+        lambda *a: next(lines, None) or (_ for _ in ()).throw(EOFError()))
+    monkeypatch.setattr("sys.stdin",
+                        type("T", (), {"isatty": lambda s: False})())
+    try:
+        assert cli.grunt(eng, {}) == 0
+        assert eng.spark.conf.get("spark.spork.test.bare") == "barevalue"
+        assert "spark.app.name=" in capsys.readouterr().out
+    finally:
+        eng.spark.conf.unset("spark.spork.test.bare")
