@@ -483,3 +483,32 @@ def test_union_onschema_matches_duckdb(eng, duck, c):
         FROM u GROUP BY k
     """).fetchall())
     assert got == want
+
+
+@given(c1=st.integers(0, 30), c2=st.integers(0, 30))
+@SLOW
+def test_operator_precedence_matches_duckdb(eng, duck, c1, c2):
+    """Precedence/associativity: left-assoc subtraction chains, unary
+    minus, * over -, AND over OR, NOT binding — the classic parser
+    mistakes, against SQL which shares the same rules."""
+    rels = run_script(eng, f"""
+        li = LOAD '{SF}/lineitem.parquet';
+        e = FOREACH li GENERATE l_orderkey AS k1, l_linenumber AS k2,
+            l_quantity - l_discount - l_tax AS a,
+            l_quantity - l_discount * 2.0 AS b,
+            -l_discount + l_quantity AS c,
+            (l_quantity - l_discount) * 2.0 - -l_tax AS d;
+        f = FILTER e BY NOT a > {c1}.0 OR b < {c2}.0 AND d > 1.0;
+    """)
+    got = norm(tuple(r) for r in rels["f"].df().collect())
+    want = norm(duck.sql(f"""
+        WITH e AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+                          l_quantity - l_discount - l_tax AS a,
+                          l_quantity - l_discount * 2.0 AS b,
+                          -l_discount + l_quantity AS c,
+                          (l_quantity - l_discount) * 2.0 - -l_tax AS d
+                   FROM li)
+        SELECT * FROM e
+        WHERE NOT a > {c1} OR b < {c2} AND d > 1.0
+    """).fetchall())
+    assert got == want
