@@ -735,7 +735,15 @@ class PigParser:
             if isinstance(d, dict) and "fn" in d:   # DEFINE'd storer alias
                 fmt, args = d["fn"], list(d["args"])
             if fmt.lower() == "pigstorage" and args:
-                store_opts["sep"] = args[0]
+                # PigStorage('sep', '-options'): positional delimiter +
+                # option strings (PigStorage.java) — '-schema' writes
+                # the .pig_schema sidecar that LOAD restores from
+                for a in args:
+                    if a.lstrip().startswith("-"):
+                        if "schema" in a:
+                            store_opts["schema"] = True
+                    else:
+                        store_opts["sep"] = a
         thunk = self.rel(alias).store_plan(path, fmt=fmt, **store_opts)
         if self.check:
             pass                # plan built + validated; nothing writes

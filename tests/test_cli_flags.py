@@ -204,3 +204,45 @@ def test_optimizer_off_multiquery_maps_to_no_multiquery(eng, tmp_path,
         assert "PushUpFilter" in capsys.readouterr().err
     finally:
         spark.conf.set("spark.spork.multiquery.enabled", "true")
+
+
+def test_end_to_end_user_journey(eng, tmp_path, capsys):
+    """A realistic script through main(): cd + relative paths,
+    set default_parallel, a join+group pipeline, DUMP in TupleFormat,
+    STORE with schema sidecar, -w warning aggregation — the way a Pig
+    user would actually run the engine."""
+    import shutil
+
+    spark = eng.spark
+    shutil.copy(f"{SF}/nation.parquet", tmp_path / "nation.parquet")
+    shutil.copy(f"{SF}/region.parquet", tmp_path / "region.parquet")
+    script = tmp_path / "journey.pig"
+    script.write_text(f"""
+        cd {tmp_path};
+        set default_parallel 4;
+        n = LOAD 'nation.parquet';
+        r = LOAD 'region.parquet';
+        j = JOIN n BY n_regionkey, r BY r_regionkey USING 'replicated';
+        g = GROUP j BY r_name;
+        s = FOREACH g GENERATE group AS region, COUNT_STAR(j) AS nations,
+                               (int)group AS bad_cast;
+        o = ORDER s BY region;
+        DUMP o;
+        STORE o INTO 'out' USING PigStorage(',', '-schema');
+    """)
+    import os
+    old_cwd = os.getcwd()
+    old_par = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert cli.main(["-w", str(script)]) == 0
+        out, err = capsys.readouterr()
+        assert "(AFRICA,5,)" in out            # TupleFormat, failed cast null
+        assert "Encountered Warning" in err    # -w aggregate counters
+        back = eng.spark.read.options(sep=",", header="false") \
+            .csv(str(tmp_path / "out"))
+        assert back.count() == 5
+        assert (tmp_path / "out" / ".pig_schema").exists()
+    finally:
+        os.chdir(old_cwd)
+        spark.conf.set("spark.sql.shuffle.partitions", old_par)
+        spark.conf.set("spark.spork.warnings.enabled", "false")
