@@ -706,9 +706,13 @@ class PigParser:
                 fn_name, args = d["fn"], list(d["args"])
             fmt = fn_name
             if fn_name.lower() == "pigstorage" and args:
+                # PigStorage(delimiter[, options]) — strictly positional
+                # (PigStorage.java constructors), so a literal '-'
+                # delimiter never reads as an option string
                 options["sep"] = args[0]
-                # PigStorage option string: '-tagFile' prepends the source
-                # file name, '-tagPath' the full path (first output column)
+                # option string: '-tagFile' prepends the source file
+                # name, '-tagPath' the full path (first output column);
+                # '-schema' restore is automatic when a sidecar exists
                 if len(args) > 1:
                     if "-tagFile" in args[1]:
                         options["tagFile"] = "true"
@@ -735,15 +739,13 @@ class PigParser:
             if isinstance(d, dict) and "fn" in d:   # DEFINE'd storer alias
                 fmt, args = d["fn"], list(d["args"])
             if fmt.lower() == "pigstorage" and args:
-                # PigStorage('sep', '-options'): positional delimiter +
-                # option strings (PigStorage.java) — '-schema' writes
-                # the .pig_schema sidecar that LOAD restores from
-                for a in args:
-                    if a.lstrip().startswith("-"):
-                        if "schema" in a:
-                            store_opts["schema"] = True
-                    else:
-                        store_opts["sep"] = a
+                # PigStorage(delimiter[, options]) — strictly positional
+                # (PigStorage.java constructors); '-schema' in the
+                # option string writes the .pig_schema sidecar that
+                # LOAD restores typed columns from
+                store_opts["sep"] = args[0]
+                if len(args) > 1 and "-schema" in args[1]:
+                    store_opts["schema"] = True
         thunk = self.rel(alias).store_plan(path, fmt=fmt, **store_opts)
         if self.check:
             pass                # plan built + validated; nothing writes
