@@ -117,6 +117,10 @@ def ensure_sf1(out: str = "/root/repo/testdata_sf1",
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ensure_sf1":
+        # idempotent check-or-build (the per-round revalidation entry)
+        print(ensure_sf1())
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/testdata_sf1"
