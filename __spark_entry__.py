@@ -1263,8 +1263,10 @@ def q_lang_id(spark, sf):
     from spork_spark.operators import detect_language
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return detect_language(docs).select("doc_id", "lang", "lang_pred") \
-                                .orderBy("doc_id")
+    # Sort-first: same rows/order (unique key, narrow projection) — see
+    # q_text_signals for the sampling/parallelism rationale.
+    return detect_language(docs.orderBy("doc_id")) \
+        .select("doc_id", "lang", "lang_pred")
 
 
 def q_fingerprint(spark, sf):
@@ -3219,11 +3221,20 @@ def q_text_signals(spark, sf):
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
     r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0
-    return (docs.select(
+    # Sort FIRST, project after (same rows, same order — doc_id is
+    # unique and the projection is narrow): an ORDER BY *above* an
+    # expensive shuffle-free projection makes RangePartitioner's
+    # bounds-sampling job execute the whole projection a second time,
+    # and serializes the kernel into however few tasks the scan has
+    # (single-row-group parquet = ONE task). Sorting the narrow input
+    # first samples only the scan and runs the kernel post-exchange at
+    # full parallelism. Measured at sf0.1: 47.3 s -> 3.4 s (guide §1.4
+    # / §2.4; OPTIMIZATION_r10.md).
+    return (docs.orderBy("doc_id")
+                .select(
                 "doc_id",
                 r4(repetition_ratio("text", n=2)).alias("rep2"),
-                r4(char_entropy("text")).alias("entropy"))
-                .orderBy("doc_id"))
+                r4(char_entropy("text")).alias("entropy")))
 
 
 def q_asof_join(spark, sf):
@@ -3571,7 +3582,11 @@ def q_classifier_score(spark, sf):
     from spork_spark.operators import classifier_score
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return classifier_score(docs).orderBy("doc_id")
+    # Sort-first: same rows/order (unique key, narrow projection); the
+    # ORDER-BY-on-top variant pays the range-bounds sampling pass twice
+    # and runs the hash kernel in the scan's single task (see
+    # q_text_signals; OPTIMIZATION_r10.md).
+    return classifier_score(docs.orderBy("doc_id"))
 
 
 def q_corpus_stats(spark, sf):

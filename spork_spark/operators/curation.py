@@ -85,16 +85,28 @@ def classifier_score(df: DataFrame, text_col: str = "text",
 
     Output: id, n_grams, score_int, keep (score_int > 0).
     """
+    # Stage the gram array and the score as real projection steps so each
+    # is evaluated ONCE per row: inlining `grams` into n_grams + the
+    # score fold (and `score` into score_int + keep) re-runs the whole
+    # tokenize→slice→md5 chain per textual occurrence — interpreted HOF
+    # expressions get no common-subexpression elimination, and Catalyst's
+    # CollapseProject keeps the stages apart exactly because the aliased
+    # expressions are non-cheap and referenced more than once.
     grams = word_ngrams(text_col, n, distinct=False)
+    staged = df.select(F.col(id_col), grams.alias("__grams"))
     weights = F.transform(
-        grams, lambda g: _md5_bucket16(g) % modulus - modulus // 2)
+        F.col("__grams"), lambda g: _md5_bucket16(g) % modulus - modulus // 2)
     score = F.aggregate(weights, F.lit(0).cast("long"),
                         lambda acc, x: acc + x)
-    return df.select(
+    scored = staged.select(
         F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        score.alias("score_int"),
-        (score > 0).alias("keep"))
+        F.size(F.col("__grams")).alias("n_grams"),
+        score.alias("score_int"))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("score_int"),
+        (F.col("score_int") > 0).alias("keep"))
 
 
 def ngram_logcount_score(df: DataFrame, text_col: str = "text",

@@ -59,6 +59,26 @@ def shingles(text_col, n: int = 5) -> "F.Column":
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input arrives in FEWER partitions — single-row-group parquet
+    scans read as ONE task, which serializes the shingling/hashing
+    kernels these operators run in their first stage. A narrow text
+    table shuffles in milliseconds; with an already-parallel input
+    (every real 100 TB scan) this is the identity, so no blanket
+    shuffle is added at scale. Row placement does not affect results:
+    every consumer below aggregates order-insensitively (min/collect_set
+    /distinct)."""
+    try:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(target, 64):
+            return df.repartition(min(target, 64))
+    except Exception:
+        pass
+    return df
+
+
 def minhash_signature(shingle_col, num_hashes: int = 64,
                       seed: int = 42) -> "F.Column":
     """num_hashes-wide MinHash signature: sig[j] = min over shingles of
@@ -185,15 +205,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
                              num_hashes=num_hashes, bands=bands, seed=seed,
                              hash_fn=hash_fn)
-    left = banded.select(F.col(id_col).alias("id_a"), "__band", "__bh")
-    right = banded.select(F.col(id_col).alias("id_b"), "__band", "__bh")
-    pairs = (left.join(right, on=["__band", "__bh"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b")
-                 .dropDuplicates(["id_a", "id_b"]))
-    shing = df.select(F.col(id_col), shingles(text_col, shingle_n)
-                      .alias("__sh"))
+    pairs = _bucket_pairs(banded, id_col)
+    shing = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n)
+                               .alias("__sh"))
     return _jaccard_verify(pairs, shing, id_col, threshold)
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from (id, __band, __bh)
+    banding rows. Grouping each bucket and expanding its sorted id set
+    in place replaces the banding self-join: the join re-executed the
+    whole signature subplan on BOTH sides (alias-renamed projections
+    defeat ReuseExchange) and shuffled it twice; this shape executes the
+    banding once through a single exchange. The in-bucket expansion is
+    b² per bucket — the same candidate count the join produced, and
+    bounded by the LSH bucket-size premise."""
+    buckets = (banded.groupBy("__band", "__bh")
+                     .agg(F.sort_array(F.collect_set(F.col(id_col)))
+                          .alias("__ids"))
+                     .where(F.size("__ids") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + 2,
+                    F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(combos).alias("__p"))
+                   .select(F.col("__p.id_a").alias("id_a"),
+                           F.col("__p.id_b").alias("id_b"))
+                   .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_banding(df: DataFrame, id_col: str, text_col: str,
@@ -218,21 +258,38 @@ def minhash_banding(df: DataFrame, id_col: str, text_col: str,
     import random
 
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col),
-                     shingles(text_col, shingle_n).alias("__sh"))
+    base = _spread(df).select(F.col(id_col),
+                              shingles(text_col, shingle_n).alias("__sh"))
     exploded = base.select(id_col, F.explode("__sh").alias("__s"))
     if hash_fn == "md5":
-        sig_aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))))
-                    .alias(f"__mh{j}") for j in range(num_hashes)]
+        hexprs = [F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))
+                  .alias(f"__h{j}") for j in range(num_hashes)]
     else:
         rnd = random.Random(seed)
         coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
                    rnd.randrange(0, MERSENNE_PRIME))
                   for _ in range(num_hashes)]
         h = F.xxhash64(F.col("__s"))
-        sig_aggs = [F.min(F.pmod(h * a + b, F.lit(MERSENNE_PRIME)))
-                    .alias(f"__mh{j}") for j, (a, b) in enumerate(coeffs)]
-    sig = (exploded.groupBy(id_col)
+        hexprs = [F.pmod(h * a + b, F.lit(MERSENNE_PRIME))
+                  .alias(f"__h{j}") for j, (a, b) in enumerate(coeffs)]
+    # Hash each DISTINCT shingle once and re-attach by equi-join instead
+    # of evaluating num_hashes hash expressions on every (doc, shingle)
+    # row: sig[j] = min over the doc's shingles of h(j, s) is a function
+    # of the shingle VALUES, so the minimum over join-attached hashes is
+    # identical. Shingle vocabularies are tiny relative to doc-shingle
+    # rows in any corpus worth dedup-ing (sf0.1: 2 041 distinct vs 1.0M
+    # rows → 500× fewer md5 evaluations; measured 34 s → see
+    # OPTIMIZATION_r10.md). The join is narrow (shingle → num_hashes
+    # values) and the per-doc min aggregation stays map-side-partial in
+    # the same stage, so the only full-row exchange is still the
+    # groupBy(id); at the other extreme (near-unique shingles) the join
+    # degrades to one extra narrow shuffle while inline hashing would do
+    # the same hash work — the trade stays bounded.
+    hashed = exploded.select("__s").distinct().select(F.col("__s"), *hexprs)
+    joined = exploded.join(hashed, on="__s")
+    sig_aggs = [F.min(F.col(f"__h{j}")).alias(f"__mh{j}")
+                for j in range(num_hashes)]
+    sig = (joined.groupBy(id_col)
                .agg(*sig_aggs)
                .select(id_col, F.array(*[F.col(f"__mh{j}")
                                          for j in range(num_hashes)])
