@@ -304,6 +304,11 @@ class PlanCompiler:
         # generators compiles to groupBy().agg() — no bag materialization.
         if isinstance(node.child, L.Group) and \
                 self._consumers.get(node.child._id, 0) <= 1:
+            from .bagfuse import try_fuse_inner_cross
+            crossed = try_fuse_inner_cross(self, node.child,
+                                           node.generators)
+            if crossed is not None:
+                return crossed
             fused = self._try_fuse_group_agg(node.child, node.generators)
             if fused is not None:
                 return fused
@@ -562,6 +567,11 @@ class PlanCompiler:
             child_df = self._compile(group.child)
         ctx = self._ctx(child_df)
         keys = self._expand_star_keys(child_df, group.keys)
+        from .bagfuse import try_fuse_topk
+        topk = try_fuse_topk(self, group, gens, child_df, ctx, keys)
+        if topk is not None:
+            child_df, gens = topk
+            ctx = self._ctx(child_df)
         # an agg output named like a group key would be ambiguous on
         # the aggregated frame — such columns compute under a safe
         # name and alias back in the final projection
