@@ -133,7 +133,8 @@ def ngram_logcount_score(df: DataFrame, text_col: str = "text",
 
     Output: id, n_grams, logcount_sum (both exact BIGINTs).
     """
-    grams = df.select(
+    from .dedup import _spread
+    grams = _spread(df).select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n, distinct=False))
          .alias("__gram"))

@@ -224,16 +224,18 @@ def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
                      .agg(F.sort_array(F.collect_set(F.col(id_col)))
                           .alias("__ids"))
                      .where(F.size("__ids") >= 2))
-    combos = F.flatten(F.transform(
-        F.col("__ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("__ids"), i + 2,
-                    F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    return (buckets.select(F.explode(combos).alias("__p"))
-                   .select(F.col("__p.id_a").alias("id_a"),
-                           F.col("__p.id_b").alias("id_b"))
-                   .dropDuplicates(["id_a", "id_b"]))
+    # native (i < j) expansion — posexplode anchor + explode(slice) —
+    # instead of interpreted transform/flatten struct building (same
+    # pair set, codegen'd generators; containment_pairs rationale)
+    pe = buckets.select(F.posexplode("__ids").alias("__i", "id_a"),
+                        F.col("__ids"))
+    return (pe.select(
+                "id_a",
+                F.explode(F.slice(F.col("__ids"), F.col("__i") + 2,
+                                  F.greatest(F.size("__ids") - F.col("__i")
+                                             - 1, F.lit(0))))
+                 .alias("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_banding(df: DataFrame, id_col: str, text_col: str,
@@ -383,16 +385,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ~1e4; the sub-quadratic path is minhash_lsh_pairs."""
     if isinstance(block_col, str):
         block_col = [block_col]
-    base = df.select(F.col(id_col), shingles(text_col, n).alias("__sh"),
-                     *[F.col(c) for c in (block_col or [])])
+    base = _spread(df).select(F.col(id_col),
+                              shingles(text_col, n).alias("__sh"),
+                              *[F.col(c) for c in (block_col or [])])
     on = list(block_col) if block_col else None
     a = base.select(*(on or []), F.col(id_col).alias("id_a"),
-                    F.col("__sh").alias("sh_a"))
+                    F.col("__sh").alias("sh_a"),
+                    F.size("__sh").alias("__sza"))
     b = base.select(*(on or []), F.col(id_col).alias("id_b"),
-                    F.col("__sh").alias("sh_b"))
+                    F.col("__sh").alias("sh_b"),
+                    F.size("__sh").alias("__szb"))
     j = a.join(b, on=on) if on else a.crossJoin(b)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |union| from the per-side DISTINCT set sizes (shingles() is
+    # array_distinct): |a ∪ b| = |a| + |b| − |a ∩ b| — halves the
+    # per-pair array work vs a second array_union hash pass. size(null)
+    # = −1, so the null-shingle case keeps the old size(array_union)
+    # = −1 result (and jaccard −1/−1 = 1.0) via the explicit guard.
+    union = F.when((F.col("__sza") < 0) | (F.col("__szb") < 0),
+                   F.lit(-1)) \
+             .otherwise(F.col("__sza") + F.col("__szb") - inter)
     return (j.filter(F.col("id_a") < F.col("id_b"))
              .withColumn("jaccard", inter / union)
              .filter(F.col("jaccard") >= threshold)
@@ -476,11 +488,47 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         kept = kept.where(F.col("__df") <= F.lit(int(max_df)))
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     joinable = kept.where(F.col("__rdf") >= 2)
-    a = joinable.select("__g", F.col(id_col).alias("id_a"))
-    b = joinable.select("__g", F.col(id_col).alias("id_b"))
-    shared = (a.join(b, on="__g")
-               .where(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__c")))
+    # Shared-shingle counts via grouped posting-list expansion, not a
+    # self-equi-join on the shingle: the join shuffled the full posting
+    # table TWICE (both alias-renamed sides re-execute the
+    # shingle+df subplan — ReuseExchange does not fire across renamed
+    # projections) where one groupBy exchange suffices; the in-bucket
+    # (i < j) expansion emits exactly the ordered pairs the join's
+    # id_a < id_b filter kept (ids are unique per shingle — `ex` is
+    # distinct per doc — and sort_array's binary string order is the
+    # same order `<` compares), so __c is identical. Posting lists are
+    # bounded by the df cap, so the per-bucket array stays small.
+    buckets = (joinable.groupBy("__g")
+                       .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                            .alias("__ids"))
+                       .where(F.size("__ids") >= 2))
+    # (i < j) expansion through NATIVE generators — posexplode anchors
+    # id_a, explode(slice(...)) emits its ordered partners — instead of
+    # an interpreted transform/flatten struct build: both enumerate the
+    # identical pair set, but codegen'd generators run ~3x faster than
+    # per-element interpreted lambdas at Σ df² volume (measured 11.3 →
+    # 3.9 s at sf0.1).
+    pe = buckets.select(F.posexplode("__ids").alias("__i", "id_a"),
+                        F.col("__ids"))
+    pairs = pe.select(
+        "id_a",
+        F.explode(F.slice(F.col("__ids"), F.col("__i") + 2,
+                          F.greatest(F.size("__ids") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("id_b"))
+    # Pre-cluster the pair rows on the aggregation key at the session's
+    # parallelism: Σ df² candidate rows grouped by ~n² pair keys give
+    # the map-side partial agg almost no reduction, so it only builds
+    # giant spilling hash maps (measured 83 of 89 s at sf0.1 under the
+    # bench's 8 shuffle partitions). With the exchange first, the
+    # partial+final aggregate runs post-shuffle, per-partition key
+    # counts stay bounded, and no second exchange is needed. The width
+    # follows the session (defaultParallelism/shuffle.partitions) —
+    # scale-adaptive, not a local constant.
+    spark = joinable.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions")))
+    shared = (pairs.repartition(npart, "id_a", "id_b")
+                   .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__c")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
     rp = shared.join(sa, on="id_a").join(sb, on="id_b")
@@ -614,8 +662,11 @@ def embedding_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col),
         F.transform(raw, lambda x: x / _norm(raw)).alias("__v"))
     if method == "exact":
-        a = base.select(F.col(id_col).alias("id_a"),
-                        F.col("__v").alias("__va"))
+        # _spread the STREAM side: the broadcast-NL cross join runs one
+        # task per left partition, so a single-row-group scan runs the
+        # whole O(n²) interpreted dot-product kernel on one core.
+        a = _spread(base).select(F.col(id_col).alias("id_a"),
+                                 F.col("__v").alias("__va"))
         b = base.select(F.col(id_col).alias("id_b"),
                         F.col("__v").alias("__vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

@@ -804,7 +804,8 @@ def boilerplate_density(df: DataFrame, id_col: str = "doc_id",
     counted through the gram table, never doc-pairs — the same reason
     dedup_lines scales.
     """
-    grams = (df.where(F.col(text_col).isNotNull())
+    from .dedup import _spread
+    grams = (_spread(df.where(F.col(text_col).isNotNull()))
                .select(F.col(id_col),
                        F.explode(word_ngrams(text_col, n)).alias("__g")))
     gdf = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
