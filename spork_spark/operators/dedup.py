@@ -822,9 +822,11 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                                          threshold=threshold,
                                          collapse_exact=False)
         ppm = int(round(threshold * 1_000_000))
-        sz = uniq.select(F.col(id_col).alias("__gid"),
-                         F.size(shingles(text_col, shingle_n))
-                         .alias("__sz"))
+        # _spread before the shingle-size projection — same
+        # single-task-kernel cause as the candidate base
+        sz = _spread(uniq).select(F.col(id_col).alias("__gid"),
+                                  F.size(shingles(text_col, shingle_n))
+                                  .alias("__sz"))
         within = (_within_group_pairs(members, id_col)
                   .join(sz, on="__gid")
                   .select("id_a", "id_b",
@@ -862,9 +864,16 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
     Returns (candidate pairs DF, shingled base DF, integer-ppm
     threshold)."""
     ppm = int(round(threshold * 1_000_000))
-    base = (df.where(F.col(text_col).isNotNull())
-              .select(F.col(id_col).alias("__id"),
-                      shingles(text_col, shingle_n).alias("__sh"))
+    # _spread BEFORE shingling: the collapse-exact representative set
+    # arrives through broadcast joins that preserve the scan's
+    # single-row-group partitioning, so the interpreted shingle
+    # transform — executed by every consumer of this subplan — would
+    # otherwise run on one core (same single-task-kernel cause as
+    # embedding_dedup_pairs/boilerplate_density).
+    base = (_spread(df.where(F.col(text_col).isNotNull())
+                      .select(F.col(id_col).alias("__id"),
+                              F.col(text_col).alias("__stxt")))
+              .select("__id", shingles("__stxt", shingle_n).alias("__sh"))
               .withColumn("__n", F.size("__sh")))
     toks = base.select("__id", F.explode("__sh").alias("__t"))
     dfreq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__dfc"))
@@ -882,25 +891,44 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
             .select("__id", "__n",
                     F.slice(F.transform("__arr", lambda s: s["__t"]),
                             F.lit(1), F.col("__plen")).alias("__pref")))
-    cand_a = pref.select(F.col("__id").alias("id_a"),
-                         F.col("__n").alias("na"),
-                         F.posexplode("__pref").alias("pa", "__t"))
-    cand_b = pref.select(F.col("__id").alias("id_b"),
-                         F.col("__n").alias("nb"),
-                         F.posexplode("__pref").alias("pb", "__t"))
+    # Candidate pairs via grouped posting-list expansion, not a prefix
+    # self-equi-join: the join's two alias-renamed sides each re-execute
+    # the whole explode→dfreq→collect→sort prefix subplan (ReuseExchange
+    # does not fire across renamed projections) and shuffle it twice;
+    # grouping the prefix rows by token runs the subplan ONCE through a
+    # single exchange (same shape as containment_pairs/_bucket_pairs).
+    # Each bucket's (id, n, p) rows sort by id (unique per bucket — a
+    # set exposes a prefix token once), so the native (i < j) expansion
+    # — posexplode anchor + explode(slice) — emits exactly the ordered
+    # pairs the join's id_a < id_b filter kept, and the PPJoin
+    # positional/length filters apply per meeting, identically.
+    prows = pref.select("__id", "__n",
+                        F.posexplode("__pref").alias("__p", "__t"))
+    buckets = (prows.groupBy("__t")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("__id", "__n", "__p"))).alias("__ps"))
+                    .where(F.size("__ps") >= 2))
+    pe = buckets.select(F.posexplode("__ps").alias("__i", "__a"),
+                        F.col("__ps"))
+    mpairs = pe.select(
+        F.col("__a"),
+        F.explode(F.slice(F.col("__ps"), F.col("__i") + 2,
+                          F.greatest(F.size("__ps") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("__b"))
+    na, nb = F.col("__a.__n"), F.col("__b.__n")
+    pa, pb = F.col("__a.__p"), F.col("__b.__p")
     # overlap floor for J>=t: alpha = ceil(t*(na+nb)/(1+t)), exact
     # integer ceil via (num + den - 1) div den
-    num = F.lit(ppm) * (F.col("na") + F.col("nb")) + F.lit(1_000_000 + ppm - 1)
+    num = F.lit(ppm) * (na + nb) + F.lit(1_000_000 + ppm - 1)
     alpha = (num / F.lit(1_000_000 + ppm)).cast("long")
-    ubound = 1 + F.least(F.col("na") - F.col("pa") - 1,
-                         F.col("nb") - F.col("pb") - 1)
-    cand = (cand_a.join(cand_b, on="__t")
-                  .where((F.col("id_a") < F.col("id_b"))
-                         & (F.col("nb") * 1_000_000 >= ppm * F.col("na"))
-                         & (F.col("na") * 1_000_000 >= ppm * F.col("nb"))
-                         & (ubound >= alpha))
-                  .select("id_a", "id_b")
-                  .dropDuplicates(["id_a", "id_b"]))
+    ubound = 1 + F.least(na - pa - 1, nb - pb - 1)
+    cand = (mpairs
+            .where((nb * 1_000_000 >= ppm * na)
+                   & (na * 1_000_000 >= ppm * nb)
+                   & (ubound >= alpha))
+            .select(F.col("__a.__id").alias("id_a"),
+                    F.col("__b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
     return cand, base, ppm
 
 
