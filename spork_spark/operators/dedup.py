@@ -425,10 +425,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     class every Jaccard-thresholded pass structurally misses.
 
     Scale shape — inverted index, never all-pairs: distinct
-    (id, shingle) rows aggregate to document frequency; candidates come
-    from a self-equi-join ON THE SHINGLE (cost Σ df² over the kept
-    vocabulary — the pmi_pairs/item_cooccurrence contract), then one
-    (a, b) groupBy counts shared shingles exactly.
+    (id, shingle) rows carry a windowed document frequency; per-shingle
+    posting lists (cost Σ df² over the kept vocabulary — the
+    pmi_pairs/item_cooccurrence contract) collapse by identical-list
+    multiplicity, then one weighted (a, b) sum counts shared shingles
+    exactly.
 
     ``max_df`` is the join's cost ceiling AND part of the semantics:
     shingles appearing in more than ``max_df`` documents (counting
@@ -463,14 +464,15 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     ex = (uniq.select(F.col(id_col),
                       F.explode(shingles(text_col, n)).alias("__g"))
               .join(gsz, on=id_col))
-    # __df = corpus document frequency (duplicate-weighted);
-    # __rdf = distinct-text frequency — shingles in one rep only can
-    # never produce a cross-rep candidate, so they skip the join (a
-    # cost prune, not a semantic one: same-rep rows are excluded
-    # below anyway).
-    dfreq = ex.groupBy("__g").agg(F.sum("__gn").alias("__df"),
-                                  F.count(F.lit(1)).alias("__rdf"))
-    kept = ex.join(dfreq, on="__g")
+    # __df = corpus document frequency (duplicate-weighted) via a
+    # window over the shingle, NOT a groupBy + join back: the join's
+    # two sides each re-execute the whole shingle-explode subplan
+    # (ReuseExchange cannot fire — the aggregate side has a partial
+    # HashAggregate below its exchange, the probe side does not) and
+    # shuffle it twice; the window needs ONE exchange + sort, after
+    # which the per-__g collect_list aggregates exchange-free on the
+    # same partitioning.
+    kept = ex.withColumn("__df", F.sum("__gn").over(Window.partitionBy("__g")))
     if max_df_frac is not None:
         # 1-row lazy cap: greatest(floor, floor(frac * N)) over non-null
         # texts, duplicate-inclusive — identical to the eager
@@ -486,49 +488,51 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                    .where(F.col("__df") <= F.col("__cap")).drop("__cap")
     elif max_df is not None:
         kept = kept.where(F.col("__df") <= F.lit(int(max_df)))
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    joinable = kept.where(F.col("__rdf") >= 2)
-    # Shared-shingle counts via grouped posting-list expansion, not a
-    # self-equi-join on the shingle: the join shuffled the full posting
-    # table TWICE (both alias-renamed sides re-execute the
-    # shingle+df subplan — ReuseExchange does not fire across renamed
-    # projections) where one groupBy exchange suffices; the in-bucket
-    # (i < j) expansion emits exactly the ordered pairs the join's
-    # id_a < id_b filter kept (ids are unique per shingle — `ex` is
-    # distinct per doc — and sort_array's binary string order is the
-    # same order `<` compares), so __c is identical. Posting lists are
-    # bounded by the df cap, so the per-bucket array stays small.
-    buckets = (joinable.groupBy("__g")
-                       .agg(F.sort_array(F.collect_list(F.col(id_col)))
-                            .alias("__ids"))
-                       .where(F.size("__ids") >= 2))
-    # (i < j) expansion through NATIVE generators — posexplode anchors
-    # id_a, explode(slice(...)) emits its ordered partners — instead of
-    # an interpreted transform/flatten struct build: both enumerate the
-    # identical pair set, but codegen'd generators run ~3x faster than
-    # per-element interpreted lambdas at Σ df² volume (measured 11.3 →
-    # 3.9 s at sf0.1).
-    pe = buckets.select(F.posexplode("__ids").alias("__i", "id_a"),
-                        F.col("__ids"))
-    pairs = pe.select(
-        "id_a",
-        F.explode(F.slice(F.col("__ids"), F.col("__i") + 2,
-                          F.greatest(F.size("__ids") - F.col("__i") - 1,
-                                     F.lit(0)))).alias("id_b"))
-    # Pre-cluster the pair rows on the aggregation key at the session's
-    # parallelism: Σ df² candidate rows grouped by ~n² pair keys give
-    # the map-side partial agg almost no reduction, so it only builds
-    # giant spilling hash maps (measured 83 of 89 s at sf0.1 under the
-    # bench's 8 shuffle partitions). With the exchange first, the
-    # partial+final aggregate runs post-shuffle, per-partition key
-    # counts stay bounded, and no second exchange is needed. The width
-    # follows the session (defaultParallelism/shuffle.partitions) —
-    # scale-adaptive, not a local constant.
-    spark = joinable.sparkSession
+    # ONE aggregate per kept shingle — the sorted posting list — feeds
+    # both per-doc sizes and pair counting. The explicit repartition is
+    # the reuse point: both consumers' plans start at this identical
+    # exchange, so ReuseExchange computes the shingle subplan once
+    # (without it, each consumer re-executes explode + window; measured
+    # as 4 full shingle passes in the old dfreq/kept/sizes/buckets
+    # shape). Vocabulary-sized rows with df-capped lists — a cheap
+    # exchange.
+    spark = df.sparkSession
     npart = max(spark.sparkContext.defaultParallelism,
                 int(spark.conf.get("spark.sql.shuffle.partitions")))
-    shared = (pairs.repartition(npart, "id_a", "id_b")
-                   .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__c")))
+    lists = (kept.groupBy("__g")
+                 .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                      .alias("__ids"))
+                 .repartition(npart, "__g"))
+    sizes = (lists.select(F.explode("__ids").alias(id_col))
+                  .groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz")))
+    # Shared-shingle counts: consecutive shingles of a shared passage
+    # co-occur in exactly the same documents, so identical posting
+    # lists collapse to one row with a multiplicity weight before pair
+    # expansion (measured 132.5M → 74.2M pair instances at sf0.1).
+    # Expansion then ships ONE row per (list, anchor) — the anchor and
+    # its ordered-partner slice — partitioned by id_a alone, so the
+    # per-(id_a, id_b) sum aggregates after the exchange with no second
+    # shuffle (hash(id_a) clusters every (id_a, *) key) and the
+    # exchange carries array payloads instead of one row per pair
+    # instance (measured 24.0 → 9.6 s for this stage at sf0.1). Ids are
+    # unique per list and sorted, so slice(i+2 ...) emits exactly the
+    # (id_a < id_b) pairs, and Σ weights per pair = the exact shared
+    # kept-shingle count.
+    wl = (lists.where(F.size("__ids") >= 2)
+               .groupBy("__ids").agg(F.count(F.lit(1)).alias("__w")))
+    pe = wl.select(F.posexplode("__ids").alias("__i", "id_a"),
+                   F.col("__ids"), F.col("__w"))
+    anchors = (pe.select(
+                   "id_a", "__w",
+                   F.slice(F.col("__ids"), F.col("__i") + 2,
+                           F.greatest(F.size("__ids") - F.col("__i") - 1,
+                                      F.lit(0))).alias("__ptn"))
+                 .where(F.size("__ptn") >= 1))
+    shared = (anchors.repartition(npart, "id_a")
+                     .select("id_a", F.explode("__ptn").alias("id_b"),
+                             "__w")
+                     .groupBy("id_a", "id_b")
+                     .agg(F.sum("__w").alias("__c")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
     rp = shared.join(sa, on="id_a").join(sb, on="id_b")
