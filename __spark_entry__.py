@@ -69,6 +69,21 @@ def _r2(e):
     return fn("FLOOR", e * lit(100.0) + lit(0.5)) / lit(100.0)
 
 
+def _iso_sort(df: DataFrame, *cols: str) -> DataFrame:
+    """ORDER BY with a sampling-isolation exchange below it. A global
+    sort shuffles with RangePartitioning, whose bounds come from a
+    separate SAMPLING JOB that re-executes everything since the child's
+    last exchange — for the pair-mining queries that final segment is
+    the whole broadcast-join verification stage, so the plain orderBy
+    pays it twice (guide §1/§2.4: find and remove duplicated work;
+    measured +4.6 s on dedup_minhash, +6.8 s on setsim_pairs at sf0.1).
+    Hash-repartitioning on the leading sort key first (partition count =
+    spark.sql.shuffle.partitions — conf-derived, not hard-coded) makes
+    the resampled segment a bare shuffle read. Output rows and their
+    total order are identical to df.orderBy(*cols)."""
+    return df.repartition(F.col(cols[0])).orderBy(*cols)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -843,10 +858,11 @@ def q_dedup_minhash(spark, sf):
     from spork_spark.operators import minhash_lsh_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return minhash_lsh_pairs(docs, "doc_id", "text", shingle_n=5,
-                             num_hashes=64, bands=16, threshold=0.6,
-                             hash_fn="md5") \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        minhash_lsh_pairs(docs, "doc_id", "text", shingle_n=5,
+                          num_hashes=64, bands=16, threshold=0.6,
+                          hash_fn="md5"),
+        "id_a", "id_b")
 
 
 def q_connected_components(spark, sf):
@@ -945,10 +961,11 @@ def q_dedup_incremental(spark, sf):
     new = docs.filter(F.col("doc_id") % 5 == 0)
     idx = minhash_banding(old, "doc_id", "text", shingle_n=5,
                           num_hashes=64, bands=16, hash_fn="md5")
-    return lsh_pairs_incremental(idx, old, new, "doc_id", "text",
-                                 shingle_n=5, num_hashes=64, bands=16,
-                                 threshold=0.6, hash_fn="md5") \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                              shingle_n=5, num_hashes=64, bands=16,
+                              threshold=0.6, hash_fn="md5"),
+        "id_a", "id_b")
 
 
 def q_shortest_paths(spark, sf):
@@ -1037,10 +1054,11 @@ def q_dedup_index_roundtrip(spark, sf):
                     bands=16, hash_fn="md5") \
         .write.mode("overwrite").parquet(idx_path)
     idx = spark.read.parquet(idx_path)
-    return lsh_pairs_incremental(idx, old, new, "doc_id", "text",
-                                 shingle_n=5, num_hashes=64, bands=16,
-                                 threshold=0.6, hash_fn="md5") \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        lsh_pairs_incremental(idx, old, new, "doc_id", "text",
+                              shingle_n=5, num_hashes=64, bands=16,
+                              threshold=0.6, hash_fn="md5"),
+        "id_a", "id_b")
 
 
 def q_dedup_incremental_clusters(spark, sf):
@@ -1089,9 +1107,9 @@ def q_dedup_spans(spark, sf):
     from spork_spark.operators.dedup import duplicate_spans
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return duplicate_spans(docs, "doc_id", "text", span_len=50,
-                           anchor_gram=8, threshold_pct=20) \
-        .orderBy("doc_id")
+    return _iso_sort(
+        duplicate_spans(docs, "doc_id", "text", span_len=50,
+                        anchor_gram=8, threshold_pct=20), "doc_id")
 
 
 def q_setsim_pairs(spark, sf):
@@ -1109,8 +1127,9 @@ def q_setsim_pairs(spark, sf):
     from spork_spark.operators.dedup import set_similarity_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return set_similarity_pairs(docs, "doc_id", "text", shingle_n=12,
-                                threshold=0.6).orderBy("id_a", "id_b")
+    return _iso_sort(
+        set_similarity_pairs(docs, "doc_id", "text", shingle_n=12,
+                             threshold=0.6), "id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf):
@@ -1131,9 +1150,10 @@ def q_ngram_jaccard(spark, sf):
     from spork_spark.operators import ngram_jaccard_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35,
-                               block_col=["lang", "source"]) \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35,
+                            block_col=["lang", "source"]),
+        "id_a", "id_b")
 
 
 def q_quantize_embeddings(spark, sf):
@@ -1557,8 +1577,9 @@ def q_dedup_embedding(spark, sf):
     from spork_spark.operators import embedding_dedup_pairs
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
-    return embedding_dedup_pairs(emb, threshold=0.45, method="exact") \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        embedding_dedup_pairs(emb, threshold=0.45, method="exact"),
+        "id_a", "id_b")
 
 
 def q_similarity_ivf(spark, sf):
@@ -2355,8 +2376,8 @@ def q_fuzzy_pairs(spark, sf):
     from spork_spark.operators.dedup import edit_distance_pairs
     eng = _eng(spark)
     cust = _t(eng, sf, "customer").df().select("c_custkey", "c_name")
-    return edit_distance_pairs(cust, "c_custkey", "c_name") \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(edit_distance_pairs(cust, "c_custkey", "c_name"),
+                     "id_a", "id_b")
 
 
 def q_zorder(spark, sf):
@@ -3619,8 +3640,9 @@ def q_semantic_dedup(spark, sf):
     from spork_spark.operators import semantic_dedup
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
-    return (semantic_dedup(emb, threshold=0.45, k=4, n_iter=2)
-            .select("vec_id", "label").orderBy("vec_id"))
+    return _iso_sort(
+        semantic_dedup(emb, threshold=0.45, k=4, n_iter=2)
+        .select("vec_id", "label"), "vec_id")
 
 
 def q_ngram_logcount(spark, sf):
@@ -3810,10 +3832,10 @@ def q_containment(spark, sf):
     from spork_spark.operators import containment_pairs
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return containment_pairs(docs, "doc_id", "text",
-                             n=8, threshold=0.6,
-                             max_df_frac=0.1, max_df_floor=50) \
-        .orderBy("id_a", "id_b")
+    return _iso_sort(
+        containment_pairs(docs, "doc_id", "text", n=8, threshold=0.6,
+                          max_df_frac=0.1, max_df_floor=50),
+        "id_a", "id_b")
 
 
 def q_shard_plan(spark, sf):

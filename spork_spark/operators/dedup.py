@@ -59,6 +59,28 @@ def shingles(text_col, n: int = 5) -> "F.Column":
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
+def _shingle_instances(df: DataFrame, id_col: str, text_col: str,
+                       n: int) -> DataFrame:
+    """(id, __s) shingle INSTANCES — one row per character n-gram
+    occurrence, duplicates kept. Generator explode over a sequence of
+    start positions plus a native substring, so the whole pipeline
+    stays inside WholeStageCodegen (the `shingles()` array route builds
+    each doc's array through interpreted higher-order-function lambdas
+    — measured 2× slower per pass at sf0.1 even before its
+    array_distinct). Consumers that need SET semantics dedup downstream
+    (min/collect_set are idempotent, so most need nothing)."""
+    c = F.col(text_col)
+    return (df.select(F.col(id_col), text_col)
+              .select(F.col(id_col),
+                      F.explode(F.sequence(
+                          F.lit(1),
+                          F.greatest(F.length(c) - (n - 1), F.lit(1))))
+                       .alias("__i"),
+                      c.alias("__t"))
+              .select(F.col(id_col),
+                      F.expr(f"substring(__t, __i, {int(n)})").alias("__s")))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
     the input arrives in FEWER partitions — single-row-group parquet
@@ -260,9 +282,11 @@ def minhash_banding(df: DataFrame, id_col: str, text_col: str,
     import random
 
     rows_per_band = num_hashes // bands
-    base = _spread(df).select(F.col(id_col),
-                              shingles(text_col, shingle_n).alias("__sh"))
-    exploded = base.select(id_col, F.explode("__sh").alias("__s"))
+    # Shingle INSTANCES, duplicates kept: every signature entry is a
+    # min(), which is idempotent, so the per-doc array_distinct the
+    # array route paid (interpreted HOF, the most expensive expression
+    # in the old plan) buys nothing here.
+    exploded = _shingle_instances(_spread(df), id_col, text_col, shingle_n)
     if hash_fn == "md5":
         hexprs = [F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))
                   .alias(f"__h{j}") for j in range(num_hashes)]
@@ -274,21 +298,24 @@ def minhash_banding(df: DataFrame, id_col: str, text_col: str,
         h = F.xxhash64(F.col("__s"))
         hexprs = [F.pmod(h * a + b, F.lit(MERSENNE_PRIME))
                   .alias(f"__h{j}") for j, (a, b) in enumerate(coeffs)]
-    # Hash each DISTINCT shingle once and re-attach by equi-join instead
-    # of evaluating num_hashes hash expressions on every (doc, shingle)
+    # Hash each DISTINCT shingle once and re-attach instead of
+    # evaluating num_hashes hash expressions on every (doc, shingle)
     # row: sig[j] = min over the doc's shingles of h(j, s) is a function
     # of the shingle VALUES, so the minimum over join-attached hashes is
     # identical. Shingle vocabularies are tiny relative to doc-shingle
     # rows in any corpus worth dedup-ing (sf0.1: 2 041 distinct vs 1.0M
     # rows → 500× fewer md5 evaluations; measured 34 s → see
-    # OPTIMIZATION_r10.md). The join is narrow (shingle → num_hashes
-    # values) and the per-doc min aggregation stays map-side-partial in
-    # the same stage, so the only full-row exchange is still the
-    # groupBy(id); at the other extreme (near-unique shingles) the join
-    # degrades to one extra narrow shuffle while inline hashing would do
-    # the same hash work — the trade stays bounded.
+    # OPTIMIZATION_r10.md). The vocab side is BROADCAST: a character
+    # n-gram vocabulary is charset-bounded and the partial distinct
+    # collapses it before anything moves, so the instance rows are never
+    # shuffled for this join at all — the per-doc min aggregation then
+    # runs map-side-partial in the scan stage and the only full-row
+    # exchange is the groupBy(id). (The previous equi-join shape
+    # defaulted to sort-merge: it shuffled the instance rows AND
+    # re-executed the explode subplan on both sides — measured 10.9 s →
+    # 2.4 s at sf0.1 for the banding alone.)
     hashed = exploded.select("__s").distinct().select(F.col("__s"), *hexprs)
-    joined = exploded.join(hashed, on="__s")
+    joined = exploded.join(F.broadcast(hashed), on="__s")
     sig_aggs = [F.min(F.col(f"__h{j}")).alias(f"__mh{j}")
                 for j in range(num_hashes)]
     sig = (joined.groupBy(id_col)
@@ -360,16 +387,37 @@ def lsh_pairs_incremental(index: DataFrame, corpus: DataFrame,
     all_band = index.select(id_col, "__band", "__bh").unionByName(new_band)
     left = new_band.select(F.col(id_col).alias("id_a"), "__band", "__bh")
     right = all_band.select(F.col(id_col).alias("id_b"), "__band", "__bh")
+    # The explicit not-null filter is a no-op (ids that survive the
+    # id_a != id_b filter are never null) kept to ABSORB the isnotnull
+    # predicates the downstream joins would otherwise infer and push
+    # into this subplan: with per-consumer pushed filters, each
+    # consumer's copy stops being canonical-identical, ReuseExchange
+    # cannot fire, and the candidate join re-executes once per consumer
+    # (measured 5 executions / 15.7 s for the full query at sf0.1 —
+    # now 2, the minimum without materializing, 5.8 s).
     pairs = (left.join(right, on=["__band", "__bh"])
                  .filter(F.col("id_a") != F.col("id_b"))
                  .select(F.least("id_a", "id_b").alias("id_a"),
                          F.greatest("id_a", "id_b").alias("id_b"))
+                 .where(F.col("id_a").isNotNull()
+                        & F.col("id_b").isNotNull())
                  .dropDuplicates(["id_a", "id_b"]))
-    touched = (pairs.select(F.col("id_a").alias(id_col))
-                    .union(pairs.select("id_b"))
+    # Touched ids via a Generate (explode) rather than a two-branch
+    # union: inferred constraints from the corpus∪new semi-join sides
+    # (e.g. each branch's partition predicate) cannot be pushed below
+    # the generator output, so the pairs subplan stays shared instead
+    # of splitting into one filtered variant per union branch per
+    # verify side. Broadcast is bounded: |touched| ≤ 2 × candidate
+    # pairs, the quantity the LSH banding premise keeps small — and it
+    # turns the history-side semi-join into a map-side filter (no
+    # shuffle of the corpus), which IS the incremental contract's
+    # point-lookup shape at 100 TB.
+    touched = (pairs.select(F.explode(F.array("id_a", "id_b"))
+                            .alias(id_col))
                     .distinct())
-    docs = corpus.select(id_col, text_col)                  .unionByName(new_docs.select(id_col, text_col))
-    shing = (docs.join(touched, on=id_col, how="left_semi")
+    docs = corpus.select(id_col, text_col) \
+                 .unionByName(new_docs.select(id_col, text_col))
+    shing = (docs.join(F.broadcast(touched), on=id_col, how="left_semi")
                  .select(F.col(id_col),
                          shingles(text_col, shingle_n).alias("__sh")))
     return _jaccard_verify(pairs, shing, id_col, threshold)
@@ -821,16 +869,16 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     if collapse_exact:
         members, uniq = _exact_text_groups(df, id_col, text_col)
-        rep_pairs = set_similarity_pairs(uniq, id_col, text_col,
-                                         shingle_n=shingle_n,
-                                         threshold=threshold,
-                                         collapse_exact=False)
-        ppm = int(round(threshold * 1_000_000))
-        # _spread before the shingle-size projection — same
-        # single-task-kernel cause as the candidate base
-        sz = _spread(uniq).select(F.col(id_col).alias("__gid"),
-                                  F.size(shingles(text_col, shingle_n))
-                                  .alias("__sz"))
+        cand, base, ppm = set_similarity_candidates(
+            uniq, id_col, text_col, shingle_n=shingle_n,
+            threshold=threshold)
+        rep_pairs = _setsim_verify(cand, base, ppm)
+        # within-group set size straight off the candidate base's
+        # id-keyed aggregate (its __n IS |distinct shingle set|) —
+        # the old separate shingles()-size pass re-ran the shingle
+        # kernel over every representative a second time
+        sz = base.select(F.col("__id").alias("__gid"),
+                         F.col("__n").alias("__sz"))
         within = (_within_group_pairs(members, id_col)
                   .join(sz, on="__gid")
                   .select("id_a", "id_b",
@@ -842,6 +890,11 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
         return within.unionByName(cross)
     cand, base, ppm = set_similarity_candidates(
         df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
+    return _setsim_verify(cand, base, ppm)
+
+
+def _setsim_verify(cand: DataFrame, base: DataFrame, ppm: int) -> DataFrame:
+    """Exact-intersection verification of prefix-filter candidates."""
     sets = base.select("__id", "__sh")
     verified = (cand
                 .join(sets.select(F.col("__id").alias("id_a"),
@@ -868,26 +921,40 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
     Returns (candidate pairs DF, shingled base DF, integer-ppm
     threshold)."""
     ppm = int(round(threshold * 1_000_000))
-    # _spread BEFORE shingling: the collapse-exact representative set
-    # arrives through broadcast joins that preserve the scan's
-    # single-row-group partitioning, so the interpreted shingle
-    # transform — executed by every consumer of this subplan — would
-    # otherwise run on one core (same single-task-kernel cause as
-    # embedding_dedup_pairs/boilerplate_density).
-    base = (_spread(df.where(F.col(text_col).isNotNull())
-                      .select(F.col(id_col).alias("__id"),
-                              F.col(text_col).alias("__stxt")))
-              .select("__id", shingles("__stxt", shingle_n).alias("__sh"))
-              .withColumn("__n", F.size("__sh")))
-    toks = base.select("__id", F.explode("__sh").alias("__t"))
-    dfreq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__dfc"))
-    ranked = (toks.join(dfreq, on="__t")
-                  .groupBy("__id")
-                  .agg(F.array_sort(F.collect_list(
-                      F.struct(F.col("__dfc"), F.col("__t"))))
-                      .alias("__arr")))
+    # One pass from shingle INSTANCES to per-doc rarity-sorted token
+    # arrays, everything behind shared exchanges. The old shape built a
+    # per-doc array with interpreted HOFs (sequence→transform→
+    # array_distinct) in a PROJECTION — so every consumer (token
+    # explode, the dfreq join's both sides, the __n join, the two
+    # verification sides) re-executed that kernel; measured ~6
+    # executions per query at sf0.1. Now: codegen explode (§4.1 —
+    # built-ins over HOF lambdas), ONE token-keyed aggregate that
+    # yields the distinct posting list AND its length (= document
+    # frequency, identical to the old distinct-per-doc count), then ONE
+    # id-keyed aggregate that yields the (dfc, token)-sorted array —
+    # which downstream serves as prefix source, set size AND
+    # verification set (array_intersect is order-insensitive), so no
+    # consumer recomputes anything above its nearest exchange.
+    nn = _spread(df.where(F.col(text_col).isNotNull())
+                   .select(F.col(id_col).alias("__id"),
+                           F.col(text_col).alias("__stxt")))
+    inst = _shingle_instances(nn, "__id", "__stxt", shingle_n)
+    posts = (inst.groupBy("__s")
+                 .agg(F.collect_set("__id").alias("__docs"))
+                 .select(F.col("__s").alias("__t"),
+                         F.size("__docs").alias("__dfc"),
+                         F.explode("__docs").alias("__id")))
+    ranked = (posts.groupBy("__id")
+                   .agg(F.array_sort(F.collect_list(
+                       F.struct(F.col("__dfc"), F.col("__t"))))
+                       .alias("__arr")))
+    base = ranked.select(F.col("__id"),
+                         F.transform("__arr", lambda s: s["__t"])
+                          .alias("__sh"),
+                         F.size("__arr").alias("__n"))
     # prefix length: |s| - ceil(t*|s|) + 1, in exact integer arithmetic
-    pref = (ranked.join(base.select("__id", "__n"), on="__id")
+    pref = (ranked
+            .withColumn("__n", F.size("__arr"))
             .withColumn("__plen",
                         F.col("__n") - F.ceil(F.col("__n")
                                               * F.lit(threshold))
