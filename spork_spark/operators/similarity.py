@@ -346,8 +346,13 @@ def hard_negatives(df: DataFrame, anchors: DataFrame = None,
     a = anchors.select(F.col(id_col).alias("anchor_id"),
                        F.col(vec_col).cast("array<double>").alias("__av"),
                        F.col(label_col).alias("__al"))
-    c = df.select(F.col(id_col), F.col(label_col),
-                  F.col(vec_col).cast("array<double>").alias("__cv"))
+    from .dedup import _spread
+    # _spread: the per-(corpus row × anchor) cosine kernel is a narrow
+    # map over CORPUS partitions — a single-row-group scan would run
+    # the whole corpus×anchors scoring on one core; identity at scale.
+    c = _spread(df.select(F.col(id_col), F.col(label_col),
+                          F.col(vec_col).cast("array<double>")
+                           .alias("__cv")))
     scored = (c.crossJoin(F.broadcast(a))
                .filter((F.col(id_col) != F.col("anchor_id"))
                        & (F.col(label_col) != F.col("__al")))

@@ -169,12 +169,16 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     broadcast=False to let the semi-join shuffle on the n-gram key instead
     (uniformly distributed — no skew)."""
     bcol = bench_text_col or text_col
-    bench_grams = (benchmark
+    from .dedup import _spread
+    # _spread both gram kernels: the word-ngram HOF scan (split +
+    # per-gram array_join) otherwise runs inside the single-task scan
+    # partition of a single-row-group input; identity at real scale.
+    bench_grams = (_spread(benchmark.select(bcol))
                    .select(F.explode(word_ngrams(bcol, n)).alias("__ngram"))
                    .distinct())
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
-    doc_grams = docs.select(
+    doc_grams = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__ngram"))
     hits = (doc_grams
             .join(bench_grams, on="__ngram", how="left_semi")
@@ -663,7 +667,9 @@ def pmi_pairs(df: DataFrame, id_col: str = "doc_id",
     the df lookup joins broadcast (vocab is post-filter small);
     ``min_pair`` prunes the pair tail before the final join.
     """
-    toks = (df.where(F.col(text_col).isNotNull())
+    from .dedup import _spread
+    toks = (_spread(df.where(F.col(text_col).isNotNull())
+                      .select(id_col, text_col))
               .select(F.col(id_col).alias("__doc"),
                       F.explode(tokens(text_col)).alias("token"))
               .dropDuplicates(["__doc", "token"]))

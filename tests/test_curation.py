@@ -151,14 +151,22 @@ def test_ngram_logcount_broadcast_variant(spark, docs):
 
 
 def test_semantic_dedup_is_equi_join_on_cluster(emb):
-    """The intra-cluster pair join must be an equi-join on the cluster id
-    (SMJ/SHJ) with the integer-cosine test as a predicate — never a
-    nested-loop/cartesian over the corpus."""
+    """The intra-cluster pair space must stay cluster-bounded — never a
+    nested-loop/cartesian over the corpus. Since r10 the pairs come from
+    grouped posting-list expansion (ONE cluster-keyed aggregate + native
+    posexplode/slice generators) instead of a cluster self-equi-join
+    that re-executed the quantize+assign subplan on both renamed sides;
+    pin that shape: no join of any kind in the pair path, and the
+    expansion generators present."""
     out = semantic_dedup(emb, threshold=0.45, k=4, n_iter=2)
     p = plan_of(out)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin [cluster" in p or "ShuffledHashJoin [cluster" in p
+    assert "SortMergeJoin [cluster" not in p
+    assert "ShuffledHashJoin [cluster" not in p
+    assert "posexplode" in p and "slice" in p
+    # the one surviving join is the final LeftAnti dropping dup ids
+    assert "LeftAnti" in p
 
 
 def test_kmeans_pandas_assignment_matches_expr(emb):
