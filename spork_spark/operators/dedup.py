@@ -537,9 +537,15 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     members, uniq = _exact_text_groups(df, id_col, text_col)
     gsz = members.where(F.col(id_col) == F.col("__gid")) \
                  .select(F.col(id_col), F.col("__gn"))
-    ex = (uniq.select(F.col(id_col),
-                      F.explode(shingles(text_col, n)).alias("__g"))
-              .join(gsz, on=id_col))
+    # Distinct (id, shingle) rows via codegen instance explode + a
+    # map-side-combined dedup instead of the interpreted shingles() HOF
+    # array (which also ran inside the single-task scan partition the
+    # broadcast-preserving uniq path keeps); identical row set.
+    ex = (_shingle_instances(_spread(uniq.select(id_col, text_col)),
+                             id_col, text_col, n)
+          .dropDuplicates([id_col, "__s"])
+          .withColumnRenamed("__s", "__g")
+          .join(gsz, on=id_col))
     # __df = corpus document frequency (duplicate-weighted) via a
     # window over the shingle, NOT a groupBy + join back: the join's
     # two sides each re-execute the whole shingle-explode subplan
@@ -612,12 +618,22 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"))
     rp = shared.join(sa, on="id_a").join(sb, on="id_b")
-    fwd = rp.select("id_a", "id_b",
-                    (F.col("__c") / F.col("__sa")).alias("__ct"))
-    rev = rp.select(F.col("id_b").alias("id_a"),
-                    F.col("id_a").alias("id_b"),
-                    (F.col("__c") / F.col("__sb")).alias("__ct"))
-    rep_pairs = fwd.unionByName(rev).where(F.col("__ct") >= F.lit(threshold))
+    # BOTH directed ratios from one Generate over each undirected pair
+    # row, not a fwd∪rev two-branch union: the union branches are two
+    # consumers of rp, and everything in rp above its nearest exchange
+    # — the Σdf² pair-instance expansion + aggregation, the operator's
+    # dominant stage — re-executes once per branch (§2.4: the same
+    # renamed-consumer trap as the verify joins). Same rows, one pass.
+    both = rp.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+                 (F.col("__c") / F.col("__sa")).alias("ct")),
+        F.struct(F.col("id_b").alias("a"), F.col("id_a").alias("b"),
+                 (F.col("__c") / F.col("__sb")).alias("ct"))))
+        .alias("__p"))
+    rep_pairs = (both.select(F.col("__p.a").alias("id_a"),
+                             F.col("__p.b").alias("id_b"),
+                             F.col("__p.ct").alias("__ct"))
+                     .where(F.col("__ct") >= F.lit(threshold)))
     # directed expansion — _expand_rep_pairs reorients to (least,
     # greatest), which would erase the containment direction
     ma = members.select(F.col("__gid").alias("id_a"),

@@ -1292,3 +1292,70 @@ def test_containment_ignores_null_texts(spark):
            containment_pairs(df, "doc_id", "text", n=3, threshold=0.5,
                              max_df=None).collect()}
     assert got == {(0, 1), (1, 0)}
+
+
+def test_simhash_md5_broadcast_vocab_parity(spark):
+    """r10: _simhash_md5 evaluates the 64 nibble votes once per DISTINCT
+    shingle and re-attaches by null-safe broadcast join. Pin the exact
+    semantics the inline expressions had: identical texts agree, a
+    null-text doc still gets the all-minus-one-vote signature (its one
+    null shingle md5's to null -> every vote -1 -> hex '0000...'), and
+    the attach is a BroadcastHashJoin, not a shuffle."""
+    rows = [(0, "abcdefghij klmnop qrstu"),
+            (1, "abcdefghij klmnop qrstu"),
+            (2, "totally different content here"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from spork_spark.operators.dedup import simhash
+    out = simhash(df, "doc_id", "text", hash_fn="md5")
+    sigs = {r.doc_id: r.simhash for r in out.collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    assert sigs[3] == "0" * 16          # null text: every vote -1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_grouped_expansion_matches_bruteforce(spark):
+    """r10: edit_distance_pairs generates candidates by grouped
+    posting-list expansion instead of a variant self-join. Must equal a
+    brute-force levenshtein<=1 scan over all pairs (no join in plan)."""
+    names = ["carol", "carole", "carl", "karol", "carol",  # dup value
+             "xavier", "xavie", "zz", "z", ""]
+    rows = [(i, s) for i, s in enumerate(names)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    from spork_spark.operators.dedup import edit_distance_pairs
+    got = {(r.id_a, r.id_b)
+           for r in edit_distance_pairs(df, "id", "name").collect()}
+    def lev(a, b):
+        if a is None or b is None:
+            return 99
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+    want = {(i, j) for i, (ia, a) in enumerate(rows) for (jb, b) in rows[i + 1:]
+            for j in [jb] if lev(a, b) <= 1}
+    want = {(min(a, b), max(a, b)) for a, b in
+            {(rows[i][0], j) for i, (ia, a) in enumerate(rows)
+             for (j, b) in rows[i + 1:] if lev(a, b) <= 1}}
+    assert got == want and (0, 4) in got     # identical strings pair
+
+
+def test_shingle_sets_matches_hof_shingles(spark):
+    """r10: _shingle_sets (codegen instances + collect_set) must carry
+    the same SET as the shingles() HOF array for every doc, including
+    the short-text truncated gram and the [null] null-text doc."""
+    rows = [(0, "abcdefghijklmno"), (1, "abc"), (2, ""), (3, None),
+            (4, "aaaaaaaaaa")]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    from pyspark.sql import functions as F
+    from spork_spark.operators.dedup import _shingle_sets, shingles
+    new = {r.id: sorted(r["__sh"], key=lambda x: (x is None, x)) for r in
+           _shingle_sets(df, "id", "text", 5).collect()}
+    old = {r.id: sorted(r["__sh"], key=lambda x: (x is None, x)) for r in
+           df.select("id", shingles("text", 5).alias("__sh")).collect()}
+    assert new == old
