@@ -119,7 +119,15 @@ def _spread(df: DataFrame) -> DataFrame:
     (every real 100 TB scan) this is the identity, so no blanket
     shuffle is added at scale. Row placement does not affect results:
     every consumer below aggregates order-insensitively (min/collect_set
-    /distinct)."""
+    /distinct).
+
+    CALLER CONTRACT: pass scan-shaped inputs only (scan/filter/project).
+    The partition probe converts the plan to an RDD, and under AQE that
+    EXECUTES every shuffle stage in the input subtree at construction
+    time — a join- or aggregate-bearing input runs real jobs before the
+    query is ever collected. Operators spread once at their public
+    entry and thread the already-spread frame downward (spread=False
+    params) instead of probing derived frames."""
     try:
         spark = df.sparkSession
         target = spark.sparkContext.defaultParallelism
@@ -206,7 +214,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 5, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       seed: int = 42, hash_fn: str = "xxhash64",
-                      collapse_exact: bool = True) -> DataFrame:
+                      collapse_exact: bool = True,
+                      _pre_spread: bool = False) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
     Pipeline (all shuffle-bounded):
@@ -241,11 +250,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     min() HashAggregates, narrow banding rows, post-hoc jaccard verify.
     """
     if collapse_exact:
-        members, uniq = _exact_text_groups(df, id_col, text_col)
+        # spread ONCE on the scan-shaped input (see _spread's caller
+        # contract); everything derived below — members, uniq, the
+        # recursive non-collapse call — inherits the parallelism
+        # through the grouping joins, so no derived frame is probed.
+        members, uniq = _exact_text_groups(
+            _spread(df.select(id_col, text_col)), id_col, text_col)
         rep_pairs = minhash_lsh_pairs(
             uniq, id_col, text_col, shingle_n=shingle_n,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
-            seed=seed, hash_fn=hash_fn, collapse_exact=False)
+            seed=seed, hash_fn=hash_fn, collapse_exact=False,
+            _pre_spread=True)
         # within-group: all member pairs, jaccard exactly 1.0
         within = (_within_group_pairs(members, id_col)
                   .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
@@ -255,9 +270,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         return within.unionByName(cross)
     banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
                              num_hashes=num_hashes, bands=bands, seed=seed,
-                             hash_fn=hash_fn)
+                             hash_fn=hash_fn, spread=not _pre_spread)
     pairs = _bucket_pairs(banded, id_col)
-    shing = _shingle_sets(df, id_col, text_col, shingle_n)
+    shing = _shingle_sets(df, id_col, text_col, shingle_n,
+                          spread=not _pre_spread)
     return _jaccard_verify(pairs, shing, id_col, threshold)
 
 
@@ -291,7 +307,8 @@ def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 def minhash_banding(df: DataFrame, id_col: str, text_col: str,
                     shingle_n: int = 5, num_hashes: int = 64,
                     bands: int = 16, seed: int = 42,
-                    hash_fn: str = "xxhash64") -> DataFrame:
+                    hash_fn: str = "xxhash64",
+                    spread: bool = True) -> DataFrame:
     """(id, __band, __bh) LSH banding rows for every doc — the STORED
     near-dup INDEX of a corpus: band-hash buckets are the only state the
     candidate join needs, so persisting this narrow table (3 columns,
@@ -314,7 +331,8 @@ def minhash_banding(df: DataFrame, id_col: str, text_col: str,
     # min(), which is idempotent, so the per-doc array_distinct the
     # array route paid (interpreted HOF, the most expensive expression
     # in the old plan) buys nothing here.
-    exploded = _shingle_instances(_spread(df), id_col, text_col, shingle_n)
+    exploded = _shingle_instances(_spread(df) if spread else df,
+                                  id_col, text_col, shingle_n)
     if hash_fn == "md5":
         hexprs = [F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))
                   .alias(f"__h{j}") for j in range(num_hashes)]
@@ -534,6 +552,9 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     with the corpus, so a fixed cap that keeps structure at 500 docs
     blacks it out at 5,000). When set, ``max_df`` is ignored.
     """
+    # spread once on the scan-shaped input (see _spread's caller
+    # contract); members/uniq and the cap count inherit the parallelism
+    df = _spread(df.select(id_col, text_col))
     members, uniq = _exact_text_groups(df, id_col, text_col)
     gsz = members.where(F.col(id_col) == F.col("__gid")) \
                  .select(F.col(id_col), F.col("__gn"))
@@ -541,7 +562,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     # map-side-combined dedup instead of the interpreted shingles() HOF
     # array (which also ran inside the single-task scan partition the
     # broadcast-preserving uniq path keeps); identical row set.
-    ex = (_shingle_instances(_spread(uniq.select(id_col, text_col)),
+    ex = (_shingle_instances(uniq.select(id_col, text_col),
                              id_col, text_col, n)
           .dropDuplicates([id_col, "__s"])
           .withColumnRenamed("__s", "__g")
@@ -940,10 +961,13 @@ def set_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     inter = uni = |shingle set| by definition).
     """
     if collapse_exact:
-        members, uniq = _exact_text_groups(df, id_col, text_col)
+        # spread once on the scan-shaped input (see _spread's caller
+        # contract); uniq inherits the parallelism
+        members, uniq = _exact_text_groups(
+            _spread(df.select(id_col, text_col)), id_col, text_col)
         cand, base, ppm = set_similarity_candidates(
             uniq, id_col, text_col, shingle_n=shingle_n,
-            threshold=threshold)
+            threshold=threshold, spread=False)
         rep_pairs = _setsim_verify(cand, base, ppm)
         # within-group set size straight off the candidate base's
         # id-keyed aggregate (its __n IS |distinct shingle set|) —
@@ -986,7 +1010,8 @@ def _setsim_verify(cand: DataFrame, base: DataFrame, ppm: int) -> DataFrame:
 
 def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
                               shingle_n: int = 5,
-                              threshold: float = 0.6):
+                              threshold: float = 0.6,
+                              spread: bool = True):
     """Candidate-generation stage of set_similarity_pairs (factored out
     so scale measurements can count candidates BEFORE verification —
     the number that proves the prefix filter stays sub-quadratic).
@@ -1007,9 +1032,11 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
     # which downstream serves as prefix source, set size AND
     # verification set (array_intersect is order-insensitive), so no
     # consumer recomputes anything above its nearest exchange.
-    nn = _spread(df.where(F.col(text_col).isNotNull())
-                   .select(F.col(id_col).alias("__id"),
-                           F.col(text_col).alias("__stxt")))
+    nn = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(text_col).alias("__stxt")))
+    if spread:
+        nn = _spread(nn)
     inst = _shingle_instances(nn, "__id", "__stxt", shingle_n)
     posts = (inst.groupBy("__s")
                  .agg(F.collect_set("__id").alias("__docs"))
