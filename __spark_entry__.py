@@ -1345,14 +1345,24 @@ def q_sketch_distinct(spark, sf):
     eng = _eng(spark)
     ev = _t(eng, sf, "events").df()
     from pyspark.sql import functions as F
-    # Measured: spreading the scan HURTS here (1.8 -> 2.6 s at sf0.1) —
-    # the rsd=0.01 HLL's wide register buffers make the partial-agg
-    # merge the cost, not the per-row updates, so more partial sketches
-    # is more merge work. Left on the plain scan deliberately.
-    g = (ev.groupBy("event_type")
-           .agg(F.countDistinct("user_id").alias("n_exact"),
-                F.approx_count_distinct("user_id", rsd=0.01)
-                 .alias("n_approx")))
+    # Dedup the (event_type, user_id) PAIRS first, then sketch. Mixing
+    # countDistinct with the sketch in one agg makes Spark key the first
+    # aggregate by the PAIR and thread the partial HLL through it — every
+    # pre-shuffle row carries the rsd=0.01 sketch's 1639 register words
+    # (~13 KB/row through the exchange; plan dump plans/r10). Deduping
+    # first ships two narrow columns with map-side partial dedup, and the
+    # results are provably unchanged: n_exact = count of distinct pairs
+    # per type (countDistinct ignores nulls, hence the filter), and HLL
+    # over the support set is register-identical to HLL over the multiset
+    # (insertion is a register max — duplicate-idempotent), so n_approx
+    # and the boolean are bit-equal. (Earlier note, still true: _spread
+    # HURTS here — 1.8 -> 2.6 s — more partial sketches is more merge.)
+    pairs = (ev.where(F.col("user_id").isNotNull())
+               .select("event_type", "user_id").distinct())
+    g = (pairs.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_exact"),
+                   F.approx_count_distinct("user_id", rsd=0.01)
+                    .alias("n_approx")))
     return (g.select("event_type", "n_exact",
                      (F.abs(F.col("n_approx") - F.col("n_exact"))
                       <= 0.05 * F.col("n_exact") + 1).alias("within_5pct"))
@@ -1387,16 +1397,28 @@ def q_sketch_quantiles(spark, sf):
     eng = _eng(spark)
     ev = _t(eng, sf, "events").df()
     from pyspark.sql import functions as F
-    ex = [F.expr(f"percentile(value, {q})") for q in (0.25, 0.5, 0.75)]
-    ap = [F.percentile_approx("value", q, 10000) for q in (0.25, 0.5, 0.75)]
-    tol = [F.greatest(F.abs(e) * 0.01, F.lit(0.5)) for e in ex]
+    # ONE exact buffer and ONE sketch, queried at all three quantiles
+    # (array percentages), instead of three independent buffers + three
+    # independent sketches: exact percentile sorts its value buffer once
+    # and interpolates three points from the same sorted run (bit-equal
+    # to the scalar calls), and a KLL/GK sketch over identical input at
+    # identical accuracy has identical state, so its three answers equal
+    # the three scalar sketches'. Halves the agg's value buffering and
+    # drops two of the three finalize sorts (guide §1.2 per-task work).
     g = (ev.groupBy("event_type")
-           .agg(*[F.round(e, 6).alias(f"q{i}")
-                  for i, e in enumerate(ex, 1)],
-                *[(F.abs(a - e) <= t).alias(f"ok{i}")
-                  for i, (a, e, t) in enumerate(zip(ap, ex, tol), 1)]))
-    return g.select("event_type", "q1", "q2", "q3",
-                    "ok1", "ok2", "ok3").orderBy("event_type")
+           .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+                 .alias("__ex"),
+                F.percentile_approx("value", [0.25, 0.5, 0.75], 10000)
+                 .alias("__ap")))
+    e = [F.col("__ex")[i] for i in range(3)]
+    a = [F.col("__ap")[i] for i in range(3)]
+    tol = [F.greatest(F.abs(x) * 0.01, F.lit(0.5)) for x in e]
+    return (g.select("event_type",
+                     *[F.round(x, 6).alias(f"q{i}")
+                       for i, x in enumerate(e, 1)],
+                     *[(F.abs(y - x) <= t).alias(f"ok{i}")
+                       for i, (y, x, t) in enumerate(zip(a, e, tol), 1)])
+             .orderBy("event_type"))
 
 
 def q_time_rollup(spark, sf):
@@ -3344,7 +3366,14 @@ def q_group_apply(spark, sf):
     per-flag quantity-weighted average price. Deterministic arithmetic →
     exact oracle."""
     eng = _eng(spark)
-    li = _t(eng, sf, "lineitem")
+    # Project the three columns wavg reads BEFORE the group-apply (guide
+    # §4.1: applyInPandas ships every selected column of every row across
+    # the groupBy exchange AND the Arrow boundary; the bare table would
+    # ship all 16 lineitem columns for a function that touches 3).
+    li = _t(eng, sf, "lineitem").foreach(
+        col("l_returnflag").alias("l_returnflag"),
+        col("l_extendedprice").alias("l_extendedprice"),
+        col("l_quantity").alias("l_quantity"))
 
     def wavg(key, pdf):
         import pandas as pd

@@ -38,25 +38,47 @@ def item_cooccurrence(df: DataFrame, basket_col: str, item_col: str,
     documented). Pair counts get map-side combine; supports join back
     broadcast (vocabulary-sized); N is a 1-row broadcast.
     """
-    bi = (df.where(F.col(basket_col).isNotNull()
-                   & F.col(item_col).isNotNull())
-            .select(F.col(basket_col).alias("__b"),
-                    F.col(item_col).alias("__i"))
-            .dropDuplicates(["__b", "__i"]))
-    sizes = bi.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-    bi = (bi.join(sizes.where(F.col("__sz") <= max_basket)
-                       .select("__b"), on="__b"))
-    supp = (bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    # ONE basket-keyed aggregate builds the distinct item set per basket
+    # (collect_set dedups in the partial agg — no separate (b, i)
+    # dropDuplicates exchange, and size(__is) IS the old distinct-item
+    # basket size, so the max_basket cap applies right on the aggregate).
+    # The old shape re-executed the bi subplan three times (the pair
+    # self-join's two alias-renamed sides defeat ReuseExchange, plus the
+    # n_baskets countDistinct consumer) and shuffled it for the sizes
+    # join and both join sides; this runs it once through one exchange.
+    baskets = (df.where(F.col(basket_col).isNotNull()
+                        & F.col(item_col).isNotNull())
+                 .select(F.col(basket_col).alias("__b"),
+                         F.col(item_col).alias("__i"))
+                 .groupBy("__b")
+                 .agg(F.collect_set("__i").alias("__is"))
+                 .where(F.size("__is") <= max_basket))
+    # item supports over capped baskets; the explode preserves the
+    # basket partitioning, so the supported-item re-group below is
+    # exchange-free (Generate + broadcast join keep hashpartitioning(__b))
+    ex = baskets.select("__b", F.explode("__is").alias("__i"))
+    supp = (ex.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
               .where(F.col("__n") >= min_support))
-    bi = bi.join(F.broadcast(supp.select("__i")), on="__i")
-    n_baskets = bi.select(F.countDistinct("__b").alias("__N"))
-    a = bi.select("__b", F.col("__i").alias("item_a"))
-    b = bi.select("__b", F.col("__i").alias("item_b"))
-    pairs = (a.join(b, on="__b")
-              .where(F.col("item_a") < F.col("item_b"))
-              .groupBy("item_a", "item_b")
-              .agg(F.count(F.lit(1)).alias("co"))
-              .where(F.col("co") >= min_pair))
+    kept = (ex.join(F.broadcast(supp.select("__i")), on="__i")
+              .groupBy("__b")
+              .agg(F.sort_array(F.collect_set("__i")).alias("__is")))
+    n_baskets = kept.select(F.count(F.lit(1)).alias("__N"))
+    # (i < j) pair expansion in place of the basket self-equi-join:
+    # items are unique per basket and sorted, so posexplode anchor +
+    # explode(slice) emits exactly the item_a < item_b pairs the join's
+    # filter kept (the _bucket_pairs/containment_pairs shape)
+    pe = (kept.where(F.size("__is") >= 2)
+              .select(F.posexplode("__is").alias("__k", "item_a"),
+                      F.col("__is")))
+    pairs = (pe.select(
+                 "item_a",
+                 F.explode(F.slice(F.col("__is"), F.col("__k") + 2,
+                                   F.greatest(F.size("__is") - F.col("__k")
+                                              - 1, F.lit(0))))
+                  .alias("item_b"))
+               .groupBy("item_a", "item_b")
+               .agg(F.count(F.lit(1)).alias("co"))
+               .where(F.col("co") >= min_pair))
     sa = supp.select(F.col("__i").alias("item_a"),
                      F.col("__n").alias("n_a"))
     sb = supp.select(F.col("__i").alias("item_b"),

@@ -182,11 +182,23 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     digits = spark.createDataFrame(
         [(d + 1, _BENFORD_PPM[d]) for d in range(9)],
         "digit int, expected_ppm long")
-    total = counts.groupBy().agg(F.sum("n").alias("__tot"))
-    return (digits.join(counts, on="digit", how="left")
-                  .crossJoin(F.broadcast(total))
-                  .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
-                  .withColumn("actual_ppm",
-                              F.expr("(n * 1000000) div __tot")
-                               .cast("long"))
-                  .select("digit", "n", "actual_ppm", "expected_ppm"))
+    # The total rides a window over the JOINED frame, not a separate
+    # groupBy().agg() consumer of `counts`: the two consumers' exchange
+    # subtrees fail to canonicalize identically, ReuseExchange does not
+    # fire, and the whole scan + digit regexp ran TWICE (plan dump
+    # plans/r10/benford: two parquet scans). The joined frame is at most
+    # 9 rows (the digit domain), so the unpartitioned window is a 9-row
+    # single task at any scale; missing digits contribute n=0, and an
+    # empty input keeps the null ratio (sum 0 → div 0 → null, exactly
+    # the old (n·10⁶) div null).
+    from pyspark.sql.window import Window
+    joined = (digits.join(counts, on="digit", how="left")
+                    .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    return (joined
+            .withColumn("__tot", F.sum("n").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)))
+            .withColumn("actual_ppm",
+                        F.expr("(n * 1000000) div __tot")
+                         .cast("long"))
+            .select("digit", "n", "actual_ppm", "expected_ppm"))
