@@ -182,16 +182,39 @@ def _exact_text_groups(df: DataFrame, id_col: str, text_col: str):
     return members, uniq
 
 
+def _group_members(members: DataFrame, id_col: str) -> DataFrame:
+    """(__gid, __ids) — the sorted member-id array of every exact-dup
+    group, as ONE id-keyed aggregate. Every within-group/expansion
+    consumer (within pairs, both expansion sides, containment's
+    directed expansion) derives from this single exchange, so
+    ReuseExchange computes the members subplan once. The previous
+    per-consumer projections of `members` (a join of the scan with the
+    md5-group aggregate) re-executed that subplan once per broadcast
+    build — measured as ~6 extra 32-task kernel stages per pair-mining
+    query at sf0.1 (job trace, OPTIMIZATION_r10.md wave 6). Array sizes
+    are exact-dup group sizes — the quantity the collapse exists to
+    keep small."""
+    return (members.groupBy("__gid")
+                   .agg(F.sort_array(F.collect_list(F.col(id_col)))
+                        .alias("__ids")))
+
+
 def _within_group_pairs(members: DataFrame, id_col: str) -> DataFrame:
     """(id_a < id_b, __gid) — every pair inside an exact-dup group.
     Quadratic in group size, which is exactly the OUTPUT size (those
     pairs are all true duplicates), so it cannot be avoided, only kept
-    off the candidate path."""
-    wm = members.where(F.col("__gn") > 1)
-    return (wm.select("__gid", F.col(id_col).alias("id_a"))
-              .join(wm.select("__gid", F.col(id_col).alias("id_b")),
-                    on="__gid")
-              .where(F.col("id_a") < F.col("id_b")))
+    off the candidate path. Native (i < j) expansion over the sorted
+    member array (ids unique per group) replaces the members self-join,
+    whose two alias-renamed sides each re-executed the members
+    subplan."""
+    wm = _group_members(members, id_col).where(F.size("__ids") >= 2)
+    pe = wm.select("__gid", F.posexplode("__ids").alias("__i", "id_a"),
+                   F.col("__ids"))
+    return pe.select(
+        "__gid", "id_a",
+        F.explode(F.slice(F.col("__ids"), F.col("__i") + 2,
+                          F.greatest(F.size("__ids") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("id_b"))
 
 
 def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
@@ -199,12 +222,21 @@ def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
     """Expand representative-level pairs to member-level pairs, carrying
     ``payload`` columns unchanged (similarity depends only on the texts,
     which are identical within a group). Member ids can interleave
-    across groups, so the output pair is re-oriented (least, greatest)."""
-    ma = members.select(F.col("__gid").alias("id_a"),
-                        F.col(id_col).alias("__ia"))
-    mb = members.select(F.col("__gid").alias("id_b"),
-                        F.col(id_col).alias("__ib"))
-    return (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+    across groups, so the output pair is re-oriented (least, greatest).
+
+    Joins attach the two member ARRAYS first and explode after (guide
+    §3.3: join on the un-exploded key, explode after) — both join
+    sides are projections of the one _group_members aggregate, so its
+    exchange is built once however Spark sides the joins."""
+    gm = _group_members(members, id_col)
+    ga = gm.select(F.col("__gid").alias("id_a"),
+                   F.col("__ids").alias("__ias"))
+    gb = gm.select(F.col("__gid").alias("id_b"),
+                   F.col("__ids").alias("__ibs"))
+    return (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+            .select(F.explode("__ias").alias("__ia"), "__ibs", *payload)
+            .select(F.col("__ia"), F.explode("__ibs").alias("__ib"),
+                    *payload)
             .select(F.least("__ia", "__ib").alias("id_a"),
                     F.greatest("__ia", "__ib").alias("id_b"),
                     *payload))
@@ -656,14 +688,18 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                              F.col("__p.ct").alias("__ct"))
                      .where(F.col("__ct") >= F.lit(threshold)))
     # directed expansion — _expand_rep_pairs reorients to (least,
-    # greatest), which would erase the containment direction
-    ma = members.select(F.col("__gid").alias("id_a"),
-                        F.col(id_col).alias("__ia"))
-    mb = members.select(F.col("__gid").alias("id_b"),
-                        F.col(id_col).alias("__ib"))
-    cross = (rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+    # greatest), which would erase the containment direction; same
+    # _group_members array-attach + explode-after-join shape, keeping
+    # (a → b) orientation
+    gm = _group_members(members, id_col)
+    ga = gm.select(F.col("__gid").alias("id_a"),
+                   F.col("__ids").alias("__ias"))
+    gb = gm.select(F.col("__gid").alias("id_b"),
+                   F.col("__ids").alias("__ibs"))
+    cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+             .select(F.explode("__ias").alias("__ia"), "__ibs", "__ct")
              .select(F.col("__ia").alias("id_a"),
-                     F.col("__ib").alias("id_b"), "__ct"))
+                     F.explode("__ibs").alias("id_b"), "__ct"))
     # exact duplicates contain each other fully — but only while their
     # kept-shingle set is nonempty (a group whose every shingle
     # exceeds max_df has an undefined ratio and emits nothing, same
