@@ -1074,18 +1074,35 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
     if spread:
         nn = _spread(nn)
     inst = _shingle_instances(nn, "__id", "__stxt", shingle_n)
-    posts = (inst.groupBy("__s")
-                 .agg(F.collect_set("__id").alias("__docs"))
-                 .select(F.col("__s").alias("__t"),
-                         F.size("__docs").alias("__dfc"),
-                         F.explode("__docs").alias("__id")))
+    # Tokens leave the token-keyed aggregate as LONG surrogate keys, not
+    # strings: key = dfc * 2^32 + row_number within the dfc partition
+    # ordered by token. The packing is injective (rn < 2^32 per dfc
+    # class, dfc < 2^31 as an int) and orders IDENTICALLY to the
+    # (dfc, token) rarity order the prefix filter sorts by — so prefix
+    # contents, candidate meetings and intersection counts are provably
+    # unchanged — while every downstream exchange (prefix rows, bucket
+    # lists, per-doc arrays, both verify sides) moves 8-byte longs
+    # instead of n-char strings and array_intersect hashes longs. The
+    # ranking window partitions by dfc (no global pass; the dfc=1 class
+    # is the biggest one — per-row work there is a row_number tick, and
+    # the packing leaves 2^32 headroom per class).
+    agg = inst.groupBy("__s").agg(F.collect_set("__id").alias("__docs"))
+    rank_w = Window.partitionBy("__dfc").orderBy("__s")
+    # the key projection and the posting explode live in SEPARATE
+    # selects: a Project holding both a window expression and a
+    # generator explodes FIRST, handing every posting row its own
+    # row_number (one key per instance — no buckets ever meet)
+    keyed = (agg.select(F.size("__docs").cast("long").alias("__dfc"),
+                        F.col("__s"), F.col("__docs"))
+                .select((F.shiftleft(F.col("__dfc"), 32)
+                         + F.row_number().over(rank_w)).alias("__t"),
+                        F.col("__docs")))
+    posts = keyed.select("__t", F.explode("__docs").alias("__id"))
     ranked = (posts.groupBy("__id")
-                   .agg(F.array_sort(F.collect_list(
-                       F.struct(F.col("__dfc"), F.col("__t"))))
+                   .agg(F.array_sort(F.collect_list("__t"))
                        .alias("__arr")))
     base = ranked.select(F.col("__id"),
-                         F.transform("__arr", lambda s: s["__t"])
-                          .alias("__sh"),
+                         F.col("__arr").alias("__sh"),
                          F.size("__arr").alias("__n"))
     # prefix length: |s| - ceil(t*|s|) + 1, in exact integer arithmetic
     pref = (ranked
@@ -1095,7 +1112,7 @@ def set_similarity_candidates(df: DataFrame, id_col: str, text_col: str,
                                               * F.lit(threshold))
                         .cast("int") + 1)
             .select("__id", "__n",
-                    F.slice(F.transform("__arr", lambda s: s["__t"]),
+                    F.slice(F.col("__arr"),
                             F.lit(1), F.col("__plen")).alias("__pref")))
     # Candidate pairs via grouped posting-list expansion, not a prefix
     # self-equi-join: the join's two alias-renamed sides each re-execute
