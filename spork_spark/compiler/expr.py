@@ -82,6 +82,10 @@ class ExprCompiler:
         # None, _c_cast appends (label, discarded-row condition) for the
         # plan compiler to attach as observe metrics. None = disabled.
         self.probes = probes
+        # PERCENTILE fusion map (plan.PlanCompiler._percentile_fusion_map):
+        # repr(child) → sorted percentage list. Set only on the fused
+        # GROUP+FOREACH aggregate context; None everywhere else.
+        self.pctl_multi: dict | None = None
 
     # -- type resolution ------------------------------------------------------
     @property
@@ -645,6 +649,22 @@ class ExprCompiler:
             bagged = self._bag_mode_agg(name, e)
             if bagged is not None:
                 return bagged
+        if name == "PERCENTILE" and self.pctl_multi is not None \
+                and len(e.args) == 2 and isinstance(e.args[1], E.Lit) \
+                and isinstance(e.args[1].value, (int, float)) \
+                and not isinstance(e.args[1].value, bool):
+            ps = self.pctl_multi.get(repr(e.args[0]))
+            v = float(e.args[1].value)
+            if ps is not None and v in ps:
+                # one percentile(c, array(ps)) buffer shared by every
+                # percentage of this column — identical aggregate
+                # expressions dedup in Catalyst; values equal the
+                # scalar form's (same sorted buffer, same
+                # interpolation)
+                c = self.compile(e.args[0])
+                arr = F.array(*[F.lit(float(p)) for p in ps])
+                return F.element_at(F.percentile(c, arr),
+                                    ps.index(v) + 1)
         if name in TYPED_REGISTRY:
             # literal-position args (fmt/tz strings) stay python strings
             cols = self._compile_args(name, e.args)

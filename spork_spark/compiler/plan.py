@@ -572,6 +572,14 @@ class PlanCompiler:
         if topk is not None:
             child_df, gens = topk
             ctx = self._ctx(child_df)
+        # Same-column PERCENTILEs fuse into one shared buffer (map
+        # computed over all generators; compiled per-node in _c_func)
+        if self._conf("spark.spork.optimizer.fusePercentiles",
+                      "true") == "true":
+            pm = self._percentile_fusion_map(
+                gens, child_df.columns[0] if child_df.columns else None)
+            if pm:
+                ctx.pctl_multi = pm
         # an agg output named like a group key would be ambiguous on
         # the aggregated frame — such columns compute under a safe
         # name and alias back in the final projection
@@ -1231,6 +1239,59 @@ class PlanCompiler:
         if isinstance(e, E.Cast):
             return self._is_algebraic_agg(e.child)
         return False
+
+    @staticmethod
+    def _iter_funcs(e: E.Expr):
+        """Every Func node in an expression tree (iterative walk over the
+        dataclass fields, list/tuple children included)."""
+        import dataclasses
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, E.Func):
+                yield n
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, E.Expr):
+                        stack.append(v)
+                    elif isinstance(v, (list, tuple)):
+                        stack.extend(x for x in v if isinstance(x, E.Expr))
+
+    def _percentile_fusion_map(self, gens: list[E.Expr],
+                               first_col: str | None) -> dict:
+        """repr(child-expr) → sorted distinct percentage literals, for
+        every PERCENTILE input column that appears with >= 2 distinct
+        percentages across the FOREACH's generators (keyed on the
+        post-bag-ref-rewrite form — the form the fused agg compiles).
+
+        ExprCompiler then compiles each such PERCENTILE(c, p) as
+        element_at(percentile(c, array(ps)), idx): the percentile
+        aggregates are IDENTICAL expressions across generators, so
+        Catalyst deduplicates them into ONE sort-buffer per column where
+        the naive compile buffers every value of the column once per
+        requested percentage (exact percentile is a holistic aggregate —
+        its buffer is the whole column). Spark's Percentile evaluates
+        the array form by interpolating each point from the same sorted
+        counts map with the same arithmetic as the scalar form, so the
+        produced doubles are identical."""
+        groups: dict[str, set] = {}
+        for g in gens:
+            inner = g.child if isinstance(g, E.Aliased) else g
+            try:
+                inner = self._normalize_distinct_agg(inner, first_col)
+                rw = self._rewrite_bag_refs(inner, first_col)
+            except Exception:
+                continue
+            for node in self._iter_funcs(rw):
+                if node.name.upper() == "PERCENTILE" \
+                        and len(node.args) == 2 \
+                        and isinstance(node.args[1], E.Lit) \
+                        and isinstance(node.args[1].value, (int, float)) \
+                        and not isinstance(node.args[1].value, bool):
+                    groups.setdefault(repr(node.args[0]), set()) \
+                          .add(float(node.args[1].value))
+        return {k: sorted(v) for k, v in groups.items() if len(v) >= 2}
 
     def _rewrite_bag_refs(self, e: E.Expr,
                           first_col: str | None = None) -> E.Expr:

@@ -684,3 +684,30 @@ def test_stream_upsert_base_never_shuffles(spark):
     upd = spark.createDataFrame([(1, "b")], "id bigint, val string")
     plan = _raw_plan(merge_upsert(base, upd, ["id"]))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_percentile_fusion_shares_one_buffer(eng, li):
+    """Same-column PERCENTILEs fuse into ONE percentile(c, array(...))
+    aggregate (exact percentile is holistic — each unfused percentage
+    buffers the whole column), and the fused values are identical to
+    the unfused compile."""
+    def q():
+        bag = col("lineitem")
+        return (li.group_by(col("l_returnflag"))
+                  .foreach(col("group").alias("f"),
+                           fn("PERCENTILE", bag.get("l_extendedprice"),
+                              lit(0.5)).alias("p50"),
+                           fn("PERCENTILE", bag.get("l_extendedprice"),
+                              lit(0.95)).alias("p95")))
+    fused = q()
+    p = plan_of(fused)
+    assert "[0.5,0.95]" in p              # one shared array-percentile
+    assert p.count("percentile(l_extendedprice") <= 2  # partial+final only
+    eng.spark.conf.set("spark.spork.optimizer.fusePercentiles", "false")
+    try:
+        plain = q()
+        assert "[0.5,0.95]" not in plan_of(plain)
+        assert sorted(map(tuple, fused.df().collect())) == \
+               sorted(map(tuple, plain.df().collect()))
+    finally:
+        eng.spark.conf.set("spark.spork.optimizer.fusePercentiles", "true")
