@@ -312,6 +312,9 @@ class PlanCompiler:
             fused = self._try_fuse_group_agg(node.child, node.generators)
             if fused is not None:
                 return fused
+        cg = self._try_fuse_cogroup_agg(node)
+        if cg is not None:
+            return cg
         df = self._compile(node.child)
         df = self._maybe_repartition_for_windows(df, node.generators)
         return self._apply_generators(df, node.generators)
@@ -1401,6 +1404,163 @@ class PlanCompiler:
         if isinstance(k, E.Col):
             return k.name
         return f"group_{i}"
+
+    # COGROUP bags consumed ONLY through these aggregates (plus IsEmpty
+    # filters) fuse to per-side groupBy().agg() — the conservative subset
+    # whose empty-bag semantics are pinned below (COUNT/COUNT_STAR → 0,
+    # the rest → null, matching Pig's empty-bag aggregates).
+    _COGROUP_FUSABLE = {"COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX"}
+
+    def _cogroup_conj_terms(self, pred: E.Expr) -> list | None:
+        """Flatten an AND tree into terms; None when any other operator
+        appears (the filter then needs the materialized bags)."""
+        if isinstance(pred, E.BinOp) and pred.op.lower() == "and":
+            left = self._cogroup_conj_terms(pred.left)
+            right = self._cogroup_conj_terms(pred.right)
+            return None if left is None or right is None else left + right
+        return [pred]
+
+    @staticmethod
+    def _cogroup_isempty_term(t: E.Expr, bag_names: list[str]):
+        """(bag_name, must_be_empty) for IsEmpty(bag) / NOT IsEmpty(bag);
+        None for anything else."""
+        want_empty = True
+        if isinstance(t, E.UnOp) and t.op == "not":
+            want_empty, t = False, t.child
+        if isinstance(t, E.Func) and t.name.upper() == "ISEMPTY" \
+                and len(t.args) == 1 and isinstance(t.args[0], E.Col) \
+                and t.args[0].name in bag_names:
+            return t.args[0].name, want_empty
+        return None
+
+    @staticmethod
+    def _cogroup_bag_refs(e: E.Expr, bag_names: list[str]) -> set | None:
+        """Bag names referenced by an aggregate argument tree; None when
+        the tree references anything that is NOT a bag (the only columns
+        of a cogrouped relation are `group` and the bags, so a foreign
+        Col means the expression needs the materialized frame)."""
+        refs: set[str] = set()
+        stack = [e]
+        import dataclasses
+        while stack:
+            n = stack.pop()
+            if isinstance(n, E.Col):
+                if n.name in bag_names:
+                    refs.add(n.name)
+                    continue
+                return None          # group (or unknown) inside an agg
+            if dataclasses.is_dataclass(n):
+                for f in dataclasses.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, E.Expr):
+                        stack.append(v)
+                    elif isinstance(v, (list, tuple)):
+                        stack.extend(x for x in v if isinstance(x, E.Expr))
+        return refs
+
+    def _try_fuse_cogroup_agg(self, node: L.ForEach) -> DataFrame | None:
+        """FOREACH (FILTER* (COGROUP …)) whose bag uses are ALL algebraic
+        aggregates — and whose filters are IsEmpty tests — compiles to
+        per-side groupBy().agg() + the same null-safe full-outer key
+        join, WITHOUT materializing the bags: the exchanges then carry
+        one partial-aggregate row per key instead of collect_list'ing
+        every input column of every row (the COGROUP+IsEmpty anti-join
+        idiom shuffled 11-column structs to count them). Empty-bag
+        semantics are preserved exactly: an absent side leaves its
+        aggregate columns null after the outer join — which IS Pig's
+        SUM/AVG/MIN/MAX over an empty bag — and COUNT/COUNT_STAR
+        coalesce to 0; IsEmpty(bag) ⇔ the side's group-presence count
+        is null. Gated by spark.spork.optimizer.fuseCogroupAgg (default
+        on); disabled under the warnings surface (the fallback bag path
+        carries the cast probes)."""
+        if self._conf("spark.spork.optimizer.fuseCogroupAgg",
+                      "true") != "true" or self._warnings_on():
+            return None
+        terms: list[E.Expr] = []
+        cur = node.child
+        while isinstance(cur, L.Filter) and \
+                self._consumers.get(cur._id, 0) <= 1:
+            ts = self._cogroup_conj_terms(cur.predicate)
+            if ts is None:
+                return None
+            terms.extend(ts)
+            cur = cur.child
+        if not isinstance(cur, L.CoGroup) or \
+                self._consumers.get(cur._id, 0) > 1:
+            return None
+        if any(len(ks) != 1 for ks in cur.keys):
+            return None               # single-key cogroups only (v1)
+        bag_names = [getattr(inp, "alias", None) or f"bag_{i}"
+                     for i, inp in enumerate(cur.inputs)]
+        if len(set(bag_names)) != len(bag_names) or GROUP_COL in bag_names:
+            return None
+        parsed_terms = []
+        for t in terms:
+            p = self._cogroup_isempty_term(t, bag_names)
+            if p is None:
+                return None
+            parsed_terms.append(p)
+        # classify generators: group refs, or one-bag algebraic aggs
+        plan_gens = []   # ("group", name) | ("agg", side_idx, expr, name, fn)
+        for i, g in enumerate(node.generators):
+            alias, inner = (g.name, g.child) if isinstance(g, E.Aliased) \
+                else (None, g)
+            if isinstance(inner, E.Col) and inner.name == GROUP_COL or (
+                    isinstance(inner, E.Deref)
+                    and isinstance(inner.child, E.Col)
+                    and inner.child.name == GROUP_COL):
+                plan_gens.append(("group", alias or GROUP_COL))
+                continue
+            if not isinstance(inner, E.Func) or \
+                    inner.name.upper() not in self._COGROUP_FUSABLE:
+                return None
+            refs = self._cogroup_bag_refs(inner, bag_names)
+            if not refs or len(refs) != 1:
+                return None
+            plan_gens.append(("agg", bag_names.index(next(iter(refs))),
+                              inner, alias or f"col_{i}",
+                              inner.name.upper()))
+        if not any(pg[0] == "agg" for pg in plan_gens):
+            return None
+        # per-side partial aggregation (replaces per-side collect_list)
+        side_frames = []
+        for idx, (inp, keys) in enumerate(zip(cur.inputs, cur.keys)):
+            df = self._compile(inp)
+            ctx = self._ctx(df)
+            first = df.columns[0] if df.columns else None
+            kname = "__k" if idx == 0 else f"__r{idx}"
+            key_col = ctx.compile(keys[0]).alias(kname)
+            aggs = [F.count(F.lit(1)).alias(f"__n{idx}")]
+            for gi, pg in enumerate(plan_gens):
+                if pg[0] == "agg" and pg[1] == idx:
+                    rw = self._rewrite_bag_refs(pg[2], first)
+                    aggs.append(ctx.compile(rw).alias(f"__a{gi}"))
+            side_frames.append(df.groupBy(key_col).agg(*aggs))
+        out = side_frames[0]
+        for idx, g in enumerate(side_frames[1:], 1):
+            rname = f"__r{idx}"
+            out = out.join(g, on=F.col("__k").eqNullSafe(F.col(rname)),
+                           how="full")
+            out = out.withColumn("__k", F.coalesce(F.col("__k"),
+                                                   F.col(rname))) \
+                     .drop(rname)
+        inner_flags = cur.inner or [False] * len(cur.inputs)
+        for idx, is_inner in enumerate(inner_flags):
+            if is_inner:
+                out = out.filter(F.col(f"__n{idx}").isNotNull())
+        for bag, want_empty in parsed_terms:
+            n = F.col(f"__n{bag_names.index(bag)}")
+            out = out.filter(n.isNull() if want_empty else n.isNotNull())
+        final = []
+        for gi, pg in enumerate(plan_gens):
+            if pg[0] == "group":
+                final.append(F.col("__k").alias(pg[1]))
+            else:
+                c = F.col(f"__a{gi}")
+                if pg[4] in ("COUNT", "COUNT_STAR"):
+                    c = F.coalesce(c, F.lit(0).cast("bigint"))
+                final.append(c.alias(pg[3]))
+        return out.select(*final)
 
     def _c_cogroup(self, node: L.CoGroup) -> DataFrame:
         """COGROUP a BY k, b BY k → (group, bag_a, bag_b): per-input

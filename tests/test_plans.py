@@ -711,3 +711,34 @@ def test_percentile_fusion_shares_one_buffer(eng, li):
                sorted(map(tuple, plain.df().collect()))
     finally:
         eng.spark.conf.set("spark.spork.optimizer.fusePercentiles", "true")
+
+
+def test_cogroup_agg_fusion_skips_bags(eng, spark):
+    """COGROUP + IsEmpty filters + algebraic-only generators compile to
+    per-side partial aggregation (no collect_list), with values — incl.
+    null keys and empty-bag COUNT/SUM semantics — identical to the
+    materialized-bag path."""
+    from spork_spark.parser import run_script
+    a = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0), (None, 7.0)], "k int, v double")
+    b = spark.createDataFrame(
+        [(2, "x"), (3, "y"), (None, "z")], "k int, s string")
+    rels_in = {"ta": eng.from_df(a, alias="ta"),
+               "tb": eng.from_df(b, alias="tb")}
+    script = """
+        cg = COGROUP ta BY k, tb BY k;
+        anti = FILTER cg BY IsEmpty(tb);
+        out = FOREACH anti GENERATE group AS k, COUNT_STAR(ta) AS n,
+                                    SUM(ta.v) AS sv;
+    """
+    rels = run_script(eng, script, relations=rels_in)
+    fused = rels["out"].df()
+    assert "collect_list" not in plan_of(fused)
+    eng.spark.conf.set("spark.spork.optimizer.fuseCogroupAgg", "false")
+    try:
+        plain = run_script(eng, script, relations=rels_in)["out"].df()
+        assert "collect_list" in plan_of(plain)
+        assert sorted(map(tuple, fused.collect()), key=str) == \
+               sorted(map(tuple, plain.collect()), key=str)
+    finally:
+        eng.spark.conf.set("spark.spork.optimizer.fuseCogroupAgg", "true")
