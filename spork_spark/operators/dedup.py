@@ -98,16 +98,38 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str,
     the input subtree at CONSTRUCTION time, which is wasted (and, for
     an input that embeds the candidate-pair plan, expensive — measured
     +13 s of build on lsh_pairs_incremental) whenever the input is
-    already behind a join/aggregate rather than a bare scan."""
+    already behind a join/aggregate rather than a bare scan.
+
+    The sets carry LONG surrogate ids, not the shingle strings: the
+    distinct vocabulary gets a deterministic rank (row_number ordered
+    by shingle — injective, and stable across re-executions, so the
+    two verify sides agree even when their subplans don't share an
+    exchange) attached back by broadcast join. Consumers only take
+    intersection/union SIZES, which an injective map preserves exactly
+    (parity pinned in the verify A/B: identical pairs and jaccards);
+    the collect_set exchange and every array_intersect/array_union
+    then move/hash 8-byte longs instead of n-char strings (measured
+    −1.2 s on the minhash verify at sf0.1). The single-partition rank
+    window and the broadcast are bounded by the same argument as the
+    banding's vocab broadcast: a character n-gram vocabulary is
+    charset-bounded, and this table is strictly narrower than the
+    banding's 64-hash one. Null-text docs keep their [null] set via
+    the LEFT join (null shingles rank to null, collect_set drops them,
+    the empty-set branch restores [null] as a long array — null
+    set-element semantics are type-independent)."""
     src = df.select(id_col, text_col)
     inst = _shingle_instances(_spread(src) if spread else src,
                               id_col, text_col, n)
-    g = inst.groupBy(id_col).agg(F.collect_set("__s").alias("__shs"))
+    vocab = inst.where(F.col("__s").isNotNull()).select("__s").distinct()
+    ranked = vocab.select(
+        "__s", F.row_number().over(Window.orderBy("__s")).alias("__sid"))
+    j = inst.join(F.broadcast(ranked), on="__s", how="left")
+    g = j.groupBy(id_col).agg(F.collect_set("__sid").alias("__shs"))
     return g.select(
         F.col(id_col),
         F.when(F.size("__shs") == 0,
-               F.array(F.lit(None).cast("string")))
-         .otherwise(F.col("__shs")).alias("__sh"))
+               F.array(F.lit(None).cast("long")))
+         .otherwise(F.col("__shs").cast("array<long>")).alias("__sh"))
 
 
 def _spread(df: DataFrame) -> DataFrame:

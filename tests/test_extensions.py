@@ -1346,16 +1346,25 @@ def test_edit_distance_grouped_expansion_matches_bruteforce(spark):
 
 
 def test_shingle_sets_matches_hof_shingles(spark):
-    """r10: _shingle_sets (codegen instances + collect_set) must carry
-    the same SET as the shingles() HOF array for every doc, including
-    the short-text truncated gram and the [null] null-text doc."""
+    """r10: _shingle_sets carries per-doc sets of LONG surrogate ids —
+    an injective image of the shingles() HOF string sets. Consumers
+    (_jaccard_verify) use only intersection/union sizes, so the pinned
+    contract is pairwise set-arithmetic parity across every doc pair,
+    plus the [null] null-text representation and overlapping/truncated
+    short-text grams."""
     rows = [(0, "abcdefghijklmno"), (1, "abc"), (2, ""), (3, None),
-            (4, "aaaaaaaaaa")]
+            (4, "aaaaaaaaaa"), (5, "abcdefghijklmno"), (6, None)]
     df = spark.createDataFrame(rows, "id bigint, text string")
-    from pyspark.sql import functions as F
     from spork_spark.operators.dedup import _shingle_sets, shingles
-    new = {r.id: sorted(r["__sh"], key=lambda x: (x is None, x)) for r in
+    new = {r.id: r["__sh"] for r in
            _shingle_sets(df, "id", "text", 5).collect()}
-    old = {r.id: sorted(r["__sh"], key=lambda x: (x is None, x)) for r in
+    old = {r.id: r["__sh"] for r in
            df.select("id", shingles("text", 5).alias("__sh")).collect()}
-    assert new == old
+    assert set(new) == set(old)
+    for i in new:
+        assert len(set(new[i])) == len(set(old[i]))
+        if old[i] == [None]:          # null text keeps the [null] set
+            assert new[i] == [None]
+        for j in new:
+            assert len(set(new[i]) & set(new[j])) == \
+                   len(set(old[i]) & set(old[j])), (i, j)
