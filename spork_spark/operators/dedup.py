@@ -617,27 +617,46 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     # spread once on the scan-shaped input (see _spread's caller
     # contract); members/uniq and the cap count inherit the parallelism
     df = _spread(df.select(id_col, text_col))
-    members, uniq = _exact_text_groups(df, id_col, text_col)
+    members, _uniq = _exact_text_groups(df, id_col, text_col)
     gsz = members.where(F.col(id_col) == F.col("__gid")) \
                  .select(F.col(id_col), F.col("__gn"))
-    # Distinct (id, shingle) rows via codegen instance explode + a
-    # map-side-combined dedup instead of the interpreted shingles() HOF
-    # array (which also ran inside the single-task scan partition the
-    # broadcast-preserving uniq path keeps); identical row set.
-    ex = (_shingle_instances(uniq.select(id_col, text_col),
-                             id_col, text_col, n)
-          .dropDuplicates([id_col, "__s"])
-          .withColumnRenamed("__s", "__g")
-          .join(gsz, on=id_col))
-    # __df = corpus document frequency (duplicate-weighted) via a
-    # window over the shingle, NOT a groupBy + join back: the join's
-    # two sides each re-execute the whole shingle-explode subplan
-    # (ReuseExchange cannot fire — the aggregate side has a partial
-    # HashAggregate below its exchange, the probe side does not) and
-    # shuffle it twice; the window needs ONE exchange + sort, after
-    # which the per-__g collect_list aggregates exchange-free on the
-    # same partitioning.
-    kept = ex.withColumn("__df", F.sum("__gn").over(Window.partitionBy("__g")))
+    # Vocabulary in ONE shingle-keyed aggregate (r11, guide §2.4/§2.2):
+    # the previous chain ran THREE instance-scale shuffles — a
+    # dropDuplicates on (id, shingle), a per-instance join attaching the
+    # group size, and a duplicate-weighted-df window over the shingle —
+    # before the posting-list groupBy. Now the group size rides along
+    # from a PRE-explode join against the distinct texts (one row per
+    # text, replacing uniq's reps join — no instance-scale join at
+    # all), collect_set dedups (id, gn) pairs exactly like the old
+    # dropDuplicates, and the weighted df is a HOF sum over the
+    # vocabulary-sized rows (12.7k rows at sf0.1 — interpreted lambdas
+    # are irrelevant there). One explicit npart repartition keys the
+    # aggregate so the heavy exchange runs at full parallelism rather
+    # than a latency-tuned spark.sql.shuffle.partitions.
+    nn = df.where(F.col(text_col).isNotNull())
+    uniq_gn = nn.select(F.col(id_col), F.col(text_col)).join(gsz, on=id_col)
+    c = F.col(text_col)
+    inst = (uniq_gn
+            .select(F.col(id_col),
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(c) - (n - 1), F.lit(1))))
+                     .alias("__i"),
+                    c.alias("__t"), F.col("__gn"))
+            .select(F.col(id_col),
+                    F.expr(f"substring(__t, __i, {int(n)})").alias("__g"),
+                    F.col("__gn")))
+    spark = df.sparkSession
+    npart = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions")))
+    vocab = (inst.repartition(npart, "__g")
+                 .groupBy("__g")
+                 .agg(F.collect_set(
+                     F.struct(F.col(id_col).alias("__id"),
+                              F.col("__gn"))).alias("__set")))
+    dfw = F.aggregate("__set", F.lit(0).cast("long"),
+                      lambda acc, x: acc + x["__gn"])
+    keptv = vocab.withColumn("__df", dfw)
     if max_df_frac is not None:
         # 1-row lazy cap: greatest(floor, floor(frac * N)) over non-null
         # texts, duplicate-inclusive — identical to the eager
@@ -649,25 +668,20 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                      F.lit(int(max_df_floor)).cast("long"),
                      F.floor(F.count(F.lit(1)) * F.lit(float(max_df_frac)))
                  ).alias("__cap")))
-        kept = kept.crossJoin(F.broadcast(cap)) \
-                   .where(F.col("__df") <= F.col("__cap")).drop("__cap")
+        keptv = keptv.crossJoin(F.broadcast(cap)) \
+                     .where(F.col("__df") <= F.col("__cap")).drop("__cap")
     elif max_df is not None:
-        kept = kept.where(F.col("__df") <= F.lit(int(max_df)))
-    # ONE aggregate per kept shingle — the sorted posting list — feeds
-    # both per-doc sizes and pair counting. The explicit repartition is
-    # the reuse point: both consumers' plans start at this identical
-    # exchange, so ReuseExchange computes the shingle subplan once
-    # (without it, each consumer re-executes explode + window; measured
-    # as 4 full shingle passes in the old dfreq/kept/sizes/buckets
-    # shape). Vocabulary-sized rows with df-capped lists — a cheap
-    # exchange.
-    spark = df.sparkSession
-    npart = max(spark.sparkContext.defaultParallelism,
-                int(spark.conf.get("spark.sql.shuffle.partitions")))
-    lists = (kept.groupBy("__g")
-                 .agg(F.sort_array(F.collect_list(F.col(id_col)))
-                      .alias("__ids"))
-                 .repartition(npart, "__g"))
+        keptv = keptv.where(F.col("__df") <= F.lit(int(max_df)))
+    # Sorted posting list per kept shingle, feeding both per-doc sizes
+    # and pair counting. The explicit repartition is the reuse point:
+    # both consumers' plans start at this identical exchange, so
+    # ReuseExchange computes the vocabulary subplan once. Vocabulary-
+    # sized rows with df-capped lists — a cheap exchange.
+    lists = (keptv.select(
+                 "__g",
+                 F.sort_array(F.transform("__set", lambda x: x["__id"]))
+                  .alias("__ids"))
+                  .repartition(npart, "__g"))
     sizes = (lists.select(F.explode("__ids").alias(id_col))
                   .groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz")))
     # Shared-shingle counts: consecutive shingles of a shared passage
