@@ -1488,6 +1488,13 @@ class PlanCompiler:
         if not isinstance(cur, L.CoGroup) or \
                 self._consumers.get(cur._id, 0) > 1:
             return None
+        if getattr(cur, "partitioner", None):
+            # PARTITION BY <class> is an observable placement contract
+            # (which part-file each group lands in under STORE) that
+            # _c_cogroup honors via _apply_partitioner — the fused
+            # shape would silently drop it, so fall back to the bag
+            # path (r10 advisor).
+            return None
         if any(len(ks) != 1 for ks in cur.keys):
             return None               # single-key cogroups only (v1)
         bag_names = [getattr(inp, "alias", None) or f"bag_{i}"
@@ -1505,12 +1512,17 @@ class PlanCompiler:
         for i, g in enumerate(node.generators):
             alias, inner = (g.name, g.child) if isinstance(g, E.Aliased) \
                 else (None, g)
-            if isinstance(inner, E.Col) and inner.name == GROUP_COL or (
-                    isinstance(inner, E.Deref)
-                    and isinstance(inner.child, E.Col)
-                    and inner.child.name == GROUP_COL):
+            if isinstance(inner, E.Col) and inner.name == GROUP_COL:
                 plan_gens.append(("group", alias or GROUP_COL))
                 continue
+            if isinstance(inner, E.Deref) and \
+                    isinstance(inner.child, E.Col) and \
+                    inner.child.name == GROUP_COL:
+                # group.field on a struct-typed key: the fused path
+                # compiled this as the WHOLE key (and misnamed it
+                # 'group') — fall back to the bag path, which projects
+                # the dereferenced field correctly (r10 advisor).
+                return None
             if not isinstance(inner, E.Func) or \
                     inner.name.upper() not in self._COGROUP_FUSABLE:
                 return None
@@ -1551,6 +1563,12 @@ class PlanCompiler:
         for bag, want_empty in parsed_terms:
             n = F.col(f"__n{bag_names.index(bag)}")
             out = out.filter(n.isNull() if want_empty else n.isNotNull())
+        if getattr(cur, "parallel", None):
+            # PARALLEL on the COGROUP sets the reduce-side partition
+            # count (observable as part-file count under STORE);
+            # _c_cogroup honors it with a group-keyed repartition, so
+            # the fused shape must too (r10 advisor).
+            out = out.repartition(cur.parallel, F.col("__k"))
         final = []
         for gi, pg in enumerate(plan_gens):
             if pg[0] == "group":

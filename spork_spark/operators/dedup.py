@@ -322,13 +322,89 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         cross = _expand_rep_pairs(rep_pairs, members, id_col,
                                   ["jaccard"])
         return within.unionByName(cross)
-    banded = minhash_banding(df, id_col, text_col, shingle_n=shingle_n,
-                             num_hashes=num_hashes, bands=bands, seed=seed,
-                             hash_fn=hash_fn, spread=not _pre_spread)
+    banded, shing = _banding_with_sets(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes,
+        bands=bands, seed=seed, hash_fn=hash_fn, spread=not _pre_spread)
     pairs = _bucket_pairs(banded, id_col)
-    shing = _shingle_sets(df, id_col, text_col, shingle_n,
-                          spread=not _pre_spread)
     return _jaccard_verify(pairs, shing, id_col, threshold)
+
+
+def _banding_with_sets(df: DataFrame, id_col: str, text_col: str,
+                       shingle_n: int, num_hashes: int, bands: int,
+                       seed: int, hash_fn: str,
+                       spread: bool = True):
+    """(banded, sets) — LSH banding rows AND per-doc distinct-shingle
+    surrogate sets, both derived from ONE shared groupBy(id) aggregate
+    (r11, guide §2.4): the separate minhash_banding + _shingle_sets
+    pair each re-ran the shingle explode + broadcast-vocab join +
+    per-instance aggregation — the two dominant stages of every
+    minhash query executed the same kernel twice. Here one pass
+    computes the num_hashes min() columns AND collect_set of the
+    surrogate id per doc; the banding expansion and both verify sides
+    consume projections of the same exchange, so the kernel runs once.
+
+    The shared vocabulary table carries the hash columns AND the
+    surrogate rank, so the per-shingle hashes are computed once per
+    DISTINCT shingle (minhash_banding's broadcast trick) and only one
+    vocab distinct is built instead of two.
+
+    Differences from _shingle_sets, both invisible to the verify
+    consumers: null-shingle instances are dropped by the inner vocab
+    join (null-text docs therefore have no row — they also have no
+    banding rows, so no candidate pair can reference them), and
+    null-id docs are filtered above the aggregate (collect_set over
+    ids already dropped them from every bucket, so they never paired;
+    the explicit filter also ABSORBS the isnotnull predicates the
+    verify joins would otherwise push per-consumer, which would
+    de-canonicalize the shared exchange — the lsh_pairs_incremental
+    lesson)."""
+    import random
+
+    rows_per_band = num_hashes // bands
+    exploded = _shingle_instances(_spread(df) if spread else df,
+                                  id_col, text_col, shingle_n)
+    if hash_fn == "md5":
+        hexprs = [F.unhex(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))))
+                  .alias(f"__h{j}") for j in range(num_hashes)]
+    else:
+        rnd = random.Random(seed)
+        coeffs = [(rnd.randrange(1, MERSENNE_PRIME),
+                   rnd.randrange(0, MERSENNE_PRIME))
+                  for _ in range(num_hashes)]
+        h = F.xxhash64(F.col("__s"))
+        hexprs = [F.pmod(h * a + b, F.lit(MERSENNE_PRIME))
+                  .alias(f"__h{j}") for j, (a, b) in enumerate(coeffs)]
+    vocab = (exploded.where(F.col("__s").isNotNull())
+             .select("__s").distinct()
+             .select(F.col("__s"), *hexprs,
+                     F.row_number().over(Window.orderBy("__s"))
+                      .cast("long").alias("__sid")))
+    joined = exploded.join(F.broadcast(vocab), on="__s")
+    comb = (joined.groupBy(id_col)
+            .agg(*[F.min(F.col(f"__h{j}")).alias(f"__mh{j}")
+                   for j in range(num_hashes)],
+                 F.collect_set("__sid").alias("__shs"))
+            .where(F.col(id_col).isNotNull()))
+    sig_elem = (lambda j: F.lower(F.hex(F.col(f"__mh{j}")))) \
+        if hash_fn == "md5" else (lambda j: F.col(f"__mh{j}"))
+    sig = (comb.select(id_col,
+                       F.array(*[sig_elem(j) for j in range(num_hashes)])
+                       .alias("__sig")))
+    if hash_fn == "md5":
+        band_key = lambda b: F.md5(F.concat_ws("|", F.slice(  # noqa: E731
+            F.col("__sig"), b * rows_per_band + 1, rows_per_band)))
+    else:
+        band_key = lambda b: F.xxhash64(F.slice(  # noqa: E731
+            F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+            .cast("string"))
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            band_key)).alias("__band", "__bh"))
+    sets = comb.select(F.col(id_col),
+                       F.col("__shs").cast("array<long>").alias("__sh"))
+    return banded, sets
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str) -> DataFrame:
@@ -492,37 +568,57 @@ def lsh_pairs_incremental(index: DataFrame, corpus: DataFrame,
     new_band = minhash_banding(new_docs, id_col, text_col,
                                shingle_n=shingle_n, num_hashes=num_hashes,
                                bands=bands, seed=seed, hash_fn=hash_fn)
-    all_band = index.select(id_col, "__band", "__bh").unionByName(new_band)
-    left = new_band.select(F.col(id_col).alias("id_a"), "__band", "__bh")
-    right = all_band.select(F.col(id_col).alias("id_b"), "__band", "__bh")
-    # The explicit not-null filter is a no-op (ids that survive the
-    # id_a != id_b filter are never null) kept to ABSORB the isnotnull
-    # predicates the downstream joins would otherwise infer and push
-    # into this subplan: with per-consumer pushed filters, each
-    # consumer's copy stops being canonical-identical, ReuseExchange
-    # cannot fire, and the candidate join re-executes once per consumer
-    # (measured 5 executions / 15.7 s for the full query at sf0.1 —
-    # now 2, the minimum without materializing, 5.8 s).
-    pairs = (left.join(right, on=["__band", "__bh"])
-                 .filter(F.col("id_a") != F.col("id_b"))
-                 .select(F.least("id_a", "id_b").alias("id_a"),
-                         F.greatest("id_a", "id_b").alias("id_b"))
-                 .where(F.col("id_a").isNotNull()
-                        & F.col("id_b").isNotNull())
-                 .dropDuplicates(["id_a", "id_b"]))
-    # Touched ids via a Generate (explode) rather than a two-branch
-    # union: inferred constraints from the corpus∪new semi-join sides
-    # (e.g. each branch's partition predicate) cannot be pushed below
-    # the generator output, so the pairs subplan stays shared instead
-    # of splitting into one filtered variant per union branch per
-    # verify side. Broadcast is bounded: |touched| ≤ 2 × candidate
-    # pairs, the quantity the LSH banding premise keeps small — and it
-    # turns the history-side semi-join into a map-side filter (no
-    # shuffle of the corpus), which IS the incremental contract's
-    # point-lookup shape at 100 TB.
-    touched = (pairs.select(F.explode(F.array("id_a", "id_b"))
-                            .alias(id_col))
-                    .distinct())
+    # ONE bucket aggregate replaces the band-keyed equi-join (r11,
+    # guide §2.4): the join shape executed the new-batch banding kernel
+    # on BOTH sides (left probe + right union branch) and shuffled the
+    # banding rows twice; grouping each (band, bh) bucket once and
+    # expanding new-touching (a < b) member pairs in place runs the
+    # kernel once through a single exchange — and `touched` reads the
+    # SAME bucket aggregate instead of re-executing the whole pair
+    # subplan for its broadcast build (the r10 verdict's "2 executions
+    # by design", now 1). The id-not-null filter reproduces the join's
+    # null-key semantics (null ids never matched) and absorbs the
+    # isnotnull predicates downstream joins would otherwise push
+    # per-consumer, de-canonicalizing the shared exchange.
+    all_band = (index.select(id_col, "__band", "__bh")
+                .withColumn("__new", F.lit(False))
+                .unionByName(new_band.withColumn("__new", F.lit(True)))
+                .where(F.col(id_col).isNotNull()))
+    buckets = (all_band.groupBy("__band", "__bh")
+               .agg(F.sort_array(F.collect_set(
+                        F.struct(F.col(id_col).alias("__id"),
+                                 F.col("__new")))).alias("__ms"),
+                    F.max("__new").alias("__any"))
+               .where((F.size("__ms") >= 2) & F.col("__any")))
+    # ids are unique per bucket (one row per (id, band); index and new
+    # ids disjoint by contract), so the sorted (i < j) expansion
+    # filtered to pairs touching a new id emits exactly the join's
+    # (least, greatest) pair set: (a, b) paired iff some bucket holds
+    # both and at least one side is new.
+    pe = buckets.select(F.posexplode("__ms").alias("__i", "__a"),
+                        F.col("__ms"))
+    mp = pe.select(
+        F.col("__a"),
+        F.explode(F.slice(F.col("__ms"), F.col("__i") + 2,
+                          F.greatest(F.size("__ms") - F.col("__i") - 1,
+                                     F.lit(0)))).alias("__b"))
+    pairs = (mp.where(F.col("__a.__new") | F.col("__b.__new"))
+               .select(F.col("__a.__id").alias("id_a"),
+                       F.col("__b.__id").alias("id_b"))
+               .dropDuplicates(["id_a", "id_b"]))
+    # Touched ids straight off the qualifying buckets: every member of
+    # a bucket with >= 2 distinct ids and >= 1 new id forms at least
+    # one pair with a new id (ids disjoint between index and batch), so
+    # this is EXACTLY the set of ids appearing in `pairs` — without
+    # executing the pair expansion a second time for the broadcast
+    # build. Broadcast is bounded: |touched| <= 2 x candidate pairs,
+    # the quantity the LSH banding premise keeps small — and it turns
+    # the history-side semi-join into a map-side filter (no shuffle of
+    # the corpus), which IS the incremental contract's point-lookup
+    # shape at 100 TB.
+    touched = (buckets.select(F.explode("__ms").alias("__m"))
+                      .select(F.col("__m.__id").alias(id_col))
+                      .distinct())
     docs = corpus.select(id_col, text_col) \
                  .unionByName(new_docs.select(id_col, text_col))
     shing = _shingle_sets(

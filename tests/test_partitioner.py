@@ -147,3 +147,50 @@ def test_partial_key_projection_warns_and_skips(eng):
         """)
         assert rels["s"].df().count() > 0
     assert any("full group key" in str(x.message) for x in w)
+
+
+def test_cogroup_agg_fusion_bails_on_partitioner(eng):
+    """COGROUP+IsEmpty whose bags would fuse to per-side aggregates must
+    NOT fuse when PARTITION BY names a registered placement function —
+    the fused shape would drop the observable part-file placement
+    (r10 advisor). The bag path runs instead and honors it."""
+    eng.register_partitioner("my.pkg.ModPart", lambda k: int(k))
+    script = f"""
+        c = LOAD '{SF}/customer.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        cg = COGROUP c BY c_custkey, o BY o_custkey
+             PARTITION BY my.pkg.ModPart PARALLEL 4;
+        anti = FILTER cg BY IsEmpty(o);
+        out = FOREACH anti GENERATE group AS custkey, COUNT_STAR(c) AS n;
+    """
+    df = run_script(eng, script)["out"].df()
+    # fusion bailed: the bag path ran and applied the placement
+    # function (the fused shape dropped it — every group landed by
+    # Catalyst hash instead of fn(key) % n)
+    assert _misplaced(df, "custkey", 4) == 0
+    # and values match the fused shape without the partitioner clause
+    plain = run_script(eng, f"""
+        c = LOAD '{SF}/customer.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        cg = COGROUP c BY c_custkey, o BY o_custkey;
+        anti = FILTER cg BY IsEmpty(o);
+        out = FOREACH anti GENERATE group AS custkey, COUNT_STAR(c) AS n;
+    """)["out"].df()
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_cogroup_agg_fusion_honors_parallel(eng):
+    """PARALLEL on a fused COGROUP sets the reduce partition count, the
+    same observable _c_cogroup honors (r10 advisor)."""
+    script = f"""
+        c = LOAD '{SF}/customer.parquet';
+        o = LOAD '{SF}/orders.parquet';
+        cg = COGROUP c BY c_custkey, o BY o_custkey PARALLEL 3;
+        anti = FILTER cg BY IsEmpty(o);
+        out = FOREACH anti GENERATE group AS custkey, COUNT_STAR(c) AS n;
+    """
+    df = run_script(eng, script)["out"].df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan          # still fused
+    assert df.rdd.getNumPartitions() == 3      # PARALLEL honored

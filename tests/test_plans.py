@@ -742,3 +742,36 @@ def test_cogroup_agg_fusion_skips_bags(eng, spark):
                sorted(map(tuple, plain.collect()), key=str)
     finally:
         eng.spark.conf.set("spark.spork.optimizer.fuseCogroupAgg", "true")
+
+
+def test_cogroup_agg_fusion_bails_on_group_deref(eng, spark):
+    """group.field on a struct-typed single cogroup key must not fuse:
+    the fused path compiled any Deref of group as the WHOLE key (and
+    misnamed it). It now falls back to the bag path, which projects the
+    dereferenced field (r10 advisor)."""
+    from pyspark.sql import functions as SF
+    from spork_spark.parser import run_script
+    a = spark.createDataFrame(
+        [(1, 10, 10.0), (1, 20, 5.0), (2, 10, 1.0)], "f1 int, f2 int, v double")
+    b = spark.createDataFrame([(2, 10, "x"), (3, 30, "y")],
+                              "f1 int, f2 int, s string")
+    a2 = a.select(SF.struct("f1", "f2").alias("k"), "v")
+    b2 = b.select(SF.struct("f1", "f2").alias("k"), "s")
+    rels_in = {"ta": eng.from_df(a2, alias="ta"),
+               "tb": eng.from_df(b2, alias="tb")}
+    script = """
+        cg = COGROUP ta BY k, tb BY k;
+        anti = FILTER cg BY IsEmpty(tb);
+        out = FOREACH anti GENERATE group.f1 AS kf, COUNT_STAR(ta) AS n;
+    """
+    df = run_script(eng, script, relations=rels_in)["out"].df()
+    rows = sorted(map(tuple, df.collect()))
+    assert df.columns == ["kf", "n"]
+    assert rows == [(1, 1), (1, 1)]  # field value per struct group
+    # identical to the explicitly unfused path
+    eng.spark.conf.set("spark.spork.optimizer.fuseCogroupAgg", "false")
+    try:
+        plain = run_script(eng, script, relations=rels_in)["out"].df()
+        assert sorted(map(tuple, plain.collect())) == rows
+    finally:
+        eng.spark.conf.set("spark.spork.optimizer.fuseCogroupAgg", "true")
